@@ -1,0 +1,58 @@
+"""SparkSession construction tuned for this engine.
+
+Local test profile: ``local[N]`` single-JVM. The same builder settings are
+the ones we'd ship on a 1000-executor cluster (AQE on, adaptive skew-join,
+partition coalescing); only memory/parallelism sizing is deployment-specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime (SQL) confs that matter for correctness and must hold even when
+#: the driver hands us a pre-built session: applied by ``configure_runtime``.
+RUNTIME_CONFS = {
+    # Oracle comparison is timezone-proof only if Spark interprets the
+    # (timezone-naive) parquet timestamps exactly like DuckDB does: as UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # Spark 4 defaults ANSI on; the engine's coerce semantics (reference
+    # lambda_function.py:87 `errors="coerce"`) want NULL-on-bad-parse. We
+    # still use try_* functions everywhere it matters; this is belt+braces.
+    "spark.sql.ansi.enabled": "false",
+    # Runtime re-planning: coalesce small shuffle partitions, split skewed
+    # ones. Essential at 100 TB; harmless at sf0.01.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (driver-safe)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime-settable on this build: builder already set it
+    return spark
+
+
+def get_spark(app_name: str = "etl_pipeline_sam_gov_spark") -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Shuffle parallelism sized to cores for local; on a real cluster
+        # AQE coalescing makes the initial number mostly a ceiling.
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure_runtime(spark)

@@ -1,0 +1,50 @@
+"""Fixture-table loading and view registration.
+
+All queries load their inputs through ``load_tables`` so that:
+
+- the session is pinned to UTC + AQE before any plan is built;
+- each parquet file becomes both a DataFrame and a temp view (the SQL-first
+  operators use ``spark.sql`` over these names — the same names the DuckDB
+  oracle harness pre-registers);
+- column pruning / predicate pushdown reach the parquet scan (we hand
+  Catalyst the raw ``spark.read.parquet`` scan, never a cached or
+  collected intermediate).
+
+At 100 TB these would be partitioned/bucketed catalog tables
+(``spark.table``); the loader is the single seam where that swap happens.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_pipeline_sam_gov_spark.session import configure_runtime
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    """Read the fixture parquet tables and register them as temp views."""
+    configure_runtime(spark)
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
