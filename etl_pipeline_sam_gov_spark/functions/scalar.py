@@ -1,1 +1,248 @@
-"""Placeholder — filled in during the build (SURVEY.md §7)."""
+"""Scalar function library coverage (SURVEY.md §2.8).
+
+The reference uses strip/upper/to_datetime/date-diff/strftime/dict-get
+(F1-F10); this module exercises the full string / date / math / JSON /
+array surface over the fixture tables. Everything is a built-in
+``pyspark.sql.functions`` expression — JVM-side, inside whole-stage
+codegen; no Python crosses the row path.
+
+Oracle-stability notes: transcendental results (ln/log10) are rounded
+to 6 decimals (libm last-ulp differences between JVM and C); sqrt is
+IEEE-exact so it needs no rounding but gets the same treatment for
+uniformity; date outputs are emitted as formatted strings; JSON
+extraction compares as int.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.tables import load_tables
+
+
+@query(
+    "fn_string_part",
+    oracle=r"""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       substr(p_name, 1, 4) AS name_prefix,
+       concat(p_brand, ':', p_type) AS brand_type,
+       replace(p_name, ' ', '_') AS name_snake,
+       regexp_extract(p_name, '(\w+)$', 1) AS last_word,
+       len(string_split(p_name, ' ')) AS n_words,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       length(p_name) AS name_len,
+       reverse(p_brand) AS brand_rev,
+       contains(p_type, 'PROMO') AS is_promo,
+       starts_with(p_type, 'ECONOMY') AS is_economy
+FROM part
+""",
+)
+def fn_string_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions: case, substring, concat, replace, regex
+    extract, split, padding, reverse, containment predicates (the
+    generalization of the reference's strip/upper/contains, F1/F2/P1)."""
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.length("p_name").alias("name_len"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.col("p_type").contains("PROMO").alias("is_promo"),
+        F.col("p_type").startswith("ECONOMY").alias("is_economy"),
+    )
+
+
+@query(
+    "fn_date_orders",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       day(o_orderdate) AS dy,
+       quarter(o_orderdate) AS qtr,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-08-01') AS days_to_ref,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+""",
+)
+def fn_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions: component extraction, truncation, interval
+    arithmetic, last_day, datediff, formatting (generalizing F3-F5)."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias(
+            "plus_30d"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("2001-08-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_ref"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@query(
+    "fn_math_prices",
+    oracle="""
+SELECT o_orderkey,
+       abs(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS price_abs,
+       round(o_totalprice, -2) AS price_hundreds,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+       CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+       round(sqrt(o_totalprice), 6) AS price_sqrt,
+       round(ln(o_totalprice), 6) AS price_ln,
+       round(log10(o_totalprice), 6) AS price_log10,
+       round(pow(o_totalprice / 100000, 2), 6) AS price_sq_scaled,
+       round(fmod(o_totalprice, 100), 2) AS price_mod,
+       CAST(sign(o_totalprice - 200000) AS INT) AS above_200k,
+       greatest(o_totalprice, 200000.0) AS clamped_lo,
+       round(least(o_totalprice, 200000.0), 2) AS clamped_hi
+FROM orders
+""",
+)
+def fn_math_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions: abs/round/floor/ceil/sqrt/ln/log10/pow/mod/sign/
+    greatest/least."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    p = F.col("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        F.abs(p.cast("decimal(18,2)")).cast("double").alias("price_abs"),
+        F.round(p, -2).alias("price_hundreds"),
+        F.floor(p).cast("long").alias("price_floor"),
+        F.ceil(p).cast("long").alias("price_ceil"),
+        F.round(F.sqrt(p), 6).alias("price_sqrt"),
+        F.round(F.log(p), 6).alias("price_ln"),
+        F.round(F.log10(p), 6).alias("price_log10"),
+        F.round(F.pow(p / 100000, 2), 6).alias("price_sq_scaled"),
+        F.round(p % 100, 2).alias("price_mod"),
+        F.signum(p - 200000).cast("int").alias("above_200k"),
+        F.greatest(p, F.lit(200000.0)).alias("clamped_lo"),
+        F.round(F.least(p, F.lit(200000.0)), 2).alias("clamped_hi"),
+    )
+
+
+@query(
+    "fn_json_events",
+    oracle="""
+SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY 1
+""",
+)
+def fn_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (F10 generalization —
+    the reference pulls nested JSON fields with dict .get; here it's
+    get_json_object over events.props), then grouped aggregation."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "fn_array_embeddings",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
+       round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS vec_sum,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS vec_max,
+       round(CAST(list_min(embedding) AS DOUBLE), 6) AS vec_min,
+       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+       len(list_filter(embedding, x -> x > 0)) AS n_positive
+FROM embeddings
+""",
+)
+def fn_array_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order functions over the embedding column:
+    element access, fold (aggregate), transform+filter, zip_with dot
+    product. These are the building blocks of the similarity-search
+    operators (operators.similarity) — all JVM-side, no UDFs."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vec_sum = F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x)
+    dot_self = F.aggregate(
+        F.zip_with(as_double, as_double, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_dim"),
+        F.round(vec_sum, 4).alias("vec_sum"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vec_max"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("vec_min"),
+        F.round(F.sqrt(dot_self), 6).alias("l2_norm"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "fn_case_banding",
+    oracle="""
+SELECT CASE WHEN l_quantity <= 10 THEN 'tiny'
+            WHEN l_quantity <= 25 THEN 'small'
+            WHEN l_quantity <= 40 THEN 'large'
+            ELSE 'huge' END AS qty_band,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM lineitem
+GROUP BY 1
+""",
+)
+def fn_case_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded CASE scoring — the reference's recency-score kernel (F9,
+    lambda_function.py:102-114) generalized to any numeric banding."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    band = (
+        F.when(F.col("l_quantity") <= 10, "tiny")
+        .when(F.col("l_quantity") <= 25, "small")
+        .when(F.col("l_quantity") <= 40, "large")
+        .otherwise("huge")
+    )
+    return (
+        li.select(band.alias("qty_band"), "l_extendedprice")
+        .groupBy("qty_band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )

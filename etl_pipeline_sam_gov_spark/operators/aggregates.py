@@ -1,1 +1,219 @@
-"""Placeholder — filled in during the build (SURVEY.md §7)."""
+"""Aggregation breadth (SURVEY.md §2.4).
+
+The reference's only aggregate is a scalar row count
+(``lambda_function.py:211,230``); this module provides the grouped /
+multi-dimensional / approximate aggregation surface. Catalyst plans all
+of these as partial (map-side) + final aggregation automatically —
+the map-side combine is what keeps shuffle volume proportional to group
+cardinality, not row count, at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_sam_gov_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
+from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.tables import load_tables
+
+
+@query(
+    "agg_customer_stats",
+    oracle=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       {sql_dsum('c_acctbal')} AS sum_acctbal,
+       {sql_davg('c_acctbal')} AS avg_acctbal,
+       CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_acctbal,
+       CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_acctbal,
+       COUNT(DISTINCT c_nationkey) AS n_nations
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def agg_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped count/sum/avg/min/max/countDistinct in one pass.
+    count(distinct) triggers Catalyst's expand+two-phase rewrite."""
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal", "sum_acctbal"),
+        davg("c_acctbal", "avg_acctbal"),
+        F.min(dec).cast("double").alias("min_acctbal"),
+        F.max(dec).cast("double").alias("max_acctbal"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
+@query(
+    "agg_distinct_counts",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple count(distinct) over one group — Catalyst expands to a
+    grouping-id union then re-aggregates (the 'expand' operator)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+       {sql_dsum('l_quantity')} AS sum_qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals: (flag, status) → (flag) → ()."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").alias("g_flag"),
+        F.grouping("l_linestatus").alias("g_status"),
+        dsum("l_quantity", "sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n")
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+       {sql_dsum('l_quantity')} AS sum_qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^k grouping combinations."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").alias("g_flag"),
+        F.grouping("l_linestatus").alias("g_status"),
+        dsum("l_quantity", "sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n")
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_extendedprice')} AS sum_price, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL surface (same Catalyst Expand
+    operator as rollup/cube)."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "agg_pivot_status",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DOUBLE) AS "F",
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE) AS "O"
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (explicit values keep the plan
+    single-pass; value-discovery pivot needs an extra job)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+    )
+
+
+@query(
+    "agg_having_large_orders",
+    oracle=f"""
+SELECT c_name, o_orderkey, {sql_dsum('l_quantity')} AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, o_orderkey
+HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+""",
+)
+def agg_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: join + group + HAVING (post-aggregation filter)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    qty = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "o_orderkey")
+        .agg(qty.cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+       round(CAST(stddev_samp(l_quantity) AS DOUBLE), 6) AS sd_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + sample stddev. (Quantities are
+    small integers, so round(6) absorbs engine-side fp association
+    noise in the stddev merge.)"""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+    )
+
+
+@query("agg_approx_sketches")  # no oracle: HLL/KLL sketches are engine-specific
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB workhorses. HyperLogLog++
+    distinct counts and KLL-sketch quantiles run in O(1) memory per
+    group where exact distinct would shuffle every key. Sketch values
+    are engine-specific by nature → rows-only correctness check."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,1 +1,335 @@
-"""Placeholder — filled in during the build (SURVEY.md §7)."""
+"""Join breadth + TPC-H-style multi-table queries (SURVEY.md §2.3).
+
+The reference's only join is a 3-row dict-lookup enrichment
+(``lambda_function.py:94-99`` — a degenerate broadcast hash join); this
+module provides the full join surface an analytics engine needs:
+inner / left / full-outer / left-semi / left-anti / cross / non-equi
+range joins, plus the multi-join aggregation pipelines (TPC-H Q1/Q3/
+Q4/Q5/Q13 shapes) that exercise them at scale.
+
+Scale notes (100 TB):
+
+- Dimension tables (``region``, ``nation``, ``supplier``, band tables)
+  are broadcast (``F.broadcast``) — no shuffle of the fact table for
+  dim joins; Catalyst + AQE would pick this automatically under the
+  size threshold, the explicit hint pins it for huge-cluster plans.
+- Fact-fact joins (``orders`` ⋈ ``lineitem``) shuffle on the join key;
+  both sides hash-partition on ``orderkey``, and AQE skew-join splits
+  oversized partitions. On a real warehouse these tables would be
+  bucketed by orderkey so the shuffle disappears entirely.
+- Aggregations after joins reuse Catalyst's partial (map-side) + final
+  aggregation; nothing here materializes an intermediate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_sam_gov_spark.functions.exact import (
+    SQL_REVENUE_SUM,
+    davg,
+    dsum,
+    revenue_sum,
+    sql_davg,
+    sql_dsum,
+)
+from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.tables import load_tables
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {SQL_REVENUE_SUM} AS sum_disc_price,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       {sql_davg('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter (pushed to parquet) → grouped
+    partial+final aggregation. The widest-used agg pattern; exact
+    decimal sums keep it hash-stable (see functions.exact)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            revenue_sum("sum_disc_price"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       {SQL_REVENUE_SUM} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-06-30 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim-filtered customer (broadcast) ⋈ orders ⋈
+    lineitem → grouped revenue → top-10 (TakeOrderedAndProject)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    cutoff = F.lit("1998-06-30 00:00:00").cast("timestamp")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            t["lineitem"].filter(F.col("l_shipdate") > cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(revenue_sum("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a left-semi join (no row duplication,
+    the build side deduplicates inside the hash join)."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    big_items = t["lineitem"].filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        .join(big_items, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q5_local_supplier",
+    oracle=f"""
+SELECT n_name, {SQL_REVENUE_SUM} AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join. All dimensions broadcast; the
+    only shuffles are the two fact-side repartitions (orders⋈lineitem on
+    orderkey) and the final small groupBy."""
+    t = load_tables(
+        spark, sf_dir, ("region", "nation", "customer", "supplier", "orders", "lineitem")
+    )
+    nations = (
+        t["region"]
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .join(t["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    cust = t["customer"].join(
+        F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    ords = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        t["lineitem"]
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(revenue_sum("revenue"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join with a join-time predicate (the
+    predicate must NOT filter unmatched left rows), double aggregation."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") != "P"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "join_anti_inactive_customers",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_inactive
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""",
+)
+def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join (null-safe, unlike NOT IN)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+
+
+@query(
+    "join_full_outer_nation_activity",
+    oracle="""
+WITH c AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT coalesce(c.k, s.k) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.k = s.k
+""",
+)
+def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (nations with customers vs with
+    suppliers); exercises both-null-side coalescing."""
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    c = t["customer"].groupBy(F.col("c_nationkey").alias("ck")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = t["supplier"].groupBy(F.col("s_nationkey").alias("sk")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return c.join(s, c.ck == s.sk, "full_outer").select(
+        F.coalesce("ck", "sk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+#: Quantity bands for the non-equi range join (inline dimension).
+_BANDS = [(0, 10, "XS"), (10, 20, "S"), (20, 30, "M"), (30, 40, "L"), (40, 51, "XL")]
+_BANDS_SQL = ", ".join(f"({lo}, {hi}, '{label}')" for lo, hi, label in _BANDS)
+
+
+@query(
+    "join_range_quantity_bands",
+    oracle=f"""
+WITH bands(lo, hi, band) AS (VALUES {_BANDS_SQL})
+SELECT band, COUNT(*) AS n_items, {sql_dsum('l_extendedprice')} AS band_value
+FROM lineitem
+JOIN bands ON l_quantity >= lo AND l_quantity < hi
+GROUP BY band
+""",
+)
+def join_range_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/interval) join against a tiny banding dimension.
+    Spark plans this as BroadcastNestedLoopJoin — correct for a 5-row
+    build side at any fact scale; for large range dimensions the scale
+    path is bucketizing the range key into an equi-join (see
+    operators.analytics.asof_join for that technique)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    bands = li.sparkSession.createDataFrame(_BANDS, "lo int, hi int, band string")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", "band_value"),
+        )
+    )
+
+
+@query(
+    "join_cross_region_status",
+    oracle="""
+SELECT r_name, o_orderstatus, COUNT(*) AS n
+FROM region
+CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+CROSS JOIN nation
+WHERE n_regionkey = r_regionkey
+GROUP BY r_name, o_orderstatus
+""",
+)
+def join_cross_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (small×small only — a guarded operation at
+    scale; Spark requires crossJoin() or a hint by design)."""
+    t = load_tables(spark, sf_dir, ("region", "nation", "orders"))
+    statuses = t["orders"].select("o_orderstatus").distinct()
+    return (
+        t["region"]
+        .crossJoin(statuses)
+        .crossJoin(t["nation"])
+        .filter(F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,1 +1,147 @@
-"""Placeholder — filled in during the build (SURVEY.md §7)."""
+"""Window functions (SURVEY.md §2.5 — absent in the reference, whose
+rank-like behavior is a derived score + total sort; this is the real
+windowed surface).
+
+Scale notes: a window shuffles once on its partition key and sorts
+within partitions; all window columns sharing one (partitionBy,
+orderBy) spec are computed in a single pass. Partition keys here
+(user_id, priority, lang) are low-skew; for skewed keys at 100 TB the
+pattern is two-level windows (salt → partial → merge) or a bounded
+``rowsBetween`` frame so state stays O(frame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.tables import load_tables
+
+
+@query(
+    "window_rank_orders",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       CAST(o_totalprice AS DECIMAL(18,2)) :: DOUBLE AS price,
+       rn, rnk, drnk
+FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         row_number() OVER w AS rn,
+         rank()       OVER (PARTITION BY o_orderpriority ORDER BY round(o_totalprice / 10000) DESC) AS rnk,
+         dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY round(o_totalprice / 10000) DESC) AS drnk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+) t
+WHERE rn <= 5
+""",
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank; the rank pair runs over a
+    coarsened key so real ties exist (rank ≠ dense_rank)."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w_unique = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_ties = W.partitionBy("o_orderpriority").orderBy(
+        F.desc(F.round(F.col("o_totalprice") / 10000))
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"),
+            F.row_number().over(w_unique).alias("rn"),
+            F.rank().over(w_ties).alias("rnk"),
+            F.dense_rank().over(w_ties).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "window_running_user",
+    oracle="""
+SELECT event_id, user_id,
+       epoch_us(ts) AS ts_us,
+       round(sum(value) OVER w, 6) AS running_value,
+       round(lag(value)  OVER w, 6) AS prev_value,
+       round(lead(value) OVER w, 6) AS next_value,
+       row_number() OVER w AS seq
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def window_running_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals + lag/lead over a per-user event timeline.
+    The cumulative sum accumulates in identical order in both engines
+    (total order via (ts, event_id)), so values are bit-stable."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.sum("value").over(w_run), 6).alias("running_value"),
+        F.round(F.lag("value").over(w_ord), 6).alias("prev_value"),
+        F.round(F.lead("value").over(w_ord), 6).alias("next_value"),
+        F.row_number().over(w_ord).alias("seq"),
+    )
+
+
+@query(
+    "window_frames_moving",
+    oracle="""
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg4,
+       round(first_value(value) OVER wfull, 6) AS first_val,
+       round(last_value(value)  OVER wfull, 6) AS last_val,
+       ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile
+FROM events
+WINDOW wfull AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def window_frames_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sliding frame (moving average), whole-partition frame
+    (first/last), and ntile bucketing."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_move = w_ord.rowsBetween(-3, W.currentRow)
+    w_full = w_ord.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w_move), 6).alias("moving_avg4"),
+        F.round(F.first("value").over(w_full), 6).alias("first_val"),
+        F.round(F.last("value").over(w_full), 6).alias("last_val"),
+        F.ntile(4).over(w_ord).alias("quartile"),
+    )
+
+
+@query(
+    "window_topk_docs_per_lang",
+    oracle="""
+SELECT lang, doc_id, n_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) t
+WHERE rn <= 2
+""",
+)
+def window_topk_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group — the canonical window idiom (row_number ≤ K).
+    At scale this beats groupBy+collect_list by never materializing
+    groups; AQE handles partition skew on hot keys."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = W.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 2)
+        .drop("rn")
+    )

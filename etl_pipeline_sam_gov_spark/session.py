@@ -26,6 +26,10 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    # reader rejects; read as long (nanos since epoch) and normalize to
+    # micros in tables.load_tables (exact integer division).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

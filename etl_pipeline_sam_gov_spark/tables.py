@@ -45,6 +45,15 @@ def load_tables(
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         df = spark.read.parquet(path)
+        if name == "events":
+            # TIMESTAMP(NANOS) arrives as long nanos (see session.py);
+            # truncate to micros with exact integer division — same
+            # truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+            # (double division would lose precision: epoch-nanos > 2^53.)
+            from pyspark.sql import functions as F, types as T
+
+            if isinstance(df.schema["ts"].dataType, T.LongType):
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
