@@ -1,1 +1,488 @@
-"""Placeholder — filled in during the build (SURVEY.md §7)."""
+"""Deduplication operators over ``documents`` (SURVEY.md §2.12 — the
+LLM-data-pipeline extensions; the reference has no dedup, these are the
+operators a 100 TB training-data pipeline needs).
+
+Five dedup families, all pure DataFrame expressions (no UDFs):
+
+- exact        — hash-groupBy on raw text
+- fingerprint  — hash-groupBy on normalized sorted-token fingerprint
+- n-gram Jaccard — shingle-set similarity via a shingle equi-join
+- MinHash + LSH  — signatures → band buckets → candidate pairs →
+  exact verification (the scale path: candidate generation touches
+  only bucket-colliding pairs, never the O(n²) cross product)
+- SimHash      — 32-bit sign-of-weighted-sum sketch + Hamming distance
+
+Determinism contract: every hash derives from ``md5`` (identical in
+Spark and DuckDB) reduced to an integer via a 15-hex-digit prefix
+(60 bits, fits bigint exactly). The MinHash permutation constants below
+are the single source of truth for BOTH the Spark expressions and the
+DuckDB oracle SQL, so candidate sets are provably identical.
+
+Scale notes: shingling explodes ~L tokens/doc into ~L rows — at 100 TB
+this is a flatMap, not a collect; the shingle join partitions by
+shingle hash (skewed shingles are rare after distinct-per-doc + a stop-
+shingle filter would cap them). MinHash signatures are one groupBy with
+16 min() aggregates (map-side combine shrinks this to one row per doc
+per partition). LSH banding turns all-pairs into per-bucket pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.tables import load_tables
+
+# ---------------------------------------------------------------------------
+# Shared deterministic hashing (single source of truth for both engines)
+# ---------------------------------------------------------------------------
+
+#: Mersenne prime 2^31-1: (A*h+B) stays < 2^62 — exact in int64 everywhere.
+MINHASH_P = 2_147_483_647
+
+#: 16 fixed (A, B) permutation constants (odd multipliers < P).
+MINHASH_PERMS = [
+    (1_103_515_245, 12_345),
+    (1_234_567_891, 987_654_321),
+    (999_999_937, 31_337),
+    (1_862_270_077, 271_828_183),
+    (1_537_228_671, 141_421_357),
+    (2_038_074_743, 577_215_665),
+    (1_299_709_019, 414_213_563),
+    (1_618_033_989, 173_205_081),
+    (1_732_050_809, 223_606_797),
+    (1_414_213_563, 264_575_131),
+    (1_259_921_049, 331_662_479),
+    (1_442_249_571, 360_555_127),
+    (1_709_975_947, 387_298_335),
+    (1_912_931_183, 412_310_563),
+    (1_189_207_115, 435_889_894),
+    (1_998_244_353, 458_257_569),
+]
+
+#: LSH banding: 8 bands × 2 rows over the 16 signatures.
+#: P(candidate | j) = 1-(1-j^2)^8 → ~99.5% at j=0.7, ~53% at j=0.3;
+#: sub-threshold candidates are removed by exact verification.
+LSH_BANDS, LSH_ROWS = 8, 2
+
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 32
+# Tight threshold: this corpus has a tiny vocabulary, so token-set
+# simhashes collapse (even Hamming 0 clusters are common); ≤1 keeps the
+# output meaning "same/near-same token profile".
+SIMHASH_MAX_HAMMING = 1
+
+_TOKEN_SPLIT = r"\s+"
+
+
+def _spark_hash60(col: Column) -> Column:
+    """md5 → first 15 hex digits → bigint (60 bits; exact, engine-neutral)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _sql_hash60(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, _TOKEN_SPLIT)
+
+
+def shingles_col(text: str | Column = "text", n: int = 3) -> Column:
+    """Distinct n-gram (word) shingles as an array column — built with
+    sequence/transform/slice higher-order functions, all JVM-side."""
+    toks = tokens_col(text)
+    # guard: sequence(1, 0) in Spark would generate a DESCENDING range,
+    # so short docs get an explicit empty array
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) exploded distinct-shingle relation."""
+    return docs.select("doc_id", F.explode(shingles_col()).alias("shingle"))
+
+
+#: DuckDB equivalent of doc_shingles (kept in lockstep).
+_SQL_SHINGLES = r"""
+toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact + fingerprint dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS canonical_doc,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the smallest doc_id as
+    canonical. At 100 TB: group on the 128-bit hash (never the raw
+    text) so shuffle rows are fixed-width."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_doc"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@query(
+    "dedup_fingerprint",
+    oracle=r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split_regex(text, '\s+'))), ' ')) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+       COUNT(*) OVER (PARTITION BY fingerprint) AS group_size
+FROM fp
+""",
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint dedup (OpenRefine-style): sort the
+    distinct token set, hash it — catches reorderings exact dedup
+    misses. The rolling-hash document fingerprint of SURVEY.md §2.12."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    fp = F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(tokens_col()))))
+    from pyspark.sql import Window as W
+
+    fps = docs.select("doc_id", fp.alias("fingerprint"))
+    return fps.withColumn(
+        "group_size", F.count(F.lit(1)).over(W.partitionBy("fingerprint"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact pairwise via shingle join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="WITH "
+    + _SQL_SHINGLES
+    + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS intersection
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2,
+       round(intersection::DOUBLE / (s1.sz + s2.sz - intersection), 6) AS jaccard
+FROM pairs
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE intersection::DOUBLE / (s1.sz + s2.sz - intersection) >= {JACCARD_THRESHOLD}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs. The shingle equi-join only
+    materializes pairs that share ≥1 shingle — already far below n²;
+    MinHash-LSH below cuts candidate generation further for 100 TB."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = doc_shingles(docs)
+    return _verified_jaccard_pairs(
+        sh,
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.count(F.lit(1)).alias("intersection")),
+    )
+
+
+def _verified_jaccard_pairs(sh: DataFrame, inter: DataFrame) -> DataFrame:
+    """(doc1, doc2, intersection) + per-doc shingle sizes → thresholded
+    Jaccard pairs."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"))
+    jac = F.col("intersection").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("intersection")
+    )
+    return (
+        inter.join(F.broadcast(s1), "doc1")
+        .join(F.broadcast(s2), "doc2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, s0..s15): one groupBy with 16 min() aggregates over the
+    permuted shingle hashes — map-side combine reduces shuffle to one
+    row per doc per partition."""
+    h = _spark_hash60(F.col("shingle")) % MINHASH_P
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"s{k}")
+        for k, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signatures and equi-join on (band_idx, band_hash)."""
+    band_cols = []
+    for band in range(LSH_BANDS):
+        rows = [f"s{band * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        band_cols.append(
+            F.struct(
+                F.lit(band).alias("band_idx"),
+                F.md5(F.concat_ws(",", *rows)).alias("band_hash"),
+            )
+        )
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    return (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+def _sql_minhash_lsh() -> str:
+    """DuckDB oracle generated from the same constants as the Spark path."""
+    h = f"({_sql_hash60('shingle')} % {MINHASH_P})"
+    sig_exprs = ",\n  ".join(
+        f"MIN(({a} * {h} + {b}) % {MINHASH_P}) AS s{k}"
+        for k, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    band_rows = ",\n  ".join(
+        "({b}, md5({cat}))".format(
+            b=band,
+            cat=" || ',' || ".join(
+                f"CAST(s{band * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+            ),
+        )
+        for band in range(LSH_BANDS)
+    )
+    # VALUES-per-row lateral to unpivot the 8 bands
+    return (
+        "WITH "
+        + _SQL_SHINGLES
+        + f""",
+sigs AS (SELECT doc_id, {sig_exprs} FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, v.band_idx, v.band_hash
+  FROM sigs, LATERAL (VALUES {band_rows}) v(band_idx, band_hash)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+  FROM banded x JOIN banded y
+    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+   AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc1, c.doc2, COUNT(*) AS intersection
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc1
+  JOIN sh b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2,
+       round(intersection::DOUBLE / (s1.sz + s2.sz - intersection), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE intersection::DOUBLE / (s1.sz + s2.sz - intersection) >= {JACCARD_THRESHOLD}
+"""
+    )
+
+
+@query("dedup_minhash_lsh", oracle=_sql_minhash_lsh())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection: shingle → 16 minhash signatures →
+    8×2 band buckets → candidate pairs → exact Jaccard verification.
+
+    This is the 100 TB dedup path: cost is O(docs × shingles) for
+    signatures plus O(bucket-colliding pairs) for verification. The
+    hash scheme is engine-neutral (md5-derived), so the DuckDB oracle
+    reproduces the exact candidate set — the check covers the LSH
+    mechanics, not just the final Jaccard filter."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = doc_shingles(docs)
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    inter = (
+        cand.join(sh.alias("a"), F.col("a.doc_id") == F.col("doc1"))
+        .join(
+            sh.alias("b"),
+            (F.col("b.doc_id") == F.col("doc2"))
+            & (F.col("b.shingle") == F.col("a.shingle")),
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    return _verified_jaccard_pairs(sh, inter)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_col_aggs() -> list[Column]:
+    """Per-bit ±1 vote sums over distinct-token hashes (exploded input
+    with column ``h`` = 60-bit token hash)."""
+    # shiftright is exact on bigint (double division would corrupt the
+    # 60-bit hash above 2^53)
+    return [
+        F.sum((F.shiftright(F.col("h"), j) % 2) * 2 - 1).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+
+
+@query(
+    "dedup_simhash",
+    oracle=r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+),
+th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+bits AS (
+  SELECT doc_id,
+         """
+    + ",\n         ".join(
+        f"SUM(((h // {2**j}) % 2) * 2 - 1) AS b{j}" for j in range(SIMHASH_BITS)
+    )
+    + """
+  FROM th GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id,
+         """
+    + " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    + f""" AS simhash
+  FROM bits
+)
+SELECT x.doc_id AS doc1, y.doc_id AS doc2,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_MAX_HAMMING}
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit sign-of-vote sketch per doc,
+    Hamming-distance filter on pairs. (Pairing here is all-pairs for
+    oracle parity; the scale path blocks on simhash prefix bytes —
+    same banding idea as LSH.)"""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok")
+    )
+    th = toks.select("doc_id", _spark_hash60(F.col("tok")).alias("h"))
+    bits = th.groupBy("doc_id").agg(*simhash_col_aggs())
+    sig = sum(
+        (F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0)))
+        for j in range(SIMHASH_BITS)
+    )
+    sigs = bits.select("doc_id", sig.cast("bigint").alias("simhash"))
+    hamming = F.bit_count(
+        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+    )
+    return (
+        sigs.alias("x")
+        .join(sigs.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc1"),
+            F.col("y.doc_id").alias("doc2"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.40
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH norms AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: pairwise cosine ≥ threshold. All-pairs
+    here (oracle-exact); operators.similarity holds the bucketed scale
+    path. Dot products are sequential folds over double-cast elements
+    — JVM-side zip_with/aggregate, no UDF."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot_self = F.aggregate(
+        F.zip_with(as_double, as_double, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norms = emb.select(
+        "vec_id", as_double.alias("v"), F.sqrt(dot_self).alias("nrm")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        norms.alias("a")
+        .join(norms.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec1"),
+            F.col("b.vec_id").alias("vec2"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .withColumn("cosine", F.round("cosine", 6))
+    )

@@ -1,1 +1,177 @@
-"""Placeholder — filled in during the build (SURVEY.md §7)."""
+"""Similarity search over embeddings (SURVEY.md §2.12): brute-force
+cosine top-k as the exactness baseline, plus a sign-LSH-bucketed
+variant as the scale path.
+
+All vector math is JVM-side higher-order functions (zip_with +
+aggregate over double-cast elements — sequential fold, bit-identical
+to the oracle's list_dot_product). No UDFs, no collect.
+
+Scale notes (100 TB / billions of vectors):
+
+- Brute force is O(Q × N) — correct answer, embarrassingly parallel;
+  broadcast the query set, scan the corpus once, per-partition top-k
+  heaps via the rank-window (AQE compacts the tiny shuffle).
+- The bucketed variant is IVF-style: both sides key on a coarse
+  quantization (here: the sign pattern of the leading dimensions —
+  random-hyperplane LSH with axis-aligned planes), the join becomes an
+  equi-join on bucket id, and each probe touches only its cell. Recall
+  is traded for a ~|buckets|× cost cut; multi-probe (flipping one sign
+  bit) would recover recall without changing the plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.tables import load_tables
+
+TOP_K = 5
+QUERY_STRIDE = 50  # vec_id % stride == 0 → the deterministic query set
+LSH_SIGN_DIMS = 6  # 2^6 = 64 coarse cells
+
+
+def _as_double(col: str = "embedding") -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _fold_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def with_norms(emb: DataFrame) -> DataFrame:
+    v = _as_double()
+    return emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.sqrt(_fold_sum(F.zip_with(v, v, lambda a, b: a * b))).alias("nrm"),
+    )
+
+
+def cosine(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y)) / (na * nb)
+
+
+_SQL_NORMS = """
+norms AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+"""
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+WITH {_SQL_NORMS},
+q AS (SELECT * FROM norms WHERE vec_id % {QUERY_STRIDE} = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+  FROM q JOIN norms c ON c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus scan × rank window.
+    The ground-truth baseline every ANN variant is measured against."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    norms = with_norms(emb)
+    q = norms.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        norms.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def _sign_bucket_sql() -> str:
+    bits = " || ".join(
+        f"(CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(LSH_SIGN_DIMS)
+    )
+    return bits
+
+
+def sign_bucket(v: Column) -> Column:
+    """Coarse cell id: sign pattern of the leading dimensions."""
+    bits = [
+        F.when(F.element_at(v, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(LSH_SIGN_DIMS)
+    ]
+    return F.concat(*bits)
+
+
+@query(
+    "ann_lsh_bucketed_topk",
+    oracle=f"""
+WITH {_SQL_NORMS},
+bucketed AS (SELECT vec_id, v, nrm, {_sign_bucket_sql()} AS bucket FROM norms),
+q AS (SELECT * FROM bucketed WHERE vec_id % {QUERY_STRIDE} = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+  FROM q JOIN bucketed c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH-bucketed ANN: equi-join on the sign-pattern cell, rank
+    within the cell. Same output shape as brute force; candidates are
+    only same-cell vectors — this equi-join scales where the cross
+    product cannot."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    bucketed = with_norms(emb).withColumn("bucket", sign_bucket(F.col("v")))
+    q = bucketed.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )

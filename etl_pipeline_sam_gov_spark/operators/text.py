@@ -1,1 +1,195 @@
-"""Placeholder — filled in during the build (SURVEY.md §7)."""
+"""Text analysis over ``documents`` (SURVEY.md §2.12): token statistics,
+quality scoring, n-gram-heuristic language ID, and document
+fingerprinting — the filter/score stages of an LLM training-data
+pipeline, generalizing the reference's string predicates (P1/F7).
+
+Everything is built-in expression work (split / higher-order array
+functions / regex); per-doc cost is O(tokens) and the whole stage is a
+single narrow map over the corpus — no shuffle at all until an
+aggregation asks for one. That property (filter-score-annotate as a
+pure map) is what lets these run inline in a 100 TB ingest scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_sam_gov_spark.operators.dedup import tokens_col
+from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.tables import load_tables
+
+STOPWORDS_EN = ["the", "a", "of", "to", "and", "in", "is"]
+
+#: Tiny per-language stopword profiles for the n-gram language-ID
+#: heuristic (deterministic tie-break: list order below).
+LANG_PROFILES = [
+    ("en", ["the", "and", "of", "to", "a"]),
+    ("es", ["el", "la", "de", "que", "los"]),
+    ("fr", ["le", "la", "et", "les", "des"]),
+    ("de", ["der", "die", "und", "das", "ein"]),
+]
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@query(
+    "text_token_stats",
+    oracle=r"""
+WITH toks AS (SELECT doc_id, n_chars, string_split_regex(text, '\s+') AS t FROM documents)
+SELECT doc_id,
+       n_chars,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_distinct_tokens,
+       round(len(list_distinct(t))::DOUBLE / len(t), 6) AS type_token_ratio,
+       round(list_aggregate(list_transform(t, x -> len(x)::DOUBLE), 'sum') / len(t), 6) AS avg_token_len
+FROM toks
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + lexical-diversity stats (whitespace tokenizer;
+    a BPE-ish regex tokenizer is exercised in text_quality_score)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = tokens_col()
+    n = F.size(t)
+    total_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(t)).cast("double") / n, 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(total_len / n, 6).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=rf"""
+WITH toks AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS t FROM documents),
+feat AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         round(len(list_filter(t, x -> list_contains({_sql_list(STOPWORDS_EN)}, x)))::DOUBLE
+               / len(t), 6) AS stopword_ratio,
+         round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+               / length(text), 6) AS digit_ratio,
+         len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_words
+  FROM toks
+)
+SELECT doc_id, n_tokens, stopword_ratio, digit_ratio, n_alpha_words,
+       CASE WHEN n_tokens >= 30 AND stopword_ratio >= 0.02 THEN 'high'
+            WHEN n_tokens >= 15 THEN 'medium'
+            ELSE 'low' END AS quality_band
+FROM feat
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, stopword ratio, digit ratio, regex
+    word count, banded score (the reference's banded-CASE kernel F9
+    applied to corpus filtering)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = tokens_col()
+    n = F.size(t)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    stopword_ratio = F.round(
+        F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x))).cast("double") / n,
+        6,
+    )
+    digit_ratio = F.round(
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+        ).cast("double")
+        / F.length("text"),
+        6,
+    )
+    n_alpha = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0)))
+    feat = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        stopword_ratio.alias("stopword_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        n_alpha.alias("n_alpha_words"),
+    )
+    band = (
+        F.when(
+            (F.col("n_tokens") >= 30) & (F.col("stopword_ratio") >= 0.02), "high"
+        )
+        .when(F.col("n_tokens") >= 15, "medium")
+        .otherwise("low")
+    )
+    return feat.withColumn("quality_band", band)
+
+
+def _langid_sql() -> str:
+    hits = ",\n         ".join(
+        f"len(list_filter(t, x -> list_contains({_sql_list(words)}, x))) AS hits_{lang}"
+        for lang, words in LANG_PROFILES
+    )
+    # argmax with deterministic tie-break = profile order
+    best = "CASE "
+    for lang, _ in LANG_PROFILES:
+        others = [
+            f"hits_{lang} >= hits_{o}" for o, _ in LANG_PROFILES if o != lang
+        ]
+        best += f"WHEN {' AND '.join(others)} THEN '{lang}' "
+    best += "ELSE 'und' END"
+    return rf"""
+WITH toks AS (SELECT doc_id, lang, string_split_regex(text, '\s+') AS t FROM documents),
+h AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {hits}
+  FROM toks
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN greatest(hits_en, hits_es, hits_fr, hits_de) = 0 THEN 'und'
+            ELSE {best} END AS predicted_lang,
+       hits_en, hits_es, hits_fr, hits_de
+FROM h
+"""
+
+
+@query("text_langid", oracle=_langid_sql())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-profile voting (n-gram heuristic with
+    1-gram profiles). Real pipelines plug a fastText-style model in as
+    a pandas_udf at exactly this seam — the surrounding plan (pure map,
+    argmax, no shuffle) is identical."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = tokens_col()
+    def hit_counter(words: list[str]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        # single-arg closure: a default-arg lambda would be mistaken for
+        # PySpark's two-arg (element, index) lambda form
+        return F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+
+    sel = [F.col("doc_id"), F.col("lang").alias("labeled_lang")]
+    for lang, words in LANG_PROFILES:
+        sel.append(hit_counter(words).alias(f"hits_{lang}"))
+    h = docs.select(*sel)
+    best = None
+    for lang, _ in LANG_PROFILES:
+        cond = None
+        for other, _ in LANG_PROFILES:
+            if other == lang:
+                continue
+            c = F.col(f"hits_{lang}") >= F.col(f"hits_{other}")
+            cond = c if cond is None else (cond & c)
+        best = F.when(cond, lang) if best is None else best.when(cond, lang)
+    best = best.otherwise("und")
+    any_hit = F.greatest(*[F.col(f"hits_{lang}") for lang, _ in LANG_PROFILES]) > 0
+    return h.select(
+        "doc_id",
+        "labeled_lang",
+        F.when(any_hit, best).otherwise("und").alias("predicted_lang"),
+        *[F.col(f"hits_{lang}") for lang, _ in LANG_PROFILES],
+    )
