@@ -1,1 +1,143 @@
-"""Placeholder — filled in during the build (SURVEY.md §7)."""
+"""Event analytics: sessionization and as-of joins (SURVEY.md §2.5/§2.9
+adjacency — batch forms of the temporal operators; the streaming forms
+live in streaming.jobs).
+
+Scale notes: both operators are one shuffle on the entity key
+(user_id) + an in-partition sort — the canonical "timeline" shape.
+At 100 TB the entity key is the partitioning of the event store, so
+the shuffle disappears; skewed entities are handled by AQE or a
+two-level session merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.tables import load_tables
+
+SESSION_GAP_S = 1800
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER w AS prev_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                   OR ts_us - prev_us > {SESSION_GAP_S} * 1000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us,
+       (MAX(ts_us) - MIN(ts_us)) / 1000000 AS duration_s,
+       round(SUM(value), 6) AS session_value
+FROM numbered
+GROUP BY user_id, session_seq
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag → new-session flag → running sum
+    as session id → per-session aggregates. (The Structured Streaming
+    twin is session_window in streaming.jobs.)"""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ts_us = F.unix_micros("ts")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        ts_us.alias("ts_us"),
+        F.when(
+            F.lag(ts_us).over(w).isNull()
+            | (ts_us - F.lag(ts_us).over(w) > SESSION_GAP_S * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    numbered = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            W.partitionBy("user_id")
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        ((F.max("ts_us") - F.min("ts_us")) / 1_000_000).alias("duration_s"),
+        F.round(F.sum("value"), 6).alias("session_value"),
+    )
+
+
+@query(
+    "asof_join_purchase_click",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       epoch_us(c.ts) AS click_us,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY.md §2.3): for each
+    purchase, the most recent click at-or-before it, per user.
+
+    Implementation: union the two sides with a side marker, sort each
+    user timeline once, and carry the last-seen click via
+    last(ignorenulls) over an unbounded-preceding frame, then keep the
+    purchase rows. One shuffle + one sort — no range join, no
+    per-group loop; DuckDB's native ASOF JOIN is the oracle."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ts_us = F.unix_micros("ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.lit(0).alias("side"),  # clicks sort before same-ts purchases (>= asof)
+        F.lit(None).cast("long").alias("event_id"),
+        ts_us.alias("click_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.lit(1).alias("side"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("click_us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "matched_click_us", F.last("click_us", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("side") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_us"),
+        F.col("matched_click_us").alias("click_us"),
+        (F.col("ts_us") - F.col("matched_click_us")).alias("gap_us"),
+    )

@@ -1,1 +1,239 @@
-"""Placeholder — filled in during the build (SURVEY.md §7)."""
+"""Structured Streaming generalization (SURVEY.md §2.9, §7 Phase 3).
+
+The reference approximates a stream with a daily EventBridge batch over
+a sliding 5-day window and a full-snapshot overwrite
+(``lambda_function.py:11,18-21,122,126-128``; ``README.md:15,28``).
+Here that becomes real Structured Streaming over the ``events`` table:
+
+- tumbling / sliding windowed aggregation with event-time semantics
+- session windows (the streaming twin of operators.analytics)
+- stateful dedup within a watermark
+- a ``foreachBatch`` snapshot sink reproducing the reference's
+  overwrite-fixed-key semantics exactly once per epoch
+
+For driver correctness these run the parquet fixture through a real
+``readStream`` → memory sink → ``processAllAvailable()`` cycle, so the
+streaming runtime (incrementalization, state store) is genuinely
+exercised, while the final answer equals the batch aggregation — which
+is what the DuckDB oracle checks. Watermarks are configured but cannot
+drop anything in a replay of historical data (all data arrives before
+the watermark advances past it) — exactly the semantics a backfill run
+would have in production.
+
+Scale notes: event-time windowed aggs keep O(open windows × groups)
+state per partition; the watermark bounds state size. The snapshot
+sink pattern (foreachBatch + overwrite) is the streaming version of
+the reference's "fixed S3 key" and should become partitioned-overwrite
+(replaceWhere) at 100 TB.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.session import configure_runtime
+
+_counter = itertools.count()
+
+
+def _stream_dir_for(path: str) -> str:
+    """Spark's file stream source requires a directory; expose the
+    single fixture file through a per-path symlink directory (a real
+    deployment points at the landing directory itself)."""
+    import hashlib
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream",
+        hashlib.md5(path.encode()).hexdigest()[:12],
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.islink(link):
+        os.symlink(path, link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet (file-source streaming —
+    the same plan a kafka source would feed). Normalizes the
+    nanos-as-long timestamp exactly like tables.load_tables."""
+    configure_runtime(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema  # pre-normalization schema
+    stream = spark.readStream.schema(schema).parquet(_stream_dir_for(path))
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drive a streaming aggregation to completion against a memory
+    sink; returns the final result table."""
+    name = f"stream_out_{next(_counter)}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return agg.sparkSession.table(name)
+
+
+@query(
+    "stream_tumbling_hourly",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       round(SUM(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window × event_type, computed by the
+    streaming runtime (watermarked, complete mode) and checked against
+    the batch-equivalent oracle."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    out = run_to_memory(agg, mode="complete")
+    return out.select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "stream_sliding_quarter",
+    oracle="""
+WITH slides AS (SELECT unnest(range(0, 4)) * INTERVAL 15 MINUTE AS off)
+SELECT strftime(date_trunc('hour', ts - off) + off, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n,
+       round(SUM(value), 6) AS total_value
+FROM events CROSS JOIN slides
+WHERE ts >= date_trunc('hour', ts - off) + off
+  AND ts <  date_trunc('hour', ts - off) + off + INTERVAL 1 HOUR
+GROUP BY 1
+""",
+)
+def stream_sliding_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 15 min slide): each event lands in 4
+    overlapping windows. Oracle replays the window assignment rule
+    (aligned origin) relationally."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    out = run_to_memory(agg, mode="complete")
+    return out.select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800 * 1000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_seq
+""",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(ts, 30 min) per user in the streaming runtime —
+    stateful gap-based session assignment. Oracle = the batch
+    sessionization (operators.analytics) reduced to (user, start, n)."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory(agg, mode="complete")
+    return out.select(
+        "user_id",
+        F.unix_micros("win.start").alias("session_start_us"),
+        "n_events",
+    )
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (dropDuplicatesWithinWatermark) on
+    (user_id, event_type) — state is bounded by the watermark instead
+    of growing forever. Output keys equal batch DISTINCT."""
+    events = read_events_stream(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(deduped, mode="append")
+
+
+def snapshot_stream(
+    events: DataFrame, out_path: str, mode: str = "complete"
+) -> "object":
+    """The reference's overwrite-fixed-key sink (lambda_function.py:
+    120-128) as a streaming foreachBatch: every epoch overwrites the
+    snapshot atomically. Returns the StreamingQuery (caller stops it)."""
+
+    def write_snapshot(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_path)
+
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total_value")
+    )
+    return (
+        agg.writeStream.outputMode(mode)
+        .foreachBatch(write_snapshot)
+        .trigger(availableNow=True)
+        .start()
+    )
