@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Each query is forced end-to-end with a noop sink (full plan execution,
+no driver collect, no count-only column pruning) — the number measures
+the whole scan→shuffle→operator pipeline, which is what scales.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import etl_pipeline_sam_gov_spark as eng  # noqa: E402
+from etl_pipeline_sam_gov_spark.session import get_spark  # noqa: E402
+
+#: Headline set: one representative per operator family.
+HEADLINE = [
+    "q1_pricing_summary",  # scan + grouped agg
+    "q3_shipping_priority",  # multi-join + top-k
+    "q5_local_supplier",  # 6-table star join
+    "agg_rollup",  # multi-dimensional agg
+    "window_running_user",  # window over timeline
+    "sessionize_events",  # sessionization
+    "contracts_transform",  # the reference-parity pipeline
+    "dedup_minhash_lsh",  # MinHash+LSH dedup
+    "ann_bruteforce_topk",  # similarity search
+    "fn_json_events",  # JSON extraction + agg
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footer caches on the smallest table
+    force(eng.QUERIES["q1_pricing_summary"](spark, sf_dir).limit(1))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(eng.QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

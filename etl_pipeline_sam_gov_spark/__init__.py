@@ -38,6 +38,7 @@ from etl_pipeline_sam_gov_spark.operators import (  # noqa: F401
     windows as _windows,
 )
 from etl_pipeline_sam_gov_spark.functions import scalar as _scalar  # noqa: F401
+from etl_pipeline_sam_gov_spark.functions import udfs as _udfs  # noqa: F401
 from etl_pipeline_sam_gov_spark.streaming import jobs as _jobs  # noqa: F401
 from etl_pipeline_sam_gov_spark.operators import multimodal as _multimodal  # noqa: F401
 

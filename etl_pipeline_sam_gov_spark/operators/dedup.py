@@ -243,13 +243,17 @@ def _verified_jaccard_pairs(sh: DataFrame, inter: DataFrame) -> DataFrame:
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """(doc_id, s0..s15): one groupBy with 16 min() aggregates over the
     permuted shingle hashes — map-side combine reduces shuffle to one
-    row per doc per partition."""
-    h = _spark_hash60(F.col("shingle")) % MINHASH_P
+    row per doc per partition. The base md5 hash is projected ONCE and
+    the 16 permutations are cheap linear transforms of it (16× md5 per
+    row would dominate the stage otherwise)."""
+    hashed = sh.select(
+        "doc_id", (_spark_hash60(F.col("shingle")) % MINHASH_P).alias("h")
+    )
     aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"s{k}")
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"s{k}")
         for k, (a, b) in enumerate(MINHASH_PERMS)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:

@@ -1,0 +1,83 @@
+"""Physical-plan quality gates (SURVEY.md §4): these assert the
+*scale-relevant* plan properties, not just results — filters reach the
+parquet scan, small dims broadcast, top-k avoids full sorts, and the
+hot relational path stays inside whole-stage codegen."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import etl_pipeline_sam_gov_spark as eng
+from etl_pipeline_sam_gov_spark.tables import load_tables
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = eng.QUERIES["q1_pricing_summary"](spark, sf_dir)
+    s = formatted(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in s
+
+
+def test_column_pruning_reaches_parquet(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    two_cols = li.select("l_orderkey", "l_quantity")
+    s = formatted(two_cols)
+    # ReadSchema lists only the projected columns
+    assert "l_orderkey" in s.split("ReadSchema")[1].splitlines()[0]
+    assert "l_extendedprice" not in s.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q3_q5_use_broadcast_joins(spark, sf_dir):
+    for name in ("q3_shipping_priority", "q5_local_supplier"):
+        s = plan(eng.QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in s, f"{name} lost its broadcast join"
+
+
+def test_flagship_topk_avoids_full_sort(spark, sf_dir):
+    df = eng.QUERIES["contracts_flagship"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan(df)
+
+
+def test_semi_and_anti_join_operators(spark, sf_dir):
+    assert "LeftSemi" in plan(eng.QUERIES["q4_order_priority"](spark, sf_dir))
+    assert "LeftAnti" in plan(
+        eng.QUERIES["join_anti_inactive_customers"](spark, sf_dir)
+    )
+
+
+def test_q1_stays_in_wholestage_codegen(spark, sf_dir):
+    df = eng.QUERIES["q1_pricing_summary"](spark, sf_dir)
+    df.collect()  # AQE finalizes the plan on execution; codegen spans appear then
+    s = plan(df)
+    assert "isFinalPlan=true" in s
+    # '*(n)' prefixes mark WholeStageCodegen spans in the final plan
+    assert "*(1)" in s and "*(2)" in s
+    assert "BatchEvalPython" not in s  # no row-at-a-time Python in the hot path
+
+
+def test_no_python_udfs_anywhere_in_relational_path(spark, sf_dir):
+    """Every oracle-checked query must stay JVM-side (multimodal
+    mapInPandas is intentionally rows-only and excluded)."""
+    for name in sorted(eng.ORACLES):
+        s = plan(eng.QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in s, f"{name} fell back to a Python UDF"
+
+
+def test_range_join_broadcasts_band_table(spark, sf_dir):
+    s = plan(eng.QUERIES["join_range_quantity_bands"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in s
+
+
+def test_aqe_enabled(spark, sf_dir):
+    load_tables(spark, sf_dir, ("lineitem",))
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

@@ -1,0 +1,54 @@
+"""Source/sink round-trips (SURVEY.md §2.1 S4/S8/S9 + formats)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_sam_gov_spark import sinks
+from etl_pipeline_sam_gov_spark.tables import load_tables
+
+
+def small(spark, sf_dir):
+    return load_tables(spark, sf_dir, ("nation",))["nation"]
+
+
+def test_parquet_snapshot_overwrite_semantics(spark, sf_dir, tmp_path):
+    path = os.path.join(str(tmp_path), "snap")
+    df = small(spark, sf_dir)
+    sinks.write_parquet_snapshot(df, path)
+    sinks.write_parquet_snapshot(df.limit(5), path)  # overwrite, not append
+    assert spark.read.parquet(path).count() == 5
+
+
+def test_partitioned_snapshot_dynamic_overwrite(spark, sf_dir, tmp_path):
+    path = os.path.join(str(tmp_path), "part_snap")
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    by_year = orders.withColumn("yr", F.year("o_orderdate"))
+    sinks.write_partitioned_snapshot(by_year, path, "yr")
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    # partition pruning: reading one year touches one directory
+    years = [d for d in os.listdir(path) if d.startswith("yr=")]
+    assert len(years) > 1
+
+
+def test_csv_json_orc_roundtrip(spark, sf_dir, tmp_path):
+    df = small(spark, sf_dir).orderBy("n_nationkey")
+    want = [tuple(r) for r in df.collect()]
+    for fmt, writer, opts in [
+        ("csv", sinks.write_csv_results, {"header": True, "schema": df.schema}),
+        ("json", sinks.write_json, {"schema": df.schema}),
+        ("orc", sinks.write_orc, {}),
+    ]:
+        path = os.path.join(str(tmp_path), fmt)
+        writer(df, path)
+        back = sinks.read_any(spark, path, fmt, **opts).orderBy("n_nationkey")
+        assert [tuple(r) for r in back.collect()] == want, fmt
+
+
+def test_console_sink_smoke(spark, sf_dir, capsys):
+    sinks.console_sink(small(spark, sf_dir), n=3)
+    out = capsys.readouterr().out
+    assert "n_nationkey" in out
