@@ -35,8 +35,10 @@ from etl_pipeline_sam_gov_spark.operators import (  # noqa: F401
     setops as _setops,
     similarity as _similarity,
     text as _text,
+    tpch as _tpch,
     windows as _windows,
 )
+from etl_pipeline_sam_gov_spark.functions import collections as _collections  # noqa: F401
 from etl_pipeline_sam_gov_spark.functions import scalar as _scalar  # noqa: F401
 from etl_pipeline_sam_gov_spark.functions import udfs as _udfs  # noqa: F401
 from etl_pipeline_sam_gov_spark.streaming import jobs as _jobs  # noqa: F401

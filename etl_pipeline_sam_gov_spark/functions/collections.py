@@ -1,0 +1,137 @@
+"""Collection / generator function coverage: explode (UDTF-like lateral
+views), map construction & access, struct↔JSON round-trips, sequence
+generation (SURVEY.md §2.8 "array / map / json" and §2.10 "UDTF-like").
+
+The reference touches none of these (its only nested access is the
+``officeAddress`` dict get, ``lambda_function.py:76-77``); they complete
+the engine's type surface: ``ArrayType`` expansion via ``explode`` /
+``posexplode``, ``MapType`` via ``create_map``, structured JSON via
+``from_json`` / ``to_json`` (the declarative generalization of F10).
+
+Scale notes: ``explode`` multiplies rows inside whole-stage codegen
+without a shuffle — at 100 TB the only concern is downstream skew if
+one row expands enormously (bounded here: words per name, n≤4
+sequences). ``from_json`` with an explicit schema beats repeated
+``get_json_object`` calls (single parse per row, pruned to the fields
+the query reads).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.tables import load_tables
+
+
+@query(
+    "fn_explode_words",
+    oracle="""
+SELECT word, pos, COUNT(*) AS n, MIN(p_partkey) AS first_part
+FROM (
+  SELECT p_partkey,
+         unnest(string_split(p_name, ' ')) AS word,
+         generate_subscripts(string_split(p_name, ' '), 1) AS pos
+  FROM part
+) t
+GROUP BY word, pos
+""",
+)
+def fn_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-like lateral view: posexplode of the tokenized part name,
+    then word×position frequency. One-to-many expansion with no
+    shuffle until the final aggregation."""
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    return (
+        part.select(
+            "p_partkey",
+            F.posexplode(F.split("p_name", " ")).alias("pos0", "word"),
+        )
+        # posexplode is 0-based; DuckDB subscripts are 1-based.
+        .select("p_partkey", "word", (F.col("pos0") + 1).alias("pos"))
+        .groupBy("word", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p_partkey").alias("first_part"),
+        )
+    )
+
+
+@query(
+    "fn_map_part",
+    oracle="""
+SELECT p_partkey,
+       map_extract(MAP {'brand': p_brand, 'type': p_type}, 'brand')[1] AS m_brand,
+       map_extract(MAP {'brand': p_brand, 'type': p_type}, 'type')[1] AS m_type,
+       cardinality(MAP {'brand': p_brand, 'type': p_type}) AS m_size,
+       array_to_string(map_keys(MAP {'brand': p_brand, 'type': p_type}), ',') AS m_keys
+FROM part
+""",
+)
+def fn_map_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: create_map, element access, size, key listing
+    (the typed generalization of the reference's dict lookup, J1/F8).
+    Keys are emitted as a joined string — map column ordering is
+    engine-specific, the string pins it."""
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return part.select(
+        "p_partkey",
+        m.getItem("brand").alias("m_brand"),
+        m.getItem("type").alias("m_type"),
+        F.size(m).alias("m_size"),
+        F.array_join(F.map_keys(m), ",").alias("m_keys"),
+    )
+
+
+@query(
+    "fn_json_roundtrip_events",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k,
+       to_json(struct_pack(
+           k := CAST(json_extract(props, '$.k') AS INT),
+           t := event_type)) AS packed
+FROM events
+""",
+)
+def fn_json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured JSON round-trip: from_json with an explicit schema
+    (single parse, field-pruned — the scale path vs per-field
+    get_json_object), then to_json of a named struct."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        F.to_json(
+            F.struct(
+                parsed.getField("k").alias("k"),
+                F.col("event_type").alias("t"),
+            )
+        ).alias("packed"),
+    )
+
+
+@query(
+    "fn_sequence_expand",
+    oracle="""
+SELECT p_partkey, unnest(generate_series(1, p_size % 4 + 1)) AS i
+FROM part
+""",
+)
+def fn_sequence_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator expression: sequence(1, n) + explode — the set-returning
+    primitive behind date spines, retry schedules, and row multiplication
+    (bounded n keeps expansion skew-free)."""
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    return part.select(
+        "p_partkey",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), (F.col("p_size") % 4 + 1).cast("long"))
+        ).alias("i"),
+    )

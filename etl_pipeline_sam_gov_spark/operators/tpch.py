@@ -1,0 +1,501 @@
+"""TPC-H breadth queries adapted to the reduced fixture star schema.
+
+The reference's only declarative query is the flagship Athena SQL
+(``lambda_function.py:173-179``) — filter → project → top-k over one
+table. This module widens the engine's proven query surface with the
+classic TPC-H shapes the fixture schema can express (FIXTURES.md §B:
+no ``partsupp``, no ``l_shipmode/l_commitdate/l_receiptdate``, no
+``c_phone`` — Q2/Q9/Q11/Q12/Q16/Q20/Q21 are unexpressible; predicates
+adapted to the synthetic value domains, e.g. ``p_type = 'PROMO'``,
+``n_name = 'NATION_3'``).
+
+Scale notes (100 TB):
+
+- Every dimension side is explicitly ``F.broadcast`` — fact tables
+  never shuffle for dim joins.
+- Correlated subqueries (Q15/Q17/Q22 scalar aggregates) are expressed
+  as window functions or broadcast scalar joins, never per-row
+  recomputation — one shuffle (or zero, for the broadcast scalar) per
+  subquery instead of a nested loop.
+- Top-k results (Q10/Q18) end in ``orderBy().limit()`` which Catalyst
+  plans as ``TakeOrderedAndProject`` — per-partition heaps + driver
+  merge, no global sort.
+- All money aggregates go through ``functions.exact`` decimal sums so
+  results are bit-identical across partition counts and AQE re-plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_sam_gov_spark.functions.exact import (
+    SQL_REVENUE_SUM,
+    SQL_REVENUE_TERM,
+    dec2,
+    dsum,
+    revenue_sum,
+    revenue_term,
+    sql_dsum,
+)
+from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.tables import load_tables
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(f"{s} 00:00:00").cast("timestamp")
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive filter + scalar aggregate.
+    Every predicate is pushed to the parquet row-group stats; the agg is
+    a single partial+final reduction with no grouping shuffle."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec2("l_extendedprice") * dec2("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(strftime(l_shipdate, '%Y') AS INT) AS l_year,
+       {SQL_REVENUE_SUM} AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                     AND TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: nation-pair volume by year. The two nation dims
+    broadcast; the disjunctive pair predicate applies after both dim
+    joins (it references columns from both sides)."""
+    t = load_tables(spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation"))
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate").between(_ts("1996-01-01"), _ts("1997-12-31")))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(revenue_sum("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+SELECT l_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS l_year,
+         {SQL_REVENUE_TERM} AS volume,
+         sn.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = cn.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  WHERE r_name = 'AMERICA'
+    AND p_type = 'PROMO'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                        AND TIMESTAMP '1997-12-31 00:00:00'
+) v
+GROUP BY l_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — conditional aggregation
+    over a 7-table join. Numerator and denominator come from ONE pass
+    (sum of CASE), not two joins; exact decimal sums make the ratio
+    bit-deterministic."""
+    t = load_tables(
+        spark, sf_dir,
+        ("part", "lineitem", "orders", "customer", "nation", "region", "supplier"),
+    )
+    cust_nations = (
+        t["region"]
+        .filter(F.col("r_name") == "AMERICA")
+        .join(t["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nation = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    promo_parts = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    vol = (
+        t["lineitem"]
+        .join(F.broadcast(promo_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            t["orders"].filter(
+                F.col("o_orderdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cust_nations), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("sn_key") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("l_year"),
+            revenue_term().alias("volume"),
+            "nation",
+        )
+    )
+    return vol.groupBy("l_year").agg(
+        (
+            F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name, {SQL_REVENUE_SUM} AS revenue, c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue.
+    Ends in TakeOrderedAndProject (per-partition heap, no full sort);
+    c_custkey tiebreaker keeps the top-k deterministic (SURVEY.md §5.3)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= _ts("1997-01-01"))
+                & (F.col("o_orderdate") < _ts("1997-07-01"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                t["customer"].select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue_sum("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_effect",
+    oracle=f"""
+SELECT 100.0 * (CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {SQL_REVENUE_TERM}
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM({SQL_REVENUE_TERM}) AS DOUBLE)) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+""",
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional aggregate over
+    a broadcast dim join, single scalar result."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-03-01"))
+            & (F.col("l_shipdate") < _ts("1997-04-01"))
+        )
+        .join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * (
+                    F.sum(
+                        F.when(F.col("p_type") == "PROMO", revenue_term())
+                        .otherwise(F.lit(0).cast("decimal(18,2)"))
+                    ).cast("double")
+                    / F.sum(revenue_term()).cast("double")
+                )
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {SQL_REVENUE_SUM} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the max quarterly revenue.
+    The scalar MAX subquery is a rank-1 window over the aggregated
+    (100-row) revenue view — no second scan of lineitem, no driver
+    round-trip."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(revenue_sum("total_revenue"))
+    )
+    top = (
+        revenue.withColumn(
+            "mx", F.max("total_revenue").over(Window.partitionBy())
+        )
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .drop("mx")
+    )
+    return (
+        F.broadcast(top)
+        .join(t["supplier"], F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+       AS avg_yearly
+FROM lineitem l1
+JOIN part ON p_partkey = l1.l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l1.l_quantity < (
+    SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l1.l_partkey)
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average subquery, expressed
+    as an average-over-partition window on the brand-filtered semi-joined
+    lineitem — the correlated scan collapses into one shuffle on
+    l_partkey instead of a per-row subquery."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    brand_parts = t["part"].filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    per_part = Window.partitionBy("l_partkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .withColumn("part_avg_qty", F.avg("l_quantity").over(per_part))
+        .filter(F.col("l_quantity") < 0.5 * F.col("part_avg_qty"))
+        .agg(
+            (F.sum(dec2("l_extendedprice")).cast("double") / F.lit(7.0))
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle=f"""
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(o_totalprice AS DOUBLE) AS totalprice,
+       {sql_dsum('l_quantity')} AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 250)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a grouped HAVING, as a left-semi
+    join against the aggregated key set; top-100 via
+    TakeOrderedAndProject with o_orderkey tiebreaker."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    big_orders = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        t["orders"]
+        .join(
+            F.broadcast(big_orders.withColumnRenamed("l_orderkey", "bo_key")),
+            F.col("o_orderkey") == F.col("bo_key"),
+            "left_semi",
+        )
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"].select("c_custkey", "c_name")),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle=f"""
+SELECT {SQL_REVENUE_SUM} AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 40)
+""",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    predicates across the join. The common equi-key join happens once;
+    the OR-of-ANDs is a post-join filter (Catalyst also derives the
+    implied p_size/l_quantity ranges for scan pruning)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(revenue_sum("revenue"))
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.00)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (phone-prefix predicate adapted to mktsegment —
+    fixture has no c_phone, FIXTURES.md §B): above-average-balance
+    customers with no orders. The scalar AVG subquery is a 1-row
+    broadcast cross join (never a driver collect); NOT EXISTS is a
+    left-anti join."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    avg_bal = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0.00)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        t["customer"]
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec2("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
