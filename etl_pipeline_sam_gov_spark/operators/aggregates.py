@@ -217,3 +217,66 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_stats_bivariate",
+    oracle="""
+SELECT l_returnflag,
+       round(CAST(corr(l_quantity, l_extendedprice) AS DOUBLE), 6) AS corr_qty_price,
+       round(CAST(covar_samp(l_quantity, l_extendedprice) AS DOUBLE), 4) AS covar_qty_price,
+       round(CAST(var_samp(l_quantity) AS DOUBLE), 6) AS var_qty,
+       round(CAST(stddev_pop(l_discount) AS DOUBLE), 8) AS sd_disc
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats_bivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate/statistical aggregates: corr, covar, variance, stddev —
+    single-pass Welford-style merges (partial + final), rounded to absorb
+    merge-order fp association noise between engines."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.stddev_pop("l_discount"), 8).alias("sd_disc"),
+    )
+
+
+@query(
+    "agg_salted_heavy_hitters",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_salted_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation: l_returnflag has only 3 values, so a
+    naive groupBy routes a third of a 100 TB table to one reducer. The
+    salted two-phase plan — groupBy(key, salt) partial → groupBy(key)
+    merge — spreads each hot key over 16 reducers, then merges 16 rows
+    per key. Results are provably identical (count/sum/max are
+    associative-decomposable); the oracle is the plain GROUP BY."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    salt = (F.crc32(F.col("l_orderkey").cast("string")) % 16).alias("salt")
+    partial = (
+        li.select("l_returnflag", "l_quantity", "l_extendedprice", salt)
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("psum"),
+            F.max(F.col("l_extendedprice").cast("decimal(18,2)")).alias("pmax"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("sum_qty"),
+        F.max("pmax").cast("double").alias("max_price"),
+    )

@@ -81,3 +81,64 @@ def test_aqe_enabled(spark, sf_dir):
     load_tables(spark, sf_dir, ("lineitem",))
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_tpch_topk_avoid_full_sort(spark, sf_dir):
+    for name in ("q10_returned_items", "q18_large_volume_customers"):
+        assert "TakeOrderedAndProject" in plan(eng.QUERIES[name](spark, sf_dir)), (
+            f"{name} plans a full sort for its LIMIT"
+        )
+
+
+def test_q6_pushes_all_scan_predicates(spark, sf_dir):
+    s = formatted(eng.QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    pushed = s.split("PushedFilters")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} predicate not pushed to parquet scan"
+
+
+def test_q17_correlated_subquery_is_one_window_pass(spark, sf_dir):
+    s = plan(eng.QUERIES["q17_small_quantity_revenue"](spark, sf_dir))
+    assert "Window" in s  # correlated AVG collapsed into a window…
+    assert s.count("FileScan parquet") <= 2  # …not a per-row re-scan
+
+def test_salted_agg_has_two_aggregation_levels(spark, sf_dir):
+    s = plan(eng.QUERIES["agg_salted_heavy_hitters"](spark, sf_dir))
+    # partial(key,salt) + merge(key): ≥2 keyed exchange-backed aggs
+    assert s.count("HashAggregate") >= 4
+
+
+def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides of a fact-fact join on the key removes the
+    shuffle entirely — the 100 TB co-located-join strategy (SURVEY.md
+    §2.3 scale notes). Written as catalog tables because bucket metadata
+    lives in the catalog, not the parquet footer."""
+    from etl_pipeline_sam_gov_spark.tables import load_tables
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+            (
+                t[name].write.mode("overwrite")
+                .bucketBy(8, key).sortBy(key)
+                .option("path", str(tmp_path / name))
+                .saveAsTable(f"b_{name}")
+            )
+        joined = (
+            spark.table("b_orders")
+            .join(
+                spark.table("b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        s = plan(joined)
+        assert "SortMergeJoin" in s
+        # the only exchange allowed is the final 3-row groupBy, never the join
+        assert s.split("SortMergeJoin")[1].count("Exchange") == 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
