@@ -280,3 +280,31 @@ def agg_salted_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("psum").cast("double").alias("sum_qty"),
         F.max("pmax").cast("double").alias("max_price"),
     )
+
+
+@query(
+    "agg_unpivot_melt",
+    oracle="""
+SELECT c_custkey, metric, CAST(val AS DOUBLE) AS val
+FROM (
+  SELECT c_custkey,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+         CAST(c_nationkey AS DECIMAL(18,2)) AS nation
+  FROM customer
+) t
+UNPIVOT (val FOR metric IN (acctbal, nation))
+""",
+)
+def agg_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — wide→long reshape (the inverse of agg_pivot_status).
+    A zero-shuffle row expansion, like explode but column-driven."""
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    return (
+        cust.select(
+            "c_custkey",
+            F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal"),
+            F.col("c_nationkey").cast("decimal(18,2)").alias("nation"),
+        )
+        .unpivot("c_custkey", ["acctbal", "nation"], "metric", "val0")
+        .select("c_custkey", "metric", F.col("val0").cast("double").alias("val"))
+    )

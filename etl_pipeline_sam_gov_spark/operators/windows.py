@@ -145,3 +145,32 @@ def window_topk_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .drop("rn")
     )
+
+
+@query(
+    "window_distribution_prices",
+    oracle="""
+SELECT o_orderkey,
+       round(percent_rank() OVER w, 8) AS pr,
+       round(cume_dist() OVER w, 8) AS cd,
+       nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_distribution_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist /
+    nth_value. The (price, key) order key is total, so both engines
+    agree on every rank; rounding absorbs the (n-1) division ulp."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 8).alias("pr"),
+        F.round(F.cume_dist().over(w), 8).alias("cd"),
+        F.nth_value("o_orderkey", 3).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("third_key"),
+    )

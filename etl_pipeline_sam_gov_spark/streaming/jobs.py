@@ -237,3 +237,57 @@ def snapshot_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+@query(
+    "stream_stateful_user_totals",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       round(SUM(value), 6) AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY.md §2.9): a per-user running (count, sum) kept in explicit
+    GroupState — the escape hatch for stateful logic the built-in
+    windowed aggs can't express (counters, ML feature state, CDC
+    merge). Arrow-batched per group; state is two doubles per user, so
+    at 100 TB the state store stays O(distinct users), bounded further
+    by a timeout in a live deployment. The historical replay drives the
+    whole table through the streaming runtime in one availableNow pass,
+    so the final update equals the batch GROUP BY the oracle runs.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    events = read_events_stream(spark, sf_dir)
+    updated = (
+        events.select("user_id", "ts", "value")
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_totals,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_to_memory(updated, mode="update")
+    # one availableNow replay = one batch = one update row per user; a
+    # multi-batch run would emit one row per (user, batch) and the final
+    # row per user would be the comparable value.
+    return out
