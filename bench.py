@@ -45,7 +45,13 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark("bench")
-    # warm the JVM + parquet footer caches on the smallest table
+    # Warm the JVM (codegen/JIT), parquet footers, and the OS page cache
+    # on every fixture table once, so timings measure engine work at
+    # steady state rather than first-touch disk I/O.
+    from etl_pipeline_sam_gov_spark.tables import TABLE_NAMES, load_tables
+
+    for name, df in load_tables(spark, sf_dir, TABLE_NAMES).items():
+        force(df)
     force(eng.QUERIES["q1_pricing_summary"](spark, sf_dir).limit(1))
 
     timings: dict[str, float] = {}

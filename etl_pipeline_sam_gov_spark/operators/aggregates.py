@@ -308,3 +308,38 @@ def agg_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot("c_custkey", ["acctbal", "nation"], "metric", "val0")
         .select("c_custkey", "metric", F.col("val0").cast("double").alias("val"))
     )
+
+
+@query(
+    "agg_time_rollup_events",
+    oracle="""
+SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+       coalesce(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), 'ALL') AS hour,
+       COUNT(*) AS n,
+       round(SUM(value), 6) AS total_value
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+""",
+)
+def agg_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: hour→day→grand-total continuous
+    aggregate in one ROLLUP pass (Catalyst expands grouping sets into a
+    single Expand + hash-agg — one shuffle for all three resolutions).
+    The 100 TB serving pattern materializes this to a parquet table
+    partitioned by day (sinks.write_partitioned_snapshot)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.select(
+            F.date_trunc("day", "ts").alias("d"),
+            F.date_trunc("hour", "ts").alias("h"),
+            "value",
+        )
+        .rollup("d", "h")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.coalesce(F.date_format("d", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.date_format("h", "yyyy-MM-dd HH:mm:ss"), F.lit("ALL")).alias("hour"),
+            "n",
+            "total_value",
+        )
+    )

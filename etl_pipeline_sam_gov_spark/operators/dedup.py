@@ -202,7 +202,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes pairs that share ≥1 shingle — already far below n²;
     MinHash-LSH below cuts candidate generation further for 100 TB."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    sh = doc_shingles(docs)
+    # The shingle relation feeds the pair join (twice) and the size agg:
+    # persist it so the text is shingled once, not three times. At
+    # 100 TB this would be a checkpoint to cluster storage instead.
+    sh = doc_shingles(docs).persist()
     return _verified_jaccard_pairs(
         sh,
         sh.alias("a")
@@ -346,17 +349,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     sh = doc_shingles(docs)
     cand = lsh_candidate_pairs(minhash_signatures(sh))
-    inter = (
-        cand.join(sh.alias("a"), F.col("a.doc_id") == F.col("doc1"))
-        .join(
-            sh.alias("b"),
-            (F.col("b.doc_id") == F.col("doc2"))
-            & (F.col("b.shingle") == F.col("a.shingle")),
-        )
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("intersection"))
+    # Verification joins the (small) candidate set against per-doc
+    # shingle ARRAYS and intersects inside the row (array_intersect) —
+    # two compact equi-joins instead of re-exploding the corpus into a
+    # (doc_id, shingle)×(doc_id, shingle) shuffle. Cost is
+    # O(candidates × shingles-per-doc), independent of corpus size.
+    # (At 100 TB, checkpoint the shingle arrays so the corpus is
+    # shingled once for the signature and verification passes.)
+    arrs = docs.select("doc_id", shingles_col().alias("arr"))
+    a1 = arrs.select(F.col("doc_id").alias("doc1"), F.col("arr").alias("arr1"))
+    a2 = arrs.select(F.col("doc_id").alias("doc2"), F.col("arr").alias("arr2"))
+    inter = F.size(F.array_intersect("arr1", "arr2"))
+    jac = inter.cast("double") / (F.size("arr1") + F.size("arr2") - inter)
+    return (
+        cand.join(a1, "doc1")
+        .join(a2, "doc2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
     )
-    return _verified_jaccard_pairs(sh, inter)
 
 
 # ---------------------------------------------------------------------------

@@ -8,17 +8,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 import etl_pipeline_sam_gov_spark as eng
+from etl_pipeline_sam_gov_spark.plans.introspect import (
+    explain_formatted as formatted,
+    physical_plan as plan,
+)
 from etl_pipeline_sam_gov_spark.tables import load_tables
-
-
-def plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def formatted(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
 
 
 def test_filter_pushdown_reaches_parquet(spark, sf_dir):
@@ -142,3 +136,22 @@ def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
+    """Partition-pruned scans are the 100 TB generalization of the
+    reference's manual date-window filter (SURVEY.md S2): a reader
+    filtering on the partition key must list only matching directories
+    (PartitionFilters), never scan the full table."""
+    from etl_pipeline_sam_gov_spark.plans.introspect import scan_detail
+    from etl_pipeline_sam_gov_spark.sinks import write_partitioned_snapshot
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    out = str(tmp_path / "orders_by_status")
+    write_partitioned_snapshot(t["orders"], out, "o_orderstatus")
+    pruned = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    detail = scan_detail(pruned, "PartitionFilters")
+    assert "o_orderstatus" in detail, f"no partition filter in scan: {detail!r}"
+    n_all = t["orders"].count()
+    n_f = t["orders"].filter(F.col("o_orderstatus") == "F").count()
+    assert pruned.count() == n_f < n_all
