@@ -32,6 +32,8 @@ HEADLINE = [
     "dedup_minhash_lsh",  # MinHash+LSH dedup
     "ann_bruteforce_topk",  # similarity search
     "fn_json_events",  # JSON extraction + agg
+    "q10_returned_items",  # fact-fact join + broadcast dims + top-k
+    "text_quality_score",  # text-analysis pipeline over documents
 ]
 
 

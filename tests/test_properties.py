@@ -1,0 +1,159 @@
+"""Property-based tests (SURVEY.md §5.2) for the engine's pure-logic
+kernels and their Spark-expression twins.
+
+Hypothesis drives the driver-side pure logic (pagination) directly.
+For Spark expressions, the property is checked in one batch: hypothesis
+generates a value domain, a single DataFrame evaluates the expression
+over the whole domain, and the result is compared element-wise against
+an independent Python model of the reference's documented semantics
+(lambda_function.py line refs in each test). This keeps Spark session
+cost O(1) per property instead of O(examples).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_pipeline_sam_gov_spark.pipeline.ingest import (
+    MAX_RECORDS,
+    PAGE_SIZE,
+    paginate,
+)
+
+
+# ---------------------------------------------------------------------------
+# Pagination semantics (lambda_function.py:24-54) — pure logic, no Spark
+# ---------------------------------------------------------------------------
+
+
+@given(
+    pages=st.lists(
+        st.tuples(
+            st.sampled_from([200, 200, 200, 429, 500]),  # mostly-ok statuses
+            st.integers(min_value=0, max_value=PAGE_SIZE),  # rows in page
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_paginate_invariants(pages):
+    """Cap, short-page stop, and error stop — for ANY page sequence."""
+    script = {
+        offset: (status, [{"i": offset + j} for j in range(n)])
+        for offset, (status, n) in zip(
+            range(0, PAGE_SIZE * len(pages), PAGE_SIZE), pages
+        )
+    }
+
+    def fetch(offset):
+        return script.get(offset, (200, []))  # beyond script: empty ok page
+
+    out = paginate(fetch)
+
+    # 1. never exceeds the cap
+    assert len(out) <= MAX_RECORDS
+    # 2. replay the reference loop independently to get the expected size
+    expected: list = []
+    for status, n in pages:
+        if status != 200:
+            break
+        expected.extend(range(n))
+        if n < PAGE_SIZE or len(expected) >= MAX_RECORDS:
+            break
+    assert len(out) == min(len(expected), MAX_RECORDS)
+    # 3. rows arrive in fetch order (offset-major)
+    ids = [r["i"] for r in out]
+    assert ids == sorted(ids)
+
+
+# ---------------------------------------------------------------------------
+# Recency banding (lambda_function.py:102-114) — Spark expression vs the
+# documented pandas semantics, one batch over the generated domain
+# ---------------------------------------------------------------------------
+
+
+def _reference_recency_score(days):
+    """Python model of recency_score incl. the NaN path (SURVEY.md F9):
+    NaN compares False in every band → falls to else → 1; negative
+    (future-dated) days land in the first band → 5."""
+    if days is None:
+        return 1
+    if days <= 1:
+        return 5
+    if days <= 3:
+        return 4
+    if days <= 5:
+        return 3
+    if days <= 7:
+        return 2
+    return 1
+
+
+@given(
+    domain=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-30, max_value=60)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_recency_banding_matches_reference_semantics(domain, spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(domain)], "i int, daysSincePosted int"
+    )
+    scored = df.select(
+        "i",
+        F.when(F.col("daysSincePosted") <= 1, 5)
+        .when(F.col("daysSincePosted") <= 3, 4)
+        .when(F.col("daysSincePosted") <= 5, 3)
+        .when(F.col("daysSincePosted") <= 7, 2)
+        .otherwise(1)
+        .alias("score"),
+    )
+    got = {r["i"]: r["score"] for r in scored.collect()}
+    for i, d in enumerate(domain):
+        assert got[i] == _reference_recency_score(d), f"days={d}"
+
+
+# ---------------------------------------------------------------------------
+# Shingling (operators.dedup) — Spark higher-order expression vs Python
+# ---------------------------------------------------------------------------
+
+
+def _python_shingles(text: str, n: int = 3) -> set[str]:
+    toks = __import__("re").split(r"\s+", text)
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab c")),  # forces real whitespace
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_shingles_match_python_model(texts, spark):
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_sam_gov_spark.operators.dedup import shingles_col
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: set(r["sh"])
+        for r in df.select("doc_id", shingles_col().alias("sh")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _python_shingles(t), f"text={t!r}"
