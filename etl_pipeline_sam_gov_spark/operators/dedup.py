@@ -90,26 +90,62 @@ def tokens_col(text: str | Column = "text") -> Column:
     return F.split(c, _TOKEN_SPLIT)
 
 
-def shingles_col(text: str | Column = "text", n: int = 3) -> Column:
-    """Distinct n-gram (word) shingles as an array column — built with
-    sequence/transform/slice higher-order functions, all JVM-side."""
-    toks = tokens_col(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingles from an ALREADY-TOKENIZED array column.
+
+    Performance contract (measured at sf0.1): the token array must be a
+    materialized column, not an inline ``split`` expression — Catalyst
+    does not common-subexpression-eliminate a ``split`` appearing inside
+    a higher-order lambda, so an inline tokenizer re-splits the text for
+    every element access (8× slower end-to-end). Elements are built with
+    ``element_at`` (O(1) each) rather than ``slice``+``concat_ws``
+    (which allocates a sub-array per shingle — 2× slower)."""
+
+    def ngram(i: Column) -> Column:
+        parts: list[Column] = []
+        for j in range(n):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(toks, i + j))
+        return F.concat(*parts)
+
     # guard: sequence(1, 0) in Spark would generate a DESCENDING range,
     # so short docs get an explicit empty array
     return F.when(
         F.size(toks) >= n,
         F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
+            F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), ngram)
         ),
     ).otherwise(F.array().cast("array<string>"))
 
 
+def shingles_col(text: str | Column = "text", n: int = 3) -> Column:
+    """Shingles straight from a text column — convenience for one-shot
+    use; pipelines that reuse the shingles should go through
+    ``with_shingle_arrays`` (see shingles_from_tokens note)."""
+    return shingles_from_tokens(tokens_col(text), n)
+
+
+def with_shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, arr: array<string>) — tokenize in ONE projection, then
+    shingle the materialized token array (see shingles_from_tokens)."""
+    tokd = docs.select("doc_id", tokens_col().alias("_toks"))
+    return tokd.select("doc_id", shingles_from_tokens(F.col("_toks")).alias("arr"))
+
+
 def doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) exploded distinct-shingle relation."""
-    return docs.select("doc_id", F.explode(shingles_col()).alias("shingle"))
+    """(doc_id, shingle) exploded distinct-shingle relation.
+
+    The explode sits DIRECTLY on the shingle expression over the
+    projected token column — exploding a pre-projected array column
+    instead lets InferFiltersFromGenerate + predicate pushdown clone
+    the whole shingle construction (inline splits included) into a
+    pre-filter below the projection, a measured 20× regression."""
+    tokd = docs.select("doc_id", tokens_col().alias("_toks"))
+    return tokd.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("_toks"))).alias("shingle"),
+    )
 
 
 #: DuckDB equivalent of doc_shingles (kept in lockstep).
@@ -356,7 +392,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(candidates × shingles-per-doc), independent of corpus size.
     # (At 100 TB, checkpoint the shingle arrays so the corpus is
     # shingled once for the signature and verification passes.)
-    arrs = docs.select("doc_id", shingles_col().alias("arr"))
+    arrs = with_shingle_arrays(docs)
     a1 = arrs.select(F.col("doc_id").alias("doc1"), F.col("arr").alias("arr1"))
     a2 = arrs.select(F.col("doc_id").alias("doc2"), F.col("arr").alias("arr2"))
     inter = F.size(F.array_intersect("arr1", "arr2"))

@@ -41,11 +41,18 @@ def _fold_sum(arr: Column) -> Column:
 
 
 def with_norms(emb: DataFrame) -> DataFrame:
-    v = _as_double()
-    return emb.select(
+    # Two-step projection: materialize the double-cast vector once, then
+    # fold the norm over the materialized column — an inline transform
+    # would be re-evaluated per reference (higher-order exprs are
+    # interpreted, no codegen subexpression elimination). The norm
+    # references v twice, so CollapseProject keeps the boundary.
+    vd = emb.select("vec_id", _as_double().alias("v"))
+    return vd.select(
         "vec_id",
-        v.alias("v"),
-        F.sqrt(_fold_sum(F.zip_with(v, v, lambda a, b: a * b))).alias("nrm"),
+        "v",
+        F.sqrt(_fold_sum(F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b))).alias(
+            "nrm"
+        ),
     )
 
 

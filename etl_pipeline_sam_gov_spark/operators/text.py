@@ -52,7 +52,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + lexical-diversity stats (whitespace tokenizer;
     a BPE-ish regex tokenizer is exercised in text_quality_score)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    t = tokens_col()
+    # tokenize ONCE into a materialized column — inline split would be
+    # re-evaluated per referencing expression (see dedup.shingles_from_tokens)
+    docs = docs.select("doc_id", "n_chars", tokens_col().alias("_toks"))
+    t = F.col("_toks")
     n = F.size(t)
     total_len = F.aggregate(
         F.transform(t, lambda x: F.length(x).cast("double")),
@@ -97,7 +100,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     word count, banded score (the reference's banded-CASE kernel F9
     applied to corpus filtering)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    t = tokens_col()
+    docs = docs.select("doc_id", "text", tokens_col().alias("_toks"))
+    t = F.col("_toks")
     n = F.size(t)
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
     stopword_ratio = F.round(
@@ -165,7 +169,9 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pandas_udf at exactly this seam — the surrounding plan (pure map,
     argmax, no shuffle) is identical."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    t = tokens_col()
+    docs = docs.select("doc_id", "lang", tokens_col().alias("_toks"))
+    t = F.col("_toks")
+
     def hit_counter(words: list[str]) -> Column:
         arr = F.array(*[F.lit(w) for w in words])
         # single-arg closure: a default-arg lambda would be mistaken for

@@ -30,6 +30,15 @@ RUNTIME_CONFS = {
     # reader rejects; read as long (nanos since epoch) and normalize to
     # micros in tables.load_tables (exact integer division).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Scan-split sizing. The local fixtures are single small files whose
+    # row groups are ~1 MB — the 128 MB default packs each table into ONE
+    # task and serializes the scan stage on a 32-core box. 1 MB splits
+    # let every row group scan in parallel. On a real cluster (100 TB,
+    # many ≥128 MB files) leave the default: SPARK_GRAFT_MAX_PARTITION_BYTES
+    # is the deployment knob.
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(1024 * 1024)
+    ),
 }
 
 

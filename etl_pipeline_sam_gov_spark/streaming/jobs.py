@@ -291,3 +291,60 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multi-batch run would emit one row per (user, batch) and the final
     # row per user would be the comparable value.
     return out
+
+
+@query(
+    "stream_stream_join_purchase_click",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id AS user_id,
+       date_diff('second', c.ts, p.ts) AS lag_s
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+""",
+)
+def stream_stream_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (SURVEY.md §2.9): purchases matched
+    to the clicks that preceded them by ≤30 min, both sides unbounded
+    streams. Watermarks bound the join state on BOTH sides — each side
+    buffers only rows inside watermark + interval, so state is
+    O(rate × window) however long the streams run; without the time
+    bound Spark (correctly) refuses the join as unbounded-state. The
+    historical replay equals the batch interval self-join the oracle
+    runs."""
+    events = read_events_stream(spark, sf_dir)
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = run_to_memory(joined, mode="append")
+    return out.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).cast("bigint").alias("lag_s"),
+    )

@@ -155,3 +155,16 @@ def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
     n_all = t["orders"].count()
     n_f = t["orders"].filter(F.col("o_orderstatus") == "F").count()
     assert pruned.count() == n_f < n_all
+
+
+def test_shingle_plan_splits_text_exactly_once(spark, sf_dir):
+    """Regression gate: InferFiltersFromGenerate + predicate pushdown
+    can clone an explode'd expression (inline tokenizer included) into
+    a pre-filter, re-splitting the text many times per row — a measured
+    20x slowdown. doc_shingles must keep exactly one split() in the
+    optimized plan."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import doc_shingles
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    optimized = doc_shingles(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("split(") == 1, optimized
