@@ -381,3 +381,30 @@ def flagship_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C3 SQL exactly as written in the reference, for the smoke entry."""
     build_contracts(spark, sf_dir)
     return spark.sql(FLAGSHIP_SQL)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    snapshot_path: str | None = None,
+    now: str = NOW,
+    report_rows: int = 0,
+) -> DataFrame:
+    """C1 — the reference's ``lambda_handler`` (lambda_function.py:
+    205-230) as one composition: ingest → veteran filter → transform →
+    (optional) console report → snapshot sink → catalog registration →
+    flagship ranked query. Returns the ranked top-10 DataFrame.
+
+    Differences by construction (SURVEY.md §3.1): the five network hops
+    collapse into one lazy plan; the Glue-crawler race disappears (the
+    view registers synchronously); the Athena submit-and-poll (C2)
+    becomes an in-engine ``spark.sql``."""
+    contracts = build_contracts(spark, sf_dir, now=now)
+    if report_rows:
+        contracts.show(report_rows, truncate=False)  # S8, bounded
+    if snapshot_path is not None:
+        snapshot_sink(contracts, snapshot_path)
+        # re-register the view over the PERSISTED snapshot, mirroring the
+        # reference's read-it-back-from-S3 topology (:126-138,:173-179)
+        spark.read.parquet(snapshot_path).createOrReplaceTempView("contracts")
+    return spark.sql(FLAGSHIP_SQL)

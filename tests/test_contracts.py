@@ -177,3 +177,26 @@ def test_entry_smoke(spark):
         "recencyScore",
     ]
     assert all(r["recencyScore"] >= 4 for r in rows)
+
+
+def test_run_pipeline_end_to_end_with_snapshot(spark, sf_dir, tmp_path):
+    """C1 composition: the snapshot lands on disk, the view serves the
+    flagship query from the PERSISTED parquet, and the ranked result is
+    bounded and well-formed."""
+    from etl_pipeline_sam_gov_spark.pipeline.contracts import run_pipeline
+
+    out = str(tmp_path / "veteran_contracts.parquet")
+    ranked = run_pipeline(spark, sf_dir, snapshot_path=out)
+    rows = ranked.collect()
+    assert 0 < len(rows) <= 10
+    assert ranked.columns == [
+        "title", "solicitationNumber", "postedDate", "setAside", "recencyScore",
+    ]
+    assert all(r["recencyScore"] >= 4 for r in rows)
+    # snapshot really persisted and readable
+    snap = spark.read.parquet(out)
+    assert snap.count() > 0
+    # overwrite semantics: second run replaces, not appends
+    n1 = snap.count()
+    run_pipeline(spark, sf_dir, snapshot_path=out)
+    assert spark.read.parquet(out).count() == n1
