@@ -333,3 +333,56 @@ def join_cross_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "join_null_safe_nation_groups",
+    oracle="""
+SELECT coalesce(CAST(ck AS VARCHAR), 'NULL') AS group_key,
+       COUNT(*) AS n_pairs
+FROM (SELECT nullif(c_nationkey % 5, 4) AS ck FROM customer) c
+JOIN (SELECT nullif(s_nationkey % 5, 4) AS sk FROM supplier) s
+  ON c.ck IS NOT DISTINCT FROM s.sk
+GROUP BY 1
+""",
+)
+def join_null_safe_nation_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics dimension
+    regular equi-joins can't express. Planned as a hash join on the
+    null-safe key, not a nested loop."""
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    c = t["customer"].select(F.nullif(F.col("c_nationkey") % 5, F.lit(4)).alias("ck"))
+    s = t["supplier"].select(F.nullif(F.col("s_nationkey") % 5, F.lit(4)).alias("sk"))
+    return (
+        c.join(F.broadcast(s), F.col("ck").eqNullSafe(F.col("sk")))
+        .groupBy(F.coalesce(F.col("ck").cast("string"), F.lit("NULL")).alias("group_key"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "sort_offset_pagination",
+    oracle="""
+SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2))::DOUBLE AS price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25 OFFSET 50
+""",
+)
+def sort_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination: total order + LIMIT/OFFSET (page 3 of 25).
+    The total (price, key) sort key makes the page deterministic. At
+    100 TB, deep OFFSET degrades to scanning offset+limit rows — real
+    pagination should be keyset-based (WHERE key > last_seen) — but the
+    operator itself belongs in the surface."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        orders.select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"),
+        )
+        .orderBy(F.desc("price"), F.asc("o_orderkey"))
+        .offset(50)
+        .limit(25)
+    )
