@@ -119,3 +119,41 @@ def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
         zscore, schema="event_id long, user_id long, zscore double"
     )
+
+
+@query(
+    "udtf_quantity_milestones",
+    oracle="""
+SELECT o_orderkey, milestone,
+       floor(o_totalprice * frac * 100) / 100 AS threshold
+FROM orders
+CROSS JOIN (VALUES ('half', 0.5), ('full', 1.0)) m(milestone, frac)
+WHERE o_totalprice > 400000
+""",
+)
+def udtf_quantity_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 ``@udtf``): a true table function — each
+    input row yields multiple output rows from imperative Python. The
+    kernel is deterministic arithmetic so the DuckDB LATERAL oracle
+    checks it exactly. Runs as a BatchEvalPythonUDTF node: per-row
+    Python, the slowest lane in the engine — reserved for logic that
+    is genuinely imperative AND row-expanding; everything else uses
+    explode (fn_explode_words) or mapInPandas (multimodal)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="okey bigint, milestone string, threshold double")
+    class Milestones:
+        def eval(self, orderkey: int, totalprice: float):
+            import math
+
+            # floor (not round): IEEE-identical in CPython and DuckDB,
+            # whereas Python's half-even round() disagrees with SQL
+            # half-away round() on exact .5 products
+            for name, frac in (("half", 0.5), ("full", 1.0)):
+                yield orderkey, name, math.floor(totalprice * frac * 100) / 100
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    big = orders.filter(F.col("o_totalprice") > 400000)
+    return big.lateralJoin(
+        Milestones(F.col("o_orderkey").outer(), F.col("o_totalprice").outer())
+    ).select(F.col("okey").alias("o_orderkey"), "milestone", "threshold")

@@ -52,3 +52,24 @@ def test_console_sink_smoke(spark, sf_dir, capsys):
     sinks.console_sink(small(spark, sf_dir), n=3)
     out = capsys.readouterr().out
     assert "n_nationkey" in out
+
+
+def test_observation_metrics_without_extra_pass(spark, sf_dir):
+    """df.observe: pipeline metrics (row counts, sums) accumulated
+    DURING the sink write — at 100 TB this replaces a second
+    count()/agg() scan over the output with free accumulators."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Observation
+    from etl_pipeline_sam_gov_spark.tables import load_tables
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    obs = Observation("sink_metrics")
+    observed = li.filter(F.col("l_quantity") > 10).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_written"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty_total"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    expected = li.filter(F.col("l_quantity") > 10).count()
+    assert obs.get["rows_written"] == expected
+    assert obs.get["qty_total"] > 0
