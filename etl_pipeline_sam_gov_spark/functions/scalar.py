@@ -246,3 +246,33 @@ def fn_case_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "fn_bitwise_keys",
+    oracle="""
+SELECT l_orderkey,
+       l_orderkey & 255 AS low_byte,
+       l_orderkey | 15 AS with_flags,
+       xor(l_orderkey, l_partkey) AS key_xor,
+       l_orderkey << 2 AS shifted_up,
+       l_orderkey >> 3 AS shifted_down,
+       bit_count(l_orderkey) AS popcount
+FROM lineitem
+WHERE l_linenumber = 1
+""",
+)
+def fn_bitwise_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operators: and/or/xor, shifts, popcount — the building
+    blocks of hash partitioners, bloom filters, and bitmask flags."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    k = F.col("l_orderkey")
+    return li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(15)).alias("with_flags"),
+        k.bitwiseXOR(F.col("l_partkey")).alias("key_xor"),
+        F.shiftleft(k, 2).alias("shifted_up"),
+        F.shiftright(k, 3).alias("shifted_down"),
+        F.bit_count(k).alias("popcount"),
+    )

@@ -343,3 +343,25 @@ def agg_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "agg_collect_sorted_brands",
+    oracle="""
+SELECT p_type,
+       array_to_string(list_sort(list_distinct(list(p_brand))), ',') AS brands,
+       COUNT(DISTINCT p_brand) AS n_brands
+FROM part
+GROUP BY p_type
+""",
+)
+def agg_collect_sorted_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + array_sort emitted as a joined string: collection
+    aggregates are inherently order-nondeterministic across partitions —
+    sorting before emission is what makes them comparable (and
+    reproducible run-to-run at any cluster size)."""
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    return part.groupBy("p_type").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("p_brand"))).alias("brands"),
+        F.countDistinct("p_brand").alias("n_brands"),
+    )

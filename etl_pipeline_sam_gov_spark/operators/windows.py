@@ -174,3 +174,32 @@ def window_distribution_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(W.unboundedPreceding, W.currentRow)
         ).alias("third_key"),
     )
+
+
+@query(
+    "window_range_price_neighborhood",
+    oracle="""
+SELECT o_orderkey,
+       COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                      RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_near,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_orderpriority ORDER BY o_totalprice
+            RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_below
+FROM orders
+""",
+)
+def window_range_price_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames (value-based, not row-based): peers are defined by
+    the ORDER BY value distance, so ties share one frame — the frame
+    semantics ROWS cannot express. One shuffle + one sort per
+    (partitionBy, orderBy) pair, both window columns share it."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        F.count(F.lit(1)).over(w.rangeBetween(-10000, 10000)).alias("n_near"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rangeBetween(-10000, W.currentRow))
+        .cast("double")
+        .alias("sum_below"),
+    )
