@@ -276,3 +276,26 @@ def fn_bitwise_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shifted_down"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@query(
+    "fn_levenshtein_brands",
+    oracle="""
+SELECT a.p_partkey AS part1, b.p_partkey AS part2,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a JOIN part b ON a.p_partkey + 100 = b.p_partkey
+WHERE a.p_partkey % 7 = 0
+""",
+)
+def fn_levenshtein_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance over paired part names — the scalar
+    backing fuzzy string matching (complements the set-based dedup
+    family, which scales where pairwise edit distance cannot)."""
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    a = part.select(F.col("p_partkey").alias("part1"), F.col("p_name").alias("name1"))
+    b = part.select(F.col("p_partkey").alias("part2"), F.col("p_name").alias("name2"))
+    return (
+        a.filter(F.col("part1") % 7 == 0)
+        .join(F.broadcast(b), F.col("part1") + 100 == F.col("part2"))
+        .select("part1", "part2", F.levenshtein("name1", "name2").alias("edit_dist"))
+    )

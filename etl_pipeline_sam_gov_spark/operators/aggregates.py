@@ -365,3 +365,28 @@ def agg_collect_sorted_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.array_sort(F.collect_set("p_brand"))).alias("brands"),
         F.countDistinct("p_brand").alias("n_brands"),
     )
+
+
+@query(
+    "agg_argmax_orders",
+    oracle="""
+SELECT o_orderpriority,
+       arg_max(o_orderkey, o_totalprice + o_orderkey / 1e9) AS biggest_order,
+       arg_min(o_orderkey, o_totalprice - o_orderkey / 1e9) AS smallest_order,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax): the key at the extremum without a
+    self-join or window. The epsilon key-fraction makes the ordering
+    total, so ties can't produce engine-dependent winners."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    up = F.col("o_totalprice") + F.col("o_orderkey") / F.lit(1e9)
+    down = F.col("o_totalprice") - F.col("o_orderkey") / F.lit(1e9)
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", up).alias("biggest_order"),
+        F.min_by("o_orderkey", down).alias("smallest_order"),
+        F.max(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("max_price"),
+    )
