@@ -73,3 +73,28 @@ def test_observation_metrics_without_extra_pass(spark, sf_dir):
     expected = li.filter(F.col("l_quantity") > 10).count()
     assert obs.get["rows_written"] == expected
     assert obs.get["qty_total"] > 0
+
+
+def test_catalog_ddl_ctas_insert_roundtrip(spark, sf_dir, tmp_path):
+    """Catalog surface: CTAS -> INSERT INTO -> spark.table round trip —
+    the reference's Glue-crawler + Athena catalog hop (SURVEY.md S6)
+    collapsed to synchronous in-engine DDL over self-describing parquet."""
+    from etl_pipeline_sam_gov_spark.tables import load_tables
+
+    load_tables(spark, sf_dir, ("nation",))
+    loc = str(tmp_path / "nations_tbl")
+    spark.sql("DROP TABLE IF EXISTS nations_tbl")
+    spark.sql(
+        f"CREATE TABLE nations_tbl USING parquet LOCATION '{loc}' "
+        "AS SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10"
+    )
+    try:
+        assert spark.table("nations_tbl").count() == 10
+        spark.sql("INSERT INTO nations_tbl SELECT 99 AS n_nationkey, 'NATION_X' AS n_name")
+        got = spark.table("nations_tbl")
+        assert got.count() == 11
+        assert got.filter("n_nationkey = 99").first()["n_name"] == "NATION_X"
+        # catalog survives a fresh reader: the table IS the parquet dir
+        assert spark.read.parquet(loc).count() == 11
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nations_tbl")
