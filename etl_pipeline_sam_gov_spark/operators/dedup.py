@@ -421,9 +421,11 @@ def simhash_col_aggs() -> list[Column]:
     ]
 
 
-@query(
-    "dedup_simhash",
-    oracle=r"""
+#: All-pairs simhash oracle — ALSO the oracle of the blocked variant
+#: below: blocking must find every hamming≤1 pair, so the expected
+#: RESULT is identical; only the Spark-side algorithm differs.
+_SQL_SIMHASH_PAIRS = (
+    r"""
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
 ),
@@ -450,14 +452,13 @@ SELECT x.doc_id AS doc1, y.doc_id AS doc2,
        bit_count(xor(x.simhash, y.simhash)) AS hamming
 FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_MAX_HAMMING}
-""",
+"""
 )
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 32-bit sign-of-vote sketch per doc,
-    Hamming-distance filter on pairs. (Pairing here is all-pairs for
-    oracle parity; the scale path blocks on simhash prefix bytes —
-    same banding idea as LSH.)"""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash: bigint) — 32-bit sign-of-vote sketch over the
+    distinct-token md5 hashes (engine-neutral, see module docstring)."""
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok")
     )
@@ -467,7 +468,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0)))
         for j in range(SIMHASH_BITS)
     )
-    sigs = bits.select("doc_id", sig.cast("bigint").alias("simhash"))
+    return bits.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+@query("dedup_simhash", oracle=_SQL_SIMHASH_PAIRS)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit sign-of-vote sketch per doc,
+    Hamming-distance filter on pairs. (Pairing here is all-pairs for
+    oracle parity; dedup_simhash_blocked below is the byte-banded
+    scale path.)"""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sigs = simhash_signatures(docs)
     hamming = F.bit_count(
         F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
     )
@@ -479,6 +490,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y.doc_id").alias("doc2"),
             hamming.alias("hamming"),
         )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+@query("dedup_simhash_blocked", oracle=_SQL_SIMHASH_PAIRS)
+def dedup_simhash_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash SCALE path: band the 32-bit sketch into 4 bytes and
+    equi-join on (band_idx, byte). Any pair within Hamming distance 1
+    differs in at most one byte, so it collides on ≥3 of the 4 bands —
+    the blocking provably finds every qualifying pair, which is exactly
+    what sharing the all-pairs oracle asserts. Candidate generation is
+    O(colliding pairs) instead of O(n²): the same pigeonhole banding as
+    MinHash-LSH, driven by the sketch bytes instead of signature rows."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sigs = simhash_signatures(docs)
+    n_bands = SIMHASH_BITS // 8
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_idx"),
+                        (F.shiftright(F.col("simhash"), 8 * k) % 256).alias("byte"),
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_idx", "b.byte")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.byte") == F.col("y.byte"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc1"),
+            F.col("y.doc_id").alias("doc2"),
+            F.col("x.simhash").alias("sig1"),
+            F.col("y.simhash").alias("sig2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+    return (
+        cand.select("doc1", "doc2", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
 
