@@ -44,3 +44,36 @@ def test_paginated_datasource_composes_with_relational_ops(spark):
     assert veteran.count() == 4 * PAGE_SIZE // 3 + (1 if (4 * PAGE_SIZE) % 3 else 0)
     # limit composes (reference's MAX_RECORDS cap, lambda_function.py:49)
     assert df.limit(150).count() == 150
+
+
+def test_paginated_stream_source_incremental_batches(spark, tmp_path):
+    """readStream over the Python data source: offsets advance page by
+    page; the complete replay equals the batch read of the same pages."""
+    register(spark)
+    stream = (
+        spark.readStream.format("paginated_opportunities")
+        .option("max_pages", "6")
+        .option("pages_per_batch", "2")
+        .load()
+    )
+    # default micro-batch trigger: availableNow performs a single
+    # prefetch for simple stream readers; processAllAvailable drains
+    # batches until the offset stops advancing
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("paged_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = spark.table("paged_stream")
+    assert got.count() == 6 * PAGE_SIZE
+    batch = (
+        spark.read.format("paginated_opportunities").option("n_pages", "6").load()
+    )
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
