@@ -182,3 +182,36 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
     )
+
+
+@query(
+    "agg_embedding_centroids",
+    oracle="""
+SELECT label, pos, round(avg(v), 6) AS centroid_v, COUNT(*) AS n_vecs
+FROM (
+  SELECT label,
+         unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+) t
+GROUP BY label, pos
+""",
+)
+def agg_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors in long form (label, dim, mean) — the
+    class-prototype aggregation behind IVF coarse quantizers and
+    nearest-centroid classification. posexplode turns the vector agg
+    into an ordinary grouped avg: one shuffle on (label, pos), map-side
+    partial aggregation; re-assembly to array form is a collect_list
+    over pos when a consumer needs it."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v")
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(F.avg("v"), 6).alias("centroid_v"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )

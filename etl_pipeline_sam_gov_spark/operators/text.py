@@ -199,3 +199,59 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(any_hit, best).otherwise("und").alias("predicted_lang"),
         *[F.col(f"hits_{lang}") for lang, _ in LANG_PROFILES],
     )
+
+
+@query(
+    "pipeline_corpus_curation",
+    oracle=rf"""
+WITH toks AS (SELECT doc_id, text, lang, string_split_regex(text, '\s+') AS t FROM documents),
+feat AS (
+  SELECT doc_id, text, lang,
+         len(t) AS n_tokens,
+         round(len(list_filter(t, x -> list_contains({_sql_list(STOPWORDS_EN)}, x)))::DOUBLE
+               / len(t), 6) AS stopword_ratio
+  FROM toks
+),
+canonical AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+)
+SELECT f.doc_id, f.lang, f.n_tokens
+FROM feat f
+JOIN canonical c ON md5(f.text) = c.h AND f.doc_id = c.keep_id
+WHERE f.n_tokens >= 15 AND f.stopword_ratio >= 0.01
+""",
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data capstone composite: quality filter (token count +
+    stopword ratio) ∘ exact dedup (keep the min-doc_id canonical copy
+    per content hash) — the minimal real curation pipeline, expressed
+    as one lazy plan. At 100 TB: the quality features are a pure map
+    (no shuffle), dedup is one hash-groupBy, and the canonical join is
+    a broadcast when the duplicate-cluster table is small — the plan
+    here shows exactly that shape."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tokd = docs.select("doc_id", "text", "lang", tokens_col().alias("_toks"))
+    t = F.col("_toks")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    feat = tokd.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.size(t).alias("n_tokens"),
+        F.round(
+            F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x))).cast("double")
+            / F.size(t),
+            6,
+        ).alias("stopword_ratio"),
+    )
+    canonical = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    return (
+        feat.filter((F.col("n_tokens") >= 15) & (F.col("stopword_ratio") >= 0.01))
+        .join(
+            F.broadcast(canonical),
+            (F.md5("text") == F.col("h")) & (F.col("doc_id") == F.col("keep_id")),
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )
