@@ -141,3 +141,41 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("matched_click_us").alias("click_us"),
         (F.col("ts_us") - F.col("matched_click_us")).alias("gap_us"),
     )
+
+
+ASOF_TOLERANCE_US = 1800 * 1_000_000  # 30 min
+
+
+@query(
+    "asof_join_with_tolerance",
+    oracle=f"""
+SELECT purchase_id, user_id, purchase_us,
+       CASE WHEN purchase_us - click_us <= {ASOF_TOLERANCE_US}
+            THEN click_us END AS click_us,
+       CASE WHEN purchase_us - click_us <= {ASOF_TOLERANCE_US}
+            THEN purchase_us - click_us END AS gap_us
+FROM (
+  SELECT p.event_id AS purchase_id, p.user_id,
+         epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS click_us
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+) t
+""",
+)
+def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pandas ``merge_asof
+    tolerance=`` semantics): the most recent click at-or-before each
+    purchase counts only within 30 minutes — stale matches become NULL
+    rather than joining arbitrarily old state. Same single
+    shuffle+sort plan as asof_join_purchase_click; the tolerance is a
+    post-window predicate, free at any scale."""
+    base = asof_join_purchase_click(spark, sf_dir)
+    within = (F.col("purchase_us") - F.col("click_us")) <= ASOF_TOLERANCE_US
+    return base.select(
+        "purchase_id",
+        "user_id",
+        "purchase_us",
+        F.when(within, F.col("click_us")).alias("click_us"),
+        F.when(within, F.col("gap_us")).alias("gap_us"),
+    )
