@@ -299,3 +299,36 @@ def fn_levenshtein_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(b), F.col("part1") + 100 == F.col("part2"))
         .select("part1", "part2", F.levenshtein("name1", "name2").alias("edit_dist"))
     )
+
+
+@query(
+    "fn_null_handling",
+    oracle="""
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'REDACTED') AS segment_masked,
+       ifnull(nullif(c_nationkey % 3, 0), -1) AS nation_mod_or_neg1,
+       CASE WHEN c_acctbal > 5000 THEN NULL ELSE round(c_acctbal, 2) END AS small_bal,
+       coalesce(CASE WHEN c_acctbal > 5000 THEN NULL ELSE round(c_acctbal, 2) END,
+                0.0) AS small_bal_defaulted
+FROM customer
+""",
+)
+def fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar family: nullif / ifnull / coalesce chains —
+    the declarative form of the reference's defensive .get(default)
+    layer (SURVEY.md §1.4)."""
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    small_bal = F.when(F.col("c_acctbal") > 5000, F.lit(None)).otherwise(
+        F.round("c_acctbal", 2)
+    )
+    return cust.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("REDACTED")
+        ).alias("segment_masked"),
+        F.ifnull(F.nullif(F.col("c_nationkey") % 3, F.lit(0)), F.lit(-1)).alias(
+            "nation_mod_or_neg1"
+        ),
+        small_bal.alias("small_bal"),
+        F.coalesce(small_bal, F.lit(0.0)).alias("small_bal_defaulted"),
+    )

@@ -171,3 +171,11 @@ def test_shingle_plan_splits_text_exactly_once(spark, sf_dir):
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     optimized = doc_shingles(docs)._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("split(") == 1, optimized
+
+
+def test_tpch_breadth_queries_broadcast_their_dims(spark, sf_dir):
+    for name in ("q7_volume_shipping", "q8_market_share",
+                 "q10_returned_items", "q19_discounted_revenue"):
+        assert "BroadcastHashJoin" in plan(eng.QUERIES[name](spark, sf_dir)), (
+            f"{name} lost its dimension broadcast"
+        )
