@@ -390,3 +390,33 @@ def agg_argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", down).alias("smallest_order"),
         F.max(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("max_price"),
     )
+
+
+@query(
+    "agg_regression_mode_bools",
+    oracle="""
+SELECT l_returnflag,
+       round(CAST(regr_slope(l_extendedprice, l_quantity) AS DOUBLE), 4) AS price_per_qty,
+       round(CAST(regr_intercept(l_extendedprice, l_quantity) AS DOUBLE), 4) AS price_base,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_obs,
+       CAST(mode(l_linestatus) AS VARCHAR) AS common_status,
+       bool_and(l_quantity > 0) AS all_positive,
+       bool_or(l_discount > 0.09) AS any_deep_discount
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_regression_mode_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (slope/intercept/count), mode, and
+    boolean aggregates (every/any) — single-pass merges like the
+    bivariate stats family. mode on this data is unambiguous (one
+    clear winner per group), so both engines agree deterministically."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("price_per_qty"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("price_base"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n_obs"),
+        F.mode("l_linestatus").alias("common_status"),
+        F.every(F.col("l_quantity") > 0).alias("all_positive"),
+        F.some(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+    )

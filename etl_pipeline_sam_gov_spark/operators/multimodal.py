@@ -121,3 +121,58 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.mime").alias("mime"),
         F.col("meta.n_bytes").cast("long").alias("n_bytes"),
     )
+
+
+FRAME_BYTES = 64  # synthetic "frame" stride within the binary payload
+FRAME_SAMPLE_EVERY = 4  # keep every 4th frame
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for frame sampling: slice the binary payload
+    into fixed-stride frames and keep every Nth — the plumbing shape of
+    video frame extraction (a real decoder replaces the byte slicing;
+    partitioning, batch flow, and the one-to-many row expansion are
+    identical). Emits (doc_id, frame_idx, frame_bytes, frame_checksum)."""
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "frame_idx": [], "n_frame_bytes": [], "frame_checksum": []
+        }
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            n_frames = max(len(content) // FRAME_BYTES, 1)
+            for idx in range(0, n_frames, FRAME_SAMPLE_EVERY):
+                frame = bytes(content[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES])
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["n_frame_bytes"].append(len(frame))
+                out["frame_checksum"].append(sum(frame) % 1_000_000_007)
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id,
+       (f - 1) * 4 AS frame_idx,
+       CAST(least(64, strlen(text) - (f - 1) * 4 * 64) AS BIGINT) AS n_frame_bytes
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(1,
+             (greatest(strlen(text) // 64, 1) + 3) // 4)) AS f
+  FROM documents
+) t
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media columns (SURVEY.md §2.12
+    multimodal): one-to-many mapInPandas expansion, every-Nth-frame
+    policy. The frame COUNTS and sizes are pure arithmetic over the
+    payload length, so they ARE oracle-checkable — the checksum column
+    (Python-side content hash) is exercised in tests/test_multimodal.py
+    instead, keeping this query's contract fully relational."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    payload = attach_binary_payload(docs)
+    frames = payload.mapInPandas(
+        sample_frames,
+        schema="doc_id long, frame_idx int, n_frame_bytes long, frame_checksum long",
+    )
+    return frames.select("doc_id", "frame_idx", "n_frame_bytes")
