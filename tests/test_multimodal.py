@@ -41,3 +41,33 @@ def test_features_match_local_computation(spark, sf_dir):
         assert row["checksum"] == checksum
         assert (row["pseudo_width"], row["pseudo_height"]) == (w, h)
         assert row["mime"] == "text/plain"
+
+
+def test_frame_sample_checksums_match_local_computation(spark, sf_dir):
+    """The oracle checks frame counts/sizes; this asserts the
+    Python-side frame CONTENT (checksums) against a local recompute —
+    together they pin the whole sample_frames kernel."""
+    from etl_pipeline_sam_gov_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAME_SAMPLE_EVERY,
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    frames = attach_binary_payload(docs).mapInPandas(
+        sample_frames,
+        schema="doc_id long, frame_idx int, n_frame_bytes long, frame_checksum long",
+    )
+    got = {(r["doc_id"], r["frame_idx"]): r for r in frames.collect()}
+    texts = {r["doc_id"]: r["text"].encode("utf-8") for r in docs.collect()}
+    checked = 0
+    for doc_id, content in list(texts.items())[:20]:
+        n_frames = max(len(content) // FRAME_BYTES, 1)
+        for idx in range(0, n_frames, FRAME_SAMPLE_EVERY):
+            frame = content[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+            row = got[(doc_id, idx)]
+            assert row["n_frame_bytes"] == len(frame)
+            assert row["frame_checksum"] == sum(frame) % 1_000_000_007
+            checked += 1
+    assert checked > 20
