@@ -3,11 +3,14 @@
 The reference's only declarative query is the flagship Athena SQL
 (``lambda_function.py:173-179``) — filter → project → top-k over one
 table. This module widens the engine's proven query surface with the
-classic TPC-H shapes the fixture schema can express (FIXTURES.md §B:
-no ``partsupp``, no ``l_shipmode/l_commitdate/l_receiptdate``, no
-``c_phone`` — Q2/Q9/Q11/Q12/Q16/Q20/Q21 are unexpressible; predicates
-adapted to the synthetic value domains, e.g. ``p_type = 'PROMO'``,
-``n_name = 'NATION_3'``).
+classic TPC-H shapes. 15 queries run near-verbatim with predicates
+adapted to the synthetic value domains (e.g. ``p_type = 'PROMO'``,
+``n_name = 'NATION_3'``); the 7 the fixture schema cannot express
+verbatim (FIXTURES.md §B: no ``partsupp``, no
+``l_shipmode/l_commitdate/l_receiptdate``, no ``c_phone`` —
+Q2/Q9/Q11/Q12/Q16/Q20/Q21) run as adapted variants preserving the
+original *plan shape* (see the section comment below), so all 22
+TPC-H query shapes are covered.
 
 Scale notes (100 TB):
 
@@ -498,4 +501,410 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum(dec2("c_acctbal")).cast("double").alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adapted variants of the TPC-H shapes the fixture schema cannot express
+# verbatim (no ``partsupp``, no ``l_shipmode/l_commitdate/l_receiptdate``
+# — FIXTURES.md §B). Each keeps the original query's *plan shape* (the
+# part the engine must prove it can run) while substituting expressible
+# predicates: ``lineitem``'s (l_partkey, l_suppkey) pairs stand in for
+# ``partsupp``, per-unit price for ``ps_supplycost``, ``l_returnflag``
+# for the late-delivery predicates.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE))
+           AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+FROM cost
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+WHERE p_size IN (5, 15, 25, 35, 45) AND p_type = 'LARGE'
+  AND r_name = 'AMERICA'
+  AND unit_cost = (
+    SELECT MIN(c2.unit_cost) FROM cost c2
+    JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+    JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+    WHERE c2.l_partkey = cost.l_partkey AND r2.r_name = 'AMERICA')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted): cheapest supplier per part within a
+    region; correlated MIN subquery as a window over the joined view.
+
+    ``partsupp.ps_supplycost`` (absent — FIXTURES.md §B) is replaced by
+    the observed per-unit price ``min(l_extendedprice / l_quantity)``
+    per (part, supplier) pair from ``lineitem``. One aggregation shuffle
+    builds the cost view; every dimension join is a broadcast; the
+    correlated MIN is a ``Window.partitionBy(part)`` over the already-
+    filtered region slice — no re-scan, no driver round trip. IEEE
+    double division + MIN are order-independent, so the values are
+    bit-identical across engines and partition counts."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "part", "supplier", "nation", "region")
+    )
+    cost = t["lineitem"].groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.col("l_extendedprice").cast("double")
+            / F.col("l_quantity").cast("double")
+        ).alias("unit_cost")
+    )
+    region_cost = (
+        cost.join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(F.col("r_name") == "AMERICA")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        region_cost.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(
+            F.broadcast(
+                t["part"].filter(
+                    F.col("p_size").isin(5, 15, 25, 35, 45)
+                    & (F.col("p_type") == "LARGE")
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle=f"""
+SELECT n_name AS nation,
+       EXTRACT(year FROM o_orderdate) AS o_year,
+       {SQL_REVENUE_SUM} AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+ORDER BY nation, o_year DESC
+""",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted): 5-way join, profit by nation and year.
+
+    ``ps_supplycost`` is absent, so profit reduces to discounted revenue
+    ``l_extendedprice * (1 - l_discount)`` (exact decimal). Part,
+    supplier, and nation are broadcast (the part side is pre-filtered by
+    the LIKE before broadcast); ``orders`` joins on ``l_orderkey`` —
+    the one unavoidable fact-fact shuffle — then a single group-by on
+    the (25 nations × 7 years) key space with map-side partials."""
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "part", "supplier", "nation", "orders")
+    )
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").like("%red%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(revenue_sum("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+WITH v AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_key, CAST(value_dec AS DOUBLE) AS part_value
+FROM v
+WHERE CAST(value_dec AS DOUBLE) >
+      (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.001 FROM v)
+ORDER BY part_value DESC, p_key
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted): per-part value vs a global-fraction
+    threshold (scalar subquery over the same aggregate).
+
+    ``ps_supplycost * ps_availqty`` becomes the exact-decimal revenue a
+    nation's suppliers shipped per part. The grouped view is computed
+    ONCE, the global total is a 1-row decimal re-aggregate of that view
+    broadcast back as a cross join — the lineitem scan is never
+    repeated, and both engines compare bit-identical doubles built from
+    identical exact decimals."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    v = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(dec2("l_extendedprice")).alias("value_dec"))
+    )
+    total = v.agg(F.sum("value_dec").cast("double").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("total") * 0.001)
+        .select(
+            F.col("l_partkey").alias("p_key"),
+            F.col("value_dec").cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_key")
+    )
+
+
+@query(
+    "q12_priority_lines",
+    oracle="""
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted): join + conditional two-way counts.
+
+    ``l_shipmode`` is absent, so ``l_returnflag`` is the grouping proxy;
+    the commit/receipt-date lateness predicate becomes a ship-year
+    filter (pushed to parquet row-group stats before the join). The
+    orders join shuffles on the order key; the CASE counts are integer
+    partials — fully deterministic with no decimal handling needed."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#10' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted): distinct-supplier counts per part
+    attribute triple, with a NOT-IN supplier exclusion.
+
+    ``partsupp`` is reconstructed as the distinct (l_partkey, l_suppkey)
+    pairs observed in ``lineitem``; the "customer complaints" exclusion
+    becomes negative-balance suppliers, planned as a broadcast left-anti
+    join (no shuffle for the exclusion). The distinct-pairs dedup and
+    the count-distinct agg share the same part-key shuffle."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    pairs = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        pairs.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(
+                t["part"].filter(
+                    (F.col("p_brand") != "Brand#10")
+                    & (F.col("p_type") != "PROMO")
+                    & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@query(
+    "q20_heavy_red_suppliers",
+    oracle="""
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(l_quantity) > 30)
+ORDER BY s_name
+""",
+)
+def q20_heavy_red_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted): semi-join chain — suppliers who moved
+    a large volume of a matching part in a year.
+
+    ``ps_availqty > 0.5 * shipped`` (partsupp absent) becomes "shipped
+    more than 30 units of one red part in 1997". The part filter is a
+    broadcast semi input; the per-(supplier, part) volume agg shuffles
+    once; the surviving supplier keys are a broadcast left-semi against
+    the (dimension-sized) supplier table, so the big side never
+    re-shuffles. Quantity sums are exact (integral doubles ≤ tens of
+    thousands), so the HAVING threshold is engine-stable."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "nation"))
+    heavy = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").like("red%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(heavy),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_sole_returning_supplier",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F' AND n_name = 'NATION_3'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted): EXISTS + NOT-EXISTS self-joins on the
+    fact table — suppliers solely responsible for returns on finalized
+    multi-supplier orders.
+
+    The receipt-after-commit lateness predicate (columns absent) becomes
+    ``l_returnflag = 'R'``. The semi and anti self-joins and the orders
+    join all key on ``l_orderkey``, so one exchange is reused across all
+    three joins (Catalyst reuses the partitioning); supplier and nation
+    are broadcast. The final count groups on the surviving (small) rows;
+    top-k via TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier", "nation"))
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag")
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+        F.col("l_returnflag").alias("o2_returnflag"),
+    )
+    cond_other = (F.col("o2_orderkey") == F.col("l_orderkey")) & (
+        F.col("o2_suppkey") != F.col("l_suppkey")
+    )
+    return (
+        l1.join(
+            t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(other, cond_other, "left_semi")
+        .join(
+            other.filter(F.col("o2_returnflag") == "R"),
+            cond_other,
+            "left_anti",
+        )
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
     )

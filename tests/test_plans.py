@@ -179,3 +179,28 @@ def test_tpch_breadth_queries_broadcast_their_dims(spark, sf_dir):
         assert "BroadcastHashJoin" in plan(eng.QUERIES[name](spark, sf_dir)), (
             f"{name} lost its dimension broadcast"
         )
+
+
+def test_adapted_tpch_broadcast_their_dims(spark, sf_dir):
+    for name in ("q2_min_cost_supplier", "q9_product_type_profit",
+                 "q11_important_parts", "q16_supplier_part_counts",
+                 "q20_heavy_red_suppliers"):
+        assert "BroadcastHashJoin" in plan(eng.QUERIES[name](spark, sf_dir)), (
+            f"{name} lost its dimension broadcast"
+        )
+
+
+def test_q21_plans_semi_and_anti_self_joins(spark, sf_dir):
+    # The EXISTS / NOT EXISTS self-joins must stay semi/anti (never a
+    # full join + post-filter, which would explode multi-line orders).
+    s = plan(eng.QUERIES["q21_sole_returning_supplier"](spark, sf_dir))
+    assert "LeftSemi" in s and "LeftAnti" in s
+
+
+def test_q2_correlated_min_is_one_window_pass(spark, sf_dir):
+    # The per-part MIN must be a Window over the joined view — exactly
+    # one aggregate pass over lineitem (the cost view), not two scans.
+    s = plan(eng.QUERIES["q2_min_cost_supplier"](spark, sf_dir))
+    assert "Window" in s
+    import re
+    assert len(re.findall(r"Scan parquet .*lineitem", s)) == 1
