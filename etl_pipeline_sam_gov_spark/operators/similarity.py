@@ -215,3 +215,125 @@ def agg_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
+
+
+IVF_CENTROID_STRIDE = 25  # vec_id % 25 == 0 → ~N/25 deterministic coarse centroids
+IVF_NPROBE = 2
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH {_SQL_NORMS},
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM norms
+  WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+),
+aff AS (
+  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+         row_number() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+                    c.cent_id) AS crank
+  FROM norms n CROSS JOIN cents c
+),
+assign AS (SELECT vec_id, v, nrm, cent_id AS cell FROM aff WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cent_id AS cell
+  FROM aff WHERE vec_id % {QUERY_STRIDE} = 0 AND crank <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(p.qv, a.v) / (p.qnrm * a.nrm) AS cos
+  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: a coarse centroid quantizer (deterministic sample of the
+    corpus) + nprobe>1 multi-probe — the classic inverted-file scale
+    path, complementing the single-cell sign-LSH variant.
+
+    Scale design: the centroid table collapses to ONE row holding an
+    array of (cent_id, cv, cnrm) structs via a distributed
+    ``collect_list`` agg (never a driver collect), broadcast to every
+    task. Cell assignment is then a per-row ``array_sort`` over centroid
+    affinities — fully map-side, ZERO shuffle over the billion-vector
+    corpus. Probe lists (queries × nprobe cells) are dimension-sized and
+    broadcast; only the per-query candidate ranking shuffles, and that
+    input is already cut by ~|cells|/nprobe.
+
+    The affinity argsort and both cosine folds are the same sequential
+    double arithmetic as the oracle's ``list_dot_product``, so ranks —
+    including the crank tiebreak on cent_id — are bit-identical."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = with_norms(emb)
+    cent_arr = (
+        base.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cent_id"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cnrm"),
+            ).alias("c")
+        )
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+    # One materialized sort per row (its own select boundary — higher-order
+    # exprs are interpreted, so an inline reuse would re-evaluate the sort).
+    sorted_aff = base.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    cosine(F.col("v"), c["cv"], F.col("nrm"), c["cnrm"]).alias(
+                        "ccos"
+                    ),
+                    c["cent_id"].alias("cent_id"),
+                ),
+            ),
+            lambda l, r: F.when(l["ccos"] > r["ccos"], -1)
+            .when(l["ccos"] < r["ccos"], 1)
+            .otherwise(
+                F.signum(l["cent_id"] - r["cent_id"]).cast("int")
+            ),
+        ).alias("srt"),
+    )
+    assign = sorted_aff.select(
+        "vec_id", "v", "nrm", F.element_at("srt", 1)["cent_id"].alias("cell")
+    )
+    probes = (
+        sorted_aff.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.explode(F.slice("srt", 1, IVF_NPROBE)).alias("p"),
+        )
+        .select("query_id", "qv", "qnrm", F.col("p")["cent_id"].alias("cell"))
+    )
+    scored = assign.join(
+        F.broadcast(probes).withColumnRenamed("cell", "qcell"),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )

@@ -204,3 +204,14 @@ def test_q2_correlated_min_is_one_window_pass(spark, sf_dir):
     assert "Window" in s
     import re
     assert len(re.findall(r"Scan parquet .*lineitem", s)) == 1
+
+
+def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
+    # IVF cell assignment must be map-side (broadcast centroid array);
+    # the only hash exchange is the per-query candidate ranking, and it
+    # is preceded by a partial WindowGroupLimit (per-partition top-k heap).
+    import re
+    s = plan(eng.QUERIES["ann_ivf_topk"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", s)) == 1
+    assert "WindowGroupLimit" in s
+    assert "BroadcastHashJoin" in s
