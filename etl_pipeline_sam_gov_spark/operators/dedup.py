@@ -322,8 +322,9 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
-def _sql_minhash_lsh() -> str:
-    """DuckDB oracle generated from the same constants as the Spark path."""
+def _sql_minhash_pair_ctes() -> str:
+    """CTE chain (sh … pairs) shared by the LSH pair oracle and the
+    connected-components clustering oracle."""
     h = f"({_sql_hash60('shingle')} % {MINHASH_P})"
     sig_exprs = ",\n  ".join(
         f"MIN(({a} * {h} + {b}) % {MINHASH_P}) AS s{k}"
@@ -340,8 +341,7 @@ def _sql_minhash_lsh() -> str:
     )
     # VALUES-per-row lateral to unpivot the 8 bands
     return (
-        "WITH "
-        + _SQL_SHINGLES
+        _SQL_SHINGLES
         + f""",
 sigs AS (SELECT doc_id, {sig_exprs} FROM sh GROUP BY doc_id),
 banded AS (
@@ -361,14 +361,24 @@ inter AS (
   JOIN sh a ON a.doc_id = c.doc1
   JOIN sh b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
   GROUP BY 1, 2
-)
-SELECT doc1, doc2,
-       round(intersection::DOUBLE / (s1.sz + s2.sz - intersection), 6) AS jaccard
-FROM inter
-JOIN sizes s1 ON s1.doc_id = doc1
-JOIN sizes s2 ON s2.doc_id = doc2
-WHERE intersection::DOUBLE / (s1.sz + s2.sz - intersection) >= {JACCARD_THRESHOLD}
-"""
+),
+pairs AS (
+  SELECT doc1, doc2,
+         round(intersection::DOUBLE / (s1.sz + s2.sz - intersection), 6)
+           AS jaccard
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = doc1
+  JOIN sizes s2 ON s2.doc_id = doc2
+  WHERE intersection::DOUBLE / (s1.sz + s2.sz - intersection)
+        >= {JACCARD_THRESHOLD}
+)"""
+    )
+
+
+def _sql_minhash_lsh() -> str:
+    """DuckDB oracle generated from the same constants as the Spark path."""
+    return (
+        "WITH " + _sql_minhash_pair_ctes() + "\nSELECT doc1, doc2, jaccard FROM pairs"
     )
 
 
@@ -383,6 +393,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the exact candidate set — the check covers the LSH
     mechanics, not just the final Jaccard filter."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return minhash_duplicate_pairs(docs)
+
+
+def minhash_duplicate_pairs(docs: DataFrame) -> DataFrame:
+    """Verified (doc1, doc2, jaccard) near-dup pairs via MinHash-LSH —
+    the edge set shared by the pair query and the clustering query."""
     sh = doc_shingles(docs)
     cand = lsh_candidate_pairs(minhash_signatures(sh))
     # Verification joins the (small) candidate set against per-doc
@@ -597,3 +613,93 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .withColumn("cosine", F.round("cosine", 6))
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the LSH match graph
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 25
+
+
+def _sql_cluster_components() -> str:
+    """Recursive-CTE oracle: transitive closure of the pair graph, then
+    min reachable id per node. Closure is quadratic per component —
+    fine for an oracle (near-dup clusters are small), never the
+    engine's own strategy."""
+    return (
+        "WITH RECURSIVE "
+        + _sql_minhash_pair_ctes()
+        + """,
+bidir AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION ALL
+  SELECT doc2, doc1 FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM bidir
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN bidir e ON e.a = r.dst
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+FROM reach GROUP BY src
+"""
+    )
+
+
+@query("dedup_cluster_components", oracle=_sql_cluster_components())
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup needs *clusters*, not pairs: each near-dup group
+    keeps one canonical doc. Components of the MinHash-LSH match graph
+    via iterative min-label propagation (GraphX-style Pregel loop as
+    plain DataFrame joins).
+
+    Scale notes: each round is one shuffle join keyed on the node id;
+    labels only decrease, so convergence is monotone and the driver's
+    stop check is a single scalar aggregate (sum of labels — equal ⇔
+    fixpoint), never a row collect. Rounds = graph diameter; near-dup
+    components are shallow (dozens of docs), so a handful of rounds.
+    At 100 TB: checkpoint the label table every few rounds to truncate
+    lineage, or switch to the two-phase large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce") — same join
+    primitive, O(log n) rounds on adversarial chains."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    edges = minhash_duplicate_pairs(docs).select("doc1", "doc2")
+    bidir = (
+        edges.union(edges.select(F.col("doc2"), F.col("doc1")))
+        .toDF("a", "b")
+        .persist()
+    )
+    labels = (
+        bidir.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(CC_MAX_ITERS):
+        neigh = (
+            bidir.join(labels, F.col("b") == F.col("node"))
+            .groupBy("a")
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh, F.col("node") == F.col("a"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+            )
+            .persist()
+        )
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {CC_MAX_ITERS} rounds"
+        )
+    bidir.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
