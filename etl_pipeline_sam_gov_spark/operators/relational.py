@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from etl_pipeline_sam_gov_spark.functions.exact import (
     SQL_REVENUE_SUM,
     davg,
+    dec2,
     dsum,
     revenue_sum,
     sql_davg,
@@ -385,4 +386,112 @@ def sort_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("price"), F.asc("o_orderkey"))
         .offset(50)
         .limit(25)
+    )
+
+
+SKEW_SALT = 8  # replication factor: caps any one key's reducer rows at 1/8
+
+
+@query(
+    "join_salted_skewed_orders",
+    oracle=f"""
+SELECT o_orderpriority, {SQL_REVENUE_SUM} AS revenue, COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def join_salted_skewed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual key-salting for a shuffle join whose key distribution is
+    pathologically skewed: the probe side gets a deterministic salt
+    (``l_linenumber % S`` — any per-row value works), the build side is
+    replicated S× via ``explode(sequence(...))``, and the join keys on
+    (key, salt). One hot key's rows now land on S reducers instead of
+    one.
+
+    AQE's skew-join (enabled engine-wide) already splits oversized
+    sort-merge partitions at runtime; explicit salting is the declared
+    fallback for when a SINGLE key exceeds what one task can hold even
+    after AQE splits — at 100 TB, a "null-key flood" or one viral
+    entity. The oracle is the plain unsalted join: salting must be
+    result-invariant by construction."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    fact = t["lineitem"].withColumn("salt", F.col("l_linenumber") % SKEW_SALT)
+    dim = t["orders"].withColumn(
+        "salt_r", F.explode(F.sequence(F.lit(0), F.lit(SKEW_SALT - 1)))
+    )
+    return (
+        fact.join(
+            dim,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("salt_r") == F.col("salt").cast("int")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            revenue_sum("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "merge_incremental_upsert",
+    oracle="""
+WITH upd AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2))
+              * CAST(1.10 AS DECIMAL(3,2)) AS DOUBLE) AS c_price,
+         'U' AS c_status
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+ins AS (
+  SELECT o_orderkey + 100000000 AS o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS c_price,
+         'N' AS c_status
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+changes AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+SELECT COALESCE(o.o_orderkey, c.o_orderkey) AS o_orderkey,
+       COALESCE(c.c_price, CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE))
+         AS final_price,
+       COALESCE(c.c_status, o.o_orderstatus) AS final_status
+FROM orders o FULL OUTER JOIN changes c USING (o_orderkey)
+""",
+)
+def merge_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (matched → update, not-matched → insert) as
+    a full-outer join + coalesce — generalizing the reference's
+    overwrite-the-whole-snapshot sink (``lambda_function.py:15,126-128``)
+    to incremental upserts, the shape every continuously-refreshed
+    training corpus needs.
+
+    The change set here is derived deterministically from the base
+    (±10% reprice for keys %10, brand-new keys offset by 1e8 for %13)
+    so the oracle can rebuild it. At 100 TB: the base is bucketed by
+    the merge key, the (small) change set broadcasts, and the join
+    becomes shuffle-free on the base side; with a transactional table
+    format this compiles to ``MERGE INTO`` directly — the plan shape
+    below is exactly what those formats execute underneath."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    upd = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("c_key"),
+        (dec2("o_totalprice") * F.lit("1.10").cast("decimal(3,2)"))
+        .cast("double")
+        .alias("c_price"),
+        F.lit("U").alias("c_status"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 100_000_000).alias("c_key"),
+        dec2("o_totalprice").cast("double").alias("c_price"),
+        F.lit("N").alias("c_status"),
+    )
+    changes = upd.unionByName(ins)
+    return (
+        orders.join(changes, F.col("o_orderkey") == F.col("c_key"), "full_outer")
+        .select(
+            F.coalesce("o_orderkey", "c_key").alias("o_orderkey"),
+            F.coalesce(
+                "c_price", dec2("o_totalprice").cast("double")
+            ).alias("final_price"),
+            F.coalesce("c_status", "o_orderstatus").alias("final_status"),
+        )
     )
