@@ -34,6 +34,10 @@ HEADLINE = [
     "fn_json_events",  # JSON extraction + agg
     "q10_returned_items",  # fact-fact join + broadcast dims + top-k
     "text_quality_score",  # text-analysis pipeline over documents
+    "q9_product_type_profit",  # 5-way join, profit by nation/year
+    "q21_sole_returning_supplier",  # semi+anti self-joins on the fact
+    "ann_ivf_topk",  # IVF ANN: map-side quantize + probe join
+    "merge_incremental_upsert",  # full-outer MERGE upsert
 ]
 
 

@@ -217,7 +217,11 @@ def agg_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_CENTROID_STRIDE = 25  # vec_id % 25 == 0 → ~N/25 deterministic coarse centroids
+IVF_CENTROID_STRIDE = 25  # every 25th vec_id is a codebook candidate…
+IVF_MAX_CENTROID_ID = 2500  # …capped to a FIXED-size codebook (≤100 cells):
+# assignment cost is N×C with C constant, independent of corpus size —
+# at real scale the codebook is a trained k-means; here a deterministic
+# bounded sample keeps the oracle reproducible.
 IVF_NPROBE = 2
 
 
@@ -228,6 +232,7 @@ WITH {_SQL_NORMS},
 cents AS (
   SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM norms
   WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+    AND vec_id < {IVF_MAX_CENTROID_ID}
 ),
 aff AS (
   SELECT n.vec_id, n.v, n.nrm, c.cent_id,
@@ -277,7 +282,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     base = with_norms(emb)
     cent_arr = (
-        base.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0)
+        base.filter(
+            (F.col("vec_id") % IVF_CENTROID_STRIDE == 0)
+            & (F.col("vec_id") < IVF_MAX_CENTROID_ID)
+        )
         .select(
             F.struct(
                 F.col("vec_id").alias("cent_id"),
