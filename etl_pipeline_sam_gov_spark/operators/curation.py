@@ -1,0 +1,147 @@
+"""Corpus-curation operators for training-data pipelines (SURVEY.md
+§2.12 extensions): deterministic train/holdout splitting, token-budget
+shard packing, and per-source mixture sampling. The reference has no
+notion of any of these; they are what a 100 TB LLM-data pipeline runs
+between dedup and the trainer.
+
+Determinism contract: every "random" decision is an md5-derived hash of
+the row's key (never ``rand()``), so assignments are reproducible
+across engines, runs, cluster sizes, and retries — a hard requirement
+for auditable data lineage (and for the DuckDB oracles here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_pipeline_sam_gov_spark.operators.dedup import (
+    _spark_hash60,
+    _sql_hash60,
+    tokens_col,
+)
+from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.tables import load_tables
+
+#: train/val/test bucket edges out of 100.
+SPLIT_TRAIN, SPLIT_VAL = 90, 95
+
+#: shard capacity in whitespace tokens.
+SHARD_TOKENS = 1000
+
+
+@query(
+    "curate_split_train_holdout",
+    oracle=f"""
+SELECT doc_id, lang,
+       CASE WHEN {_sql_hash60("CAST(doc_id AS VARCHAR)")} % 100 < {SPLIT_TRAIN}
+              THEN 'train'
+            WHEN {_sql_hash60("CAST(doc_id AS VARCHAR)")} % 100 < {SPLIT_VAL}
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def curate_split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by content-key
+    hash. Hash-bucket splitting (never ``rand()``) means a re-run, a
+    retried task, or a different cluster produces the identical split —
+    and a doc's assignment never changes as the corpus grows, so
+    holdout contamination can't creep in across snapshots. Pure
+    projection: no shuffle at any scale."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bucket = _spark_hash60(F.col("doc_id").cast("string")) % 100
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "curate_pack_token_shards",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split_regex(text, '\\s+')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens,
+       (cum_tokens - n_tokens) // {SHARD_TOKENS} AS shard_id
+FROM cum
+""",
+)
+def curate_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: each doc goes to the shard where its
+    first token lands in the per-language running total — the
+    "write ~N-token training shards" step before tokenized output.
+
+    Scale notes: the running sum partitions by the shard group (here
+    ``lang``; in production source×date), so packing parallelizes
+    across groups and no global ordering is ever materialized. A group
+    too big for one task gets the standard two-level treatment:
+    per-partition sums + a broadcast prefix-offset join — same
+    arithmetic, same results, because the order key (doc_id) is total
+    within each group either way."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(
+        "doc_id", "lang", F.size(tokens_col()).alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        ((cum - F.col("n_tokens")) / SHARD_TOKENS)
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+
+
+@query(
+    "curate_sample_source_mixture",
+    oracle=f"""
+WITH rated AS (
+  SELECT doc_id, source,
+         CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 10000
+              WHEN CAST(substr(source, 4) AS INT) < 10 THEN 5000
+              WHEN CAST(substr(source, 4) AS INT) < 15 THEN 2500
+              ELSE 1000 END AS keep_bp
+  FROM documents
+)
+SELECT doc_id, source
+FROM rated
+WHERE {_sql_hash60("CAST(doc_id AS VARCHAR) || ':' || source")} % 10000
+      < keep_bp
+""",
+)
+def curate_sample_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture sampling: each source keeps a configured
+    fraction (100% / 50% / 25% / 10% by source tier) via the same
+    hash-threshold trick as the split — deterministic, shuffle-free,
+    and exactly re-runnable. This is the "data mixture" knob of a
+    training pipeline, expressed as a filter the parquet scan can
+    evaluate without any aggregation state."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tier = F.substring("source", 4, 10).cast("int")
+    keep_bp = (
+        F.when(tier < 5, 10_000)
+        .when(tier < 10, 5_000)
+        .when(tier < 15, 2_500)
+        .otherwise(1_000)
+    )
+    h = _spark_hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source")))
+    return docs.filter((h % 10_000) < keep_bp).select("doc_id", "source")
