@@ -215,3 +215,20 @@ def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning", s)) == 1
     assert "WindowGroupLimit" in s
     assert "BroadcastHashJoin" in s
+
+
+def test_curation_split_and_mixture_are_shuffle_free(spark, sf_dir):
+    # Hash-bucket split and mixture sampling are pure scan-side
+    # projections/filters — any Exchange would mean they stopped
+    # scaling linearly.
+    for name in ("curate_split_train_holdout", "curate_sample_source_mixture"):
+        assert "Exchange" not in plan(eng.QUERIES[name](spark, sf_dir)), (
+            f"{name} acquired a shuffle"
+        )
+
+
+def test_shard_packing_shuffles_once_on_the_group_key(spark, sf_dir):
+    import re
+    s = plan(eng.QUERIES["curate_pack_token_shards"](spark, sf_dir))
+    exchanges = re.findall(r"Exchange hashpartitioning\(([a-z_]+)#", s)
+    assert exchanges == ["lang"], exchanges
