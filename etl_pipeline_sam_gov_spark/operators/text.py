@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_sam_gov_spark.operators.dedup import tokens_col
+from etl_pipeline_sam_gov_spark.operators.dedup import _sql_hash60, tokens_col
 from etl_pipeline_sam_gov_spark.registry import query
 from etl_pipeline_sam_gov_spark.tables import load_tables
 
@@ -254,4 +254,82 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.md5("text") == F.col("h")) & (F.col("doc_id") == F.col("keep_id")),
         )
         .select("doc_id", "lang", "n_tokens")
+    )
+
+
+WINNOW_K = 3  # k-gram length for the rolling hashes
+WINNOW_W = 4  # winnowing window: one fingerprint per w consecutive hashes
+
+
+@query(
+    "text_winnowing_fingerprint",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         {_sql_hash60("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")} AS h
+  FROM (SELECT doc_id, t,
+               unnest(range(1, greatest(len(t) - {WINNOW_K - 2}, 1))) AS i
+        FROM toks)
+),
+winnowed AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW
+                      AND {WINNOW_W - 1} FOLLOWING) AS fp
+  FROM grams
+)
+SELECT DISTINCT doc_id, fp FROM winnowed
+""",
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash
+    every positional k-gram (a rolling hash over the token stream),
+    then keep the minimum of each w-hash window — guaranteeing any
+    shared substring of ≥ w+k-1 tokens contributes at least one common
+    fingerprint, at ~1/w the storage of full shingling.
+
+    Positional k-grams come from the SAME materialized-token-array
+    discipline as the dedup shinglers (inline splits re-evaluate —
+    dedup.shingles_from_tokens); the windowed MIN partitions by doc, so
+    the only exchange keys on doc_id and in a corpus-partitioned store
+    it vanishes entirely. Fingerprints are 60-bit md5-derived ints —
+    engine-neutral, like every hash in the dedup family."""
+    from pyspark.sql import Window as W
+
+    from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tokd = docs.select("doc_id", tokens_col().alias("_toks"))
+    t = F.col("_toks")
+
+    def gram(i: Column) -> Column:
+        parts: list[Column] = []
+        for j in range(WINNOW_K):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(t, i + j))
+        return F.concat(*parts)
+
+    grams = tokd.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size(t) >= WINNOW_K,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (WINNOW_K - 1)), gram
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "g"),
+    ).select("doc_id", "pos0", _spark_hash60(F.col("g")).alias("h"))
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos0")
+        .rowsBetween(W.currentRow, WINNOW_W - 1)
+    )
+    return (
+        grams.select("doc_id", F.min("h").over(w).alias("fp"))
+        .distinct()
     )
