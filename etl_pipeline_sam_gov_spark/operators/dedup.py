@@ -586,16 +586,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     here (oracle-exact); operators.similarity holds the bucketed scale
     path. Dot products are sequential folds over double-cast elements
     — JVM-side zip_with/aggregate, no UDF."""
+    from etl_pipeline_sam_gov_spark.operators.similarity import with_norms
+
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    dot_self = F.aggregate(
-        F.zip_with(as_double, as_double, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norms = emb.select(
-        "vec_id", as_double.alias("v"), F.sqrt(dot_self).alias("nrm")
-    )
+    # with_norms also spreads the single-file scan across the session
+    # parallelism — without it the O(N²) pair loop runs on ONE core
+    # (similarity._parallelize).
+    norms = with_norms(emb)
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),

@@ -40,13 +40,24 @@ def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """The fixture embeddings are one small parquet file → ONE scan
+    partition, which would serialize every O(N×candidates) vector-math
+    stage on a single core (measured 27 s for the all-pairs cosine at
+    sf0.1, ~1 s once spread). Round-robin repartition to the session
+    default parallelism restores the scan parallelism a real
+    multi-file corpus has natively; the shuffled payload is just the
+    vectors themselves, negligible next to the pair loop it unblocks."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def with_norms(emb: DataFrame) -> DataFrame:
     # Two-step projection: materialize the double-cast vector once, then
     # fold the norm over the materialized column — an inline transform
     # would be re-evaluated per reference (higher-order exprs are
     # interpreted, no codegen subexpression elimination). The norm
     # references v twice, so CollapseProject keeps the boundary.
-    vd = emb.select("vec_id", _as_double().alias("v"))
+    vd = _parallelize(emb.select("vec_id", _as_double().alias("v")))
     return vd.select(
         "vec_id",
         "v",
