@@ -181,10 +181,10 @@ def window_distribution_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderkey,
        COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
-                      RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_near,
+                      RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_near,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
             PARTITION BY o_orderpriority ORDER BY o_totalprice
-            RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_below
+            RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_below
 FROM orders
 """,
 )
@@ -197,9 +197,9 @@ def window_range_price_neighborhood(spark: SparkSession, sf_dir: str) -> DataFra
     w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
     return orders.select(
         "o_orderkey",
-        F.count(F.lit(1)).over(w.rangeBetween(-10000, 10000)).alias("n_near"),
+        F.count(F.lit(1)).over(w.rangeBetween(-1000, 1000)).alias("n_near"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w.rangeBetween(-10000, W.currentRow))
+        .over(w.rangeBetween(-1000, W.currentRow))
         .cast("double")
         .alias("sum_below"),
     )
