@@ -145,3 +145,99 @@ def curate_sample_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = _spark_hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source")))
     return docs.filter((h % 10_000) < keep_bp).select("doc_id", "source")
+
+
+MIN_TOKENS = 15  # quality gate: drop docs below the 'medium' band floor
+
+
+@query(
+    "pipeline_training_corpus",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         len(string_split_regex(text, '\s+')) AS n_tokens
+  FROM documents
+),
+q AS (SELECT * FROM toks WHERE n_tokens >= {MIN_TOKENS}),
+rated AS (
+  SELECT *, CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 10000
+                 WHEN CAST(substr(source, 4) AS INT) < 10 THEN 5000
+                 WHEN CAST(substr(source, 4) AS INT) < 15 THEN 2500
+                 ELSE 1000 END AS keep_bp
+  FROM q
+),
+kept AS (
+  SELECT doc_id, lang, n_tokens FROM rated
+  WHERE {_sql_hash60("CAST(doc_id AS VARCHAR) || ':' || source")} % 10000
+        < keep_bp
+),
+sp AS (
+  SELECT *, CASE WHEN {_sql_hash60("CAST(doc_id AS VARCHAR)")} % 100
+                      < {SPLIT_TRAIN} THEN 'train'
+                 WHEN {_sql_hash60("CAST(doc_id AS VARCHAR)")} % 100
+                      < {SPLIT_VAL} THEN 'val'
+                 ELSE 'test' END AS split
+  FROM kept
+),
+cum AS (
+  SELECT doc_id, lang, split, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang, split ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS c
+  FROM sp
+)
+SELECT doc_id, lang, split, n_tokens,
+       (c - n_tokens) // {SHARD_TOKENS} AS shard_id
+FROM cum
+""",
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation DAG as ONE declarative plan: quality gate →
+    per-source mixture sample → train/val/test split → token-budget
+    shard packing, emitting (doc, split, shard) ready for a tokenizer
+    fan-out.
+
+    Plan shape at 100 TB: stages 1-3 are scan-side projections and
+    filters (zero shuffles — the quality gate and both hash thresholds
+    prune rows before anything wide); the ONLY exchange is the shard
+    packing's (lang, split) running sum at the very end, over the
+    already-sampled survivors. Ordering curation this way — filters
+    first, the lone shuffle last and smallest — is the whole game for
+    corpus-prep cost."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(
+        "doc_id", "lang", "source", F.size(tokens_col()).alias("n_tokens")
+    ).filter(F.col("n_tokens") >= MIN_TOKENS)
+    tier = F.substring("source", 4, 10).cast("int")
+    keep_bp = (
+        F.when(tier < 5, 10_000)
+        .when(tier < 10, 5_000)
+        .when(tier < 15, 2_500)
+        .otherwise(1_000)
+    )
+    mix_h = _spark_hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
+    )
+    kept = toks.filter((mix_h % 10_000) < keep_bp)
+    bucket = _spark_hash60(F.col("doc_id").cast("string")) % 100
+    sp = kept.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    w = (
+        W.partitionBy("lang", "split")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return sp.select(
+        "doc_id",
+        "lang",
+        "split",
+        "n_tokens",
+        ((cum - F.col("n_tokens")) / SHARD_TOKENS).cast("bigint").alias("shard_id"),
+    )
