@@ -232,3 +232,11 @@ def test_shard_packing_shuffles_once_on_the_group_key(spark, sf_dir):
     s = plan(eng.QUERIES["curate_pack_token_shards"](spark, sf_dir))
     exchanges = re.findall(r"Exchange hashpartitioning\(([a-z_]+)#", s)
     assert exchanges == ["lang"], exchanges
+
+
+def test_training_corpus_dag_has_one_exchange(spark, sf_dir):
+    # quality gate + mixture sample + split are scan-side; only the
+    # shard-packing running sum may shuffle, keyed on (lang, split).
+    import re
+    s = plan(eng.QUERIES["pipeline_training_corpus"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", s)) == 1
