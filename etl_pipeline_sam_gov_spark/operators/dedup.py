@@ -126,10 +126,21 @@ def shingles_col(text: str | Column = "text", n: int = 3) -> Column:
     return shingles_from_tokens(tokens_col(text), n)
 
 
+def spread_docs(docs: DataFrame) -> DataFrame:
+    """Round-robin the corpus to session parallelism BEFORE per-doc
+    expression work: a single-file documents table scans as ONE
+    partition, which would run all tokenize/shingle/hash expressions
+    on one core (measured 24% end-to-end on MinHash at sf0.1; the
+    same fix is ~20× on the embedding pair joins —
+    similarity._parallelize). A real multi-file corpus already scans
+    wide; this only restores that."""
+    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
+
 def with_shingle_arrays(docs: DataFrame) -> DataFrame:
     """(doc_id, arr: array<string>) — tokenize in ONE projection, then
     shingle the materialized token array (see shingles_from_tokens)."""
-    tokd = docs.select("doc_id", tokens_col().alias("_toks"))
+    tokd = spread_docs(docs).select("doc_id", tokens_col().alias("_toks"))
     return tokd.select("doc_id", shingles_from_tokens(F.col("_toks")).alias("arr"))
 
 
@@ -141,7 +152,7 @@ def doc_shingles(docs: DataFrame) -> DataFrame:
     instead lets InferFiltersFromGenerate + predicate pushdown clone
     the whole shingle construction (inline splits included) into a
     pre-filter below the projection, a measured 20× regression."""
-    tokd = docs.select("doc_id", tokens_col().alias("_toks"))
+    tokd = spread_docs(docs).select("doc_id", tokens_col().alias("_toks"))
     return tokd.select(
         "doc_id",
         F.explode(shingles_from_tokens(F.col("_toks"))).alias("shingle"),
@@ -475,7 +486,7 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_MAX_HAMMING}
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash: bigint) — 32-bit sign-of-vote sketch over the
     distinct-token md5 hashes (engine-neutral, see module docstring)."""
-    toks = docs.select(
+    toks = spread_docs(docs).select(
         "doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok")
     )
     th = toks.select("doc_id", _spark_hash60(F.col("tok")).alias("h"))
@@ -520,7 +531,11 @@ def dedup_simhash_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(colliding pairs) instead of O(n²): the same pigeonhole banding as
     MinHash-LSH, driven by the sketch bytes instead of signature rows."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    sigs = simhash_signatures(docs)
+    # The bands self-join consumes the signature pipeline TWICE —
+    # persist is the rare win here (multi-consumed relation, like
+    # ngram_jaccard's shingle self-join); single-pass stages stay
+    # unpersisted (recompute beats the cache round-trip).
+    sigs = simhash_signatures(docs).persist()
     n_bands = SIMHASH_BITS // 8
     bands = sigs.select(
         "doc_id",

@@ -299,10 +299,13 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-neutral, like every hash in the dedup family."""
     from pyspark.sql import Window as W
 
-    from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
+    from etl_pipeline_sam_gov_spark.operators.dedup import (
+        _spark_hash60,
+        spread_docs,
+    )
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    tokd = docs.select("doc_id", tokens_col().alias("_toks"))
+    tokd = spread_docs(docs).select("doc_id", tokens_col().alias("_toks"))
     t = F.col("_toks")
 
     def gram(i: Column) -> Column:
