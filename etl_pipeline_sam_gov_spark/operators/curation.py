@@ -204,6 +204,28 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, the lone shuffle last and smallest — is the whole game for
     corpus-prep cost."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sp = curated_split_docs(docs)
+    w = (
+        W.partitionBy("lang", "split")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return sp.select(
+        "doc_id",
+        "lang",
+        "split",
+        "n_tokens",
+        ((cum - F.col("n_tokens")) / SHARD_TOKENS).cast("bigint").alias("shard_id"),
+    )
+
+
+def curated_split_docs(docs: DataFrame) -> DataFrame:
+    """The stateless curation prefix — quality gate → mixture sample →
+    split assignment — as pure narrow expressions, so the SAME code
+    runs over a batch DataFrame or a readStream (streaming.jobs.
+    stream_curation_corpus_counts). Emits (doc_id, lang, n_tokens,
+    split)."""
     toks = docs.select(
         "doc_id", "lang", "source", F.size(tokens_col()).alias("n_tokens")
     ).filter(F.col("n_tokens") >= MIN_TOKENS)
@@ -219,7 +241,7 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = toks.filter((mix_h % 10_000) < keep_bp)
     bucket = _spark_hash60(F.col("doc_id").cast("string")) % 100
-    sp = kept.select(
+    return kept.select(
         "doc_id",
         "lang",
         "n_tokens",
@@ -227,17 +249,4 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < SPLIT_VAL, "val")
         .otherwise("test")
         .alias("split"),
-    )
-    w = (
-        W.partitionBy("lang", "split")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    cum = F.sum("n_tokens").over(w)
-    return sp.select(
-        "doc_id",
-        "lang",
-        "split",
-        "n_tokens",
-        ((cum - F.col("n_tokens")) / SHARD_TOKENS).cast("bigint").alias("shard_id"),
     )

@@ -35,6 +35,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pipeline_sam_gov_spark.operators import curation as _cur
 from etl_pipeline_sam_gov_spark.registry import query
 from etl_pipeline_sam_gov_spark.session import configure_runtime
 
@@ -348,3 +349,62 @@ def stream_stream_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataF
         F.col("p_user").alias("user_id"),
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).cast("bigint").alias("lag_s"),
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the documents parquet — the landing-zone
+    stream a continuously-ingesting corpus pipeline tails."""
+    configure_runtime(spark)
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(_stream_dir_for(path))
+
+
+@query(
+    "stream_curation_corpus_counts",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         len(string_split_regex(text, '\s+')) AS n_tokens
+  FROM documents
+),
+q AS (SELECT * FROM toks WHERE n_tokens >= {_cur.MIN_TOKENS}),
+rated AS (
+  SELECT *, CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 10000
+                 WHEN CAST(substr(source, 4) AS INT) < 10 THEN 5000
+                 WHEN CAST(substr(source, 4) AS INT) < 15 THEN 2500
+                 ELSE 1000 END AS keep_bp
+  FROM q
+),
+kept AS (
+  SELECT doc_id, lang, n_tokens FROM rated
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 15))::BIGINT
+        % 10000 < keep_bp
+),
+sp AS (
+  SELECT *, CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                      % 100 < {_cur.SPLIT_TRAIN} THEN 'train'
+                 WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                      % 100 < {_cur.SPLIT_VAL} THEN 'val'
+                 ELSE 'test' END AS split
+  FROM kept
+)
+SELECT lang, split, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+FROM sp GROUP BY lang, split
+""",
+)
+def stream_curation_corpus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation: the SAME stateless quality→mixture→
+    split expression prefix as the batch DAG (curation.
+    curated_split_docs — one code path, two runtimes) over a document
+    landing stream, maintaining live per-(lang, split) corpus counters.
+    One stateful aggregation in complete mode; at 100 TB the counters
+    are the corpus-health dashboard a continuously-ingesting pipeline
+    watches, and the state is |langs × splits| rows — constant."""
+    docs = read_documents_stream(spark, sf_dir)
+    sp = _cur.curated_split_docs(docs)
+    agg = sp.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return run_to_memory(agg, mode="complete")
