@@ -332,3 +332,33 @@ def fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         small_bal.alias("small_bal"),
         F.coalesce(small_bal, F.lit(0.0)).alias("small_bal_defaulted"),
     )
+
+
+@query(
+    "fn_variant_events",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+       SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+                THEN 1 ELSE 0 END) AS n_missing
+FROM events
+GROUP BY event_type
+""",
+)
+def fn_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON through Spark 4's VariantType lane:
+    ``parse_json`` decodes once into the binary variant encoding, then
+    ``try_variant_get`` does typed path extraction — unlike
+    ``get_json_object`` (fn_json_events), the JSON is parsed ONCE per
+    row regardless of how many paths are read, which is the difference
+    that matters when events carry wide payloads at 100 TB."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    parsed = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "int")
+    missing = F.try_variant_get("v", "$.missing", "int")
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.sum(F.when(missing.isNull(), 1).otherwise(0)).alias("n_missing"),
+    )
