@@ -168,6 +168,10 @@ def test_shingle_plan_splits_text_exactly_once(spark, sf_dir):
     optimized plan."""
     from etl_pipeline_sam_gov_spark.operators.dedup import doc_shingles
 
+    # ngram_jaccard persists this exact relation; a prior in-session run
+    # would make CacheManager swap an InMemoryRelation into the plan and
+    # hide the split count this gate exists to pin down.
+    spark.catalog.clearCache()
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     optimized = doc_shingles(docs)._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("split(") == 1, optimized
