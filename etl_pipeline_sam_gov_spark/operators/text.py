@@ -336,3 +336,40 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.select("doc_id", F.min("h").over(w).alias("fp"))
         .distinct()
     )
+
+
+#: GPT-2-style pretokenizer shape: letter runs, digit runs with optional
+#: leading space, punctuation runs. Alternatives have disjoint leading
+#: character classes, so Java regex (Spark, leftmost-first alternation)
+#: and RE2 (DuckDB, leftmost-longest) produce identical token streams.
+BPE_REGEX = r"[a-zA-Z]+| ?[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+@query(
+    "text_bpe_regex_tokens",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{BPE_REGEX}')) AS n_bpe_tokens,
+         len(string_split_regex(text, '\s+')) AS n_ws_tokens
+  FROM documents
+)
+SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+       round(n_bpe_tokens::DOUBLE / n_ws_tokens, 6) AS bpe_per_word
+FROM t
+""",
+)
+def text_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pretokenizer regex alongside the
+    whitespace count (text_token_stats) — the tokens-per-word ratio is
+    the standard proxy for tokenizer efficiency / text nativeness when
+    budgeting training corpora. Pure narrow map; zero shuffle."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), F.lit(0)))
+    n_ws = F.size(tokens_col())
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(n_bpe.cast("double") / n_ws, 6).alias("bpe_per_word"),
+    )
