@@ -179,3 +179,77 @@ def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.col("click_us")).alias("click_us"),
         F.when(within, F.col("gap_us")).alias("gap_us"),
     )
+
+
+@query(
+    "join_interval_overlap_incidents",
+    oracle="""
+WITH act AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         min(ts) AS a_start, max(ts) AS a_end
+  FROM events GROUP BY 1, 2
+),
+inc AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS h_start,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS h_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT user_id,
+       strftime(day, '%Y-%m-%d') AS day,
+       strftime(h_start, '%Y-%m-%d %H:%M:%S') AS incident_hour,
+       epoch_us(least(a_end, h_end)) - epoch_us(greatest(a_start, h_start))
+         AS overlap_us
+FROM act JOIN inc ON a_start < h_end AND h_start < a_end
+""",
+)
+def join_interval_overlap_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (a_start < b_end AND b_start < a_end) —
+    which Catalyst can only plan as a nested-loop — rewritten losslessly
+    as grid-cell binning: each activity interval explodes to the hour
+    cells it covers, incident windows are single hour cells, the join
+    becomes an EQUI-join on the cell, and the exact overlap predicate
+    re-verifies candidates (boundary-touching cells are generated and
+    correctly rejected — completeness is free, precision is re-checked).
+
+    At 100 TB this is the standard spatial/temporal join trick: cost is
+    O(intervals × cells-per-interval) candidates hashed on cell instead
+    of |A|×|B| nested-loop pairs; cell width trades candidate volume
+    against replication. Overlap durations are integer microseconds —
+    engine-exact."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    act = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.min("ts").alias("a_start"), F.max("ts").alias("a_end"))
+    inc = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.date_trunc("hour", "ts").alias("h_start"))
+        .distinct()
+        .withColumn("h_end", F.col("h_start") + F.expr("INTERVAL 1 HOUR"))
+    )
+    binned = act.withColumn(
+        "cell",
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('hour', a_start),"
+                " date_trunc('hour', a_end), interval 1 hour)"
+            )
+        ),
+    )
+    overlap = (F.col("a_start") < F.col("h_end")) & (
+        F.col("h_start") < F.col("a_end")
+    )
+    return (
+        binned.join(F.broadcast(inc), F.col("cell") == F.col("h_start"))
+        .filter(overlap)
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.date_format("h_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "incident_hour"
+            ),
+            (
+                F.unix_micros(F.least("a_end", "h_end"))
+                - F.unix_micros(F.greatest("a_start", "h_start"))
+            ).alias("overlap_us"),
+        )
+    )
