@@ -77,3 +77,34 @@ def test_paginated_stream_source_incremental_batches(spark, tmp_path):
     )
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_report_sink_writer_two_phase_commit(spark, sf_dir, tmp_path):
+    import json
+    import os
+
+    from etl_pipeline_sam_gov_spark.sources.report_sink import register
+    from etl_pipeline_sam_gov_spark.tables import load_tables
+
+    register(spark)
+    out = str(tmp_path / "report")
+    nat = load_tables(spark, sf_dir, ("nation",))["nation"]
+    nat.write.format("report_sink").option("path", out).mode("append").save()
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["n_rows"] == nat.count()
+    # no uncommitted temp files survive
+    assert not [f for f in os.listdir(out) if f.startswith("_tmp-")]
+    # round-trip: committed JSONL reads back to the same key set
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in nat.collect()
+    )
+
+    # overwrite mode replaces prior committed output, not appends
+    nat.limit(3).write.format("report_sink").option("path", out).mode(
+        "overwrite"
+    ).save()
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["n_rows"] == 3
