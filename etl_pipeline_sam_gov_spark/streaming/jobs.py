@@ -408,3 +408,40 @@ def stream_curation_corpus_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("n_tokens").alias("total_tokens"),
     )
     return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "stream_static_enriched_counts",
+    oracle="""
+SELECT c_mktsegment, e.event_type, COUNT(*) AS n,
+       round(SUM(e.value), 6) AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c_mktsegment, e.event_type
+""",
+)
+def stream_static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: the events stream enriched against a batch
+    dimension (customer) — the standard lookup-enrichment pattern.
+    Unlike the stream-stream interval join, the static side needs no
+    watermark or state: it broadcasts into every micro-batch, and at
+    100 TB it is the same broadcast dimension the batch queries use —
+    one dim table serving both runtimes. The per-(segment, type)
+    aggregate is the lone stateful op (complete mode, constant-size
+    state)."""
+    import os as _os
+
+    from etl_pipeline_sam_gov_spark.tables import load_tables as _lt
+
+    events = read_events_stream(spark, sf_dir)
+    cust = _lt(spark, sf_dir, ("customer",))["customer"].select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = events.join(
+        F.broadcast(cust), F.col("c_custkey") == F.col("user_id")
+    )
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    return run_to_memory(agg, mode="complete")
