@@ -429,8 +429,6 @@ def stream_static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     one dim table serving both runtimes. The per-(segment, type)
     aggregate is the lone stateful op (complete mode, constant-size
     state)."""
-    import os as _os
-
     from etl_pipeline_sam_gov_spark.tables import load_tables as _lt
 
     events = read_events_stream(spark, sf_dir)
