@@ -49,8 +49,8 @@ def fn_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             F.posexplode(F.split("p_name", " ")).alias("pos0", "word"),
         )
-        # posexplode is 0-based; DuckDB subscripts are 1-based.
-        .select("p_partkey", "word", (F.col("pos0") + 1).alias("pos"))
+        # posexplode is 0-based; DuckDB subscripts are 1-based (and BIGINT).
+        .select("p_partkey", "word", (F.col("pos0") + 1).cast("bigint").alias("pos"))
         .groupBy("word", "pos")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -65,7 +65,7 @@ def fn_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p_partkey,
        map_extract(MAP {'brand': p_brand, 'type': p_type}, 'brand')[1] AS m_brand,
        map_extract(MAP {'brand': p_brand, 'type': p_type}, 'type')[1] AS m_type,
-       cardinality(MAP {'brand': p_brand, 'type': p_type}) AS m_size,
+       CAST(cardinality(MAP {'brand': p_brand, 'type': p_type}) AS BIGINT) AS m_size,
        array_to_string(map_keys(MAP {'brand': p_brand, 'type': p_type}), ',') AS m_keys
 FROM part
 """,
@@ -83,7 +83,8 @@ def fn_map_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         m.getItem("brand").alias("m_brand"),
         m.getItem("type").alias("m_type"),
-        F.size(m).alias("m_size"),
+        # bigint: DuckDB cardinality() is UBIGINT, Spark size() is INT.
+        F.size(m).cast("bigint").alias("m_size"),
         F.array_join(F.map_keys(m), ",").alias("m_keys"),
     )
 
@@ -93,9 +94,11 @@ def fn_map_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
        CAST(json_extract(props, '$.k') AS INT) AS k,
-       to_json(struct_pack(
+       -- CAST to VARCHAR: DuckDB to_json yields the JSON logical type,
+       -- Spark to_json a plain string; the driver's value-hash is typed.
+       CAST(to_json(struct_pack(
            k := CAST(json_extract(props, '$.k') AS INT),
-           t := event_type)) AS packed
+           t := event_type)) AS VARCHAR) AS packed
 FROM events
 """,
 )

@@ -54,9 +54,11 @@ def fn_string_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
         F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
-        F.size(F.split("p_name", " ")).alias("n_words"),
+        # bigint: DuckDB len()/length() return BIGINT, Spark's are INT,
+        # and the driver's value-hash is typed.
+        F.size(F.split("p_name", " ")).cast("bigint").alias("n_words"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("bigint").alias("name_len"),
         F.reverse("p_brand").alias("brand_rev"),
         F.col("p_type").contains("PROMO").alias("is_promo"),
         F.col("p_type").startswith("ECONOMY").alias("is_economy"),
@@ -85,10 +87,10 @@ def fn_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     return orders.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-        F.dayofmonth("o_orderdate").alias("dy"),
-        F.quarter("o_orderdate").alias("qtr"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dy"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
             "month_start"
         ),
@@ -96,9 +98,9 @@ def fn_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "plus_30d"
         ),
         F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
-        F.datediff(F.lit("2001-08-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
-            "days_to_ref"
-        ),
+        F.datediff(F.lit("2001-08-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days_to_ref"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
     )
 
@@ -149,7 +151,7 @@ def fn_math_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
        COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
 FROM events
@@ -203,13 +205,15 @@ def fn_array_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("bigint").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_dim"),
         F.round(vec_sum, 4).alias("vec_sum"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("vec_max"),
         F.round(F.array_min("embedding").cast("double"), 6).alias("vec_min"),
         F.round(F.sqrt(dot_self), 6).alias("l2_norm"),
-        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0))
+        .cast("bigint")
+        .alias("n_positive"),
     )
 
 
@@ -257,7 +261,7 @@ SELECT l_orderkey,
        xor(l_orderkey, l_partkey) AS key_xor,
        l_orderkey << 2 AS shifted_up,
        l_orderkey >> 3 AS shifted_down,
-       bit_count(l_orderkey) AS popcount
+       CAST(bit_count(l_orderkey) AS BIGINT) AS popcount
 FROM lineitem
 WHERE l_linenumber = 1
 """,
@@ -274,7 +278,7 @@ def fn_bitwise_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.bitwiseXOR(F.col("l_partkey")).alias("key_xor"),
         F.shiftleft(k, 2).alias("shifted_up"),
         F.shiftright(k, 3).alias("shifted_down"),
-        F.bit_count(k).alias("popcount"),
+        F.bit_count(k).cast("bigint").alias("popcount"),
     )
 
 
@@ -297,7 +301,11 @@ def fn_levenshtein_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.filter(F.col("part1") % 7 == 0)
         .join(F.broadcast(b), F.col("part1") + 100 == F.col("part2"))
-        .select("part1", "part2", F.levenshtein("name1", "name2").alias("edit_dist"))
+        .select(
+            "part1",
+            "part2",
+            F.levenshtein("name1", "name2").cast("bigint").alias("edit_dist"),
+        )
     )
 
 
@@ -339,9 +347,9 @@ def fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
-       SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
-                THEN 1 ELSE 0 END) AS n_missing
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
 FROM events
 GROUP BY event_type
 """,

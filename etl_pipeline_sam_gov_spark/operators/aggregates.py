@@ -83,8 +83,9 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals: (flag, status) → (flag) → ()."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.grouping("l_returnflag").alias("g_flag"),
-        F.grouping("l_linestatus").alias("g_status"),
+        # bigint: Spark grouping() is TINYINT, DuckDB's is BIGINT.
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
         dsum("l_quantity", "sum_qty"),
         F.count(F.lit(1)).alias("n"),
     ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n")
@@ -104,8 +105,8 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All 2^k grouping combinations."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.grouping("l_returnflag").alias("g_flag"),
-        F.grouping("l_linestatus").alias("g_status"),
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
         dsum("l_quantity", "sum_qty"),
         F.count(F.lit(1)).alias("n"),
     ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n")

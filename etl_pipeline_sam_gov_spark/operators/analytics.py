@@ -36,8 +36,11 @@ flagged AS (
   FROM ordered
 ),
 numbered AS (
-  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  -- CAST: DuckDB window SUM(INT) yields HUGEINT (int128); the driver's
+  -- typed value-hash then diverges from Spark's BIGINT even when every
+  -- value agrees. Pin both engines to BIGINT.
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq,

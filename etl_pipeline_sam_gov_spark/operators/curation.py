@@ -65,7 +65,8 @@ def curate_split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curate_pack_token_shards",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, lang, len(string_split_regex(text, '\\s+')) AS n_tokens
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
   FROM documents
 ),
 cum AS (
@@ -75,7 +76,10 @@ cum AS (
   FROM toks
 )
 SELECT doc_id, lang, n_tokens,
-       (cum_tokens - n_tokens) // {SHARD_TOKENS} AS shard_id
+       -- CAST: the window SUM makes cum_tokens HUGEINT in DuckDB; pin the
+       -- derived shard id back to BIGINT so the typed value-hash matches
+       -- Spark (values are identical either way).
+       CAST((cum_tokens - n_tokens) // {SHARD_TOKENS} AS BIGINT) AS shard_id
 FROM cum
 """,
 )
@@ -92,22 +96,25 @@ def curate_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, same results, because the order key (doc_id) is total
     within each group either way."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # bigint, not int: F.size() returns INT but the oracle's len() is
+    # BIGINT, and the driver's value-hash is typed.
     toks = docs.select(
-        "doc_id", "lang", F.size(tokens_col()).alias("n_tokens")
+        "doc_id", "lang", F.size(tokens_col()).cast("bigint").alias("n_tokens")
     )
     w = (
         W.partitionBy("lang")
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cum = F.sum("n_tokens").over(w)
-    return toks.select(
+    # Exact integer division (`div`), never a double round-trip: corpus
+    # token totals can pass 2^53 where doubles drop ULPs.
+    return toks.withColumn(
+        "prev_tokens", (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    ).select(
         "doc_id",
         "lang",
         "n_tokens",
-        ((cum - F.col("n_tokens")) / SHARD_TOKENS)
-        .cast("bigint")
-        .alias("shard_id"),
+        F.expr(f"prev_tokens div {SHARD_TOKENS}").cast("bigint").alias("shard_id"),
     )
 
 
@@ -155,7 +162,7 @@ MIN_TOKENS = 15  # quality gate: drop docs below the 'medium' band floor
     oracle=rf"""
 WITH toks AS (
   SELECT doc_id, lang, source,
-         len(string_split_regex(text, '\s+')) AS n_tokens
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
   FROM documents
 ),
 q AS (SELECT * FROM toks WHERE n_tokens >= {MIN_TOKENS}),
@@ -186,7 +193,9 @@ cum AS (
   FROM sp
 )
 SELECT doc_id, lang, split, n_tokens,
-       (c - n_tokens) // {SHARD_TOKENS} AS shard_id
+       -- CAST: window-SUM cum is HUGEINT in DuckDB; pin to BIGINT for the
+       -- driver's typed value-hash (see curate_pack_token_shards).
+       CAST((c - n_tokens) // {SHARD_TOKENS} AS BIGINT) AS shard_id
 FROM cum
 """,
 )
@@ -210,13 +219,14 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cum = F.sum("n_tokens").over(w)
-    return sp.select(
+    return sp.withColumn(
+        "prev_tokens", (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    ).select(
         "doc_id",
         "lang",
         "split",
         "n_tokens",
-        ((cum - F.col("n_tokens")) / SHARD_TOKENS).cast("bigint").alias("shard_id"),
+        F.expr(f"prev_tokens div {SHARD_TOKENS}").cast("bigint").alias("shard_id"),
     )
 
 
@@ -227,7 +237,8 @@ def curated_split_docs(docs: DataFrame) -> DataFrame:
     stream_curation_corpus_counts). Emits (doc_id, lang, n_tokens,
     split)."""
     toks = docs.select(
-        "doc_id", "lang", "source", F.size(tokens_col()).alias("n_tokens")
+        "doc_id", "lang", "source",
+        F.size(tokens_col()).cast("bigint").alias("n_tokens"),
     ).filter(F.col("n_tokens") >= MIN_TOKENS)
     tier = F.substring("source", 4, 10).cast("int")
     keep_bp = (

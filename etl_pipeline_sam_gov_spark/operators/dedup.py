@@ -476,7 +476,7 @@ sigs AS (
   FROM bits
 )
 SELECT x.doc_id AS doc1, y.doc_id AS doc2,
-       bit_count(xor(x.simhash, y.simhash)) AS hamming
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
 FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
@@ -506,9 +506,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path.)"""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     sigs = simhash_signatures(docs)
+    # bigint on both sides: DuckDB bit_count is TINYINT, Spark's is INT;
+    # the driver's value-hash is typed.
     hamming = F.bit_count(
         F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
-    )
+    ).cast("bigint")
     return (
         sigs.alias("x")
         .join(sigs.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
@@ -568,7 +570,7 @@ def dedup_simhash_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+    hamming = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2"))).cast("bigint")
     return (
         cand.select("doc1", "doc2", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)

@@ -171,8 +171,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead, keeping this query's contract fully relational."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     payload = attach_binary_payload(docs)
+    # frame_idx is long: the oracle's generate_series arithmetic is BIGINT
+    # and the driver's value-hash is typed.
     frames = payload.mapInPandas(
         sample_frames,
-        schema="doc_id long, frame_idx int, n_frame_bytes long, frame_checksum long",
+        schema="doc_id long, frame_idx long, n_frame_bytes long, frame_checksum long",
     )
     return frames.select("doc_id", "frame_idx", "n_frame_bytes")

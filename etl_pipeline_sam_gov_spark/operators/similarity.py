@@ -119,7 +119,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
     )
@@ -189,7 +189,7 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
     )
@@ -220,7 +220,7 @@ def agg_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v")
     )
     return (
-        exploded.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        exploded.groupBy("label", (F.col("pos0") + 1).cast("bigint").alias("pos"))
         .agg(
             F.round(F.avg("v"), 6).alias("centroid_v"),
             F.count(F.lit(1)).alias("n_vecs"),
@@ -352,7 +352,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
     )

@@ -65,8 +65,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "n_chars",
-        n.alias("n_tokens"),
-        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        # bigint: DuckDB len() is BIGINT, Spark size() INT; the driver's
+        # value-hash is typed.
+        n.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("n_distinct_tokens"),
         F.round(F.size(F.array_distinct(t)).cast("double") / n, 6).alias(
             "type_token_ratio"
         ),
@@ -119,10 +121,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_alpha = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0)))
     feat = docs.select(
         "doc_id",
-        n.alias("n_tokens"),
+        n.cast("bigint").alias("n_tokens"),
         stopword_ratio.alias("stopword_ratio"),
         digit_ratio.alias("digit_ratio"),
-        n_alpha.alias("n_alpha_words"),
+        n_alpha.cast("bigint").alias("n_alpha_words"),
     )
     band = (
         F.when(
@@ -176,7 +178,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr = F.array(*[F.lit(w) for w in words])
         # single-arg closure: a default-arg lambda would be mistaken for
         # PySpark's two-arg (element, index) lambda form
-        return F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+        return F.size(F.filter(t, lambda x: F.array_contains(arr, x))).cast("bigint")
 
     sel = [F.col("doc_id"), F.col("lang").alias("labeled_lang")]
     for lang, words in LANG_PROFILES:
@@ -237,7 +239,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         "lang",
-        F.size(t).alias("n_tokens"),
+        F.size(t).cast("bigint").alias("n_tokens"),
         F.round(
             F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x))).cast("double")
             / F.size(t),
@@ -369,7 +371,7 @@ def text_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_ws = F.size(tokens_col())
     return docs.select(
         "doc_id",
-        n_bpe.alias("n_bpe_tokens"),
-        n_ws.alias("n_ws_tokens"),
+        n_bpe.cast("bigint").alias("n_bpe_tokens"),
+        n_ws.cast("bigint").alias("n_ws_tokens"),
         F.round(n_bpe.cast("double") / n_ws, 6).alias("bpe_per_word"),
     )

@@ -631,7 +631,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("o_year"),
+            # bigint: DuckDB EXTRACT(year) is BIGINT, Spark year() INT.
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
         .agg(revenue_sum("profit"))
         .orderBy("nation", F.col("o_year").desc())
@@ -693,10 +694,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_lines",
     oracle="""
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       -- CAST: DuckDB SUM(INT) is HUGEINT; pin to BIGINT for the driver's
+       -- typed value-hash (Spark sum is BIGINT).
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'

@@ -51,9 +51,11 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderpriority",
             F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"),
-            F.row_number().over(w_unique).alias("rn"),
-            F.rank().over(w_ties).alias("rnk"),
-            F.dense_rank().over(w_ties).alias("drnk"),
+            # bigint, not int: DuckDB's rank family returns BIGINT and the
+            # driver's value-hash is typed.
+            F.row_number().over(w_unique).cast("bigint").alias("rn"),
+            F.rank().over(w_ties).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w_ties).cast("bigint").alias("drnk"),
         )
         .filter(F.col("rn") <= 5)
     )
@@ -87,7 +89,7 @@ def window_running_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w_run), 6).alias("running_value"),
         F.round(F.lag("value").over(w_ord), 6).alias("prev_value"),
         F.round(F.lead("value").over(w_ord), 6).alias("next_value"),
-        F.row_number().over(w_ord).alias("seq"),
+        F.row_number().over(w_ord).cast("bigint").alias("seq"),
     )
 
 
@@ -118,7 +120,7 @@ def window_frames_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(w_move), 6).alias("moving_avg4"),
         F.round(F.first("value").over(w_full), 6).alias("first_val"),
         F.round(F.last("value").over(w_full), 6).alias("last_val"),
-        F.ntile(4).over(w_ord).alias("quartile"),
+        F.ntile(4).over(w_ord).cast("bigint").alias("quartile"),
     )
 
 

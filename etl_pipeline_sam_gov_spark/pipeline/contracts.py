@@ -165,7 +165,9 @@ def transform_contracts(raw: DataFrame, now: str = NOW) -> DataFrame:
     # unparseable-but-present postedDate survives to the output.
     cleaned = projected.na.drop(subset=["noticeId", "title", "postedDateRaw"])
     posted_ts = F.try_to_timestamp(F.col("postedDateRaw"))
-    days = F.datediff(F.to_date(F.lit(now)), F.to_date(posted_ts))
+    # bigint: DuckDB date_diff returns BIGINT, Spark datediff INT; the
+    # driver's value-hash is typed.
+    days = F.datediff(F.to_date(F.lit(now)), F.to_date(posted_ts)).cast("bigint")
     enriched = (
         cleaned.withColumn("postedDate", posted_ts)
         .withColumn("daysSincePosted", days)

@@ -389,7 +389,8 @@ sp AS (
                  ELSE 'test' END AS split
   FROM kept
 )
-SELECT lang, split, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+SELECT lang, split, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM sp GROUP BY lang, split
 """,
 )
