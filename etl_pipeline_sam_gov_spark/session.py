@@ -42,13 +42,22 @@ RUNTIME_CONFS = {
 }
 
 
+#: Sessions already configured — configure_runtime is called by every
+#: query via load_tables, and a 100-query sweep over one session should
+#: pay the conf round-trips once, not per query.
+_CONFIGURED: set[int] = set()
+
+
 def configure_runtime(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session (driver-safe)."""
+    if id(spark) in _CONFIGURED:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime-settable on this build: builder already set it
+    _CONFIGURED.add(id(spark))
     return spark
 
 

@@ -36,6 +36,20 @@ TABLE_NAMES = (
 )
 
 
+#: (session id, sf_dir, table) → loaded DataFrame-with-view. A driver
+#: sweep runs ~100 queries against ONE session and ONE sf_dir; each
+#: parquet read costs a footer/schema round-trip and each
+#: createOrReplaceTempView an analyzer call — cache them so that cost is
+#: paid once per table, not once per query. DataFrames are immutable
+#: logical plans, so reuse across queries is safe.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+#: (session id, table) → the sf_dir whose data the session's temp view
+#: currently exposes. SQL-surface queries read the views, so a cache hit
+#: must still re-register the view whenever the sweep switches sf_dir.
+_VIEW_OWNER: dict[tuple[int, str], str] = {}
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
 ) -> dict[str, DataFrame]:
@@ -43,17 +57,24 @@ def load_tables(
     configure_runtime(spark)
     out: dict[str, DataFrame] = {}
     for name in names:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        df = spark.read.parquet(path)
-        if name == "events":
-            # TIMESTAMP(NANOS) arrives as long nanos (see session.py);
-            # truncate to micros with exact integer division — same
-            # truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
-            # (double division would lose precision: epoch-nanos > 2^53.)
-            from pyspark.sql import functions as F, types as T
+        key = (id(spark), sf_dir, name)
+        df = _TABLE_CACHE.get(key)
+        if df is None:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            df = spark.read.parquet(path)
+            if name == "events":
+                # TIMESTAMP(NANOS) arrives as long nanos (see session.py);
+                # truncate to micros with exact integer division — same
+                # truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+                # (double division would lose precision: epoch-nanos > 2^53.)
+                from pyspark.sql import functions as F, types as T
 
-            if isinstance(df.schema["ts"].dataType, T.LongType):
-                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        df.createOrReplaceTempView(name)
+                if isinstance(df.schema["ts"].dataType, T.LongType):
+                    df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            _TABLE_CACHE[key] = df
+        view_key = (id(spark), name)
+        if _VIEW_OWNER.get(view_key) != sf_dir:
+            df.createOrReplaceTempView(name)
+            _VIEW_OWNER[view_key] = sf_dir
         out[name] = df
     return out
