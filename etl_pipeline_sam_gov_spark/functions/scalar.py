@@ -300,7 +300,7 @@ def fn_levenshtein_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = part.select(F.col("p_partkey").alias("part2"), F.col("p_name").alias("name2"))
     return (
         a.filter(F.col("part1") % 7 == 0)
-        .join(F.broadcast(b), F.col("part1") + 100 == F.col("part2"))
+        .join(b, F.col("part1") + 100 == F.col("part2"))
         .select(
             "part1",
             "part2",

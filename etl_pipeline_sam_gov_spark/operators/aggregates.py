@@ -175,7 +175,7 @@ def agg_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_name", "o_orderkey")
         .agg(qty.cast("double").alias("total_qty"))
         .filter(F.col("total_qty") > 150)

@@ -278,8 +278,8 @@ def _verified_jaccard_pairs(sh: DataFrame, inter: DataFrame) -> DataFrame:
         F.col("sz1") + F.col("sz2") - F.col("intersection")
     )
     return (
-        inter.join(F.broadcast(s1), "doc1")
-        .join(F.broadcast(s2), "doc2")
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
     )

@@ -9,10 +9,13 @@ Q4/Q5/Q13 shapes) that exercise them at scale.
 
 Scale notes (100 TB):
 
-- Dimension tables (``region``, ``nation``, ``supplier``, band tables)
-  are broadcast (``F.broadcast``) — no shuffle of the fact table for
-  dim joins; Catalyst + AQE would pick this automatically under the
-  size threshold, the explicit hint pins it for huge-cluster plans.
+- Broadcast policy: explicit ``F.broadcast`` hints are pinned ONLY on
+  bounded-cardinality sides — ``region``/``nation`` (constant), literal
+  band tables, 1-row scalar aggregates, top-k results. Scale-class
+  tables (``customer``, ``supplier``, ``part``, and anything derived
+  from them) carry NO hint: at small SF the planner still broadcasts
+  them from size estimates, and at 100 TB AQE can demote to a shuffle
+  join instead of OOMing executors on a pinned 10-TB build side.
 - Fact-fact joins (``orders`` ⋈ ``lineitem``) shuffle on the join key;
   both sides hash-partition on ``orderkey``, and AQE skew-join splits
   oversized partitions. On a real warehouse these tables would be
@@ -93,15 +96,17 @@ LIMIT 10
 """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: dim-filtered customer (broadcast) ⋈ orders ⋈
-    lineitem → grouped revenue → top-10 (TakeOrderedAndProject)."""
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem →
+    grouped revenue → top-10 (TakeOrderedAndProject). The customer side
+    is deliberately un-hinted — size-based planning broadcasts it at
+    small SF, AQE demotes it at customer-table scale."""
     t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
     cutoff = F.lit("1998-06-30 00:00:00").cast("timestamp")
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     return (
         t["orders"]
         .filter(F.col("o_orderdate") < cutoff)
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(
             t["lineitem"].filter(F.col("l_shipdate") > cutoff),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -160,9 +165,11 @@ GROUP BY n_name
 """,
 )
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-table star join. All dimensions broadcast; the
-    only shuffles are the two fact-side repartitions (orders⋈lineitem on
-    orderkey) and the final small groupBy."""
+    """TPC-H Q5 shape: 6-table star join. The constant dims (region ⋈
+    nation) are pinned broadcasts; customer and supplier sides are
+    un-hinted so the planner sizes them — the only mandatory shuffles
+    are the fact-side repartitions (orders ⋈ lineitem on orderkey) and
+    the final small groupBy."""
     t = load_tables(
         spark, sf_dir, ("region", "nation", "customer", "supplier", "orders", "lineitem")
     )
@@ -181,13 +188,13 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
     )
     return (
         t["lineitem"]
         .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"],
             (F.col("s_suppkey") == F.col("l_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -356,7 +363,7 @@ def join_null_safe_nation_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t["customer"].select(F.nullif(F.col("c_nationkey") % 5, F.lit(4)).alias("ck"))
     s = t["supplier"].select(F.nullif(F.col("s_nationkey") % 5, F.lit(4)).alias("sk"))
     return (
-        c.join(F.broadcast(s), F.col("ck").eqNullSafe(F.col("sk")))
+        c.join(s, F.col("ck").eqNullSafe(F.col("sk")))
         .groupBy(F.coalesce(F.col("ck").cast("string"), F.lit("NULL")).alias("group_key"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )

@@ -252,7 +252,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         feat.filter((F.col("n_tokens") >= 15) & (F.col("stopword_ratio") >= 0.01))
         .join(
-            F.broadcast(canonical),
+            canonical,
             (F.md5("text") == F.col("h")) & (F.col("doc_id") == F.col("keep_id")),
         )
         .select("doc_id", "lang", "n_tokens")

@@ -14,8 +14,13 @@ TPC-H query shapes are covered.
 
 Scale notes (100 TB):
 
-- Every dimension side is explicitly ``F.broadcast`` — fact tables
-  never shuffle for dim joins.
+- Broadcast policy: ``F.broadcast`` pins stay ONLY on bounded sides —
+  ``nation``/``region`` (constant), 1-row scalar aggregates, and
+  max-filtered top sets. ``customer``/``supplier``/``part`` sides (and
+  sets derived from them, which grow with SF) are un-hinted: the
+  planner still broadcasts them from size estimates at small SF, while
+  at 100 TB AQE can demote to a shuffle join instead of OOMing on a
+  pinned multi-TB build side.
 - Correlated subqueries (Q15/Q17/Q22 scalar aggregates) are expressed
   as window functions or broadcast scalar joins, never per-row
   recomputation — one shuffle (or zero, for the broadcast scalar) per
@@ -118,9 +123,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .filter(F.col("l_shipdate").between(_ts("1996-01-01"), _ts("1997-12-31")))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+        .join(t["customer"].select("c_custkey", "c_nationkey"),
               F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
         .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
@@ -181,17 +186,17 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo_parts = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
     vol = (
         t["lineitem"]
-        .join(F.broadcast(promo_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(promo_parts, F.col("p_partkey") == F.col("l_partkey"))
         .join(
             t["orders"].filter(
                 F.col("o_orderdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
             ),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+        .join(t["customer"].select("c_custkey", "c_nationkey"),
               F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(cust_nations), F.col("cn_key") == F.col("c_nationkey"))
-        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+        .join(t["supplier"].select("s_suppkey", "s_nationkey"),
               F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(supp_nation), F.col("sn_key") == F.col("s_nationkey"))
         .select(
@@ -241,9 +246,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .join(
-            F.broadcast(
-                t["customer"].select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
-            ),
+            t["customer"].select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
             F.col("c_custkey") == F.col("o_custkey"),
         )
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
@@ -277,7 +280,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= _ts("1997-03-01"))
             & (F.col("l_shipdate") < _ts("1997-04-01"))
         )
-        .join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+        .join(t["part"].select("p_partkey", "p_type"),
               F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
@@ -365,7 +368,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = Window.partitionBy("l_partkey")
     return (
         t["lineitem"]
-        .join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(brand_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .withColumn("part_avg_qty", F.avg("l_quantity").over(per_part))
         .filter(F.col("l_quantity") < 0.5 * F.col("part_avg_qty"))
         .agg(
@@ -408,12 +411,12 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["orders"]
         .join(
-            F.broadcast(big_orders.withColumnRenamed("l_orderkey", "bo_key")),
+            big_orders.withColumnRenamed("l_orderkey", "bo_key"),
             F.col("o_orderkey") == F.col("bo_key"),
             "left_semi",
         )
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["customer"].select("c_custkey", "c_name")),
+        .join(t["customer"].select("c_custkey", "c_name"),
               F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity", "total_qty"))
@@ -460,7 +463,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size")),
+        .join(t["part"].select("p_partkey", "p_brand", "p_size"),
               F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(revenue_sum("revenue"))
@@ -566,7 +569,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("unit_cost")
     )
     region_cost = (
-        cost.join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        cost.join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
         .filter(F.col("r_name") == "AMERICA")
@@ -576,11 +579,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         region_cost.withColumn("min_cost", F.min("unit_cost").over(w))
         .filter(F.col("unit_cost") == F.col("min_cost"))
         .join(
-            F.broadcast(
-                t["part"].filter(
-                    F.col("p_size").isin(5, 15, 25, 35, 45)
-                    & (F.col("p_type") == "LARGE")
-                )
+            t["part"].filter(
+                F.col("p_size").isin(5, 15, 25, 35, 45)
+                & (F.col("p_type") == "LARGE")
             ),
             F.col("p_partkey") == F.col("l_partkey"),
         )
@@ -623,10 +624,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(
-            F.broadcast(t["part"].filter(F.col("p_name").like("%red%"))),
+            t["part"].filter(F.col("p_name").like("%red%")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
@@ -670,7 +671,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
     v = (
         t["lineitem"]
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(
             F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
             F.col("n_nationkey") == F.col("s_nationkey"),
@@ -763,17 +764,15 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         pairs.join(
-            F.broadcast(bad),
+            bad,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
         .join(
-            F.broadcast(
-                t["part"].filter(
-                    (F.col("p_brand") != "Brand#10")
-                    & (F.col("p_type") != "PROMO")
-                    & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
-                )
+            t["part"].filter(
+                (F.col("p_brand") != "Brand#10")
+                & (F.col("p_type") != "PROMO")
+                & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
             ),
             F.col("p_partkey") == F.col("l_partkey"),
         )
@@ -822,7 +821,7 @@ def q20_heavy_red_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < _ts("1998-01-01"))
         )
         .join(
-            F.broadcast(t["part"].filter(F.col("p_name").like("red%"))),
+            t["part"].filter(F.col("p_name").like("red%")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .groupBy("l_suppkey", "l_partkey")
@@ -838,7 +837,7 @@ def q20_heavy_red_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nationkey") == F.col("s_nationkey"),
         )
         .join(
-            F.broadcast(heavy),
+            heavy,
             F.col("s_suppkey") == F.col("l_suppkey"),
             "left_semi",
         )
@@ -901,7 +900,7 @@ def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             cond_other,
             "left_anti",
         )
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(
             F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
             F.col("n_nationkey") == F.col("s_nationkey"),

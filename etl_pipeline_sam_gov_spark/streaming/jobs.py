@@ -425,9 +425,11 @@ def stream_static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     """Stream-STATIC join: the events stream enriched against a batch
     dimension (customer) — the standard lookup-enrichment pattern.
     Unlike the stream-stream interval join, the static side needs no
-    watermark or state: it broadcasts into every micro-batch, and at
-    100 TB it is the same broadcast dimension the batch queries use —
-    one dim table serving both runtimes. The per-(segment, type)
+    watermark or state. The dim side is deliberately un-hinted:
+    size-based planning broadcasts it into each micro-batch while it
+    fits, and at customer-table scale the planner can fall back to a
+    shuffled stream-static join instead of OOMing on a pinned build
+    side — one dim table serving both runtimes either way. The per-(segment, type)
     aggregate is the lone stateful op (complete mode, constant-size
     state)."""
     from etl_pipeline_sam_gov_spark.tables import load_tables as _lt
@@ -437,7 +439,7 @@ def stream_static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         "c_custkey", "c_mktsegment"
     )
     enriched = events.join(
-        F.broadcast(cust), F.col("c_custkey") == F.col("user_id")
+        cust, F.col("c_custkey") == F.col("user_id")
     )
     agg = enriched.groupBy("c_mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("n"),

@@ -177,6 +177,61 @@ def test_shingle_plan_splits_text_exactly_once(spark, sf_dir):
     assert optimized.count("split(") == 1, optimized
 
 
+#: Columns that identify a scale-class relation (grows with SF) inside a
+#: logical-plan subtree. nation/region/band tables have none of these.
+_SCALE_MARKERS = (
+    "l_orderkey#", "o_orderkey#", "c_custkey#", "s_suppkey#",
+    "p_partkey#", "doc_id#", "vec_id#",
+)
+
+
+def _pinned_hint_violations(df):
+    """Subtrees of ResolvedHint nodes in the analyzed logical plan that
+    reference a scale-class table without a cardinality-bounding
+    Aggregate/GlobalLimit between the hint and the scan."""
+    import re
+
+    lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line:
+            continue
+        indent = len(re.match(r"^[ :+|-]*", line).group(0))
+        subtree = []
+        for nxt in lines[i + 1:]:
+            if len(re.match(r"^[ :+|-]*", nxt).group(0)) <= indent:
+                break
+            subtree.append(nxt)
+        body = "\n".join(subtree)
+        touches_scale = any(m in body for m in _SCALE_MARKERS)
+        bounded = "Aggregate" in body or "GlobalLimit" in body
+        if touches_scale and not bounded:
+            bad.append(body)
+    return bad
+
+
+def test_no_pinned_broadcast_of_scale_tables(spark, sf_dir):
+    """Broadcast-hint policy (100 TB safety): an explicit F.broadcast
+    pin removes AQE's ability to demote the join when the build side
+    outgrows executor memory, so hints may pin only bounded sides —
+    nation/region, literal band tables, 1-row scalar aggregates,
+    max-filtered / LIMIT-ed sets. customer/supplier/part-scale sides
+    must stay un-hinted (size-based planning still broadcasts them at
+    small SF). ann_* probe-set broadcasts are exempt by design: the
+    query batch is serving-bounded, and the brute-force baseline is
+    *definitionally* a broadcast nested loop."""
+    gated = [
+        n for n in eng.ORACLES
+        if not n.startswith(("ann_", "stream_", "multimodal_", "udf", "udtf"))
+    ]
+    for name in gated:
+        bad = _pinned_hint_violations(eng.QUERIES[name](spark, sf_dir))
+        assert not bad, (
+            f"{name}: broadcast hint pinned over a scale-class table:\n"
+            + bad[0]
+        )
+
+
 def test_tpch_breadth_queries_broadcast_their_dims(spark, sf_dir):
     for name in ("q7_volume_shipping", "q8_market_share",
                  "q10_returned_items", "q19_discounted_revenue"):
