@@ -35,3 +35,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted ⇒ rows-only)."""
     return dict(eng.ORACLES)
+
+
+def baselines() -> dict[str, str]:
+    """Oracle-baseline queries → their registered scale-path twin.
+    Baselines are exact but deliberately O(n²)/O(Q×N); the twin is the
+    engine's production answer for the same problem, and sharing the
+    baseline's oracle proves the twin's blocking loses nothing."""
+    return dict(eng.BASELINE_OF)
+
+
+def rows_only() -> dict[str, str]:
+    """DECLARED rows-only queries — the oracle omission is by design,
+    not breakage; an ``err: "no_oracle"`` row for these in CORRECTNESS
+    is the expected weaker contract, and each carries its reason here."""
+    return {
+        name: reason
+        for name, reason in {
+            "agg_approx_sketches": (
+                "HLL++/KLL sketch estimates are engine-specific by "
+                "construction; no cross-engine value oracle exists"
+            ),
+            "multimodal_features": (
+                "mapInPandas feature extraction over opaque binary "
+                "columns; deterministic but not ANSI-SQL-expressible"
+            ),
+        }.items()
+        if name in eng.QUERIES and name not in eng.ORACLES
+    }

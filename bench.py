@@ -5,6 +5,12 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 Each query is forced end-to-end with a noop sink (full plan execution,
 no driver collect, no count-only column pruning) — the number measures
 the whole scan→shuffle→operator pipeline, which is what scales.
+
+Regression guard: BENCH_FLOOR.json records the best accepted per-query
+times at sf0.1. When benching at sf0.1, any headline query slower than
+2x its floor fails the run (exit 1) so refactors that silently wreck a
+plan are caught locally; queries that got faster tighten their floor
+in-place (commit the updated floor with the change that earned it).
 """
 
 from __future__ import annotations
@@ -87,6 +93,40 @@ def main() -> None:
             }
         )
     )
+
+    if sf == 0.1:
+        sys.exit(check_floor(timings))
+
+
+FLOOR_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOOR.json")
+REGRESSION_FACTOR = 2.0
+
+
+def check_floor(timings: dict[str, float]) -> int:
+    """Compare sf0.1 timings against the recorded floor; returns the
+    process exit code. Improvements tighten the floor file in-place."""
+    try:
+        with open(FLOOR_PATH) as f:
+            floor: dict[str, float] = json.load(f)
+    except FileNotFoundError:
+        floor = {}
+    regressed = {
+        n: (t, floor[n])
+        for n, t in timings.items()
+        if n in floor and t > floor[n] * REGRESSION_FACTOR
+    }
+    improved = {n: t for n, t in timings.items() if t < floor.get(n, float("inf"))}
+    if improved:
+        floor.update(improved)
+        with open(FLOOR_PATH, "w") as f:
+            json.dump(dict(sorted(floor.items())), f, indent=1, sort_keys=True)
+            f.write("\n")
+    for n, (t, fl) in sorted(regressed.items()):
+        print(
+            f"REGRESSION {n}: {t:.3f}s > {REGRESSION_FACTOR}x floor {fl:.3f}s",
+            file=sys.stderr,
+        )
+    return 1 if regressed else 0
 
 
 if __name__ == "__main__":

@@ -23,7 +23,7 @@ Import the package to populate the registry::
     eng.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.01")
 """
 
-from etl_pipeline_sam_gov_spark.registry import ORACLES, QUERIES, query
+from etl_pipeline_sam_gov_spark.registry import BASELINE_OF, ORACLES, QUERIES, query
 
 # Importing these modules registers every query in the registry.
 from etl_pipeline_sam_gov_spark.pipeline import contracts as _contracts  # noqa: F401
@@ -121,4 +121,4 @@ def _reorder_registry() -> None:
 
 _reorder_registry()
 
-__all__ = ["QUERIES", "ORACLES", "query"]
+__all__ = ["QUERIES", "ORACLES", "BASELINE_OF", "query"]

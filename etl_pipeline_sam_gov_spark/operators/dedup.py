@@ -133,8 +133,13 @@ def spread_docs(docs: DataFrame) -> DataFrame:
     on one core (measured 24% end-to-end on MinHash at sf0.1; the
     same fix is ~20× on the embedding pair joins —
     similarity._parallelize). A real multi-file corpus already scans
-    wide; this only restores that."""
-    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    wide — the partition-count guard self-disables the shuffle there,
+    so the full-text repartition only ever pays for itself on a
+    narrow (fixture-like) scan layout."""
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() >= parallelism:
+        return docs
+    return docs.repartition(parallelism)
 
 
 def with_shingle_arrays(docs: DataFrame) -> DataFrame:
@@ -498,7 +503,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return bits.select("doc_id", sig.cast("bigint").alias("simhash"))
 
 
-@query("dedup_simhash", oracle=_SQL_SIMHASH_PAIRS)
+@query("dedup_simhash", oracle=_SQL_SIMHASH_PAIRS, baseline_of="dedup_simhash_blocked")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit sign-of-vote sketch per doc,
     Hamming-distance filter on pairs. (Pairing here is all-pairs for
@@ -586,6 +591,7 @@ COSINE_DUP_THRESHOLD = 0.40
 
 @query(
     "dedup_embedding_cosine",
+    baseline_of="ann_lsh_bucketed_topk",
     oracle=f"""
 WITH norms AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

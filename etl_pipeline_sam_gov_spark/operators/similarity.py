@@ -47,8 +47,13 @@ def _parallelize(df: DataFrame) -> DataFrame:
     sf0.1, ~1 s once spread). Round-robin repartition to the session
     default parallelism restores the scan parallelism a real
     multi-file corpus has natively; the shuffled payload is just the
-    vectors themselves, negligible next to the pair loop it unblocks."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    vectors themselves, negligible next to the pair loop it unblocks.
+    The partition-count guard self-disables the shuffle on layouts
+    that already scan wide."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
 
 
 def with_norms(emb: DataFrame) -> DataFrame:
@@ -82,6 +87,7 @@ norms AS (
 
 @query(
     "ann_bruteforce_topk",
+    baseline_of="ann_ivf_topk",
     oracle=f"""
 WITH {_SQL_NORMS},
 q AS (SELECT * FROM norms WHERE vec_id % {QUERY_STRIDE} = 0),

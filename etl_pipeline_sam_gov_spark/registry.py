@@ -25,13 +25,28 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: Deliberately non-scalable ground-truth twins: query name → the
+#: registered scale-path variant that is the engine's production answer
+#: for the same problem. A baseline stays registered (it shares its
+#: oracle with the twin, PROVING the twin's blocking/bucketing loses
+#: nothing) but must never be mistaken for the serving plan.
+BASELINE_OF: dict[str, str] = {}
 
-def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+
+def query(
+    name: str,
+    oracle: Optional[str] = None,
+    baseline_of: Optional[str] = None,
+) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` as queries()[name]; ``oracle`` as its DuckDB SQL.
 
     ``oracle=None`` marks a genuinely non-SQL-expressible operator
     (streaming stateful ops, approximate sketches); the driver then runs
     a weaker rows-only check.
+
+    ``baseline_of="x"`` marks this query as the exact-but-O(n²)/(Q×N)
+    ground-truth twin of scale-path query ``x`` — kept registered so
+    the pair stays oracle-green together, never the production path.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
@@ -40,6 +55,8 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if baseline_of is not None:
+            BASELINE_OF[name] = baseline_of
         return fn
 
     return deco

@@ -47,17 +47,41 @@ class ReportSinkWriter(DataSourceWriter):
         return _ReportCommit(tmp, n)
 
     def commit(self, messages) -> None:
-        if self.overwrite:
-            for name in os.listdir(self.path):
-                if name.startswith("part-") or name == "_SUCCESS":
-                    os.remove(os.path.join(self.path, name))
+        # Final names are commit-unique (job uuid), so an append commit
+        # can never clobber a previous commit's part files, and the
+        # overwrite path can promote new parts BEFORE deleting old ones
+        # — a crash mid-commit leaves a readable superset, never zero
+        # committed output.
+        job = uuid.uuid4().hex[:8]
+        mine: set[str] = set()
         total = 0
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = os.path.join(self.path, f"part-{job}-{i:05d}.jsonl")
             os.replace(m.tmp_path, final)
+            mine.add(os.path.basename(final))
             total += m.n_rows
+        if self.overwrite:
+            # also sweep stale _tmp-* orphans left by a driver that died
+            # before abort() could run
+            for name in os.listdir(self.path):
+                stale = (
+                    name.startswith("part-") or name.startswith("_tmp-")
+                ) and name not in mine
+                if stale:
+                    os.remove(os.path.join(self.path, name))
+            success = {"n_rows": total, "n_files": len(mine)}
+        else:
+            prev = {"n_rows": 0, "n_files": 0}
+            success_path = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(success_path):
+                with open(success_path) as f:
+                    prev = json.load(f)
+            success = {
+                "n_rows": prev["n_rows"] + total,
+                "n_files": prev["n_files"] + len(mine),
+            }
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
-            json.dump({"n_rows": total, "n_files": len(list(messages))}, f)
+            json.dump(success, f)
 
     def abort(self, messages) -> None:
         for m in messages:

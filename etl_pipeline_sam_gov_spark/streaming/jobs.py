@@ -42,20 +42,26 @@ from etl_pipeline_sam_gov_spark.session import configure_runtime
 _counter = itertools.count()
 
 
+#: path → symlink directory, scoped to THIS process via mkdtemp (a
+#: world-shared fixed /tmp path would be a symlink-hijack surface on
+#: multi-user hosts, and stale entries from dead sessions could mask
+#: recreated fixtures).
+_stream_dirs: dict[str, str] = {}
+
+
 def _stream_dir_for(path: str) -> str:
     """Spark's file stream source requires a directory; expose the
     single fixture file through a per-path symlink directory (a real
     deployment points at the landing directory itself)."""
-    import hashlib
     import tempfile
 
-    d = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_stream",
-        hashlib.md5(path.encode()).hexdigest()[:12],
-    )
-    os.makedirs(d, exist_ok=True)
+    d = _stream_dirs.get(path)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="spark_graft_stream_")
+        _stream_dirs[path] = d
     link = os.path.join(d, os.path.basename(path))
+    if os.path.islink(link) and not os.path.exists(link):
+        os.remove(link)  # repair: target deleted and recreated elsewhere
     if not os.path.islink(link):
         os.symlink(path, link)
     return d
@@ -169,7 +175,11 @@ WITH ordered AS (
   FROM events
 ),
 flagged AS (
-  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800 * 1000000
+  -- >= : Spark's session_window is the half-open [start, start+gap), so
+  -- an event landing EXACTLY gap after its predecessor opens a NEW
+  -- session. (The batch sessionize_events uses strict > on both engine
+  -- and oracle sides — different operator, consistent within itself.)
+  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800 * 1000000
                  THEN 1 ELSE 0 END AS is_new
   FROM ordered
 ),

@@ -108,3 +108,40 @@ def test_report_sink_writer_two_phase_commit(spark, sf_dir, tmp_path):
     ).save()
     manifest = json.load(open(os.path.join(out, "_SUCCESS")))
     assert manifest["n_rows"] == 3
+
+
+def test_report_sink_append_accumulates_and_overwrite_sweeps_orphans(
+    spark, sf_dir, tmp_path
+):
+    """Advised hardening: append commits must never clobber earlier
+    commits' part files (commit-unique names) and _SUCCESS must count
+    ALL committed rows; overwrite must also sweep _tmp-* orphans left
+    by a driver that died before abort()."""
+    import json
+    import os
+
+    from etl_pipeline_sam_gov_spark.sources.report_sink import register
+    from etl_pipeline_sam_gov_spark.tables import load_tables
+
+    register(spark)
+    out = str(tmp_path / "report")
+    nat = load_tables(spark, sf_dir, ("nation",))["nation"]
+
+    nat.write.format("report_sink").option("path", out).mode("append").save()
+    nat.limit(5).write.format("report_sink").option("path", out).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["n_rows"] == nat.count() + 5
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == nat.count() + 5  # both commits' files survive
+
+    # orphaned temp from a crashed writer; overwrite sweeps it
+    orphan = os.path.join(out, "_tmp-deadbeef.jsonl")
+    open(orphan, "w").write("{}\n")
+    nat.limit(3).write.format("report_sink").option("path", out).mode(
+        "overwrite"
+    ).save()
+    names = os.listdir(out)
+    assert not [f for f in names if f.startswith("_tmp-")]
+    assert json.load(open(os.path.join(out, "_SUCCESS")))["n_rows"] == 3
+    assert spark.read.json(os.path.join(out, "part-*.jsonl")).count() == 3

@@ -98,3 +98,27 @@ def test_catalog_ddl_ctas_insert_roundtrip(spark, sf_dir, tmp_path):
         assert spark.read.parquet(loc).count() == 11
     finally:
         spark.sql("DROP TABLE IF EXISTS nations_tbl")
+
+
+import pytest
+
+
+@pytest.mark.parametrize("scheme", ["", "file://"])
+def test_snapshot_sink_through_qualified_path_scheme(
+    spark, sf_dir, tmp_path, scheme
+):
+    """S5 (object-store upload) is subsumed by the Hadoop FS path
+    scheme: the SAME writer config must work through a scheme-qualified
+    URI (file:// here standing in for s3a://) — committer, overwrite
+    semantics, and read-back all go through the scheme-resolved
+    FileSystem, which is exactly the layer an object store plugs into."""
+    path = scheme + os.path.join(str(tmp_path), "snap_scheme")
+    df = small(spark, sf_dir)
+    sinks.write_parquet_snapshot(df, path)
+    sinks.write_parquet_snapshot(df.limit(7), path)
+    assert spark.read.parquet(path).count() == 7
+    sinks.write_csv_results(df.limit(4), scheme + os.path.join(str(tmp_path), "csv_scheme"))
+    back = spark.read.option("header", True).csv(
+        scheme + os.path.join(str(tmp_path), "csv_scheme")
+    )
+    assert back.count() == 4
