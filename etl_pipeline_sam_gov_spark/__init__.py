@@ -51,32 +51,44 @@ from etl_pipeline_sam_gov_spark.operators import multimodal as _multimodal  # no
 # (VERDICT.md "What's missing" #1). Registration order is therefore a
 # verification-priority queue: families with NO driver-green row yet go
 # first, so a budget-limited sweep always reaches the least-verified code.
-# Already-green round-1 queries re-verify last. Stable within each family
+# Already-verified queries re-verify last. Stable within each family
 # (module registration order).
 # ---------------------------------------------------------------------------
 
-#: Queries with a green driver CORRECTNESS row in round 1 (CORRECTNESS_r01).
-_R1_VERIFIED = frozenset({
-    "contracts_transform", "contracts_flagship", "agg_customer_stats",
-    "agg_distinct_counts", "agg_rollup", "agg_cube", "agg_grouping_sets",
-    "agg_pivot_status", "agg_having_large_orders", "agg_percentiles",
-    "agg_approx_sketches", "agg_stats_bivariate", "agg_salted_heavy_hitters",
-    "agg_unpivot_melt", "agg_time_rollup_events", "agg_collect_sorted_brands",
-    "agg_argmax_orders", "agg_regression_mode_bools", "sessionize_events",
-    "asof_join_purchase_click", "asof_join_with_tolerance",
-    "join_interval_overlap_incidents", "dedup_exact", "dedup_fingerprint",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_simhash_blocked", "dedup_embedding_cosine",
-    "dedup_cluster_components", "curate_split_train_holdout",
-    "curate_pack_token_shards", "curate_sample_source_mixture",
-    "pipeline_training_corpus", "q1_pricing_summary", "q3_shipping_priority",
-    "q4_order_priority", "q5_local_supplier", "q13_customer_distribution",
-    "join_anti_inactive_customers", "join_full_outer_nation_activity",
-    "join_range_quantity_bands", "join_cross_region_status",
-    "join_null_safe_nation_groups", "sort_offset_pagination",
-    "join_salted_skewed_orders", "merge_incremental_upsert",
-    "set_union_all_parties", "set_intersect_nations", "set_except_nations",
-})
+
+def _driver_verified() -> tuple[frozenset[str], frozenset[str]]:
+    """(green, failed) query sets from the driver's CORRECTNESS_r*.json
+    artifacts at the repo root, so the priority queue updates itself
+    every round without code changes. A row is green when its hash
+    check passed (or it is a declared rows-only query that ran); a row
+    is failed when its latest round recorded a mismatch/error."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    green: set[str] = set()
+    failed: set[str] = set()
+    for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            ):
+                green.add(name)
+                failed.discard(name)
+            else:
+                failed.add(name)
+    return frozenset(green - failed), frozenset(failed)
+
+
+_VERIFIED, _FAILED = _driver_verified()
 
 _FAMILY_ORDER = (
     "windows", "functions", "tpch", "udfs", "text", "similarity",
@@ -109,9 +121,14 @@ def _family(name: str) -> str:
 
 
 def _reorder_registry() -> None:
+    # Three tiers: previously FAILED rows first (a fix must prove itself
+    # this round), then never-tested, then green re-verification.
     ranked = sorted(
         QUERIES,
-        key=lambda n: (n in _R1_VERIFIED, _FAMILY_ORDER.index(_family(n))),
+        key=lambda n: (
+            (0 if n in _FAILED else (2 if n in _VERIFIED else 1)),
+            _FAMILY_ORDER.index(_family(n)),
+        ),
     )  # sorted() is stable: ties keep module registration order
     for reg in (QUERIES, ORACLES):
         ordered = {n: reg[n] for n in ranked if n in reg}
