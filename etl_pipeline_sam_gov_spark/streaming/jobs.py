@@ -175,11 +175,12 @@ WITH ordered AS (
   FROM events
 ),
 flagged AS (
-  -- >= : Spark's session_window is the half-open [start, start+gap), so
-  -- an event landing EXACTLY gap after its predecessor opens a NEW
-  -- session. (The batch sessionize_events uses strict > on both engine
-  -- and oracle sides — different operator, consistent within itself.)
-  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800 * 1000000
+  -- strict > : Spark session windows MERGE when they touch — an event
+  -- landing EXACTLY gap after its predecessor extends the session
+  -- (measured; pinned by tests/test_streaming.py
+  -- test_session_window_exact_gap_boundary). Matches batch
+  -- sessionize_events' strict-> convention.
+  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800 * 1000000
                  THEN 1 ELSE 0 END AS is_new
   FROM ordered
 ),

@@ -51,3 +51,51 @@ def test_memory_sink_roundtrip_counts(spark, sf_dir):
     out = run_to_memory(agg, mode="complete")
     batch_n = load_tables(spark, sf_dir, ("events",))["events"].count()
     assert sum(r["n"] for r in out.collect()) == batch_n
+
+
+def test_session_window_exact_gap_boundary(spark, tmp_path):
+    """Pin session_window's exact-gap-boundary semantics (ADVICE round 1
+    raised the question; this MEASURES the answer): Spark session
+    windows merge when they touch, so an event EXACTLY 1800 s after its
+    predecessor stays in the SAME session — only a strictly larger gap
+    opens a new one. The oracle's strict `>` mirrors this; the fixture
+    data never lands on the boundary, so this synthesizes it."""
+    import datetime as dt
+
+    from etl_pipeline_sam_gov_spark.streaming.jobs import stream_session_windows
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 10: second event exactly at the 1800 s gap → SAME session
+        (1, t0, 10, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=1800), 10, "click", 1.0, "{}"),
+        # user 20: second event 1799 s later → SAME session
+        (3, t0, 20, "click", 1.0, "{}"),
+        (4, t0 + dt.timedelta(seconds=1799), 20, "click", 1.0, "{}"),
+        # user 30: second event 1801 s later → NEW session
+        (5, t0, 30, "click", 1.0, "{}"),
+        (6, t0 + dt.timedelta(seconds=1801), 30, "click", 1.0, "{}"),
+    ]
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    sf_dir = str(tmp_path / "synthetic_sf")
+    os.makedirs(sf_dir)
+    # single FILE like the fixture layout (a directory would not be
+    # listed by the file stream source)
+    pq.write_table(
+        pa.Table.from_pandas(pdf), os.path.join(sf_dir, "events.parquet")
+    )
+
+    out = stream_session_windows(spark, sf_dir)
+    per_user = {
+        r.user_id: n
+        for r in out.groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+        for n in [r.n]
+    }
+    assert per_user == {10: 1, 20: 1, 30: 2}, per_user
