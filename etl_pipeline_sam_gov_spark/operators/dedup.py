@@ -415,16 +415,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_duplicate_pairs(docs: DataFrame) -> DataFrame:
     """Verified (doc1, doc2, jaccard) near-dup pairs via MinHash-LSH —
     the edge set shared by the pair query and the clustering query."""
-    sh = doc_shingles(docs)
+    # ONE tokenize+shingle pass: persist the per-doc shingle arrays and
+    # derive the exploded (doc_id, shingle) relation from the cache —
+    # the signature and verification passes otherwise re-shingle the
+    # whole corpus (measured 1.33 s → 0.78 s at sf0.1). Exploding the
+    # cached array also can't hit the InferFiltersFromGenerate cloning
+    # trap doc_shingles guards against. At 100 TB the persist becomes a
+    # checkpoint of the same relation.
+    arrs = with_shingle_arrays(docs).persist()
+    sh = arrs.select("doc_id", F.explode("arr").alias("shingle"))
     cand = lsh_candidate_pairs(minhash_signatures(sh))
     # Verification joins the (small) candidate set against per-doc
     # shingle ARRAYS and intersects inside the row (array_intersect) —
     # two compact equi-joins instead of re-exploding the corpus into a
     # (doc_id, shingle)×(doc_id, shingle) shuffle. Cost is
     # O(candidates × shingles-per-doc), independent of corpus size.
-    # (At 100 TB, checkpoint the shingle arrays so the corpus is
-    # shingled once for the signature and verification passes.)
-    arrs = with_shingle_arrays(docs)
     a1 = arrs.select(F.col("doc_id").alias("doc1"), F.col("arr").alias("arr1"))
     a2 = arrs.select(F.col("doc_id").alias("doc2"), F.col("arr").alias("arr2"))
     inter = F.size(F.array_intersect("arr1", "arr2"))
