@@ -1,0 +1,64 @@
+"""Simulate the driver's CORRECTNESS sweep locally.
+
+Runs every registered query at the given sf dir in registry order, with
+its DuckDB oracle, through the same type-aware comparison the local
+parity tests use — and times each side. Output: one line per query
+(spark_s, oracle_s, status) plus a total, so we can see how many
+queries fit a given driver time budget and which ones to speed up.
+
+Usage: python tools/sweep_sim.py [sf_dir] [limit]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import traceback
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+from oracle_compare import compare  # noqa: E402
+
+import etl_pipeline_sam_gov_spark as eng  # noqa: E402
+from etl_pipeline_sam_gov_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    limit = int(sys.argv[2]) if len(sys.argv) > 2 else len(eng.QUERIES)
+    spark = get_spark("sweep-sim")
+    results: dict[str, dict] = {}
+    t_all = time.monotonic()
+    for i, (name, fn) in enumerate(eng.QUERIES.items()):
+        if i >= limit:
+            break
+        oracle = eng.ORACLES.get(name)
+        t0 = time.monotonic()
+        status = "ok"
+        err = None
+        try:
+            if oracle is None:
+                n = fn(spark, sf_dir).count()
+                status = f"rows_only({n})"
+            else:
+                compare(spark, name, fn, oracle, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            status = "FAIL"
+            err = f"{type(e).__name__}: {e}"
+            traceback.print_exc(limit=3)
+        dt = time.monotonic() - t0
+        results[name] = {"sec": round(dt, 2), "status": status, "err": err}
+        print(f"{i + 1:3d} {name:45s} {dt:6.2f}s {status}", flush=True)
+    total = time.monotonic() - t_all
+    fails = [n for n, r in results.items() if r["status"] == "FAIL"]
+    print(f"\nTOTAL {total:.1f}s for {len(results)} queries; FAIL={fails}")
+    slow = sorted(results.items(), key=lambda kv: -kv[1]["sec"])[:15]
+    print("slowest:", [(n, r["sec"]) for n, r in slow])
+    with open("/tmp/sweep_sim.json", "w") as f:
+        json.dump({"total_s": total, "results": results}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
