@@ -6,18 +6,21 @@ parity tests use — and times each side. Output: one line per query
 (spark_s, oracle_s, status) plus a total, so we can see how many
 queries fit a given driver time budget and which ones to speed up.
 
-Usage: python tools/sweep_sim.py [sf_dir] [limit]
+Usage: python tools/sweep_sim.py [sf_dir] [limit] [out_json]
+(runnable from any cwd; defaults: /root/testdata/sf0.01, all, /tmp/sweep_sim.json)
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import traceback
 
-sys.path.insert(0, ".")
-sys.path.insert(0, "tests")
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tests"))
 
 from oracle_compare import compare  # noqa: E402
 
@@ -28,6 +31,7 @@ from etl_pipeline_sam_gov_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     limit = int(sys.argv[2]) if len(sys.argv) > 2 else len(eng.QUERIES)
+    out_json = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sweep_sim.json"
     spark = get_spark("sweep-sim")
     results: dict[str, dict] = {}
     t_all = time.monotonic()
@@ -56,8 +60,12 @@ def main() -> None:
     print(f"\nTOTAL {total:.1f}s for {len(results)} queries; FAIL={fails}")
     slow = sorted(results.items(), key=lambda kv: -kv[1]["sec"])[:15]
     print("slowest:", [(n, r["sec"]) for n, r in slow])
-    with open("/tmp/sweep_sim.json", "w") as f:
-        json.dump({"total_s": total, "results": results}, f, indent=1)
+    with open(out_json, "w") as f:
+        json.dump(
+            {"sf_dir": sf_dir, "limit": limit, "total_s": total, "results": results},
+            f,
+            indent=1,
+        )
 
 
 if __name__ == "__main__":
