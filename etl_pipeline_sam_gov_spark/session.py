@@ -30,6 +30,12 @@ RUNTIME_CONFS = {
     # reader rejects; read as long (nanos since epoch) and normalize to
     # micros in tables.load_tables (exact integer division).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Fixture parquet writes timestamps with isAdjustedToUTC=false, which
+    # Spark 4 infers as TIMESTAMP_NTZ — a type watermarks and unix_micros
+    # reject. Read them as TIMESTAMP instead: with the session pinned to
+    # UTC the wall-clock values are bit-identical to DuckDB's naive read,
+    # and the streaming sources inherit a watermarkable event-time column.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Scan-split sizing. The local fixtures are single small files whose
     # row groups are ~1 MB — the 128 MB default packs each table into ONE
     # task and serializes the scan stage on a 32-core box. 1 MB splits

@@ -77,6 +77,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(schema).parquet(_stream_dir_for(path))
     if dict(stream.dtypes)["ts"] == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return _denaive(stream)
+
+
+def _denaive(stream: DataFrame) -> DataFrame:
+    """TIMESTAMP_NTZ → TIMESTAMP (UTC session): watermarks require an
+    event-time column with a timezone; the stored micros are unchanged.
+    Only needed when inferTimestampNTZ couldn't be flipped (session.py)."""
+    for c, t in stream.dtypes:
+        if t == "timestamp_ntz":
+            stream = stream.withColumn(c, F.col(c).cast("timestamp"))
     return stream
 
 
@@ -368,7 +378,7 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema
-    return spark.readStream.schema(schema).parquet(_stream_dir_for(path))
+    return _denaive(spark.readStream.schema(schema).parquet(_stream_dir_for(path)))
 
 
 @query(

@@ -62,15 +62,26 @@ def load_tables(
         if df is None:
             path = os.path.join(sf_dir, f"{name}.parquet")
             df = spark.read.parquet(path)
+            from pyspark.sql import functions as F, types as T
+
             if name == "events":
                 # TIMESTAMP(NANOS) arrives as long nanos (see session.py);
                 # truncate to micros with exact integer division — same
                 # truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
                 # (double division would lose precision: epoch-nanos > 2^53.)
-                from pyspark.sql import functions as F, types as T
-
                 if isinstance(df.schema["ts"].dataType, T.LongType):
                     df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            # Belt+braces for sessions where inferTimestampNTZ couldn't be
+            # flipped before this read (session.py): NTZ → TIMESTAMP is a
+            # no-op on the stored micros under the UTC session timezone,
+            # and restores watermark/unix_micros compatibility.
+            ntz = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, T.TimestampNTZType)
+            ]
+            for c in ntz:
+                df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
             _TABLE_CACHE[key] = df
         view_key = (id(spark), name)
         if _VIEW_OWNER.get(view_key) != sf_dir:
