@@ -684,10 +684,14 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop check is a single scalar aggregate (sum of labels — equal ⇔
     fixpoint), never a row collect. Rounds = graph diameter; near-dup
     components are shallow (dozens of docs), so a handful of rounds.
-    At 100 TB: checkpoint the label table every few rounds to truncate
-    lineage, or switch to the two-phase large-star/small-star variant
-    (Kiveris et al., "Connected Components in MapReduce") — same join
-    primitive, O(log n) rounds on adversarial chains."""
+    Every ``CC_CHECKPOINT_EVERY`` rounds the label table is
+    checkpointed, truncating lineage so plan depth stays bounded no
+    matter how many rounds run (on a real cluster swap
+    ``localCheckpoint`` for reliable ``checkpoint`` to cluster storage
+    so executor loss can't lose rounds). Adversarially deep graphs get
+    the two-phase large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce") — same join primitive,
+    O(log n) rounds."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     edges = minhash_duplicate_pairs(docs).select("doc1", "doc2")
     bidir = (
@@ -695,6 +699,19 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF("a", "b")
         .persist()
     )
+    labels = propagate_min_labels(bidir)
+    bidir.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+#: Truncate label-table lineage every N propagation rounds.
+CC_CHECKPOINT_EVERY = 3
+
+
+def propagate_min_labels(bidir: DataFrame) -> DataFrame:
+    """Min-label propagation over a symmetric edge list (a, b) until
+    fixpoint; returns (node, label). See dedup_cluster_components for
+    the scale argument."""
     labels = (
         bidir.select(F.col("a").alias("node"))
         .distinct()
@@ -702,20 +719,23 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(CC_MAX_ITERS):
+    for it in range(CC_MAX_ITERS):
         neigh = (
             bidir.join(labels, F.col("b") == F.col("node"))
             .groupBy("a")
             .agg(F.min("label").alias("nl"))
         )
-        new_labels = (
-            labels.join(neigh, F.col("node") == F.col("a"), "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
-            )
-            .persist()
+        new_labels = labels.join(neigh, F.col("node") == F.col("a"), "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
         )
+        if (it + 1) % CC_CHECKPOINT_EVERY == 0:
+            # cut the join-chain lineage: the plan for round N must not
+            # embed rounds 1..N-1 (plan size/analysis cost would grow
+            # per round and a lost partition would recompute the chain)
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
@@ -726,5 +746,4 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"label propagation did not converge in {CC_MAX_ITERS} rounds"
         )
-    bidir.unpersist()
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+    return labels

@@ -286,16 +286,48 @@ def test_curation_split_and_mixture_are_shuffle_free(spark, sf_dir):
         )
 
 
-def test_shard_packing_shuffles_once_on_the_group_key(spark, sf_dir):
+def test_shard_packing_is_two_phase_prefix_sum(spark, sf_dir):
+    # The straggler guard (VERDICT r2 #3): no corpus-sized window may be
+    # partitioned by lang alone — one task per language at 100 TB. The
+    # packing must range-split the corpus, run its running sum keyed by
+    # (_pid, lang) (task size bounded by the range split), and bring the
+    # prefix offsets back as a broadcast.
     import re
     s = plan(eng.QUERIES["curate_pack_token_shards"](spark, sf_dir))
-    exchanges = re.findall(r"Exchange hashpartitioning\(([a-z_]+)#", s)
-    assert exchanges == ["lang"], exchanges
+    assert "Exchange rangepartitioning" in s
+    assert re.search(r"windowspecdefinition\(_pid#\d+, lang#", s), s
+    assert "BroadcastExchange" in s
+    # the lang-only window exists only above the tiny subtotal aggregate
+    assert re.search(r"HashAggregate\(keys=\[_pid#\d+, lang#", s), s
 
 
-def test_training_corpus_dag_has_one_exchange(spark, sf_dir):
-    # quality gate + mixture sample + split are scan-side; only the
-    # shard-packing running sum may shuffle, keyed on (lang, split).
+def test_training_corpus_packs_with_bounded_tasks(spark, sf_dir):
+    # quality gate + mixture sample + split are scan-side; the shard
+    # packing range-splits once and windows on (_pid, lang, split).
     import re
+    # (the persisted range-split relation prints its plan under both the
+    # subtotal branch and the main branch; it executes once)
     s = plan(eng.QUERIES["pipeline_training_corpus"](spark, sf_dir))
-    assert len(re.findall(r"Exchange hashpartitioning", s)) == 1
+    assert "Exchange rangepartitioning" in s
+    assert re.search(r"windowspecdefinition\(_pid#\d+, lang#\d+, split#", s), s
+
+
+def test_label_propagation_checkpoints_bound_lineage(spark):
+    # A 13-node chain forces ~12 propagation rounds (diameter), far more
+    # than CC_CHECKPOINT_EVERY — the checkpoint must keep the final plan
+    # to the post-checkpoint rounds only, or plan depth (and failure
+    # recompute cost) grows linearly with rounds at 100 TB.
+    from etl_pipeline_sam_gov_spark.operators.dedup import (
+        CC_CHECKPOINT_EVERY,
+        propagate_min_labels,
+    )
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(12)], "a long, b long")
+    bidir = edges.union(edges.selectExpr("b as a", "a as b"))
+    labels = propagate_min_labels(bidir)
+    rows = {r["node"]: r["label"] for r in labels.collect()}
+    assert len(rows) == 13 and set(rows.values()) == {0}
+    plan_str = labels._jdf.queryExecution().optimizedPlan().toString()
+    # ≤ 2 joins per round since the last checkpoint; the checkpoint
+    # itself appears as a leaf (LogicalRDD / ExistingRDD), not a join chain
+    assert plan_str.count("Join") <= 2 * CC_CHECKPOINT_EVERY, plan_str
