@@ -48,18 +48,13 @@ def baselines() -> dict[str, str]:
 def rows_only() -> dict[str, str]:
     """DECLARED rows-only queries — the oracle omission is by design,
     not breakage; an ``err: "no_oracle"`` row for these in CORRECTNESS
-    is the expected weaker contract, and each carries its reason here."""
+    is the expected weaker contract, and each carries its reason here.
+    Currently empty: every registered query carries an oracle (the
+    sketch query validates its engine-specific estimates via
+    oracle-pinned error-bound booleans; multimodal decode round-trips
+    header fields the oracle predicts from doc_id)."""
     return {
         name: reason
-        for name, reason in {
-            "agg_approx_sketches": (
-                "HLL++/KLL sketch estimates are engine-specific by "
-                "construction; no cross-engine value oracle exists"
-            ),
-            "multimodal_features": (
-                "mapInPandas feature extraction over opaque binary "
-                "columns; deterministic but not ANSI-SQL-expressible"
-            ),
-        }.items()
+        for name, reason in {}.items()
         if name in eng.QUERIES and name not in eng.ORACLES
     }

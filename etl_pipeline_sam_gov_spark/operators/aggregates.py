@@ -205,18 +205,56 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_sketches")  # no oracle: HLL/KLL sketches are engine-specific
+@query(
+    "agg_approx_sketches",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS parts_within_bound,
+       TRUE AS orders_within_bound,
+       TRUE AS median_within_bound
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB workhorses. HyperLogLog++
-    distinct counts and KLL-sketch quantiles run in O(1) memory per
-    group where exact distinct would shuffle every key. Sketch values
-    are engine-specific by nature → rows-only correctness check."""
+    distinct counts and quantile sketches run in O(1) memory per group
+    where exact distinct would shuffle every key.
+
+    Sketch *estimates* are engine-specific, so they can't hash-match a
+    DuckDB oracle directly. Instead the query emits the exact values
+    (oracle-checked the normal way) plus one boolean per sketch
+    asserting the estimate landed within its published error bound —
+    3·rsd for HLL++ (99.7% band), 2% value tolerance for the quantile
+    sketch at accuracy 10000. The oracle pins those booleans to TRUE,
+    so a broken sketch fails the hash even though the estimate itself
+    is engine-local."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey").alias("ap"),  # default rsd 0.05
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("ao"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("am"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("em"),
+    )
+    within = (
+        lambda est, exact, tol: (
+            F.abs(F.col(est) - F.col(exact)) <= F.col(exact) * tol
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "exact_parts",
+        "exact_orders",
+        within("ap", "exact_parts", 0.15).alias("parts_within_bound"),
+        within("ao", "exact_orders", 0.03).alias("orders_within_bound"),
+        within("am", "em", 0.02).alias("median_within_bound"),
     )
 
 

@@ -2,19 +2,20 @@
 opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` pipelines.
 
-The decode layer is a STUB by design — the image/audio codecs are not
-in this container. What IS real and tested here is everything Spark
-cares about at 100 TB:
+The decode layer is REAL for the container formats a pure-Python
+parser can handle without codec libraries: BMP (DIB header) and WAV
+(RIFF chunk walk). ``decode_media`` reads actual format headers from
+actual bytes; the fixtures are synthesized media files whose
+dimensions/sample-rates derive deterministically from ``doc_id``, so
+the DuckDB oracle can verify the full synthesize→serialize→parse round
+trip arithmetic. Pixel/sample *content* decode for compressed formats
+(JPEG/MP3/H.264) would slot into the same kernel via a codec library;
+everything Spark cares about at 100 TB is exercised here:
 
-- the schema contract (binary payload + metadata struct),
+- the schema contract (binary payload + typed metadata),
 - partition-parallel Arrow batching through ``mapInPandas``,
-- deterministic feature extraction over raw bytes (length, checksum,
-  hash-derived pseudo-dimensions) standing in for decode+featurize,
-- the UDF signature/batch shape a real decoder would drop into.
-
-Swapping in a real decoder is a one-function change
-(``decode_image``); the plan shape — scan → repartition → mapInPandas
-→ downstream relational ops — is unchanged.
+- header parsing over raw bytes inside the batch loop,
+- the UDF signature/batch shape any richer decoder drops into.
 """
 
 from __future__ import annotations
@@ -28,10 +29,10 @@ from pyspark.sql import functions as F
 from etl_pipeline_sam_gov_spark.registry import query
 from etl_pipeline_sam_gov_spark.tables import load_tables
 
-#: Output schema of the feature extractor (metadata + fake-decode features).
+#: Output schema of the media feature extractor (real header decode).
 FEATURE_SCHEMA = (
-    "doc_id long, mime string, n_bytes long, checksum long, "
-    "pseudo_width int, pseudo_height int"
+    "doc_id long, mime string, n_bytes long, width int, height int, "
+    "sample_rate int, channels int"
 )
 
 
@@ -51,54 +52,172 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """STUB: real pixel decode requires an image codec (Pillow/ffmpeg),
-    not present in this container. The Spark-side contract — bytes in,
-    array out, called inside the mapInPandas batch loop — is what the
-    pipeline tests exercise via the deterministic fake below."""
-    raise NotImplementedError(
-        "image/audio decode requires codec libraries not present in this "
-        "environment; use extract_features' deterministic fake instead"
+# --- deterministic media synthesis (fixture generator) --------------------
+#
+# Even doc_id → BMP (24bpp BI_RGB), odd doc_id → WAV (PCM16). Dimensions,
+# sample rates, and channel counts are pure functions of doc_id, so the
+# DuckDB oracle can independently predict what the header parser must
+# recover from the bytes.
+
+
+def _bmp_dims(doc_id: int) -> tuple[int, int]:
+    return doc_id % 32 + 1, (doc_id // 3) % 32 + 1
+
+
+def _wav_params(doc_id: int) -> tuple[int, int, int]:
+    """(sample_rate, channels, n_samples)"""
+    return 8000 + (doc_id % 8) * 4000, 1 + (doc_id // 2) % 2, doc_id % 128 + 8
+
+
+def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """A complete, valid 24-bit BMP: BITMAPFILEHEADER + BITMAPINFOHEADER
+    + 4-byte-aligned pixel rows (deterministic filler bytes)."""
+    stride = (width * 3 + 3) // 4 * 4
+    size = 54 + stride * height
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + (stride * height).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 DPI
+        + (0).to_bytes(4, "little") * 2
+    )
+    pixels = bytes((seed + i) % 256 for i in range(stride * height))
+    return header + pixels
+
+
+def make_wav(sample_rate: int, channels: int, n_samples: int, seed: int = 0) -> bytes:
+    """A complete, valid PCM16 WAV: RIFF header + fmt + data chunks."""
+    data = bytes((seed + i) % 256 for i in range(n_samples * channels * 2))
+    byte_rate = sample_rate * channels * 2
+    return (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
     )
 
 
-def _fake_decode_features(content: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for decode+featurize: a bytewise checksum
-    and hash-derived pseudo-dimensions (stable across runs/partitions)."""
-    checksum = sum(content) % 1_000_000_007
-    h = 0
-    for b in content[:64]:
-        h = (h * 131 + b) % 2_147_483_647
-    return checksum, (h % 1024) + 1, ((h // 1024) % 1024) + 1
+def synthesize_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id) → (doc_id, content) where content is
+    a real BMP or WAV file image. Stands in for the blob-ingest scan; at
+    production scale the binary column arrives in parquet directly."""
+    for pdf in batches:
+        contents = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            if d % 2 == 0:
+                contents.append(make_bmp(*_bmp_dims(d), seed=d))
+            else:
+                sr, ch, n = _wav_params(d)
+                contents.append(make_wav(sr, ch, n, seed=d))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+
+
+# --- the real decoder ------------------------------------------------------
+
+
+def decode_media(payload: bytes) -> dict:
+    """Pure-Python media header decode: sniffs the magic bytes and parses
+    the real format structures — BMP DIB header fields, WAV RIFF chunk
+    walk to the fmt chunk. Raises ValueError on unknown/corrupt payloads
+    (a production pipeline routes those rows to a quarantine sink)."""
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        return {
+            "mime": "image/bmp",
+            "width": int.from_bytes(payload[18:22], "little", signed=True),
+            "height": int.from_bytes(payload[22:26], "little", signed=True),
+            "sample_rate": None,
+            "channels": None,
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos = 12  # walk chunks: fmt need not be first
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            clen = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            if cid == b"fmt ":
+                return {
+                    "mime": "audio/wav",
+                    "width": None,
+                    "height": None,
+                    "channels": int.from_bytes(payload[pos + 10 : pos + 12], "little"),
+                    "sample_rate": int.from_bytes(
+                        payload[pos + 12 : pos + 16], "little"
+                    ),
+                }
+            pos += 8 + clen + (clen & 1)  # RIFF chunks are 2-byte aligned
+        raise ValueError("WAV payload has no fmt chunk")
+    raise ValueError(f"unrecognized media magic: {payload[:4]!r}")
 
 
 def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: Arrow batches in, feature rows out. This is
-    the slot where a real decoder runs; per-batch (not per-row) Python
-    cost, pipeline-parallel across partitions."""
+    """mapInPandas kernel: Arrow batches of binary payloads in, decoded
+    feature rows out. Per-batch (not per-row) Python cost,
+    pipeline-parallel across partitions."""
     for pdf in batches:
-        feats = pdf["content"].map(_fake_decode_features)
+        feats = [decode_media(bytes(c)) for c in pdf["content"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "mime": [m["mime"] for m in pdf["meta"]],
-                "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
-                "checksum": [f[0] for f in feats],
-                "pseudo_width": [f[1] for f in feats],
-                "pseudo_height": [f[2] for f in feats],
+                "mime": [f["mime"] for f in feats],
+                "n_bytes": [len(c) for c in pdf["content"]],
+                "width": pd.array([f["width"] for f in feats], dtype="Int32"),
+                "height": pd.array([f["height"] for f in feats], dtype="Int32"),
+                "sample_rate": pd.array(
+                    [f["sample_rate"] for f in feats], dtype="Int32"
+                ),
+                "channels": pd.array([f["channels"] for f in feats], dtype="Int32"),
             }
         )
 
 
-@query("multimodal_features")  # rows-only: the kernel is Python-side by design
+@query(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS mime,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN 54 + ((doc_id % 32 + 1) * 3 + 3) // 4 * 4
+                          * ((doc_id // 3) % 32 + 1)
+                 ELSE 44 + (doc_id % 128 + 8) * (1 + (doc_id // 2) % 2) * 2
+            END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 32 + 1 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id // 3) % 32 + 1 END AS INT)
+           AS height,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 8) * 4000 END AS INT)
+           AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + (doc_id // 2) % 2 END AS INT)
+           AS channels
+FROM documents
+""",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column feature extraction end-to-end: payload + metadata
-    → mapInPandas(extract_features). Deterministic (fake decode), but
-    not ANSI-SQL-expressible → rows-only driver check; exact values are
-    asserted in tests/test_multimodal.py."""
+    """Binary-column decode end-to-end: synthesize real BMP/WAV files →
+    mapInPandas(extract_features) parses the actual headers back. The
+    oracle predicts every decoded field (and the exact file size) from
+    doc_id alone, so a hash match proves the serialize→parse round trip
+    — not just row counts."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    payload = attach_binary_payload(docs)
-    return payload.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
+    media = docs.select("doc_id").mapInPandas(
+        synthesize_media, schema="doc_id long, content binary"
+    )
+    return media.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
 
 
 @query(
