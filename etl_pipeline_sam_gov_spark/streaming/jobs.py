@@ -90,23 +90,42 @@ def _denaive(stream: DataFrame) -> DataFrame:
     return stream
 
 
-def run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
+def run_to_memory(
+    agg: DataFrame, mode: str = "complete", shuffle_partitions: int | None = None
+) -> DataFrame:
     """Drive a streaming aggregation to completion against a memory
-    sink; returns the final result table."""
+    sink; returns the final result table.
+
+    ``shuffle_partitions`` scopes ``spark.sql.shuffle.partitions`` to
+    this query: a stateful operator materializes one state-store
+    instance (and, for Pandas-stateful ops, one Python worker round)
+    PER shuffle partition PER micro-batch, so the session's scan-sized
+    default is pure overhead for replay-scale state. The count is
+    frozen into the query's state layout at start — results are
+    partition-count-independent; on a live deployment size it to state
+    volume, not scan volume."""
+    spark = agg.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     name = f"stream_out_{next(_counter)}"
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
     finally:
-        q.stop()
-        q.awaitTermination()
-    return agg.sparkSession.table(name)
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 @query(
@@ -308,7 +327,7 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    out = run_to_memory(updated, mode="update")
+    out = run_to_memory(updated, mode="update", shuffle_partitions=8)
     # one availableNow replay = one batch = one update row per user; a
     # multi-batch run would emit one row per (user, batch) and the final
     # row per user would be the comparable value.
@@ -363,7 +382,7 @@ def stream_stream_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataF
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
     )
-    out = run_to_memory(joined, mode="append")
+    out = run_to_memory(joined, mode="append", shuffle_partitions=8)
     return out.select(
         "purchase_id",
         "click_id",
