@@ -362,3 +362,35 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
     )
+
+
+@query(
+    "ann_quantize_embeddings",
+    oracle=f"""
+WITH {_SQL_NORMS}
+SELECT vec_id,
+       round(nrm, 6) AS l2_norm,
+       list_transform(v, x -> CAST(trunc(x / nrm * 127) AS TINYINT)) AS qvec
+FROM norms
+""",
+)
+def ann_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of L2-normalized embeddings — the
+    compression step that makes a 100 TB ANN index RAM-resident (4×
+    smaller than float32, 8× than float64; dot products stay
+    rank-preserving after per-vector normalization). All JVM-side
+    higher-order expressions; truncation toward zero (not rounding) in
+    BOTH engines — Spark's non-ANSI double→tinyint cast and the
+    oracle's explicit trunc() — so the lattice assignment is
+    bit-identical cross-engine. Pure narrow map: zero shuffle beyond
+    the fixture-layout repartition in with_norms."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    nv = with_norms(emb)
+    qvec = F.transform(
+        F.col("v"), lambda x: (x / F.col("nrm") * 127).cast("tinyint")
+    )
+    return nv.select(
+        "vec_id",
+        F.round("nrm", 6).alias("l2_norm"),
+        qvec.alias("qvec"),
+    )

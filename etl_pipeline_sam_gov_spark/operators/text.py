@@ -375,3 +375,128 @@ def text_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ws.cast("bigint").alias("n_ws_tokens"),
         F.round(n_bpe.cast("double") / n_ws, 6).alias("bpe_per_word"),
     )
+
+
+# --- PII redaction ---------------------------------------------------------
+#
+# The cleaning pass every public-web training corpus runs before anything
+# else. Patterns are written in the Java∩RE2 common dialect (no
+# lookaround, no backrefs) so Spark and the DuckDB oracle execute the
+# SAME regex semantics. The fixture text carries no PII, so the query
+# plants deterministic doc_id-derived emails/phones/URLs first — the
+# oracle re-derives them independently, making the hash match a true
+# cross-engine check of the redaction regexes themselves.
+
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_URL = r"https?://[^\s]+"
+PII_PHONE = r"\+?[0-9][0-9-]{6,}[0-9]"
+
+
+@query(
+    "text_redact_pii",
+    oracle=rf"""
+WITH synth AS (
+  SELECT doc_id,
+         'contact user' || doc_id || '@mail.example.com or +1-555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         ' via https://example.org/u/' || doc_id ||
+         CASE WHEN doc_id % 2 = 0
+              THEN ' backup user' || doc_id || '.alt@example.net'
+              ELSE '' END ||
+         ' ' || text AS raw
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(raw, '{PII_URL}', '<URL>', 'g'),
+             '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g') AS redacted
+  FROM synth
+)
+SELECT doc_id, redacted,
+       CAST((len(redacted) - len(replace(redacted, '<EMAIL>', ''))) // 7
+            AS BIGINT) AS n_emails,
+       CAST((len(redacted) - len(replace(redacted, '<PHONE>', ''))) // 7
+            AS BIGINT) AS n_phones,
+       CAST((len(redacted) - len(replace(redacted, '<URL>', ''))) // 5
+            AS BIGINT) AS n_urls
+FROM red
+""",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: URL → email → phone regexp_replace chain (URL
+    first so its path can't be half-eaten by the email pattern), plus
+    per-kind redaction counts derived from the marker occurrences.
+    Pure narrow map over the scan — the 100 TB shape is a zero-shuffle
+    cleaning stage fused into ingest."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    did = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.lit("contact user"), did, F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" via https://example.org/u/"), did,
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" backup user"), did, F.lit(".alt@example.net")),
+        ).otherwise(F.lit("")),
+        F.lit(" "), F.col("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, PII_URL, "<URL>"), PII_EMAIL, "<EMAIL>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+
+    def marker_count(marker: str) -> Column:
+        return (
+            (F.length("redacted") - F.length(F.replace(F.col("redacted"), F.lit(marker))))
+            / len(marker)
+        ).cast("bigint")
+
+    return docs.select("doc_id", redacted.alias("redacted")).select(
+        "doc_id",
+        "redacted",
+        marker_count("<EMAIL>").alias("n_emails"),
+        marker_count("<PHONE>").alias("n_phones"),
+        marker_count("<URL>").alias("n_urls"),
+    )
+
+
+@query(
+    "text_top_bigrams",
+    oracle=r"""
+WITH toks AS (SELECT string_split_regex(text, '\s+') AS t FROM documents),
+idx AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+b AS (SELECT t[i] || ' ' || t[i + 1] AS bigram FROM idx)
+SELECT bigram, COUNT(*) AS n
+FROM b
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+""",
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide n-gram statistics (the contamination-check /
+    boilerplate-detection primitive): explode adjacent token pairs,
+    count, keep the global top 20 (deterministic count-then-bigram
+    order). Plan shape: one shuffle with map-side partial counts, then
+    TakeOrderedAndProject — no global sort of the bigram space ever
+    materializes, which is what keeps a 100 TB vocabulary countable."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = tokens_col()
+    pairs = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )

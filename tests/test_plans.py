@@ -331,3 +331,17 @@ def test_label_propagation_checkpoints_bound_lineage(spark):
     # ≤ 2 joins per round since the last checkpoint; the checkpoint
     # itself appears as a leaf (LogicalRDD / ExistingRDD), not a join chain
     assert plan_str.count("Join") <= 2 * CC_CHECKPOINT_EVERY, plan_str
+
+
+def test_redaction_is_shuffle_free(spark, sf_dir):
+    # PII redaction is an ingest-fused cleaning map; an Exchange would
+    # mean the regex chain stopped scaling as a narrow stage.
+    assert "Exchange" not in plan(eng.QUERIES["text_redact_pii"](spark, sf_dir))
+
+
+def test_top_bigrams_single_shuffle_topk(spark, sf_dir):
+    # one partial-combined count shuffle + TakeOrderedAndProject: the
+    # bigram space must never be globally sorted.
+    s = plan(eng.QUERIES["text_top_bigrams"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in s
+    assert s.count("Exchange") == 1
