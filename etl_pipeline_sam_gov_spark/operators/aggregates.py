@@ -459,3 +459,36 @@ def agg_regression_mode_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.every(F.col("l_quantity") > 0).alias("all_positive"),
         F.some(F.col("l_discount") > 0.09).alias("any_deep_discount"),
     )
+
+
+@query(
+    "agg_key_skew_profile",
+    oracle="""
+WITH g AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       MAX(n) AS max_group,
+       round(quantile_cont(n, 0.5), 6) AS p50_group,
+       round(quantile_cont(n, 0.99), 6) AS p99_group,
+       round(MAX(n) / (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 6) AS skew_ratio
+FROM g
+""",
+)
+def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profiling — the diagnostic a 100 TB pipeline runs BEFORE
+    choosing a join/agg strategy (broadcast vs salt vs AQE skew split):
+    per-key group sizes reduced to count/max/quantiles/skew-ratio. Two
+    narrow-ish aggregations: the per-key count shuffles once on the key
+    with map-side combine; the profile reduces those ~|keys| rows to a
+    single row."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    g = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    avg = F.sum("n") / F.count(F.lit(1))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_group"),
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("p50_group"),
+        F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99_group"),
+        F.round(F.max("n") / avg, 6).alias("skew_ratio"),
+    )

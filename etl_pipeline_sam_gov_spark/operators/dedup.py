@@ -747,3 +747,31 @@ def propagate_min_labels(bidir: DataFrame) -> DataFrame:
             f"label propagation did not converge in {CC_MAX_ITERS} rounds"
         )
     return labels
+
+
+@query(
+    "dedup_incremental_new_docs",
+    oracle="""
+WITH base AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 10 < 7),
+inc AS (SELECT doc_id, md5(text) AS content_hash FROM documents
+        WHERE doc_id % 10 >= 7)
+SELECT doc_id, content_hash
+FROM inc
+WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.h = inc.content_hash)
+""",
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (snapshot-delta) dedup — the production pattern: new
+    arrivals are deduped against the existing corpus by content hash,
+    never corpus-against-corpus. An anti join keyed on the 128-bit hash
+    keeps shuffle rows fixed-width and makes the nightly cost
+    O(new + matched-bucket), independent of total corpus size. The
+    fixture models the snapshot boundary as a doc_id hash split; in
+    production `base` is the accumulated hash index (bucketed on hash,
+    so the anti join co-locates without reshuffling the corpus)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = docs.filter(F.col("doc_id") % 10 < 7).select(F.md5("text").alias("h"))
+    inc = docs.filter(F.col("doc_id") % 10 >= 7).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    return inc.join(base, inc.content_hash == base.h, "left_anti")
