@@ -90,6 +90,19 @@ def _denaive(stream: DataFrame) -> DataFrame:
     return stream
 
 
+#: State-store backend per SPARK_GRAFT_STATE_STORE: the default HDFS
+#: provider keeps all state on the JVM heap (fine for replay-scale
+#: fixtures); "rocksdb" switches to the spillable RocksDB provider —
+#: the 100 TB choice, where per-partition state outgrows executor heap
+#: and incremental checkpointing beats full-snapshot uploads.
+_STATE_PROVIDERS = {
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+
 def run_to_memory(
     agg: DataFrame, mode: str = "complete", shuffle_partitions: int | None = None
 ) -> DataFrame:
@@ -103,11 +116,19 @@ def run_to_memory(
     default is pure overhead for replay-scale state. The count is
     frozen into the query's state layout at start — results are
     partition-count-independent; on a live deployment size it to state
-    volume, not scan volume."""
+    volume, not scan volume.
+
+    ``SPARK_GRAFT_STATE_STORE=rocksdb`` switches every stateful job to
+    the RocksDB state store (results identical — the provider is a
+    storage backend, not a semantics change; tests/test_streaming.py
+    pins that)."""
     spark = agg.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    provider = _STATE_PROVIDERS.get(os.environ.get("SPARK_GRAFT_STATE_STORE", ""))
+    if provider:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     name = f"stream_out_{next(_counter)}"
     try:
         q = (
