@@ -30,7 +30,9 @@ SPLIT_TRAIN, SPLIT_VAL = 90, 95
 SHARD_TOKENS = 1000
 
 
-def packed_prev_tokens(toks: DataFrame, group_cols: list[str]) -> DataFrame:
+def packed_prev_tokens(
+    toks: DataFrame, group_cols: list[str], n_parts: int | None = None
+) -> DataFrame:
     """Distributed per-group running token total (exclusive of the
     current row), as a two-phase prefix sum.
 
@@ -59,7 +61,8 @@ def packed_prev_tokens(toks: DataFrame, group_cols: list[str]) -> DataFrame:
     real scale: checkpoint to cluster storage instead).
     """
     spark = toks.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
+    if n_parts is None:
+        n_parts = spark.sparkContext.defaultParallelism
     stamped = (
         toks.repartitionByRange(n_parts, *group_cols, "doc_id")
         .withColumn("_pid", F.spark_partition_id())

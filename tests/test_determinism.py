@@ -36,3 +36,30 @@ def test_result_invariant_under_shuffle_partitioning(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", original)
     assert base == alt, f"{name} output depends on shuffle partitioning"
+
+
+def test_prefix_sum_invariant_under_range_partition_count(spark, sf_dir):
+    """The two-phase prefix sum must give identical shard assignments
+    whatever the range-split count — 1 partition (degenerate: pure
+    within-partition sum), 3, or the session default. This is the
+    cluster-size-invariance a re-run on different hardware relies on."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_sam_gov_spark.operators.curation import packed_prev_tokens
+    from etl_pipeline_sam_gov_spark.operators.dedup import tokens_col
+    from etl_pipeline_sam_gov_spark.tables import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(
+        "doc_id", "lang", F.size(tokens_col()).cast("bigint").alias("n_tokens")
+    )
+    outs = []
+    for n in (1, 3, None):
+        df = packed_prev_tokens(toks, ["lang"], n_parts=n)
+        outs.append(
+            sorted(
+                (r["doc_id"], r["lang"], r["prev_tokens"]) for r in df.collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) > 0
