@@ -297,3 +297,87 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, frame_idx long, n_frame_bytes long, frame_checksum long",
     )
     return frames.select("doc_id", "frame_idx", "n_frame_bytes")
+
+
+# --- quarantine lane -------------------------------------------------------
+
+CORRUPT_EVERY = 17  # doc_id % 17 == 0 → corrupted payload in the fixture
+
+
+def synthesize_corrupted_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Like synthesize_media, but every CORRUPT_EVERY-th doc gets an
+    unparseable payload (wrong magic) — the fixture for the quarantine
+    path a real blob ingest needs (truncated uploads, codec mismatches,
+    bit rot)."""
+    for pdf in synthesize_media(batches):
+        pdf = pdf.copy()
+        mask = (pdf["doc_id"] % CORRUPT_EVERY) == 0
+        pdf.loc[mask, "content"] = pdf.loc[mask, "doc_id"].map(
+            lambda d: b"XXXX" + int(d).to_bytes(8, "little")
+        )
+        yield pdf
+
+
+def extract_features_quarantine(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel with a quarantine lane: undecodable payloads
+    become status='quarantined' rows (decode fields null, error kept)
+    instead of failing the job — at 100 TB a single corrupt blob must
+    never kill a stage; the quarantine subset routes to its own sink
+    for re-fetch/inspection."""
+    for pdf in batches:
+        status, mimes, errors = [], [], []
+        for c in pdf["content"]:
+            try:
+                d = decode_media(bytes(c))
+                status.append("ok")
+                mimes.append(d["mime"])
+                errors.append(None)
+            except ValueError as e:
+                status.append("quarantined")
+                mimes.append(None)
+                errors.append(str(e)[:80])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "status": status,
+                "mime": mimes,
+                "n_bytes": [len(c) for c in pdf["content"]],
+                "error": errors,
+            }
+        )
+
+
+@query(
+    "multimodal_quarantine",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN 'quarantined'
+            ELSE 'ok' END AS status,
+       CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN NULL
+            WHEN doc_id % 2 = 0 THEN 'image/bmp'
+            ELSE 'audio/wav' END AS mime,
+       CAST(CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN 12
+                 WHEN doc_id % 2 = 0
+                 THEN 54 + ((doc_id % 32 + 1) * 3 + 3) // 4 * 4
+                          * ((doc_id // 3) % 32 + 1)
+                 ELSE 44 + (doc_id % 128 + 8) * (1 + (doc_id // 2) % 2) * 2
+            END AS BIGINT) AS n_bytes
+FROM documents
+""",
+)
+def multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-blob quarantine: decode failures become rows, not stage
+    failures. The oracle predicts which docs quarantine (and every
+    byte count) from doc_id alone, so the hash match proves the
+    error-routing logic, not just that nothing crashed."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select("doc_id").mapInPandas(
+        synthesize_corrupted_media, schema="doc_id long, content binary"
+    )
+    feats = media.mapInPandas(
+        extract_features_quarantine,
+        schema="doc_id long, status string, mime string, n_bytes long, error string",
+    )
+    return feats.select("doc_id", "status", "mime", "n_bytes")
