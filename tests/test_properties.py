@@ -157,3 +157,58 @@ def test_shingles_match_python_model(texts, spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == _python_shingles(t), f"text={t!r}"
+
+
+# ---------------------------------------------------------------------------
+# Media header codec (operators.multimodal) — pure logic, no Spark
+# ---------------------------------------------------------------------------
+
+
+@given(
+    width=st.integers(min_value=1, max_value=4096),
+    height=st.integers(min_value=1, max_value=64),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=150, deadline=None)
+def test_bmp_roundtrip_any_dims(width, height, seed):
+    from etl_pipeline_sam_gov_spark.operators.multimodal import decode_media, make_bmp
+
+    blob = make_bmp(width, height, seed=seed)
+    got = decode_media(blob)
+    assert (got["mime"], got["width"], got["height"]) == ("image/bmp", width, height)
+    # spec invariants: declared file size and 4-byte row alignment
+    assert int.from_bytes(blob[2:6], "little") == len(blob)
+    assert (len(blob) - 54) % height == 0 and (len(blob) - 54) // height % 4 == 0
+
+
+@given(
+    rate=st.integers(min_value=1, max_value=192_000),
+    channels=st.integers(min_value=1, max_value=8),
+    n=st.integers(min_value=0, max_value=256),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=150, deadline=None)
+def test_wav_roundtrip_any_params(rate, channels, n, seed):
+    from etl_pipeline_sam_gov_spark.operators.multimodal import decode_media, make_wav
+
+    blob = make_wav(rate, channels, n, seed=seed)
+    got = decode_media(blob)
+    assert (got["mime"], got["sample_rate"], got["channels"]) == (
+        "audio/wav", rate, channels,
+    )
+    assert len(blob) == 44 + n * channels * 2
+
+
+@given(prefix=st.binary(min_size=0, max_size=64))
+@settings(max_examples=150, deadline=None)
+def test_decode_never_misparses_garbage(prefix):
+    """Anything without a valid magic must raise (quarantine lane), never
+    return half-parsed fields."""
+    import pytest as _pytest
+
+    from etl_pipeline_sam_gov_spark.operators.multimodal import decode_media
+
+    if prefix[:2] == b"BM" or (prefix[:4] == b"RIFF" and prefix[8:12] == b"WAVE"):
+        return  # legitimately parseable-looking; out of scope here
+    with _pytest.raises(ValueError):
+        decode_media(prefix)
