@@ -391,6 +391,7 @@ def run_pipeline(
     snapshot_path: str | None = None,
     now: str = NOW,
     report_rows: int = 0,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """C1 — the reference's ``lambda_handler`` (lambda_function.py:
     205-230) as one composition: ingest → veteran filter → transform →
@@ -400,13 +401,38 @@ def run_pipeline(
     Differences by construction (SURVEY.md §3.1): the five network hops
     collapse into one lazy plan; the Glue-crawler race disappears (the
     view registers synchronously); the Athena submit-and-poll (C2)
-    becomes an in-engine ``spark.sql``."""
+    becomes an in-engine ``spark.sql``.
+
+    ``metrics_out``: pass a dict to receive pipeline run metrics
+    (row/recent/NAICS counts) via ``Dataset.observe`` — the
+    Spark-idiomatic replacement for the reference's eager per-stage
+    count logging (lambda_function.py:211): metrics accumulate DURING
+    the snapshot write, zero extra passes over the data. (When no
+    snapshot is requested, a noop write drives them.)"""
     contracts = build_contracts(spark, sf_dir, now=now)
-    if report_rows:
-        contracts.show(report_rows, truncate=False)  # S8, bounded
+    obs = None
+    if metrics_out is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation("contracts_metrics")
+        contracts = contracts.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("isRecent").cast("bigint")).alias("n_recent"),
+            F.sum(F.col("hasNAICS").cast("bigint")).alias("n_with_naics"),
+        )
     if snapshot_path is not None:
         snapshot_sink(contracts, snapshot_path)
         # re-register the view over the PERSISTED snapshot, mirroring the
         # reference's read-it-back-from-S3 topology (:126-138,:173-179)
         spark.read.parquet(snapshot_path).createOrReplaceTempView("contracts")
+    elif obs is not None:
+        contracts.write.format("noop").mode("overwrite").save()
+    if obs is not None:
+        metrics_out.update(obs.get)
+    if report_rows:
+        # S8, bounded — AFTER the metric-driving action: a limited show
+        # would otherwise be the observation's first action and report
+        # partial-scan counts.
+        contracts.show(report_rows, truncate=False)
     return spark.sql(FLAGSHIP_SQL)

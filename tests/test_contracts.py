@@ -200,3 +200,33 @@ def test_run_pipeline_end_to_end_with_snapshot(spark, sf_dir, tmp_path):
     n1 = snap.count()
     run_pipeline(spark, sf_dir, snapshot_path=out)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_run_pipeline_observe_metrics_match_recompute(spark, sf_dir, tmp_path):
+    """Observation metrics (the reference's per-stage count logging,
+    lambda_function.py:211, done the zero-extra-pass Spark way) must
+    equal an independent recount of the contracts relation."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_sam_gov_spark.pipeline.contracts import (
+        build_contracts,
+        run_pipeline,
+    )
+
+    metrics: dict = {}
+    run_pipeline(
+        spark, sf_dir, snapshot_path=str(tmp_path / "snap"), metrics_out=metrics
+    )
+    contracts = build_contracts(spark, sf_dir)
+    expect = contracts.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("isRecent").cast("bigint")).alias("n_recent"),
+        F.sum(F.col("hasNAICS").cast("bigint")).alias("n_with_naics"),
+    ).collect()[0]
+    assert metrics["n_rows"] == expect["n_rows"] > 0
+    assert metrics["n_recent"] == expect["n_recent"]
+    assert metrics["n_with_naics"] == expect["n_with_naics"]
+    # no-snapshot path drives metrics through a noop write
+    m2: dict = {}
+    run_pipeline(spark, sf_dir, metrics_out=m2)
+    assert m2 == metrics
