@@ -46,6 +46,8 @@ HEADLINE = [
     "q21_sole_returning_supplier",  # semi+anti self-joins on the fact
     "ann_ivf_topk",  # IVF ANN: map-side quantize + probe join
     "merge_incremental_upsert",  # full-outer MERGE upsert
+    "text_redact_pii",  # regex cleaning map (zero-shuffle scan stage)
+    "multimodal_features",  # Arrow-batched mapInPandas decode kernel
 ]
 
 
