@@ -1,0 +1,95 @@
+"""Corpus-amplification stress: do the data-pipeline operators scale?
+
+Amplifies the sf documents table Nx (doc_id offset + a per-replica
+variant token, so replicas are near-dups rather than exact copies) into
+a temp sf-dir layout, then times the flagship corpus operators at each
+amplification. The number that matters is the TIME RATIO between
+amplifications versus the DATA RATIO: a bucketed/linear operator should
+grow ~linearly (ratio ≈ amp ratio); any quadratic candidate explosion
+or single-task straggler shows up as a super-linear jump.
+
+Usage: python tools/scale_stress.py [base_sf_dir] [out_json]
+(defaults: /root/testdata/sf0.1, /tmp/scale_stress.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import etl_pipeline_sam_gov_spark as eng  # noqa: E402
+from etl_pipeline_sam_gov_spark.session import get_spark  # noqa: E402
+
+AMPS = (1, 4, 16)
+
+#: The operators whose scaling behavior carries the 100 TB argument.
+STRESS_QUERIES = (
+    "dedup_exact",            # hash groupBy — linear
+    "dedup_minhash_lsh",      # LSH banding — linear iff buckets stay bounded
+    "pipeline_training_corpus",  # curation DAG + two-phase prefix sum
+    "text_quality_score",     # pure scan-side map
+    "text_top_bigrams",       # explode + partial-combined count + top-k
+)
+
+
+def amplify(spark, base_dir: str, amp: int, out_dir: str) -> None:
+    docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
+    reps = spark.range(amp).withColumnRenamed("id", "rep")
+    amped = (
+        docs.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(1_000_000_000))
+        .withColumn(
+            "text",
+            F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" variant"), F.col("rep"))
+            ),
+        )
+        .drop("rep")
+    )
+    amped.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_stress.json"
+    spark = get_spark("scale-stress")
+    results: dict[str, dict[int, float]] = {q: {} for q in STRESS_QUERIES}
+    root = tempfile.mkdtemp(prefix="spark_graft_stress_")
+    try:
+        for amp in AMPS:
+            d = os.path.join(root, f"amp{amp}")
+            os.makedirs(d, exist_ok=True)
+            amplify(spark, base, amp, d)
+            n = spark.read.parquet(os.path.join(d, "documents.parquet")).count()
+            for q in STRESS_QUERIES:
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                eng.QUERIES[q](spark, d).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                results[q][amp] = round(dt, 3)
+                print(f"amp={amp:2d} ({n} docs) {q:28s} {dt:7.3f}s", flush=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print("\nscaling (time ratio vs 4x data ratio — ≲4 is linear-or-better):")
+    verdicts = {}
+    for q in STRESS_QUERIES:
+        r41 = results[q][4] / results[q][1]
+        r164 = results[q][16] / results[q][4]
+        verdicts[q] = {"t": results[q], "r_4_over_1": round(r41, 2),
+                       "r_16_over_4": round(r164, 2)}
+        print(f"  {q:28s} 4x/1x={r41:5.2f}  16x/4x={r164:5.2f}")
+    with open(out_json, "w") as f:
+        json.dump({"base": base, "amps": AMPS, "results": verdicts}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
