@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_sam_gov_spark.operators.dedup import _sql_hash60, tokens_col
+from etl_pipeline_sam_gov_spark.operators.dedup import _SQL_SHINGLES, _sql_hash60, tokens_col
 from etl_pipeline_sam_gov_spark.registry import query
 from etl_pipeline_sam_gov_spark.tables import load_tables
 
@@ -499,4 +499,64 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
+    )
+
+
+# --- eval-set decontamination ---------------------------------------------
+
+EVAL_EVERY = 97  # doc_id % 97 == 0 → the held-out "benchmark" docs
+
+
+@query(
+    "text_decontaminate_eval_overlap",
+    oracle=f"""
+WITH {_SQL_SHINGLES.strip()},
+eval AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_EVERY} = 0),
+hits AS (
+  SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_overlap
+  FROM sh s JOIN eval e USING (shingle)
+  WHERE s.doc_id % {EVAL_EVERY} <> 0
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_overlap, 0) AS n_overlap,
+       COALESCE(h.n_overlap, 0) > 0 AS contaminated
+FROM documents d
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {EVAL_EVERY} <> 0
+""",
+)
+def text_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the containment check every training
+    corpus runs against its eval sets: flag any training doc sharing a
+    3-gram shingle with a held-out doc. NOT pairwise similarity
+    (dedup_ngram_jaccard): the eval shingle set is a fixed small
+    relation, so the plan is corpus-shingles ⋈ broadcast(eval-shingles)
+    → per-doc overlap count — one pass over the corpus, no candidate
+    pairs, cost O(corpus shingles) at any corpus size. The eval set
+    here is the doc_id % 97 slice; in production it is the actual
+    benchmark suite, a few MB broadcast to every executor."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_sam_gov_spark.operators.dedup import doc_shingles
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = doc_shingles(docs)
+    is_eval = F.col("doc_id") % EVAL_EVERY == 0
+    eval_shingles = sh.filter(is_eval).select("shingle").distinct()
+    hits = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_overlap"))
+    )
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
     )
