@@ -533,9 +533,14 @@ def text_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     (dedup_ngram_jaccard): the eval shingle set is a fixed small
     relation, so the plan is corpus-shingles ⋈ broadcast(eval-shingles)
     → per-doc overlap count — one pass over the corpus, no candidate
-    pairs, cost O(corpus shingles) at any corpus size. The eval set
-    here is the doc_id % 97 slice; in production it is the actual
-    benchmark suite, a few MB broadcast to every executor."""
+    pairs, cost O(corpus shingles) at any corpus size. In production
+    the eval set is the actual benchmark suite — a few MB from its own
+    small source, where a pinned broadcast hint is safe. Here it is
+    carved out of `documents` itself (the doc_id % 97 slice), which
+    *scales with the corpus*, so the hint is deliberately NOT pinned:
+    the broadcast-threshold/AQE decision broadcasts it while it is
+    small and degrades to a shuffle join if it ever is not
+    (tests/test_plans.py::test_no_pinned_broadcast_of_scale_tables)."""
     from pyspark.sql import functions as F
 
     from etl_pipeline_sam_gov_spark.operators.dedup import doc_shingles
@@ -546,7 +551,7 @@ def text_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     eval_shingles = sh.filter(is_eval).select("shingle").distinct()
     hits = (
         sh.filter(~is_eval)
-        .join(F.broadcast(eval_shingles), "shingle")
+        .join(eval_shingles, "shingle")
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").alias("n_overlap"))
     )
