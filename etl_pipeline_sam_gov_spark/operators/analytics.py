@@ -19,12 +19,12 @@ from etl_pipeline_sam_gov_spark.tables import load_tables
 
 SESSION_GAP_S = 1800
 
-
-@query(
-    "sessionize_events",
-    oracle=f"""
-WITH ordered AS (
-  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+#: Shared sessionization CTE prefix (events → per-event session_seq),
+#: used verbatim by both the sessionize and the funnel oracles so the
+#: session assignment is provably identical.
+_SQL_NUMBERED = f"""
+ordered AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
          lag(epoch_us(ts)) OVER w AS prev_us
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -43,6 +43,13 @@ numbered AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM flagged
 )
+"""
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+WITH {_SQL_NUMBERED.strip()}
 SELECT user_id, session_seq,
        COUNT(*) AS n_events,
        MIN(ts_us) AS session_start_us,
@@ -58,12 +65,25 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     as session id → per-session aggregates. (The Structured Streaming
     twin is session_window in streaming.jobs.)"""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
+    numbered = numbered_sessions(ev)
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        ((F.max("ts_us") - F.min("ts_us")) / 1_000_000).alias("duration_s"),
+        F.round(F.sum("value"), 6).alias("session_value"),
+    )
+
+
+def numbered_sessions(ev: DataFrame) -> DataFrame:
+    """(user_id, event_id, event_type, value, ts_us, session_seq) — the
+    Spark twin of the _SQL_NUMBERED CTE, shared by sessionize + funnel."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     ts_us = F.unix_micros("ts")
     flagged = ev.select(
         "user_id",
         "event_id",
+        "event_type",
         "value",
         ts_us.alias("ts_us"),
         F.when(
@@ -74,7 +94,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_new"),
     )
-    numbered = flagged.withColumn(
+    return flagged.withColumn(
         "session_seq",
         F.sum("is_new").over(
             W.partitionBy("user_id")
@@ -82,13 +102,75 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         ),
     )
-    return numbered.groupBy("user_id", "session_seq").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts_us").alias("session_start_us"),
-        F.max("ts_us").alias("session_end_us"),
-        ((F.max("ts_us") - F.min("ts_us")) / 1_000_000).alias("duration_s"),
-        F.round(F.sum("value"), 6).alias("session_value"),
+
+
+@query(
+    "sessionize_funnel",
+    oracle=f"""
+WITH {_SQL_NUMBERED.strip()},
+s1 AS (
+  SELECT user_id, session_seq, event_type, ts_us,
+         MIN(CASE WHEN event_type = 'view' THEN ts_us END) OVER sw AS fv
+  FROM numbered
+  WINDOW sw AS (PARTITION BY user_id, session_seq)
+),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us > fv
+                     THEN ts_us END) OVER sw AS fc
+  FROM s1
+  WINDOW sw AS (PARTITION BY user_id, session_seq)
+),
+s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us > fc
+                     THEN ts_us END) OVER sw AS fp
+  FROM s2
+  WINDOW sw AS (PARTITION BY user_id, session_seq)
+)
+SELECT DISTINCT user_id, session_seq,
+       fv IS NOT NULL AS reached_view,
+       fc IS NOT NULL AS reached_click,
+       fp IS NOT NULL AS reached_purchase
+FROM s3
+""",
+)
+def sessionize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion per session (view → later click →
+    later purchase), the product-analytics staple: three windowed
+    conditional MINs over the session key, each stage anchored strictly
+    after the previous stage's first event. All stages share ONE
+    shuffle on (user_id) — the session windows are sub-partitions of
+    the sessionize exchange, so at 100 TB this costs the same single
+    timeline shuffle as sessionization itself."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    sw = W.partitionBy("user_id", "session_seq")
+    s1 = numbered_sessions(ev).withColumn(
+        "fv", F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(sw)
     )
+    s2 = s1.withColumn(
+        "fc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts_us") > F.col("fv")),
+                F.col("ts_us"),
+            )
+        ).over(sw),
+    )
+    s3 = s2.withColumn(
+        "fp",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("fc")),
+                F.col("ts_us"),
+            )
+        ).over(sw),
+    )
+    return s3.select(
+        "user_id",
+        "session_seq",
+        F.col("fv").isNotNull().alias("reached_view"),
+        F.col("fc").isNotNull().alias("reached_click"),
+        F.col("fp").isNotNull().alias("reached_purchase"),
+    ).distinct()
 
 
 @query(
