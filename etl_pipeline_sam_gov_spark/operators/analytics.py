@@ -338,3 +338,38 @@ def join_interval_overlap_incidents(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("overlap_us"),
         )
     )
+
+
+@query(
+    "scd2_user_value_history",
+    oracle="""
+SELECT user_id,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER w AS valid_to_us,
+       lead(epoch_us(ts)) OVER w IS NULL AS is_current,
+       round(value, 6) AS value
+FROM events
+WHERE event_type = 'signup'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build from a change
+    feed: each change event becomes a version row with
+    [valid_from, valid_to) validity and an is_current flag — the CDC →
+    warehouse-dimension materialization. One shuffle on the entity key
+    + lead/row_number over the in-partition timeline; at 100 TB the
+    entity key is the change-feed partitioning, so the exchange
+    disappears and versioning is a narrow sort."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    return ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        ts_us.alias("valid_from_us"),
+        F.lead(ts_us).over(w).alias("valid_to_us"),
+        F.lead(ts_us).over(w).isNull().alias("is_current"),
+        F.round("value", 6).alias("value"),
+    )
