@@ -320,7 +320,23 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     by a timeout in a live deployment. The historical replay drives the
     whole table through the streaming runtime in one availableNow pass,
     so the final update equals the batch GROUP BY the oracle runs.
+    (tests/test_streaming.py additionally replays the same data as
+    MULTIPLE micro-batches and checks the final state per user is
+    unchanged — the incremental path, not just the one-shot replay.)
     """
+    events = read_events_stream(spark, sf_dir)
+    out = run_to_memory(
+        stateful_user_totals(events), mode="update", shuffle_partitions=8
+    )
+    # one availableNow replay = one batch = one update row per user; a
+    # multi-batch run would emit one row per (user, batch) and the final
+    # row per user would be the comparable value.
+    return out
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """The applyInPandasWithState plan over any events stream: per-user
+    running (count, sum) in explicit GroupState."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update_totals(key, pdfs, state: GroupState):
@@ -335,8 +351,7 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
         )
 
-    events = read_events_stream(spark, sf_dir)
-    updated = (
+    return (
         events.select("user_id", "ts", "value")
         .withWatermark("ts", "1 hour")
         .groupBy("user_id")
@@ -348,11 +363,6 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    out = run_to_memory(updated, mode="update", shuffle_partitions=8)
-    # one availableNow replay = one batch = one update row per user; a
-    # multi-batch run would emit one row per (user, batch) and the final
-    # row per user would be the comparable value.
-    return out
 
 
 @query(

@@ -116,3 +116,58 @@ def test_rocksdb_state_store_gives_identical_results(spark, monkeypatch):
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert rocks == baseline and len(rocks) > 0
+
+
+def test_stateful_totals_accumulate_across_microbatches(spark, tmp_path):
+    """The one-shot availableNow replay (driver oracle path) proves one
+    batch; this replays the SAME events as multiple micro-batches
+    (maxFilesPerTrigger=1 over two files) and checks the final state per
+    user still equals the batch GROUP BY — the incremental-accumulation
+    contract GroupState exists for."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_sam_gov_spark.streaming.jobs import (
+        run_to_memory,
+        stateful_user_totals,
+    )
+    from etl_pipeline_sam_gov_spark.tables import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001", ("events",))["events"]
+    src = str(tmp_path / "batches")
+    # two files → two micro-batches under maxFilesPerTrigger=1
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = run_to_memory(
+        stateful_user_totals(stream), mode="update", shuffle_partitions=4
+    )
+    # some users must have been updated in BOTH batches (else this test
+    # degenerates to the single-batch case)
+    per_user = out.groupBy("user_id").count()
+    assert per_user.filter(F.col("count") >= 2).count() > 0
+    # final state per user (largest n_events) == batch GROUP BY
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in out.withColumn(
+            "rk",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("user_id").orderBy(F.desc("n_events"))
+            ),
+        ).filter("rk = 1").collect()
+    }
+    expect = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("tv"))
+        .collect()
+    }
+    assert final == expect
