@@ -233,14 +233,26 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a broken sketch fails the hash even though the estimate itself
     is engine-local."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    agg = li.groupBy("l_returnflag").agg(
+    # THREE separate scans joined on the 3-row group key, NOT one agg:
+    # mixing multiple DISTINCT aggregates with buffer-based percentile
+    # aggregates in a single groupBy forces an Expand (row-multiplying)
+    # plan that degrades to object/sort aggregation — measured 60s vs
+    # ~3s for the split at sf0.1 (a 20x plan-shape cliff, not data cost).
+    exact = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("ap"),  # default rsd 0.05
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("ao"),
         F.percentile_approx("l_extendedprice", 0.5).alias("am"),
+    )
+    exact_pct = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("em"),
+    )
+    agg = exact.join(F.broadcast(sketches), "l_returnflag").join(
+        F.broadcast(exact_pct), "l_returnflag"
     )
     within = (
         lambda est, exact, tol: (
