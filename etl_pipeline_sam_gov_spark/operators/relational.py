@@ -502,3 +502,46 @@ def merge_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("c_status", "o_orderstatus").alias("final_status"),
         )
     )
+
+
+@query(
+    "recursive_hierarchy_walk",
+    oracle="""
+WITH RECURSIVE walk(doc_id, anc, depth) AS (
+  SELECT doc_id, doc_id, 0 FROM documents
+  UNION ALL
+  SELECT w.doc_id, w.anc // 2, w.depth + 1 FROM walk w WHERE w.anc > 1
+)
+SELECT doc_id,
+       CAST(MAX(depth) AS BIGINT) AS depth,
+       MIN(anc) AS root
+FROM walk
+GROUP BY doc_id
+""",
+)
+def recursive_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy traversal via a RECURSIVE CTE (Spark 4) — the
+    org-chart / category-tree / thread-ancestry query shape. The
+    fixture hierarchy is the implicit binary tree parent(n) = n DIV 2;
+    each doc walks to its root, emitting depth and root id. The
+    recursion is ACYCLIC (strictly decreasing ancestor), which is the
+    shape Spark's recursive CTE supports today (UNION ALL frontier; a
+    cyclic closure still needs the iterative-join loop of
+    dedup_cluster_components). Each recursion step is one self-join of
+    the frontier — O(log maxId) rounds here, and the frontier shrinks
+    as walks terminate."""
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+WITH RECURSIVE walk(doc_id, anc, depth) AS (
+  SELECT doc_id, doc_id, 0 FROM documents
+  UNION ALL
+  SELECT w.doc_id, w.anc DIV 2, w.depth + 1 FROM walk w WHERE w.anc > 1
+)
+SELECT doc_id,
+       CAST(MAX(depth) AS BIGINT) AS depth,
+       MIN(anc) AS root
+FROM walk
+GROUP BY doc_id
+"""
+    )
