@@ -370,3 +370,43 @@ def fn_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.sum(F.when(missing.isNull(), 1).otherwise(0)).alias("n_missing"),
     )
+
+
+@query(
+    "fn_xml_documents",
+    oracle="""
+SELECT doc_id,
+       doc_id AS xml_id,
+       lang AS xml_lang,
+       doc_id % 100 AS xml_score,
+       doc_id % 100 AS xpath_score
+FROM documents
+""",
+)
+def fn_xml_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion lane (SURVEY.md §2.8 sibling of the JSON/VARIANT
+    lanes): serialize a record to XML, parse it back with BOTH Spark
+    XML surfaces — schema-driven ``from_xml`` and per-field XPath
+    functions. DuckDB has no XML type, so the oracle predicts every
+    parsed field from the row that generated it (the same
+    derivation-oracle trick as the multimodal decode): a hash match
+    proves the serialize→parse round trip, not just execution."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    xml = F.concat(
+        F.lit("<rec><id>"), F.col("doc_id").cast("string"),
+        F.lit("</id><lang>"), F.col("lang"),
+        F.lit("</lang><score>"), (F.col("doc_id") % 100).cast("string"),
+        F.lit("</score></rec>"),
+    )
+    parsed = docs.select(
+        "doc_id",
+        xml.alias("x"),
+        F.from_xml(xml, "id BIGINT, lang STRING, score BIGINT").alias("r"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("r.id").alias("xml_id"),
+        F.col("r.lang").alias("xml_lang"),
+        F.col("r.score").alias("xml_score"),
+        F.expr("xpath_long(x, '/rec/score')").alias("xpath_score"),
+    )
