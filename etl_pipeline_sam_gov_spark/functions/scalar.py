@@ -410,3 +410,44 @@ def fn_xml_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.score").alias("xml_score"),
         F.expr("xpath_long(x, '/rec/score')").alias("xpath_score"),
     )
+
+
+@query(
+    "fn_collation_ci_distinct",
+    oracle="""
+WITH cased AS (
+  SELECT lang,
+         CASE WHEN doc_id % 3 = 0 THEN upper(lang)
+              WHEN doc_id % 3 = 1 THEN lang
+              ELSE upper(substr(lang, 1, 1)) || substr(lang, 2) END AS lang_cased
+  FROM documents
+)
+SELECT lang,
+       COUNT(DISTINCT lang_cased) AS n_binary,
+       COUNT(DISTINCT lower(lang_cased)) AS n_ci
+FROM cased
+GROUP BY lang
+""",
+)
+def fn_collation_ci_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): DISTINCT under the UTF8_LCASE
+    collation collapses case variants that binary DISTINCT keeps apart
+    — collation-aware comparison pushed into the aggregation itself,
+    where pre-Spark-4 code had to lower() every column by hand. The
+    oracle models the collation with lower() (equivalent for this
+    ASCII domain); case variants are synthesized deterministically from
+    doc_id."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    cased = (
+        F.when(F.col("doc_id") % 3 == 0, F.upper("lang"))
+        .when(F.col("doc_id") % 3 == 1, F.col("lang"))
+        .otherwise(F.initcap("lang"))
+    )
+    return (
+        docs.select("lang", cased.alias("lang_cased"))
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("lang_cased").alias("n_binary"),
+            F.count_distinct(F.collate("lang_cased", "UTF8_LCASE")).alias("n_ci"),
+        )
+    )
