@@ -53,8 +53,4 @@ def rows_only() -> dict[str, str]:
     sketch query validates its engine-specific estimates via
     oracle-pinned error-bound booleans; multimodal decode round-trips
     header fields the oracle predicts from doc_id)."""
-    return {
-        name: reason
-        for name, reason in {}.items()
-        if name in eng.QUERIES and name not in eng.ORACLES
-    }
+    return {}

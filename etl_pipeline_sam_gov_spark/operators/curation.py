@@ -29,6 +29,10 @@ SPLIT_TRAIN, SPLIT_VAL = 90, 95
 #: shard capacity in whitespace tokens.
 SHARD_TOKENS = 1000
 
+#: (session id, group-cols) → the currently-persisted range-split
+#: relation of packed_prev_tokens, released on the next same-shape call.
+_PACK_CACHE: dict[tuple, DataFrame] = {}
+
 
 def packed_prev_tokens(
     toks: DataFrame, group_cols: list[str], n_parts: int | None = None
@@ -68,6 +72,15 @@ def packed_prev_tokens(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    # Bound the cache: repeated invocations (bench loops, amplification
+    # sweeps) would otherwise pin every past run's projection in storage
+    # memory forever. One slot per (session, grouping): the previous
+    # same-shape relation is released when a new one is built.
+    slot = (id(spark), tuple(group_cols))
+    prev = _PACK_CACHE.get(slot)
+    if prev is not None:
+        prev.unpersist()
+    _PACK_CACHE[slot] = stamped
     subtot = stamped.groupBy("_pid", *group_cols).agg(F.sum("n_tokens").alias("_sub"))
     w_off = (
         W.partitionBy(*group_cols)

@@ -138,7 +138,12 @@ def decode_media(payload: bytes) -> dict:
     the real format structures — BMP DIB header fields, WAV RIFF chunk
     walk to the fmt chunk. Raises ValueError on unknown/corrupt payloads
     (a production pipeline routes those rows to a quarantine sink)."""
-    if payload[:2] == b"BM" and len(payload) >= 26:
+    if payload[:2] == b"BM":
+        # full BITMAPFILEHEADER + BITMAPINFOHEADER: a shorter payload is
+        # a truncated upload, not a parseable image — int.from_bytes on
+        # a short slice would silently fabricate dimensions
+        if len(payload) < 54:
+            raise ValueError(f"truncated BMP: {len(payload)} bytes < 54-byte header")
         return {
             "mime": "image/bmp",
             "width": int.from_bytes(payload[18:22], "little", signed=True),
@@ -152,6 +157,10 @@ def decode_media(payload: bytes) -> dict:
             cid = payload[pos : pos + 4]
             clen = int.from_bytes(payload[pos + 4 : pos + 8], "little")
             if cid == b"fmt ":
+                # the fields we read live in the first 8 bytes of the
+                # fmt chunk body; a payload cut inside them is truncated
+                if clen < 8 or pos + 16 > len(payload):
+                    raise ValueError("truncated WAV: fmt chunk cut short")
                 return {
                     "mime": "audio/wav",
                     "width": None,

@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_sam_gov_spark.operators.dedup import _SQL_SHINGLES, _sql_hash60, tokens_col
+from etl_pipeline_sam_gov_spark.operators.dedup import (
+    _SQL_SHINGLES,
+    _sql_hash60,
+    doc_shingles,
+    tokens_col,
+)
 from etl_pipeline_sam_gov_spark.registry import query
 from etl_pipeline_sam_gov_spark.tables import load_tables
 
@@ -541,10 +546,6 @@ def text_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     the broadcast-threshold/AQE decision broadcasts it while it is
     small and degrades to a shuffle join if it ever is not
     (tests/test_plans.py::test_no_pinned_broadcast_of_scale_tables)."""
-    from pyspark.sql import functions as F
-
-    from etl_pipeline_sam_gov_spark.operators.dedup import doc_shingles
-
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     sh = doc_shingles(docs)
     is_eval = F.col("doc_id") % EVAL_EVERY == 0

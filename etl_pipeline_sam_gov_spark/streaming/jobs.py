@@ -127,8 +127,11 @@ def run_to_memory(
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     provider = _STATE_PROVIDERS.get(os.environ.get("SPARK_GRAFT_STATE_STORE", ""))
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = None
     if provider:
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+        prev_provider = spark.conf.get(_PROVIDER_KEY, None)
+        spark.conf.set(_PROVIDER_KEY, provider)
     name = f"stream_out_{next(_counter)}"
     try:
         q = (
@@ -146,6 +149,11 @@ def run_to_memory(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if provider:  # scope the provider to this query like the partitions
+            if prev_provider is None:
+                spark.conf.unset(_PROVIDER_KEY)
+            else:
+                spark.conf.set(_PROVIDER_KEY, prev_provider)
     return spark.table(name)
 
 

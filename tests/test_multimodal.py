@@ -101,3 +101,16 @@ def test_frame_sample_checksums_match_local_computation(spark, sf_dir):
             assert row["frame_checksum"] == sum(frame) % 1_000_000_007
             checked += 1
     assert checked > 20
+
+
+def test_decode_media_rejects_truncated_payloads():
+    """A payload cut mid-header must raise (quarantine), never return
+    fabricated fields from short byte slices."""
+    bmp = make_bmp(10, 10, seed=1)
+    wav = make_wav(22050, 2, 50, seed=1)
+    for cut in (bmp[:2], bmp[:26], bmp[:53], wav[:12], wav[:20], wav[:27]):
+        with pytest.raises(ValueError):
+            decode_media(cut)
+    # the minimal complete headers still parse
+    assert decode_media(bmp[:54])["width"] == 10
+    assert decode_media(wav[:36])["sample_rate"] == 22050

@@ -111,10 +111,12 @@ def test_rocksdb_state_store_gives_identical_results(spark, monkeypatch):
     sf = "/root/testdata/sf0.001"
     baseline = sorted(map(tuple, stream_stateful_user_totals(spark, sf).collect()))
     monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "rocksdb")
-    try:
-        rocks = sorted(map(tuple, stream_stateful_user_totals(spark, sf).collect()))
-    finally:
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    rocks = sorted(map(tuple, stream_stateful_user_totals(spark, sf).collect()))
+    # run_to_memory scopes the provider conf to the query; the session
+    # must come back on the default provider afterwards
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None) is None
+    )
     assert rocks == baseline and len(rocks) > 0
 
 
