@@ -451,3 +451,36 @@ def fn_collation_ci_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.collate("lang_cased", "UTF8_LCASE")).alias("n_ci"),
         )
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+SELECT doc_id,
+       'docs-' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' AS host,
+       '/corpus/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+       'rev=' || CAST(doc_id % 7 AS VARCHAR) AS query,
+       CAST(doc_id % 7 AS VARCHAR) AS rev
+FROM documents
+""",
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition via ``parse_url`` (HOST/PATH/QUERY and keyed
+    query-parameter extraction) over deterministically synthesized URLs
+    — the web-corpus provenance-parsing primitive. DuckDB has no
+    parse_url, so the oracle re-derives each component from the
+    generating row (derivation-oracle pattern)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    url = F.concat(
+        F.lit("https://docs-"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.org/corpus/"), F.col("lang"),
+        F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?rev="), (F.col("doc_id") % 7).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("rev")).alias("rev"),
+    )

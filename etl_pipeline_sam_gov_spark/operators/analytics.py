@@ -373,3 +373,43 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead(ts_us).over(w).isNull().alias("is_current"),
         F.round("value", 6).alias("value"),
     )
+
+
+@query(
+    "agg_time_weighted_value",
+    oracle="""
+WITH o AS (
+  SELECT user_id, value, epoch_us(ts) AS ts_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS nxt_us
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       round(SUM(value * (nxt_us - ts_us)) / SUM(nxt_us - ts_us), 6)
+           AS twa_value,
+       round(AVG(value), 6) AS plain_avg
+FROM o
+WHERE nxt_us IS NOT NULL
+GROUP BY user_id
+""",
+)
+def agg_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average — the correct mean for irregularly-sampled
+    measurements (sensor readings, account balances, price marks):
+    each value holds until the next observation, weighted by its
+    holding duration. The plain average is emitted alongside as the
+    comparison every monitoring system eventually learns to stop
+    using. One timeline shuffle + lead + grouped sums."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    o = ev.select(
+        "user_id", "value", ts_us.alias("ts_us"), F.lead(ts_us).over(w).alias("nxt_us")
+    ).filter(F.col("nxt_us").isNotNull())
+    dur = F.col("nxt_us") - F.col("ts_us")
+    return o.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(F.sum(F.col("value") * dur) / F.sum(dur), 6).alias("twa_value"),
+        F.round(F.avg("value"), 6).alias("plain_avg"),
+    )

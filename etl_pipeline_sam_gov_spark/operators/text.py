@@ -566,3 +566,43 @@ def text_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFra
             (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+@query(
+    "text_token_entropy",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+),
+c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       round(ln(CAST(SUM(c) AS DOUBLE))
+             - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c), 6) AS token_entropy
+FROM c
+GROUP BY doc_id
+""",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each doc's token distribution — the
+    gibberish/boilerplate signal quality filters threshold on (low
+    entropy ⇒ repeated tokens; high ⇒ diverse text). Uses the one-pass
+    identity H = ln(n) − Σc·ln(c)/n so the plan is explode → one
+    partial-combined count → one per-doc aggregate, no per-token
+    probability materialization. round(6) absorbs cross-engine libm
+    last-ulp differences (the repo-wide transcendental convention)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    counts = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.log(n.cast("double")) - F.sum(F.col("c") * F.log("c")) / n, 6
+        ).alias("token_entropy"),
+    )
