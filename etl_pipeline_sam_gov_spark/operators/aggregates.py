@@ -504,3 +504,83 @@ def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99_group"),
         F.round(F.max("n") / avg, 6).alias("skew_ratio"),
     )
+
+
+@query(
+    "agg_sketch_merge_rollup",
+    oracle="""
+WITH per_flag AS (
+  SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS d
+  FROM lineitem GROUP BY l_returnflag
+),
+total AS (SELECT COUNT(DISTINCT l_orderkey) AS d FROM lineitem)
+SELECT CAST((SELECT COUNT(*) FROM per_flag) AS BIGINT) AS n_groups,
+       (SELECT d FROM total) AS exact_total_distinct,
+       TRUE AS merged_within_bound
+""",
+)
+def agg_sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches HLL, Spark 4): build
+    one HLL sketch per group, then UNION the binary sketches and
+    estimate the combined distinct count — the pre-aggregation pattern
+    that makes distinct counts feasible at 100 TB (daily sketch tables
+    a few KB each, any date-range distinct answered by unioning
+    sketches, never rescanning events). The estimate is validated
+    against the exact distinct via an oracle-pinned error-bound
+    boolean (HLL lgK=12 → ~2.4% within the 3-sigma band; 5% bound
+    used), same technique as agg_approx_sketches."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    sketches = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk")
+    )
+    merged = sketches.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+    )
+    exact = li.agg(F.count_distinct("l_orderkey").alias("exact_total_distinct"))
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_groups",
+        "exact_total_distinct",
+        (
+            F.abs(F.col("merged_est") - F.col("exact_total_distinct"))
+            <= F.col("exact_total_distinct") * 0.05
+        ).alias("merged_within_bound"),
+    )
+
+
+HIST_BINS = 8
+HIST_LO, HIST_HI = 0.0, 80_000.0  # o_totalprice domain at every sf
+
+
+@query(
+    "agg_histogram_prices",
+    oracle=f"""
+SELECT CAST(CASE WHEN o_totalprice < {HIST_LO} THEN 0
+            WHEN o_totalprice >= {HIST_HI} THEN {HIST_BINS} + 1
+            ELSE FLOOR((o_totalprice - {HIST_LO})
+                       / (({HIST_HI} - {HIST_LO}) / {HIST_BINS})) + 1
+       END AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       round(MIN(o_totalprice), 2) AS lo,
+       round(MAX(o_totalprice), 2) AS hi
+FROM orders
+GROUP BY 1
+""",
+)
+def agg_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via ``width_bucket`` — the dashboarding /
+    data-profiling primitive: one scan, one partial-combined aggregate
+    on at most bins+2 keys (under/overflow buckets included), so the
+    shuffle is constant-size at any corpus scale. The oracle models
+    width_bucket with explicit floor arithmetic (DuckDB lacks the
+    function); bucket boundaries are exact doubles so both engines
+    bin identically."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    bucket = F.expr(
+        f"width_bucket(o_totalprice, {HIST_LO}, {HIST_HI}, {HIST_BINS})"
+    ).cast("bigint")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
