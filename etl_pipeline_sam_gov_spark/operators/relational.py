@@ -545,3 +545,43 @@ FROM walk
 GROUP BY doc_id
 """
     )
+
+
+#: Shared verbatim by the Spark query AND the DuckDB oracle — the infix
+#: bit operators parse identically in both engines, so the Morton-code
+#: arithmetic has a single source of truth.
+_ZORDER_SQL = """
+WITH pts AS (
+  SELECT o_orderkey, o_custkey % 65536 AS x, o_orderkey % 65536 AS y
+  FROM orders
+),
+a AS (SELECT o_orderkey, x, y,
+             (x | (x << 8)) & 16711935 AS xs,
+             (y | (y << 8)) & 16711935 AS ys FROM pts),
+b AS (SELECT o_orderkey, x, y,
+             (xs | (xs << 4)) & 252645135 AS xs,
+             (ys | (ys << 4)) & 252645135 AS ys FROM a),
+c AS (SELECT o_orderkey, x, y,
+             (xs | (xs << 2)) & 858993459 AS xs,
+             (ys | (ys << 2)) & 858993459 AS ys FROM b),
+d AS (SELECT o_orderkey, x, y,
+             (xs | (xs << 1)) & 1431655765 AS xs,
+             (ys | (ys << 1)) & 1431655765 AS ys FROM c)
+SELECT o_orderkey, x, y, xs | (ys << 1) AS zkey
+FROM d
+"""
+
+
+@query("fn_zorder_interleave", oracle=_ZORDER_SQL)
+def fn_zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key: interleave the bits of two 16-bit
+    dimensions into one sort key — the multi-dimensional clustering
+    primitive behind Delta/Iceberg Z-ORDER table layout. Writing a
+    table range-partitioned + sorted by zkey co-locates rows that are
+    close in BOTH dimensions, so min-max row-group stats prune scans
+    filtered on either column. Pure integer expressions (the classic
+    4-step shift-mask bit spread), staged through CTEs so no
+    subexpression is textually duplicated; the SQL runs verbatim on
+    both engines."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_ZORDER_SQL)

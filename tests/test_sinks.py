@@ -122,3 +122,31 @@ def test_snapshot_sink_through_qualified_path_scheme(
         scheme + os.path.join(str(tmp_path), "csv_scheme")
     )
     assert back.count() == 4
+
+
+def test_merge_schema_reads_evolving_snapshots(spark, sf_dir, tmp_path):
+    """Schema evolution at the storage seam: a later snapshot adds a
+    column; mergeSchema=true reads the union schema with NULLs for the
+    old files — the ingest contract that lets a 100 TB table evolve
+    without rewriting history."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_sam_gov_spark.tables import load_tables
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    out = str(tmp_path / "evolving")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.substring("o_orderpriority", 1, 1).alias("priority_band"),
+    )
+    v1.write.mode("append").parquet(out)
+    v2.write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"o_orderkey", "o_totalprice", "priority_band"}
+    n_total = orders.count()
+    assert merged.count() == n_total
+    # old-snapshot rows surface the new column as NULL
+    n_old = merged.filter(F.col("priority_band").isNull()).count()
+    assert n_old == v1.count() > 0
