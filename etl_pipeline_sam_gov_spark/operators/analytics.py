@@ -413,3 +413,42 @@ def agg_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value") * dur) / F.sum(dur), 6).alias("twa_value"),
         F.round(F.avg("value"), 6).alias("plain_avg"),
     )
+
+
+@query(
+    "window_session_batch",
+    oracle=f"""
+WITH {_SQL_NUMBERED.strip()}
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us,
+       COUNT(*) AS n_events,
+       round(SUM(value), 6) AS session_value
+FROM numbered
+GROUP BY user_id, session_seq
+""",
+)
+def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN ``session_window`` in batch mode, validated
+    against the lag/running-sum sessionization oracle — a three-way
+    agreement (built-in operator ≡ manual construction ≡ DuckDB) that
+    pins the gap semantics (strict >, measured and pinned in round 2)
+    across all implementations. session_window's struct end is
+    last_event + gap, so the emitted end subtracts the gap back to the
+    last event time for comparability."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    gap_us = SESSION_GAP_S * 1_000_000
+    agg = ev.groupBy(
+        F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("session_value"),
+        F.min(F.unix_micros("ts")).alias("first_us"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("first_us").alias("session_start_us"),
+        (F.unix_micros("w.end") - gap_us).alias("session_end_us"),
+        "n_events",
+        "session_value",
+    )
