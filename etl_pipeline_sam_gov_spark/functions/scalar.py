@@ -484,3 +484,43 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("rev")).alias("rev"),
     )
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 5 = 0 THEN NULL
+            ELSE round(o_totalprice / (o_orderkey % 5), 6) END AS safe_div,
+       CAST(CASE WHEN o_orderkey % 2 = 1 THEN NULL
+            ELSE -2147483648 END AS INTEGER) AS safe_sub,
+       CASE WHEN o_orderkey % 3 = 0 THEN NULL
+            ELSE CAST(o_orderkey AS DECIMAL(9,0)) END AS safe_cast
+FROM orders
+""",
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic via the ``try_*`` function family —
+    division by zero, integer overflow, and lossy casts return NULL
+    instead of failing the job. At 100 TB a single poisoned row
+    aborting a 6-hour job is the difference between these and their
+    unchecked twins; the NULLs then flow to a quarantine filter (the
+    multimodal_quarantine pattern) instead of a stack trace. The
+    oracle predicts each NULL from the generating arithmetic: mod-5
+    zero denominators, mod-2-driven INT_MIN - 1 overflow, and a
+    mod-3-gated string that fails numeric parsing."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), (k % 5).cast("double")), 6
+        ).alias("safe_div"),
+        F.try_subtract(
+            F.lit(-2147483648).cast("int"), (k % 2).cast("int")
+        ).alias("safe_sub"),
+        F.try_to_number(
+            F.when(k % 3 == 0, F.lit("oops")).otherwise(k.cast("string")),
+            F.lit("999999999"),
+        ).alias("safe_cast"),
+    )

@@ -584,3 +584,55 @@ def agg_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@query(
+    "agg_mad_outliers",
+    oracle="""
+WITH med AS (SELECT user_id, median(value) AS med FROM events GROUP BY user_id),
+dev AS (
+  SELECT e.user_id, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (user_id)
+),
+mad AS (SELECT user_id, median(adev) AS mad FROM dev GROUP BY user_id)
+SELECT d.user_id,
+       COUNT(*) AS n_events,
+       round(MIN(d.med), 6) AS med,
+       round(MIN(m.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN round(d.adev - 3 * m.mad, 6) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (user_id)
+GROUP BY d.user_id
+""",
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier detection via Median Absolute Deviation
+    — the data-profiling / anomaly-gate primitive that, unlike
+    z-scores, a single corrupted value cannot skew. Three grouped
+    passes (median → MAD → flag count), every one keyed on user_id, so
+    each reshuffle re-uses the same hash partitioning and the per-group
+    state is two scalars — no per-user value materialization beyond
+    the scan. Both engines interpolate even-count medians identically
+    ((a+b)/2 in IEEE double); the outlier comparison goes through the
+    repo's round(6) convention so a last-ulp difference in 3*mad can't
+    flip a flag."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "user_id", "value"
+    )
+    med = ev.groupBy("user_id").agg(F.median("value").alias("med"))
+    dev = ev.join(med, "user_id").select(
+        "user_id", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("user_id").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                (F.round(F.col("adev") - 3 * F.col("mad"), 6) > 0).cast("int")
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )

@@ -318,3 +318,43 @@ def curated_split_docs(docs: DataFrame) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+#: Stratified per-mille keep rates: downsample the over-represented
+#: majority language, keep the tails at a higher rate (the
+#: language-rebalancing step of corpus mixing; cf. the temperature
+#: sampling in multilingual corpus recipes).
+STRAT_RATES = {"en": 250, "es": 800, "fr": 800, "de": 800, "zh": 800}
+
+
+@query(
+    "curate_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang, source,
+       CAST({_sql_hash60("'strat|' || doc_id")} % 1000 AS INT) AS bucket
+FROM documents
+WHERE {_sql_hash60("'strat|' || doc_id")} % 1000 <
+      CASE lang WHEN 'en' THEN {STRAT_RATES['en']} ELSE 800 END
+""",
+)
+def curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: each language stratum keeps a
+    different fraction, decided by an md5-derived per-row bucket — the
+    distribution-rebalancing step between dedup and training. Unlike
+    ``df.sampleBy`` (seeded Bernoulli whose outcome depends on
+    partition layout), the hash-bucket rule is a pure per-row predicate:
+    reproducible across engines, runs, cluster sizes, and retries, and
+    it pushes down into the scan as a filter — sampling 100 TB costs
+    one narrow pass and shuffles nothing."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bucket = (
+        _spark_hash60(F.concat(F.lit("strat|"), F.col("doc_id").cast("string")))
+        % 1000
+    )
+    rate = F.when(F.col("lang") == "en", STRAT_RATES["en"]).otherwise(800)
+    return (
+        docs.select(
+            "doc_id", "lang", "source", bucket.cast("int").alias("bucket")
+        )
+        .filter(F.col("bucket") < rate)
+    )

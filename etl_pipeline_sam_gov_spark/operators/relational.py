@@ -585,3 +585,31 @@ def fn_zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines."""
     load_tables(spark, sf_dir, ("orders",))
     return spark.sql(_ZORDER_SQL)
+
+
+#: Shared verbatim by Spark and the DuckDB oracle — comma-LATERAL with
+#: correlated ORDER BY + LIMIT parses identically in both engines.
+_LATERAL_TOPK_SQL = """
+SELECT n.n_name, t.o_orderkey, t.o_totalprice
+FROM nation n, LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2
+) AS t
+"""
+
+
+@query("join_lateral_topk_orders", oracle=_LATERAL_TOPK_SQL)
+def join_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (SQL:2016 lateral derived table): for
+    each nation, the top-2 orders of its customers by price — the
+    "top-N per outer row" shape users otherwise hand-roll with window
+    + filter. Catalyst decorrelates the lateral subquery via the
+    DomainJoin rewrite into a join + per-domain-key sort/limit rather
+    than re-executing the inner query per outer row (the RIGHT plan:
+    one shuffle keyed on the correlation key, never N scans of
+    orders). Ties are broken by o_orderkey so both engines pick
+    identical rows. The SQL runs verbatim on both engines."""
+    load_tables(spark, sf_dir, ("nation", "customer", "orders"))
+    return spark.sql(_LATERAL_TOPK_SQL)

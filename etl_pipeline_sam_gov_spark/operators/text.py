@@ -12,7 +12,7 @@ pure map) is what lets these run inline in a 100 TB ingest scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_pipeline_sam_gov_spark.operators.dedup import (
@@ -605,4 +605,201 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.log(n.cast("double")) - F.sum(F.col("c") * F.log("c")) / n, 6
         ).alias("token_entropy"),
+    )
+
+
+@query(
+    "text_repetition_quality",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '\s+')) AS tok,
+         generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+  FROM documents
+),
+c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+freq AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         MAX(c) AS top_count,
+         SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_single
+  FROM c GROUP BY doc_id
+),
+isl AS (
+  SELECT doc_id, tok,
+         pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS g
+  FROM tok
+),
+runs AS (SELECT doc_id, COUNT(*) AS run FROM isl GROUP BY doc_id, tok, g),
+mr AS (SELECT doc_id, CAST(MAX(run) AS INT) AS max_repeat_run FROM runs GROUP BY doc_id)
+SELECT f.doc_id,
+       f.n_tokens,
+       m.max_repeat_run,
+       round(f.top_count::DOUBLE / f.n_tokens, 6) AS top_token_frac,
+       round((f.n_tokens - f.n_single)::DOUBLE / f.n_tokens, 6) AS dup_token_frac,
+       (f.top_count::DOUBLE / f.n_tokens <= 0.11 AND m.max_repeat_run <= 3) AS keep
+FROM freq f JOIN mr m USING (doc_id)
+""",
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1):
+    most-frequent-token fraction, duplicated-token fraction, and the
+    longest run of the SAME token repeated consecutively — the
+    boilerplate/stutter signals LLM corpus filters threshold on.
+
+    Scale shape: everything is computed inside per-row higher-order
+    array expressions (``transform`` adjacency flags folded by
+    ``aggregate`` with a struct accumulator), so the whole filter is a
+    zero-shuffle narrow map over the corpus scan — token counts come
+    from one pass over the SORTED token array (a run of equal adjacent
+    sorted elements IS a token's count), not an explode→groupBy. The
+    oracle derives the identical quantities relationally (explode +
+    gaps-and-islands), so the array-fold arithmetic is cross-checked
+    against a completely different formulation.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = docs.select("doc_id", tokens_col().alias("_toks"))
+    t = F.col("_toks")
+    n = F.size(t)
+
+    def adjacency(arr: Column) -> Column:
+        # flag[i] = 1 iff arr[i] == arr[i-1] (flag[0] = 0); F.get is 0-based.
+        return F.transform(
+            arr,
+            lambda x, i: F.when(i == F.lit(0), F.lit(0)).otherwise(
+                (x == F.get(arr, i - 1)).cast("int")
+            ),
+        )
+
+    def run_fold(flags: Column, finish) -> Column:
+        # Fold adjacency flags into (current run, max run, finished
+        # singleton count). No let-binding inside lambdas, so the
+        # "next run" expression is inlined where referenced twice.
+        return F.aggregate(
+            flags,
+            F.struct(
+                F.lit(0).alias("run"),
+                F.lit(0).alias("maxc"),
+                F.lit(0).alias("single"),
+            ),
+            lambda acc, x: F.struct(
+                F.when(x == 1, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc["maxc"],
+                    F.when(x == 1, acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("maxc"),
+                F.when(
+                    (x == 0) & (acc["run"] == 1), acc["single"] + 1
+                ).otherwise(acc["single"]).alias("single"),
+            ),
+            finish,
+        )
+
+    # Runs over the ORIGINAL order → longest consecutive repetition.
+    max_run = run_fold(adjacency(t), lambda acc: acc["maxc"])
+    # Runs over the SORTED array → per-token counts without a shuffle:
+    # max run = top token count; singleton runs = tokens appearing once.
+    sorted_stats = run_fold(
+        adjacency(F.array_sort(t)),
+        lambda acc: F.struct(
+            acc["maxc"].alias("top"),
+            (
+                acc["single"] + F.when(acc["run"] == 1, 1).otherwise(0)
+            ).alias("single"),
+        ),
+    )
+    out = docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        max_run.alias("max_repeat_run"),
+        sorted_stats.alias("_s"),
+    )
+    top = F.col("_s.top").cast("double")
+    single = F.col("_s.single")
+    nn = F.col("n_tokens")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "max_repeat_run",
+        F.round(top / nn, 6).alias("top_token_frac"),
+        F.round((nn - single).cast("double") / nn, 6).alias("dup_token_frac"),
+        ((top / nn <= 0.11) & (F.col("max_repeat_run") <= 3)).alias("keep"),
+    )
+
+
+@query(
+    "text_tfidf_keywords",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+),
+c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+n AS (SELECT doc_id, SUM(c) AS n FROM c GROUP BY doc_id),
+df AS (SELECT tok, COUNT(*) AS df FROM c GROUP BY tok),
+total AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT c.doc_id, c.tok,
+         round((c.c::DOUBLE / n.n)
+               * ln((total.n_docs + 1)::DOUBLE / (df.df + 1)), 6) AS tfidf
+  FROM c JOIN n USING (doc_id) JOIN df USING (tok) CROSS JOIN total
+),
+ranked AS (
+  SELECT doc_id, tok, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS INT) AS rnk, tok, tfidf
+FROM ranked WHERE rnk <= 3
+""",
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document — the classic relevance
+    ranking / keyword-extraction kernel of a corpus indexing stage.
+
+    Scale shape: term counts are one explode → partial-combined
+    groupBy; per-doc totals ride a window over the SAME (doc_id, tok)
+    shuffle output (partitioned by a prefix of the grouping key, so no
+    second exchange of the big relation); document frequency is an
+    aggregate over the (much smaller) distinct (doc, term) relation and
+    joins back keyed on term; the corpus-size scalar is a broadcast
+    1-row cross join (never a collected literal — the plan stays fully
+    lazy). Ranking orders by the ROUNDED score (the repo's libm
+    convention) with the term as deterministic tie-break, so both
+    engines pick identical keywords.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    counts = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # per-doc token total: window over the grouped relation — already
+    # hash-partitioned by (doc_id, tok), and Spark reuses that exchange
+    # for a window keyed on its prefix only when repartitioned; keep it
+    # simple and let AQE coalesce (the relation is post-aggregation,
+    # i.e. tiny relative to the corpus).
+    n_doc = W.partitionBy("doc_id")
+    df_term = counts.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        counts.withColumn("n", F.sum("c").over(n_doc))
+        .join(F.broadcast(df_term), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                (F.col("c").cast("double") / F.col("n"))
+                * F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "tok", "tfidf")
     )
