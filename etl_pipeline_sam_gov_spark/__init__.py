@@ -32,6 +32,7 @@ from etl_pipeline_sam_gov_spark.operators import (  # noqa: F401
     analytics as _analytics,
     curation as _curation,
     dedup as _dedup,
+    graph as _graph,
     relational as _relational,
     setops as _setops,
     similarity as _similarity,

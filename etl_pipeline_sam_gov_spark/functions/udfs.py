@@ -157,3 +157,140 @@ def udtf_quantity_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return big.lateralJoin(
         Milestones(F.col("o_orderkey").outer(), F.col("o_totalprice").outer())
     ).select(F.col("okey").alias("o_orderkey"), "milestone", "threshold")
+
+
+#: EWMA smoothing factor (y_i = EWMA_ALPHA*x_i + (1-EWMA_ALPHA)*y_{i-1}).
+EWMA_ALPHA = 0.3
+
+
+def _ewma_oracle() -> str:
+    """The oracle replays the recurrence itself via a RECURSIVE CTE,
+    stepping rn -> rn+1 per user with EXACTLY the same three IEEE
+    double operations the Spark-side Python loop performs
+    (a*x, (1-a)*y, add) — so the two engines produce bit-identical
+    doubles and round(6) can never flip on a boundary. (A closed-form
+    reweighting oracle was tried first and differed by ~1e-11, enough
+    to flip the 6th decimal on ~4 rows in 10k.)"""
+    a = EWMA_ALPHA
+    return f"""
+WITH RECURSIVE seq AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+rec AS (
+  SELECT event_id, user_id, value, rn, value AS y FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_id, s.user_id, s.value, s.rn, {a} * s.value + {1 - a} * r.y
+  FROM seq s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT event_id, user_id, value, round(y, 6) AS ewma FROM rec
+"""
+
+
+@query("udf_ewma_user_values", oracle=_ewma_oracle())
+def udf_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average over the event
+    timeline — the smoothing/trend kernel of metric pipelines, and the
+    canonical *sequentially-recursive* per-group computation that no
+    built-in window frame expresses (each output depends on the whole
+    prefix through a recurrence). applyInPandas is the sanctioned
+    escape: each user's history arrives as one Arrow-backed DataFrame,
+    is sorted (Spark guarantees no intra-group order), and smoothed by
+    pandas' C-implemented ewm kernel. The DuckDB oracle evaluates the
+    same recurrence through its closed form — a completely different
+    formulation, so the Python path is checked against real math, not
+    itself. Scale: one shuffle keyed on user_id; per-task memory is one
+    user's history (bounded), and skewed users would shard via the
+    salted-prefix pattern of agg_salted_heavy_hitters."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        # explicit loop, NOT pandas .ewm(): the oracle replays the same
+        # recurrence op-for-op, and .ewm()'s weighted-average form
+        # (numerator/denominator tracking) differs in the last ulp
+        a = EWMA_ALPHA
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ys, y = [], None
+        for x in pdf["value"].tolist():
+            y = x if y is None else a * x + (1 - a) * y
+            ys.append(y)
+        out = pdf[["event_id", "user_id", "value"]].copy()
+        out["ewma"] = ys
+        return out
+
+    smoothed = (
+        ev.select("event_id", "user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            smooth,
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("value", T.DoubleType()),
+                    T.StructField("ewma", T.DoubleType()),
+                ]
+            ),
+        )
+    )
+    return smoothed.select(
+        "event_id", "user_id", "value", F.round("ewma", 6).alias("ewma")
+    )
+
+
+@query(
+    "udf_arrow_batch_pricing",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS net_price
+FROM lineitem
+WHERE l_linestatus = 'F'
+""",
+)
+def udf_arrow_batch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy batch API below mapInPandas — the
+    Arrow RecordBatch arrives as-is (no pandas conversion, no index
+    materialization), which is the right surface for kernels that are
+    already columnar (pyarrow.compute, numpy over buffers, or handing
+    batches to a native library). The kernel computes net price in
+    Arrow compute; the engine-visible filter stays a Catalyst
+    predicate ABOVE the scan so pushdown still happens, and the final
+    rounding uses Spark's round (HALF_UP) so the cross-engine rounding
+    convention stays in one place."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+
+    def price_batches(batches):
+        for b in batches:
+            net = pc.multiply(
+                pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                ),
+                pc.add(pa.scalar(1.0), b.column("l_tax")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), net],
+                ["l_orderkey", "l_linenumber", "net_raw"],
+            )
+
+    priced = (
+        li.filter(F.col("l_linestatus") == "F")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax")
+        .mapInArrow(
+            price_batches,
+            T.StructType(
+                [
+                    T.StructField("l_orderkey", T.LongType()),
+                    T.StructField("l_linenumber", T.IntegerType()),
+                    T.StructField("net_raw", T.DoubleType()),
+                ]
+            ),
+        )
+    )
+    return priced.select(
+        "l_orderkey", "l_linenumber", F.round("net_raw", 6).alias("net_price")
+    )
