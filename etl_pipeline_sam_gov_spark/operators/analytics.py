@@ -452,3 +452,249 @@ def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "session_value",
     )
+
+
+@query(
+    "cohort_retention_daily",
+    oracle="""
+WITH ue AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+firsts AS (SELECT user_id, MIN(day) AS cohort_day FROM ue GROUP BY user_id),
+act AS (
+  SELECT f.cohort_day,
+         CAST(ue.day - f.cohort_day AS INT) AS day_offset,
+         COUNT(DISTINCT ue.user_id) AS n_users
+  FROM ue JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       day_offset,
+       n_users,
+       round(n_users::DOUBLE /
+             first_value(n_users) OVER (PARTITION BY cohort_day ORDER BY day_offset),
+             6) AS retention
+FROM act
+""",
+)
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: bucket users by first-seen day, then count how
+    many of each cohort return k days later — the canonical product-
+    analytics rollup. Every stage is keyed aggregation (distinct
+    user-days → per-user min → per-(cohort, offset) distinct count);
+    the normalizing cohort size rides a window over the tiny
+    (cohort × offset) result, not the event log. Day bucketing is
+    timezone-proof: the session is pinned UTC so to_date matches
+    DuckDB's naive date_trunc."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ue = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    firsts = ue.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = (
+        ue.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+    w = W.partitionBy("cohort_day").orderBy("day_offset")
+    return act.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.first("n_users").over(w), 6
+        ).alias("retention"),
+    )
+
+
+def _corr_sql(x: str, y: str) -> str:
+    """Pearson correlation from exact decimal sums, evaluated in double
+    with ONE shared expression shape (see agg_corr_matrix docstring)."""
+    n = "CAST(n AS DOUBLE)"
+    return (
+        f"round(({n} * CAST(s_{x}{y} AS DOUBLE)"
+        f" - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+        f" / (sqrt({n} * CAST(s_{x}{x} AS DOUBLE)"
+        f" - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
+        f" * sqrt({n} * CAST(s_{y}{y} AS DOUBLE)"
+        f" - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))), 6)"
+    )
+
+
+_CORR_SUMS_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s_q,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_p,
+       SUM(CAST(l_discount AS DECIMAL(18,2))) AS s_d,
+       SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS s_qq,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS s_pp,
+       SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS s_dd,
+       SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS s_qp,
+       SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS s_qd,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS s_pd
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "agg_corr_matrix",
+    oracle=f"""
+WITH sums AS ({_CORR_SUMS_SQL})
+SELECT l_returnflag,
+       n,
+       {_corr_sql('q', 'p')} AS corr_qty_price,
+       {_corr_sql('q', 'd')} AS corr_qty_disc,
+       {_corr_sql('p', 'd')} AS corr_price_disc
+FROM sums
+""",
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix per return flag — the
+    feature-profiling primitive. NOT computed with the builtin corr():
+    a float corr is a sum whose value depends on accumulation order,
+    which differs between engines (and between partition counts). Here
+    every moment (Σx, Σx², Σxy) is summed as EXACT decimal (the
+    fixture's 2-decimal values are exactly representable), so the
+    shuffled partial aggregation is order-independent, and only the
+    final closed-form division happens in double — identical inputs,
+    identical expression tree, bit-identical result on both engines.
+    One pass, map-side combined, 10 running decimals per group."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        f"""
+WITH sums AS ({_CORR_SUMS_SQL})
+SELECT l_returnflag,
+       n,
+       {_corr_sql('q', 'p')} AS corr_qty_price,
+       {_corr_sql('q', 'd')} AS corr_qty_disc,
+       {_corr_sql('p', 'd')} AS corr_price_disc
+FROM sums
+"""
+    )
+
+
+#: Resample grid step: 1 hour in microseconds.
+GRID_STEP_US = 3_600_000_000
+
+
+@query(
+    "resample_interpolate_hourly",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+),
+bounds AS (
+  SELECT user_id,
+         (MIN(ts_us) // {GRID_STEP_US}) * {GRID_STEP_US} AS start_us,
+         MAX(ts_us) AS end_us
+  FROM ev GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(start_us, end_us, {GRID_STEP_US})) AS t_us
+  FROM bounds
+),
+merged AS (
+  SELECT user_id, ts_us AS t_us, 0 AS is_grid, ts_us AS ev_ts, value FROM ev
+  UNION ALL
+  SELECT user_id, t_us, 1 AS is_grid, NULL, NULL FROM grid
+),
+walled AS (
+  SELECT user_id, t_us, is_grid,
+         last_value(ev_ts IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY t_us, is_grid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         last_value(value IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY t_us, is_grid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+         first_value(ev_ts IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY t_us, is_grid
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn,
+         first_value(value IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY t_us, is_grid
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn
+  FROM merged
+)
+SELECT user_id, t_us,
+       round(CASE
+         WHEN tp IS NULL THEN vn
+         WHEN tn IS NULL OR tn = tp THEN vp
+         ELSE vp + (vn - vp) * (CAST(t_us - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE))
+       END, 6) AS value_interp
+FROM walled
+WHERE is_grid = 1
+""",
+)
+def resample_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: per user, an hourly grid spanning their
+    event history, with linearly interpolated values between the
+    neighboring raw events — the gap-filling / alignment primitive
+    that turns irregular event streams into model-ready fixed-step
+    series. The neighbor search is NOT a join: grid points and events
+    union into one relation and a last/first IGNORE NULLS window walks
+    the merged timeline — one shuffle keyed on user_id, each task a
+    single sorted merge (the distributed equivalent of pandas
+    merge_asof both directions at once). Grid timestamps are exact
+    integer microsecond arithmetic; the lerp is one shared double
+    expression so both engines bit-agree."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    bounds = ev.groupBy("user_id").agg(
+        (F.floor(F.min("ts_us") / GRID_STEP_US) * GRID_STEP_US).alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("start_us", "end_us", F.lit(GRID_STEP_US))
+        ).alias("t_us"),
+    )
+    merged = ev.select(
+        "user_id",
+        F.col("ts_us").alias("t_us"),
+        F.lit(0).alias("is_grid"),
+        F.col("ts_us").alias("ev_ts"),
+        "value",
+    ).unionAll(
+        grid.select(
+            "user_id",
+            "t_us",
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("bigint").alias("ev_ts"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    w_back = (
+        W.partitionBy("user_id")
+        .orderBy("t_us", "is_grid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy("t_us", "is_grid")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    walled = merged.select(
+        "user_id",
+        "t_us",
+        "is_grid",
+        F.last("ev_ts", ignorenulls=True).over(w_back).alias("tp"),
+        F.last("value", ignorenulls=True).over(w_back).alias("vp"),
+        F.first("ev_ts", ignorenulls=True).over(w_fwd).alias("tn"),
+        F.first("value", ignorenulls=True).over(w_fwd).alias("vn"),
+    )
+    tp, vp, tn, vn = (F.col(c) for c in ("tp", "vp", "tn", "vn"))
+    t = F.col("t_us")
+    lerp = (
+        F.when(tp.isNull(), vn)
+        .when(tn.isNull() | (tn == tp), vp)
+        .otherwise(
+            vp + (vn - vp) * ((t - tp).cast("double") / (tn - tp).cast("double"))
+        )
+    )
+    return walled.filter(F.col("is_grid") == 1).select(
+        "user_id", "t_us", F.round(lerp, 6).alias("value_interp")
+    )
