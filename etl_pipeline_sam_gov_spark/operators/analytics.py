@@ -698,3 +698,43 @@ def resample_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walled.filter(F.col("is_grid") == 1).select(
         "user_id", "t_us", F.round(lerp, 6).alias("value_interp")
     )
+
+
+#: Point-in-time for the SCD2 as-of reconstruction:
+#: 2024-01-15T12:00:00Z in epoch microseconds.
+SCD2_AS_OF_US = 1_705_320_000_000_000
+
+
+@query(
+    "scd2_as_of_snapshot",
+    oracle=f"""
+WITH hist AS (
+  SELECT user_id,
+         CAST(row_number() OVER w AS BIGINT) AS version,
+         epoch_us(ts) AS valid_from_us,
+         lead(epoch_us(ts)) OVER w AS valid_to_us,
+         round(value, 6) AS value
+  FROM events
+  WHERE event_type = 'signup'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, version, valid_from_us, value
+FROM hist
+WHERE valid_from_us <= {SCD2_AS_OF_US}
+  AND (valid_to_us IS NULL OR valid_to_us > {SCD2_AS_OF_US})
+""",
+)
+def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction over the SCD2 history — "the table
+    as of T" (time travel over a CDC-built dimension): exactly the
+    version row whose [valid_from, valid_to) interval contains T.
+    Composes the scd2_user_value_history build (same windowed
+    versioning, provably, since this oracle embeds that oracle's CTE)
+    with a pure validity-interval filter — at scale the filter prunes
+    on the history table's valid_from partitioning, so "as of" reads
+    touch only segments overlapping T."""
+    hist = scd2_user_value_history(spark, sf_dir)
+    return hist.filter(
+        (F.col("valid_from_us") <= SCD2_AS_OF_US)
+        & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > SCD2_AS_OF_US))
+    ).select("user_id", "version", "valid_from_us", "value")
