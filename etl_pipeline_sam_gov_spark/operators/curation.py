@@ -67,19 +67,22 @@ def packed_prev_tokens(
     spark = toks.sparkSession
     if n_parts is None:
         n_parts = spark.sparkContext.defaultParallelism
+    # Bound the cache: repeated invocations (bench loops, amplification
+    # sweeps) would otherwise pin every past run's projection in storage
+    # memory forever. One slot per (session, grouping): the previous
+    # same-shape relation is released when a new one is built. Release
+    # BEFORE persisting: CacheManager matches entries by logical-plan
+    # equality, and same-args invocations build identical plans — an
+    # unpersist after the new persist would evict the new entry too.
+    slot = (id(spark), tuple(group_cols))
+    prev = _PACK_CACHE.pop(slot, None)
+    if prev is not None:
+        prev.unpersist()
     stamped = (
         toks.repartitionByRange(n_parts, *group_cols, "doc_id")
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    # Bound the cache: repeated invocations (bench loops, amplification
-    # sweeps) would otherwise pin every past run's projection in storage
-    # memory forever. One slot per (session, grouping): the previous
-    # same-shape relation is released when a new one is built.
-    slot = (id(spark), tuple(group_cols))
-    prev = _PACK_CACHE.get(slot)
-    if prev is not None:
-        prev.unpersist()
     _PACK_CACHE[slot] = stamped
     subtot = stamped.groupBy("_pid", *group_cols).agg(F.sum("n_tokens").alias("_sub"))
     w_off = (

@@ -102,17 +102,21 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Release the previous invocation's cache slot BEFORE persisting the
+    # new relations: CacheManager matches entries by logical-plan
+    # equality, and repeated invocations build identical plans — an
+    # unpersist AFTER the new persist would evict the new entry too.
+    slot = id(spark)
+    prev = _EDGE_CACHE.pop(slot, None)
+    if prev is not None:
+        for df in prev:
+            df.unpersist()
     edges = (
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
         .union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    slot = id(spark)
-    prev = _EDGE_CACHE.get(slot)
-    if prev is not None:
-        for df in prev:
-            df.unpersist()
     _EDGE_CACHE[slot] = (edges, deg)
 
     nodes = edges.select(F.col("src").alias("node")).distinct()

@@ -345,3 +345,40 @@ def test_top_bigrams_single_shuffle_topk(spark, sf_dir):
     s = plan(eng.QUERIES["text_top_bigrams"](spark, sf_dir))
     assert "TakeOrderedAndProject" in s
     assert s.count("Exchange") == 1
+
+
+def test_repetition_and_stratified_sample_are_shuffle_free(spark, sf_dir):
+    """The Gopher-style repetition filters and the hash-bucket
+    stratified sample are pure per-row expressions — a shuffle
+    anywhere in either plan means the array-fold/bucket rewrite
+    regressed to explode+groupBy."""
+    for name in ("text_repetition_quality", "curate_stratified_sample"):
+        s = plan(eng.QUERIES[name](spark, sf_dir))
+        assert "Exchange" not in s, f"{name} grew a shuffle"
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The correlated LATERAL top-N must decorrelate into a per-key
+    WindowGroupLimit (partial before the shuffle, final after) — never
+    a nested-loop re-execution of the inner query per outer row."""
+    s = plan(eng.QUERIES["join_lateral_topk_orders"](spark, sf_dir))
+    assert "WindowGroupLimit" in s
+    assert "CartesianProduct" not in s
+
+
+def test_pagerank_iterations_reuse_cached_edges(spark, sf_dir):
+    """Every PageRank iteration must read the persisted edge/degree
+    relations (InMemoryTableScan), not re-derive them from the join of
+    lineitem and orders — at scale, re-deriving means re-shuffling the
+    fact table once per iteration."""
+    from etl_pipeline_sam_gov_spark.operators.graph import PR_ITERS
+
+    s = plan(eng.QUERIES["graph_pagerank_bipartite"](spark, sf_dir))
+    assert s.count("InMemoryTableScan") >= 2 * PR_ITERS
+
+
+def test_tfidf_broadcasts_document_frequency(spark, sf_dir):
+    """The term→df relation is vocabulary-sized, far smaller than the
+    (doc, term) counts — it must broadcast, never shuffle the counts."""
+    s = plan(eng.QUERIES["text_tfidf_keywords"](spark, sf_dir))
+    assert "BroadcastHashJoin" in s
