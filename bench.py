@@ -48,6 +48,8 @@ HEADLINE = [
     "merge_incremental_upsert",  # full-outer MERGE upsert
     "text_redact_pii",  # regex cleaning map (zero-shuffle scan stage)
     "multimodal_features",  # Arrow-batched mapInPandas decode kernel
+    "graph_pagerank_bipartite",  # iterative join rounds over cached edges
+    "resample_interpolate_hourly",  # merged-timeline gap-fill windows
 ]
 
 

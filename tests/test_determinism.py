@@ -21,6 +21,10 @@ REPRESENTATIVE = [
     "ann_ivf_topk",              # vector math + rank windows
     "merge_incremental_upsert",  # full-outer upsert
     "pipeline_training_corpus",  # running sums over hash-sampled rows
+    "agg_corr_matrix",           # moments as exact decimals, double finish
+    "graph_pagerank_bipartite",  # iterative float sums under round(8)
+    "text_repetition_quality",   # per-row array folds (trivially invariant)
+    "resample_interpolate_hourly",  # merged-timeline windows + float lerp
 ]
 
 
