@@ -184,7 +184,9 @@ rec AS (
   SELECT s.event_id, s.user_id, s.value, s.rn, {a} * s.value + {1 - a} * r.y
   FROM seq s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1
 )
-SELECT event_id, user_id, value, round(y, 6) AS ewma FROM rec
+SELECT event_id, user_id, value,
+       CAST(CAST(CAST(y AS VARCHAR) AS DECIMAL(18,6)) AS DOUBLE) AS ewma
+FROM rec
 """
 
 

@@ -212,3 +212,56 @@ def test_decode_never_misparses_garbage(prefix):
         return  # legitimately parseable-looking; out of scope here
     with _pytest.raises(ValueError):
         decode_media(prefix)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "aa", "x"]), min_size=1, max_size=30
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_repetition_folds_match_python_model(docs, spark):
+    """The zero-shuffle array folds of text_repetition_quality (max
+    adjacent run on the raw array; top count + singleton count via runs
+    on the sorted array) must agree with a direct Python model for ANY
+    token sequence — hypothesis hunts the fold's edge cases (all-equal
+    docs, single token, alternations) that the fixtures may miss."""
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from etl_pipeline_sam_gov_spark.operators.text import text_repetition_quality  # noqa: F401  (registration)
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = df.withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")) \
+           .withColumn("n_chars", F.length("text"))
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in __import__("etl_pipeline_sam_gov_spark").QUERIES[
+                "text_repetition_quality"
+            ](spark, d).collect()
+        }
+    for i, toks in enumerate(docs):
+        counts = Counter(toks)
+        max_run = 1
+        run = 1
+        for a, b in zip(toks, toks[1:]):
+            run = run + 1 if a == b else 1
+            max_run = max(max_run, run)
+        r = out[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["max_repeat_run"] == max_run, (toks, dict(r.asDict()))
+        top = max(counts.values())
+        singles = sum(1 for c in counts.values() if c == 1)
+        assert abs(r["top_token_frac"] - round(top / len(toks), 6)) < 1e-9
+        assert abs(
+            r["dup_token_frac"] - round((len(toks) - singles) / len(toks), 6)
+        ) < 1e-9
