@@ -33,6 +33,7 @@ from etl_pipeline_sam_gov_spark.operators import (  # noqa: F401
     curation as _curation,
     dedup as _dedup,
     graph as _graph,
+    ml as _ml,
     relational as _relational,
     setops as _setops,
     similarity as _similarity,

@@ -1,0 +1,238 @@
+"""In-engine ML primitives (SURVEY.md §2.12 extensions): Lloyd's
+KMeans over the embedding corpus and closed-form linear regression —
+the "classical ML on the warehouse" surface (feature clustering,
+trend fitting) that large pipelines run between curation and training.
+
+Determinism contract (the hard part of distributed ML): float
+aggregation order is nondeterministic under shuffle, and KMeans'
+argmin makes a last-ulp difference DISCRETE (a point flips cluster).
+Both operators therefore arrange every cross-row sum to be EXACT:
+
+- KMeans quantizes vectors AND the updated centroids to dyadic
+  fixed-point (multiples of 2^-10 — binary-exact doubles), so every
+  distance term and member-sum is exact integer arithmetic scaled by a
+  power of two: any summation order gives the same bits on any engine.
+  (Fixed-point codebooks are standard practice in quantized ANN — the
+  same trick makes the math reproducible, cf. ann_quantize_embeddings.)
+- The regression accumulates its normal-equation moments as exact
+  DECIMALs (the fixture's 2-decimal values are exactly representable),
+  then solves 3x3 Cramer in double — identical inputs, identical
+  expression tree, identical bits (the agg_corr_matrix discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.tables import load_tables
+
+#: cluster count, Lloyd iterations, and the fixed-point scale (2^10).
+KM_K = 4
+KM_ITERS = 2
+KM_SCALE = 1024
+
+
+def _kmeans_oracle() -> str:
+    """KM_ITERS Lloyd rounds unrolled as chained CTEs, fully relational
+    (explode to (id, dim, val) and equi-join on dim) — exactness of the
+    dyadic arithmetic makes the formulation order-independent, so the
+    same relational shape is correct on both engines."""
+    q = f"round(CAST(x AS DOUBLE) * {KM_SCALE}, 0) / {KM_SCALE}"
+    head = f"""
+WITH vecs AS (
+  SELECT vec_id,
+         unnest(list_transform(embedding, x -> {q})) AS val,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, dim, val AS cval
+  FROM vecs
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {KM_K})
+)"""
+    steps = []
+    for i in range(1, KM_ITERS + 1):
+        steps.append(f""",
+d{i} AS (
+  SELECT v.vec_id, c.cid, SUM((v.val - c.cval) * (v.val - c.cval)) AS dist
+  FROM vecs v JOIN c{i - 1} c ON v.dim = c.dim
+  GROUP BY v.vec_id, c.cid
+),
+a{i} AS (
+  SELECT vec_id, cid
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d{i})
+  WHERE rn = 1
+),
+c{i} AS (
+  SELECT a.cid, v.dim,
+         round(SUM(v.val) / COUNT(*) * {KM_SCALE}, 0) / {KM_SCALE} AS cval
+  FROM vecs v JOIN a{i} a ON v.vec_id = a.vec_id
+  GROUP BY a.cid, v.dim
+)"""
+        )
+    tail = f"""
+SELECT c.cid AS cluster,
+       CAST(c.dim AS INT) AS dim,
+       n.n_members,
+       c.cval AS centroid
+FROM c{KM_ITERS} c
+JOIN (SELECT cid, COUNT(*) AS n_members FROM a{KM_ITERS} GROUP BY cid) n
+  ON c.cid = n.cid
+"""
+    return head + "".join(steps) + tail
+
+
+@query("ml_kmeans_embeddings", oracle=_kmeans_oracle())
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's KMeans (k=4, 2 fixed rounds, first-k-by-id init) over
+    the embedding table, emitting each final centroid coordinate plus
+    cluster sizes. All arithmetic is dyadic fixed-point (module
+    docstring), so the distance matrix, the argmin assignment (ties to
+    the lower cluster id), and the member-sums are bit-reproducible
+    under ANY shuffle order or engine. Scale shape per round: one
+    broadcast of the k×dim centroid relation onto the exploded vector
+    table (equi-join on dim), one partial-combined argmin, one
+    partial-combined mean — the corpus shuffles once per round keyed
+    on vec_id, centroids never exceed k×dim rows. (Production KMeans
+    at 100 TB samples for the update; the full-pass update here keeps
+    the oracle exact.)"""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    quant = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * KM_SCALE, 0) / KM_SCALE,
+    )
+    vecs = emb.select(
+        "vec_id", F.posexplode(quant).alias("dim0", "val")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "val")
+
+    init_ids = emb.select("vec_id").orderBy("vec_id").limit(KM_K)
+    c_prev = (
+        vecs.join(F.broadcast(init_ids), "vec_id")
+        .select(
+            (F.dense_rank().over(W.orderBy("vec_id")) - 1)
+            .cast("bigint")
+            .alias("cid"),
+            "dim",
+            F.col("val").alias("cval"),
+        )
+    )
+    assign = None
+    for _ in range(KM_ITERS):
+        dist = (
+            vecs.join(F.broadcast(c_prev), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+                ).alias("dist")
+            )
+        )
+        rn = F.row_number().over(
+            W.partitionBy("vec_id").orderBy("dist", "cid")
+        )
+        assign = dist.withColumn("rn", rn).filter(F.col("rn") == 1).select(
+            "vec_id", "cid"
+        )
+        c_prev = (
+            vecs.join(assign, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(
+                (
+                    F.round(F.sum("val") / F.count(F.lit(1)) * KM_SCALE, 0)
+                    / KM_SCALE
+                ).alias("cval")
+            )
+        )
+    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        c_prev.join(F.broadcast(sizes), "cid")
+        .select(
+            F.col("cid").alias("cluster"),
+            F.col("dim").cast("int").alias("dim"),
+            "n_members",
+            F.col("cval").alias("centroid"),
+        )
+    )
+
+
+#: Shared moment relation for the regression (exact decimal sums).
+_LR_SUMS_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s1,
+       SUM(CAST(l_discount AS DECIMAL(18,2))) AS s2,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+       SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS s11,
+       SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS s12,
+       SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS s22,
+       SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS s1y,
+       SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS s2y
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+def _lr_solve_sql(rnd) -> str:
+    """Cramer's-rule solve of the 3x3 normal equations [n s1 s2; s1 s11
+    s12; s2 s12 s22] [b0 b1 b2]' = [sy s1y s2y]' (first-column cofactor
+    expansions), one shared double expression tree; ``rnd`` wraps each
+    coefficient in that engine's spelling of shortest-repr HALF_UP
+    rounding to 6 decimals (Spark: native round(); DuckDB: the
+    VARCHAR->DECIMAL chain — see udf_ewma_user_values)."""
+    b0 = ("(sy_d*(s11_d*s22_d - s12_d*s12_d)"
+          " - s1y_d*(s1_d*s22_d - s12_d*s2_d)"
+          " + s2y_d*(s1_d*s12_d - s11_d*s2_d)) / det")
+    b1 = ("(n_d*(s1y_d*s22_d - s12_d*s2y_d)"
+          " - s1_d*(sy_d*s22_d - s2_d*s2y_d)"
+          " + s2_d*(sy_d*s12_d - s2_d*s1y_d)) / det")
+    b2 = ("(n_d*(s11_d*s2y_d - s1y_d*s12_d)"
+          " - s1_d*(s1_d*s2y_d - sy_d*s12_d)"
+          " + s2_d*(s1_d*s1y_d - sy_d*s11_d)) / det")
+    return f"""
+SELECT l_returnflag,
+       n,
+       {rnd(b0)} AS beta0,
+       {rnd(b1)} AS beta1,
+       {rnd(b2)} AS beta2
+FROM (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) AS n_d,
+         CAST(s1 AS DOUBLE) AS s1_d,
+         CAST(s2 AS DOUBLE) AS s2_d,
+         CAST(sy AS DOUBLE) AS sy_d,
+         CAST(s11 AS DOUBLE) AS s11_d,
+         CAST(s12 AS DOUBLE) AS s12_d,
+         CAST(s22 AS DOUBLE) AS s22_d,
+         CAST(s1y AS DOUBLE) AS s1y_d,
+         CAST(s2y AS DOUBLE) AS s2y_d,
+         CAST(n AS DOUBLE)*(CAST(s11 AS DOUBLE)*CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE)*CAST(s12 AS DOUBLE))
+         - CAST(s1 AS DOUBLE)*(CAST(s1 AS DOUBLE)*CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE)*CAST(s2 AS DOUBLE))
+         + CAST(s2 AS DOUBLE)*(CAST(s1 AS DOUBLE)*CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE)*CAST(s2 AS DOUBLE)) AS det
+  FROM moments
+) m
+"""
+
+
+@query(
+    "ml_linear_regression_closed_form",
+    oracle=f"""
+WITH moments AS ({_LR_SUMS_SQL})
+{_lr_solve_sql(lambda e: f"CAST(CAST(CAST({e} AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE)")}
+""",
+)
+def ml_linear_regression_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS fit price ~ quantity + discount via the
+    normal equations: moments in one exact-decimal pass (order-proof
+    partial aggregation), then a Cramer's-rule 3x3 solve as one shared
+    double expression. The output coefficients round through Spark's
+    shortest-repr HALF_UP semantics replicated on the oracle side
+    (VARCHAR -> DECIMAL cast — see udf_ewma_user_values). At 100 TB
+    this is THE way to fit small linear models in-warehouse: a
+    closed-form fit is one aggregation, no iterative solver, no
+    collect."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    solve = _lr_solve_sql(lambda e: f"round({e}, 6)")
+    return spark.sql(f"WITH moments AS ({_LR_SUMS_SQL})\n{solve}")
