@@ -122,6 +122,14 @@ def _family(name: str) -> str:
     return "other"
 
 
+#: Never-tested queries to verify LAST within their tier: with more
+#: never-tested queries than one sweep's budget, these two wait a round
+#: — both are narrow variants of operators that already have green rows
+#: (LATERAL top-N vs the window top-k family; the as-of filter over the
+#: verified SCD2 history build), so they are the cheapest to defer.
+_DEFER_IN_TIER = frozenset({"join_lateral_topk_orders", "scd2_as_of_snapshot"})
+
+
 def _reorder_registry() -> None:
     # Three tiers: previously FAILED rows first (a fix must prove itself
     # this round), then never-tested, then green re-verification.
@@ -129,6 +137,7 @@ def _reorder_registry() -> None:
         QUERIES,
         key=lambda n: (
             (0 if n in _FAILED else (2 if n in _VERIFIED else 1)),
+            n in _DEFER_IN_TIER,
             _FAMILY_ORDER.index(_family(n)),
         ),
     )  # sorted() is stable: ties keep module registration order
