@@ -38,6 +38,10 @@ STRESS_QUERIES = (
     "pipeline_training_corpus",  # curation DAG + two-phase prefix sum
     "text_quality_score",     # pure scan-side map
     "text_top_bigrams",       # explode + partial-combined count + top-k
+    # event-timeline family (reads the amplified events table):
+    "sessionize_events",      # one timeline shuffle + windows
+    "resample_interpolate_hourly",  # grid explode + merged-timeline walk
+    "udf_ewma_user_values",   # applyInPandas recursion per user
 )
 
 
@@ -56,6 +60,22 @@ def amplify(spark, base_dir: str, amp: int, out_dir: str) -> None:
         .drop("rep")
     )
     amped.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    # Events: each replica is a NEW user population (user_id offset) with
+    # a small deterministic timestamp jitter, so per-user timelines stay
+    # realistic (amplification grows the number of timelines — the
+    # dimension a cluster parallelizes over — not their length).
+    ev = spark.read.parquet(os.path.join(base_dir, "events.parquet"))
+    amped_ev = (
+        ev.crossJoin(F.broadcast(reps))
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * F.lit(1_000_000_000))
+        .withColumn("user_id", F.col("user_id") + F.col("rep") * F.lit(1_000_000))
+        .withColumn(
+            "ts",
+            F.col("ts") + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.col("rep") * F.lit(0.000137)),
+        )
+        .drop("rep")
+    )
+    amped_ev.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
 
 
 def main() -> None:
