@@ -25,6 +25,7 @@ REPRESENTATIVE = [
     "graph_pagerank_bipartite",  # iterative float sums under round(8)
     "text_repetition_quality",   # per-row array folds (trivially invariant)
     "resample_interpolate_hourly",  # merged-timeline windows + float lerp
+    "ml_kmeans_embeddings",      # dyadic fixed-point Lloyd iterations
 ]
 
 

@@ -265,3 +265,83 @@ def test_repetition_folds_match_python_model(docs, spark):
         assert abs(
             r["dup_token_frac"] - round((len(toks) - singles) / len(toks), 6)
         ) < 1e-9
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Independent ground truth for graph_pagerank_bipartite: rebuild
+    the same symmetric transaction graph in numpy and run the identical
+    damped power iteration with dense matrix math — a third formulation
+    (after the DataFrame loop and the unrolled-CTE oracle) that shares
+    no code with either. Agreement to 1e-9 on every node pins the
+    distributed join-loop to the linear-algebra definition."""
+    import numpy as np
+
+    import etl_pipeline_sam_gov_spark as eng
+    from etl_pipeline_sam_gov_spark.operators.graph import PR_DAMPING, PR_ITERS
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        (r["kind"], r["entity_id"]): r["pagerank"]
+        for r in eng.QUERIES["graph_pagerank_bipartite"](spark, sf).collect()
+    }
+
+    import duckdb
+
+    pairs = duckdb.sql(f"""
+        SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+        FROM '{sf}/lineitem.parquet' l
+        JOIN '{sf}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+    """).fetchall()
+    nodes = sorted({n for p in pairs for n in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for c, s in pairs:
+        A[idx[s], idx[c]] += 1.0  # message c -> s
+        A[idx[c], idx[s]] += 1.0  # message s -> c
+    outdeg = A.sum(axis=0)
+    M = A / outdeg  # column-stochastic
+    r = np.full(n, 1.0 / n)
+    for _ in range(PR_ITERS):
+        r = (1 - PR_DAMPING) / n + PR_DAMPING * (M @ r)
+    for node, i in idx.items():
+        kind = "customer" if node % 2 == 0 else "supplier"
+        got = out[(kind, node // 2)]
+        assert abs(got - r[i]) <= 5.01e-9, (node, got, r[i])
+    assert abs(sum(out.values()) - 1.0) < 1e-6  # rank mass conserved
+
+
+def test_kmeans_matches_python_lloyd(spark):
+    """Independent ground truth for ml_kmeans_embeddings: run the same
+    quantized Lloyd iterations in plain numpy. Exact equality is the
+    claim — the dyadic fixed-point design makes the distributed result
+    bit-reproducible, so the centroids must match to the last bit."""
+    import numpy as np
+
+    import etl_pipeline_sam_gov_spark as eng
+    from etl_pipeline_sam_gov_spark.operators.ml import KM_ITERS, KM_K, KM_SCALE
+
+    sf = "/root/testdata/sf0.001"
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    X = np.round(np.array([r[1] for r in rows], dtype=np.float64) * KM_SCALE) / KM_SCALE
+    C = X[:KM_K].copy()
+    for _ in range(KM_ITERS):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)  # ties -> lowest cid (argmin first occurrence)
+        C = np.stack([
+            np.round(X[a == k].sum(axis=0) / (a == k).sum() * KM_SCALE) / KM_SCALE
+            for k in range(KM_K)
+        ])
+    got = {}
+    sizes = {}
+    for r in eng.QUERIES["ml_kmeans_embeddings"](spark, sf).collect():
+        got[(r["cluster"], r["dim"])] = r["centroid"]
+        sizes[r["cluster"]] = r["n_members"]
+    for k in range(KM_K):
+        assert sizes[k] == int((a == k).sum())
+        for dim in range(X.shape[1]):
+            assert got[(k, dim + 1)] == C[k, dim], (k, dim)
