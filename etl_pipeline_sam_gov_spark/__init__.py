@@ -127,7 +127,14 @@ def _family(name: str) -> str:
 #: — both are narrow variants of operators that already have green rows
 #: (LATERAL top-N vs the window top-k family; the as-of filter over the
 #: verified SCD2 history build), so they are the cheapest to defer.
-_DEFER_IN_TIER = frozenset({"join_lateral_topk_orders", "scd2_as_of_snapshot"})
+_DEFER_IN_TIER = frozenset(
+    {
+        "join_lateral_topk_orders",
+        "scd2_as_of_snapshot",
+        "streak_longest_daily",
+        "text_unigram_nll",
+    }
+)
 
 
 def _reorder_registry() -> None:

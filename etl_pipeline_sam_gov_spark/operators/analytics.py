@@ -738,3 +738,56 @@ def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from_us") <= SCD2_AS_OF_US)
         & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > SCD2_AS_OF_US))
     ).select("user_id", "version", "valid_from_us", "value")
+
+
+@query(
+    "streak_longest_daily",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+isl AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS grp
+  FROM days
+),
+runs AS (
+  SELECT user_id, COUNT(*) AS len,
+         strftime(MIN(day), '%Y-%m-%d') AS streak_start
+  FROM isl GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       MIN(CASE WHEN len = ml THEN streak_start END) AS streak_start
+FROM (SELECT *, MAX(len) OVER (PARTITION BY user_id) AS ml FROM runs)
+GROUP BY user_id
+""",
+)
+def streak_longest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (ties broken
+    to the earliest streak) — the retention/engagement staple, solved
+    with the gaps-and-islands idiom: day minus its per-user rank is
+    constant exactly along a run of consecutive days, so one window +
+    one groupBy finds every streak without self-joins. Both shuffles
+    key on user_id (the second on a relation already reduced to one
+    row per streak); at 100 TB this is the same single timeline
+    exchange as sessionization."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    isl = days.withColumn("grp", F.date_sub("day", rn))
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("streak_start"),
+    )
+    ml = F.max("len").over(W.partitionBy("user_id"))
+    return (
+        runs.withColumn("ml", ml)
+        .groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.min(
+                F.when(F.col("len") == F.col("ml"), F.col("streak_start"))
+            ).alias("streak_start"),
+        )
+    )

@@ -803,3 +803,57 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "rnk", "tok", "tfidf")
     )
+
+
+@query(
+    "text_unigram_nll",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+),
+tf AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+corpus AS (SELECT SUM(c) AS total, COUNT(*) AS vocab FROM tf)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(-SUM(ln((f.c + 1)::DOUBLE / (corpus.total + corpus.vocab)))
+             / COUNT(*), 6) AS avg_nll
+FROM tok t
+JOIN tf f ON t.tok = f.tok
+CROSS JOIN corpus
+GROUP BY t.doc_id
+""",
+)
+def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under an add-one-
+    smoothed unigram language model fit on the corpus itself — the
+    perplexity-style fluency filter of CCNet-class pipelines (docs
+    scoring far from the corpus distribution are boilerplate or
+    gibberish). Self-scoring keeps it one job: term frequencies are
+    one partial-combined count; the model (vocabulary-sized) broadcast-
+    joins back onto the token stream; the corpus totals ride a 1-row
+    broadcast cross join. Only ln() is transcendental — absorbed by
+    the repo-wide round(6) convention (token_entropy precedent)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    tf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    corpus = tf.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    return (
+        tok.join(F.broadcast(tf), "tok")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.sum(
+                    F.log(
+                        (F.col("c") + 1).cast("double")
+                        / (F.col("total") + F.col("vocab"))
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
