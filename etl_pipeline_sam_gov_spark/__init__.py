@@ -133,6 +133,7 @@ _DEFER_IN_TIER = frozenset(
         "scd2_as_of_snapshot",
         "streak_longest_daily",
         "text_unigram_nll",
+        "stream_ewma_user_values",
     }
 )
 

@@ -34,6 +34,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from etl_pipeline_sam_gov_spark.operators import curation as _cur
 from etl_pipeline_sam_gov_spark.registry import query
@@ -525,3 +526,89 @@ def stream_static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.sum("value"), 6).alias("total_value"),
     )
     return run_to_memory(agg, mode="complete")
+
+
+def _stream_ewma_oracle() -> str:
+    """Final per-user EWMA via the same recursive-CTE recurrence as the
+    batch oracle (functions.udfs._ewma_oracle), reduced to each user's
+    last row; rounding replicates Spark's shortest-repr HALF_UP (the
+    VARCHAR -> DECIMAL chain, see udf_ewma_user_values)."""
+    from etl_pipeline_sam_gov_spark.functions.udfs import EWMA_ALPHA as a
+
+    return f"""
+WITH RECURSIVE seq AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+rec AS (
+  SELECT event_id, user_id, value, rn, value AS y FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_id, s.user_id, s.value, s.rn, {a} * s.value + {1 - a} * r.y
+  FROM seq s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id,
+       CAST(rn AS BIGINT) AS n_events,
+       CAST(CAST(CAST(y AS VARCHAR) AS DECIMAL(18,6)) AS DOUBLE) AS ewma
+FROM (SELECT *, MAX(rn) OVER (PARTITION BY user_id) AS mx FROM rec)
+WHERE rn = mx
+"""
+
+
+@query("stream_ewma_user_values", oracle=_stream_ewma_oracle())
+def stream_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of udf_ewma_user_values: the per-user EWMA
+    recurrence carried in explicit GroupState across micro-batches —
+    the ORDER-SENSITIVE stateful case (unlike stateful_user_totals'
+    commutative sums, a reordered event changes the answer). Each
+    batch's group rows sort by (ts, event_id) before folding, and the
+    recurrence resumes from the state's saved y — exact whenever
+    batch boundaries respect event time per user, which the
+    availableNow historical replay (and any log-ordered source, e.g. a
+    time-partitioned kafka topic keyed by user) guarantees. The fold
+    is op-for-op the batch kernel's loop, so the streaming final state
+    hash-matches the batch recursive-CTE oracle."""
+    from etl_pipeline_sam_gov_spark.functions.udfs import EWMA_ALPHA
+
+    events = read_events_stream(spark, sf_dir)
+
+    def update_ewma(key, pdfs, state):
+        import pandas as pd
+
+        a = EWMA_ALPHA
+        n, y = state.get if state.exists else (0, None)
+        chunks = [pdf for pdf in pdfs]
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for x in pdf["value"].tolist():
+            y = x if y is None or n == 0 else a * x + (1 - a) * y
+            n += 1
+        state.update((n, float(y)))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ewma_raw": [y]})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("ewma_raw", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("y", T.DoubleType())]
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    smoothed = (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_ewma,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_to_memory(smoothed, mode="update", shuffle_partitions=8)
+    return out.select(
+        "user_id", "n_events", F.round("ewma_raw", 6).alias("ewma")
+    )
