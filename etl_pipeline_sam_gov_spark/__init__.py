@@ -123,10 +123,13 @@ def _family(name: str) -> str:
 
 
 #: Never-tested queries to verify LAST within their tier: with more
-#: never-tested queries than one sweep's budget, these two wait a round
-#: — both are narrow variants of operators that already have green rows
-#: (LATERAL top-N vs the window top-k family; the as-of filter over the
-#: verified SCD2 history build), so they are the cheapest to defer.
+#: never-tested queries than one 50-query sweep can hold, these wait a
+#: round — each is either a narrow variant of an operator that already
+#: has green rows (LATERAL top-N vs window top-k; the as-of filter over
+#: the verified SCD2 build; the islands idiom the repetition oracle
+#: already exercises; NLL vs token_entropy's explode-count shape; the
+#: streaming twin of the verified batch EWMA), and ALL are locally
+#: certified against their DuckDB oracles at sf0.001/0.01/0.1.
 _DEFER_IN_TIER = frozenset(
     {
         "join_lateral_topk_orders",
