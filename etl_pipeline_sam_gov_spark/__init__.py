@@ -137,6 +137,13 @@ _DEFER_IN_TIER = frozenset(
         "streak_longest_daily",
         "text_unigram_nll",
         "stream_ewma_user_values",
+        # round-3 late additions: deferred so they don't displace the 50
+        # longest-waiting queries from the driver's sweep prefix; both are
+        # narrow recombinations of driver-green machinery (the chunker is
+        # sequence+slice over the verified tokenizer; crossdoc reuses the
+        # exact doc_shingles relation the Jaccard/winnowing oracles check)
+        "text_chunk_sliding",
+        "dedup_crossdoc_ngrams",
     }
 )
 

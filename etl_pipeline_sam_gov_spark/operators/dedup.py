@@ -775,3 +775,70 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5("text").alias("content_hash")
     )
     return inc.join(base, inc.content_hash == base.h, "left_anti")
+
+
+@query(
+    "dedup_crossdoc_ngrams",
+    oracle="WITH "
+    + _SQL_SHINGLES.strip()
+    + """,
+per AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM sh GROUP BY doc_id),
+dupes AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1),
+dup AS (SELECT doc_id, count(*)::BIGINT AS n_dup FROM sh JOIN dupes USING (shingle)
+        GROUP BY doc_id)
+SELECT per.doc_id,
+       n_shingles,
+       coalesce(n_dup, 0)::BIGINT AS n_dup_shingles,
+       round(coalesce(n_dup, 0)::DOUBLE / n_shingles, 6) AS dup_frac,
+       round(coalesce(n_dup, 0)::DOUBLE / n_shingles, 6) <= 0.5 AS keep
+FROM per LEFT JOIN dup USING (doc_id)
+WHERE n_shingles > 0
+""",
+)
+def dedup_crossdoc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate n-gram fraction (the Gopher/Dolma-style
+    "fraction of this doc's n-grams that appear in other docs" quality
+    signal) — distinct from text_repetition_quality, which measures
+    WITHIN-doc repetition: a doc can be internally clean yet mostly
+    boilerplate shared across the corpus, and this is the signal that
+    catches it.
+
+    Scale shape — the part that must survive 100 TB: per-doc shingle
+    counts come straight from the generation pass (no join needed for
+    the denominator), and the corpus-frequency side is reduced to ONLY
+    the duplicated shingles (HAVING count > 1) before any join — the
+    join then carries the boilerplate subset, not the corpus. Both
+    aggregations are map-side-combinable groupBys on the shingle hash;
+    nothing is ever collected."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # ONE tokenize+shingle pass (same persist idiom as
+    # minhash_duplicate_pairs): the denominator, the corpus-frequency
+    # side, and the dup-count probe all derive from the cached arrays.
+    # Deriving n_shingles from the cache also keeps the >0 filter from
+    # being pushed below the projection, where InferFilters would clone
+    # the whole shingle construction into a pre-Exchange single-task
+    # filter over raw text (the doc_shingles trap).
+    arrs = with_shingle_arrays(docs).persist()
+    base = arrs.select(
+        "doc_id", F.size("arr").cast("bigint").alias("n_shingles")
+    ).filter(F.col("n_shingles") > 0)
+    sh = arrs.select("doc_id", F.explode("arr").alias("shingle"))
+    dupes = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 1)
+        .select("shingle")
+    )
+    dup = sh.join(dupes, "shingle").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup")
+    )
+    frac = F.round(
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("double") / F.col("n_shingles"), 6
+    )
+    return base.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup_shingles"),
+        frac.alias("dup_frac"),
+        (frac <= 0.5).alias("keep"),
+    )

@@ -857,3 +857,54 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking (LLM context packing pre-step)
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 32  #: window size in tokens
+CHUNK_S = 24  #: stride in tokens (CHUNK_W - CHUNK_S = 8 tokens of overlap)
+
+
+@query(
+    "text_chunk_sliding",
+    oracle=rf"""
+WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+st AS (SELECT doc_id, t, unnest(range(1, len(t)+1, {CHUNK_S})) AS s FROM toks)
+SELECT doc_id,
+       ((s-1)//{CHUNK_S})::BIGINT AS chunk_idx,
+       array_to_string(t[s:s+{CHUNK_W - 1}], ' ') AS chunk_text,
+       least({CHUNK_W}, len(t)-s+1)::BIGINT AS chunk_tokens
+FROM st
+""",
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking with overlap — the context-packing
+    pre-step of an LLM training/RAG pipeline: each document becomes
+    ceil(n/S) chunks of up to W tokens starting every S tokens, so
+    consecutive chunks share W-S tokens of context.
+
+    Scale shape: pure per-document narrow work — one tokenize
+    projection, a ``sequence`` of chunk starts, ``posexplode``, and an
+    O(W) ``slice`` per chunk. No shuffle anywhere; output rows carry
+    only the chunk text (never the full token array), so the generate
+    stage's width is bounded by W tokens regardless of document length.
+    At 100 TB this runs inline in the ingest scan exactly like the
+    text-quality maps (module docstring)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from etl_pipeline_sam_gov_spark.operators.dedup import spread_docs
+
+    tokd = spread_docs(docs).select("doc_id", tokens_col().alias("_toks"))
+    t = F.col("_toks")
+    starts = F.sequence(F.lit(1), F.size(t), F.lit(CHUNK_S))
+    return tokd.select(
+        "doc_id", t, F.posexplode(starts).alias("chunk_idx", "s")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice(t, F.col("s"), CHUNK_W)).alias("chunk_text"),
+        F.least(F.lit(CHUNK_W), F.size(t) - F.col("s") + 1)
+        .cast("bigint")
+        .alias("chunk_tokens"),
+    )
