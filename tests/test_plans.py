@@ -382,3 +382,36 @@ def test_tfidf_broadcasts_document_frequency(spark, sf_dir):
     (doc, term) counts — it must broadcast, never shuffle the counts."""
     s = plan(eng.QUERIES["text_tfidf_keywords"](spark, sf_dir))
     assert "BroadcastHashJoin" in s
+
+
+def test_chunking_is_single_generate_narrow_stage(spark, sf_dir):
+    """Sliding-window chunking must stay a narrow generate stage: the
+    only Exchange allowed is the fixture-layout round-robin spread, and
+    the chunk windows come from ONE posexplode over the materialized
+    token array — a second Generate or a Python eval node means the
+    slice rewrite regressed."""
+    s = plan(eng.QUERIES["text_chunk_sliding"](spark, sf_dir))
+    assert s.count("Exchange") <= 1
+    assert s.count("Generate") == 1
+    assert "BatchEvalPython" not in s
+
+
+def test_crossdoc_ngrams_single_shingle_pass(spark, sf_dir):
+    """All three consumers (denominator, corpus-frequency, dup-count
+    probe) must read the CACHED shingle arrays. The failure mode this
+    pins down: a filter on the computed shingle count getting pushed
+    below the projection, where InferFilters clones the whole
+    tokenize+shingle construction into a pre-Exchange filter over raw
+    text (plan symptom: a Filter condition containing the shingle
+    array_distinct expression)."""
+    s = formatted(eng.QUERIES["dedup_crossdoc_ngrams"](spark, sf_dir))
+    assert "InMemoryTableScan" in s
+    for line in s.splitlines():
+        if line.strip().startswith("Condition"):
+            assert "array_distinct" not in line, (
+                "shingle construction cloned into a filter:\n" + line
+            )
+        if "explode" in line and "Generate" in line:
+            assert "split(" not in line, (
+                "generate re-tokenizes raw text instead of exploding the cache"
+            )
