@@ -144,6 +144,13 @@ _DEFER_IN_TIER = frozenset(
         # exact doc_shingles relation the Jaccard/winnowing oracles check)
         "text_chunk_sliding",
         "dedup_crossdoc_ngrams",
+        # DataSketches family (theta/KLL/approx-top-k): estimates are
+        # validated by the same oracle-pinned-boolean technique the
+        # driver already hash-checked green for agg_approx_sketches and
+        # agg_sketch_merge_rollup
+        "agg_theta_sketch_audiences",
+        "agg_kll_quantile_merge",
+        "agg_approx_topk_merge",
     }
 )
 

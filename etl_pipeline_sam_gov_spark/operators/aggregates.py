@@ -636,3 +636,182 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable Apache DataSketches surfaces (Spark 4): theta set algebra,
+# KLL quantiles, approx-top-k — the sketch-table patterns that replace
+# full rescans at 100 TB. Estimates are engine-local, so each query
+# validates the sketch against exact companions the oracle checks
+# (same technique as agg_approx_sketches / agg_sketch_merge_rollup).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_theta_sketch_audiences",
+    oracle="""
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 120),
+     b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 60)
+SELECT (SELECT count(*) FROM a)::BIGINT AS n_a,
+       (SELECT count(*) FROM b)::BIGINT AS n_b,
+       (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))::BIGINT AS exact_union,
+       (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))::BIGINT AS exact_intersect,
+       (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))::BIGINT AS exact_diff,
+       TRUE AS union_within_bound,
+       TRUE AS intersect_within_bound,
+       TRUE AS diff_within_bound
+""",
+)
+def agg_theta_sketch_audiences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra over two user audiences (high-value
+    clickers vs purchasers): union / intersection / difference
+    cardinalities computed entirely on compact binary sketches — the
+    audience-overlap pattern that at 100 TB answers "how many users in
+    A but not B" from two KB-sized sketch rows instead of re-shuffling
+    user_id sets. Each population aggregates to ONE sketch (map-side
+    partial-merged); the set operations are scalar expressions on the
+    two binaries. Estimates are validated against exact companions
+    within a 5% band (theta lgK=12 is exact below ~4K distinct, so at
+    fixture scale the estimates ARE the exact counts)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    a = ev.filter((F.col("event_type") == "click") & (F.col("value") > 120)).agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk_a"),
+        F.count_distinct("user_id").alias("n_a"),
+    )
+    b = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 60)).agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk_b"),
+        F.count_distinct("user_id").alias("n_b"),
+    )
+    both = a.crossJoin(F.broadcast(b))
+    est = both.select(
+        "n_a",
+        "n_b",
+        F.expr("theta_sketch_estimate(theta_union(sk_a, sk_b))").alias("est_u"),
+        F.expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))").alias(
+            "est_i"
+        ),
+        F.expr("theta_sketch_estimate(theta_difference(sk_a, sk_b))").alias("est_d"),
+    )
+    exact = (
+        load_tables(spark, sf_dir, ("events",))["events"]
+        .select(
+            "user_id",
+            ((F.col("event_type") == "click") & (F.col("value") > 120)).alias("ia"),
+            ((F.col("event_type") == "purchase") & (F.col("value") > 60)).alias(
+                "ib"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+        .agg(
+            F.sum((F.col("ia") | F.col("ib")).cast("bigint")).alias("exact_union"),
+            F.sum((F.col("ia") & F.col("ib")).cast("bigint")).alias(
+                "exact_intersect"
+            ),
+            F.sum((F.col("ia") & ~F.col("ib")).cast("bigint")).alias("exact_diff"),
+        )
+    )
+
+    def within(est_col: str, exact_col: str):
+        return F.abs(F.col(est_col) - F.col(exact_col)) <= F.greatest(
+            F.lit(1.0), F.col(exact_col) * 0.05
+        )
+
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_a",
+        "n_b",
+        "exact_union",
+        "exact_intersect",
+        "exact_diff",
+        within("est_u", "exact_union").alias("union_within_bound"),
+        within("est_i", "exact_intersect").alias("intersect_within_bound"),
+        within("est_d", "exact_diff").alias("diff_within_bound"),
+    )
+
+
+@query(
+    "agg_kll_quantile_merge",
+    oracle="""
+SELECT (SELECT count(DISTINCT event_type) FROM events)::BIGINT AS n_groups,
+       (SELECT count(*) FROM events)::BIGINT AS n_events,
+       TRUE AS q50_rank_within_bound,
+       TRUE AS q95_rank_within_bound
+""",
+)
+def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile sketches: one sketch per event_type, the
+    five binaries folded into a single corpus sketch with
+    ``kll_sketch_merge_double`` (the daily-sketch-table rollup — any
+    date-range quantile from KB-sized sketches, never rescanning), then
+    q50/q95 extracted from the merged sketch. KLL compaction is
+    randomized, so the estimates themselves are not run-stable; what IS
+    guaranteed is rank accuracy (~1.65% at k=200). The query therefore
+    computes each estimate's TRUE rank exactly against the corpus and
+    asserts it lies within ±5% of the requested rank — booleans the
+    oracle pins to TRUE."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    merged = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("kll_sketch_agg_double(value)").alias("sk"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n").alias("n_events"),
+            F.expr(
+                "REDUCE(collect_list(sk), CAST(NULL AS BINARY),"
+                " (acc, x) -> CASE WHEN acc IS NULL THEN x"
+                " ELSE kll_sketch_merge_double(acc, x) END)"
+            ).alias("msk"),
+        )
+        .select(
+            "n_groups",
+            "n_events",
+            F.expr("kll_sketch_get_quantile_double(msk, 0.5)").alias("q50"),
+            F.expr("kll_sketch_get_quantile_double(msk, 0.95)").alias("q95"),
+        )
+    )
+    ranked = ev.crossJoin(F.broadcast(merged)).agg(
+        F.first("n_groups").alias("n_groups"),
+        F.first("n_events").alias("n_events"),
+        (F.sum((F.col("value") <= F.col("q50")).cast("bigint")) / F.first("n_events"))
+        .alias("r50"),
+        (F.sum((F.col("value") <= F.col("q95")).cast("bigint")) / F.first("n_events"))
+        .alias("r95"),
+    )
+    return ranked.select(
+        "n_groups",
+        "n_events",
+        (F.abs(F.col("r50") - 0.5) <= 0.05).alias("q50_rank_within_bound"),
+        (F.abs(F.col("r95") - 0.95) <= 0.05).alias("q95_rank_within_bound"),
+    )
+
+
+@query(
+    "agg_approx_topk_merge",
+    oracle="""
+SELECT event_type AS item, count(*)::BIGINT AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_approx_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-top-k heavy hitters through the mergeable accumulate →
+    combine → estimate pipeline: per-shard sketches (modeling per-day /
+    per-partition sketch tables) combined into one, then the top items
+    extracted. With maxItemsTracked far above the distinct-item count
+    the space-saving sketch is in its exact regime, so the estimates
+    hash-match the exact GROUP BY oracle; past capacity the counts
+    degrade gracefully to ±n/maxItemsTracked — the documented trade at
+    real cardinalities. Complements agg_salted_heavy_hitters (exact,
+    shuffle-heavy) as the sketch-sized alternative."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    shards = ev.groupBy((F.col("user_id") % 8).alias("shard")).agg(
+        F.expr("approx_top_k_accumulate(event_type, 100)").alias("st")
+    )
+    return (
+        shards.agg(F.expr("approx_top_k_combine(st)").alias("st"))
+        .select(F.expr("inline(approx_top_k_estimate(st, 10))"))
+        .select(F.col("item"), F.col("count").cast("bigint").alias("n"))
+    )
