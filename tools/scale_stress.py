@@ -38,6 +38,8 @@ STRESS_QUERIES = (
     "pipeline_training_corpus",  # curation DAG + two-phase prefix sum
     "text_quality_score",     # pure scan-side map
     "text_top_bigrams",       # explode + partial-combined count + top-k
+    "text_chunk_sliding",     # narrow generate — must track the scan
+    "dedup_crossdoc_ngrams",  # shingle df join — linear iff dup set bounded
     # event-timeline family (reads the amplified events table):
     "sessionize_events",      # one timeline shuffle + windows
     "resample_interpolate_hourly",  # grid explode + merged-timeline walk
