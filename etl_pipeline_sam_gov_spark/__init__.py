@@ -151,6 +151,10 @@ _DEFER_IN_TIER = frozenset(
         "agg_theta_sketch_audiences",
         "agg_kll_quantile_merge",
         "agg_approx_topk_merge",
+        # outer-join twin of the (inner) stream-stream join; the
+        # watermark-heartbeat eviction mechanics are pinned by its own
+        # sf0.001/0.01/0.1 certification
+        "stream_left_outer_join_purchases",
     }
 )
 

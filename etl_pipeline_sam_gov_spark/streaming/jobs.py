@@ -612,3 +612,124 @@ def stream_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n_events", F.round("ewma_raw", 6).alias("ewma")
     )
+
+
+#: sf_dir → heartbeat landing directory (events symlink + a two-row
+#: heartbeat file), built once per process like _stream_dirs.
+_hb_landings: dict[str, str] = {}
+
+
+def _heartbeat_landing(spark: SparkSession, sf_dir: str) -> str:
+    """Landing dir for the outer-join replay: the events fixture plus a
+    two-row watermark-heartbeat file — one far-future 'purchase' (user
+    -1) and one far-future 'click' (user -2), written in the fixture's
+    on-disk schema. Heartbeats are the production pattern for advancing
+    event-time watermarks on quiet streams (an outer join cannot emit
+    its unmatched rows until the watermark passes them); the two rows
+    pass each side's pushed-down event_type filter — a typed-but-
+    filtered sentinel would be dropped AT THE SCAN, below the watermark
+    operator, and never advance anything (measured). They use disjoint
+    negative user_ids so they can never join each other or real data,
+    and the query filters ids < 0 from the final table."""
+    d = _hb_landings.get(sf_dir)
+    if d is not None:
+        return d
+    import glob
+    import shutil
+    import tempfile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    raw = spark.read.parquet(path)  # on-disk schema (ts may be bigint nanos)
+    ts_is_nanos = dict(raw.dtypes)["ts"] == "bigint"
+    far = (10 * 3600) * (10**9 if ts_is_nanos else 1)
+    top = raw.orderBy(F.col("ts").desc()).limit(1)
+
+    def hb(event_id: int, user_id: int, etype: str):
+        ts = (F.col("ts") + F.lit(far)) if ts_is_nanos else (
+            F.col("ts") + F.expr("INTERVAL 10 HOURS")
+        )
+        return F.struct(
+            F.lit(event_id).cast("bigint").alias("event_id"),
+            ts.alias("ts"),
+            F.lit(user_id).cast("bigint").alias("user_id"),
+            F.lit(etype).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+
+    sent = top.select(
+        F.explode(F.array(hb(-1, -1, "purchase"), hb(-2, -2, "click"))).alias("r")
+    ).select("r.*")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_hb_build_")
+    sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    landing = tempfile.mkdtemp(prefix="spark_graft_hb_")
+    os.symlink(path, os.path.join(landing, "events.parquet"))
+    shutil.copy(part, os.path.join(landing, "zz_heartbeat.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
+    _hb_landings[sf_dir] = landing
+    return landing
+
+
+@query(
+    "stream_left_outer_join_purchases",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id AS user_id,
+       date_diff('second', c.ts, p.ts) AS lag_s
+FROM events p
+LEFT JOIN events c
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase'
+""",
+)
+def stream_left_outer_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase, matched
+    to preceding clicks within 30 min OR emitted with NULLs once the
+    watermark proves no match can still arrive — the semantics the
+    inner join (stream_stream_join_purchase_click) cannot express, and
+    the one that needs the runtime's state-eviction machinery: an
+    unmatched purchase is held in the state store until the global
+    watermark passes its eviction bound, then emitted exactly once.
+    The replay appends a two-row far-future heartbeat file (see
+    _heartbeat_landing) so the watermark crosses the whole historical
+    timeline and the final table equals the batch LEFT JOIN the oracle
+    runs. State stays O(rate × window) on both sides at any stream
+    length — same bound as the inner join."""
+    configure_runtime(spark)
+    landing = _heartbeat_landing(spark, sf_dir)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(landing)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = _denaive(stream).withWatermark("ts", "1 hour")
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    out = run_to_memory(joined, mode="append", shuffle_partitions=8)
+    return out.filter(F.col("purchase_id") >= 0).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+        .cast("bigint")
+        .alias("lag_s"),
+    )

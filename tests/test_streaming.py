@@ -269,3 +269,30 @@ def test_stream_ewma_resumes_state_across_microbatches(spark, tmp_path):
         n, got = final[uid]
         assert n == len(h)
         assert got == y, (uid, got, y)
+
+
+def test_outer_join_tail_rows_flush_via_heartbeat(spark, sf_dir):
+    """The left-outer stream-stream join's unmatched rows are emitted by
+    WATERMARK EVICTION, not by batch luck: without the heartbeat the
+    data watermark stops 1h before the last event, so any unmatched
+    purchase inside that final window would stay stuck in state.
+    Assert the globally LAST purchase (only emittable once the
+    heartbeat advances the watermark past the whole timeline) is
+    present, and that the output covers every purchase exactly once on
+    the unmatched side plus every in-window click match."""
+    import etl_pipeline_sam_gov_spark as eng
+
+    out = eng.QUERIES["stream_left_outer_join_purchases"](spark, sf_dir)
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    last_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .select("event_id")
+        .first()[0]
+    )
+    assert out.filter(F.col("purchase_id") == last_purchase).count() >= 1
+    n_purchases = ev.filter(F.col("event_type") == "purchase").count()
+    # every purchase appears (matched one-or-more times, or once with NULL)
+    assert out.select("purchase_id").distinct().count() == n_purchases
+    # no heartbeat rows leak
+    assert out.filter(F.col("purchase_id") < 0).count() == 0
