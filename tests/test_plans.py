@@ -415,3 +415,22 @@ def test_crossdoc_ngrams_single_shingle_pass(spark, sf_dir):
             assert "split(" not in line, (
                 "generate re-tokenizes raw text instead of exploding the cache"
             )
+
+
+def test_bloom_prefilter_below_join_exchange(spark, sf_dir):
+    """The bloom membership tests must apply to the probe side BEFORE
+    its shuffle into the (pinned shuffle) join: in plan text, the
+    array_contains conditions and the IdentityBroadcastMode bloom
+    broadcast appear under the probe-side Exchange of the
+    SortMergeJoin — that ordering is what spares the ~99.9% of
+    non-joining fact rows from the shuffle at 100 TB."""
+    s = plan(eng.QUERIES["join_bloom_prefilter"](spark, sf_dir))
+    assert "SortMergeJoin" in s  # join pinned to the no-broadcast regime
+    assert s.count("array_contains") == 3
+    probe_exchange = s.index("Exchange hashpartitioning(o_custkey")
+    assert s.index("array_contains") > probe_exchange, (
+        "bloom filter applied above the probe shuffle — prefiltering lost"
+    )
+    # the bloom itself is a single broadcast row built with map-side combine
+    assert "IdentityBroadcastMode" in s
+    assert "partial_collect_set" in s
