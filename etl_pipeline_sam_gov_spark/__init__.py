@@ -155,6 +155,15 @@ _DEFER_IN_TIER = frozenset(
         # watermark-heartbeat eviction mechanics are pinned by its own
         # sf0.001/0.01/0.1 certification
         "stream_left_outer_join_purchases",
+        # round-3 continuation additions, all certified locally at all
+        # three fixture scales: the bloom prefilter's oracle is the
+        # driver-green plain join (transparency is the contract); the
+        # SemDeDup composition reuses the verified kmeans-assignment and
+        # cosine machinery; the classifier is a narrow recombination of
+        # the green token/hash lanes
+        "join_bloom_prefilter",
+        "dedup_semantic_clusters",
+        "text_quality_classifier",
     }
 )
 

@@ -842,3 +842,145 @@ def dedup_crossdoc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("dup_frac"),
         (frac <= 0.5).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster embeddings, prune within clusters
+# ---------------------------------------------------------------------------
+
+#: Seed-cluster count and the dup threshold τ = TAU_NUM/TAU_DEN = 0.40
+#: (same bar as COSINE_DUP_THRESHOLD so the two surfaces agree on what
+#: "near-duplicate" means).
+SEMDEDUP_K = 8
+SEMDEDUP_TAU_NUM = 2
+SEMDEDUP_TAU_DEN = 5
+_SD_SCALE = 1024  # dyadic fixed-point (2^-10), cf. operators.ml.KM_SCALE
+
+
+def _sd_oracle() -> str:
+    tn, td = SEMDEDUP_TAU_NUM, SEMDEDUP_TAU_DEN
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> round(x * {_SD_SCALE}, 0) / {_SD_SCALE}) AS v
+  FROM embeddings
+),
+norms AS (SELECT vec_id, v, list_dot_product(v, v) AS nsq FROM q),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         v AS sv, list_dot_product(v, v) AS snsq
+  FROM q
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {SEMDEDUP_K})
+),
+dist AS (
+  SELECT n.vec_id, s.cid,
+         n.nsq + s.snsq - 2 * list_dot_product(n.v, s.sv) AS d
+  FROM norms n CROSS JOIN seeds s
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dist) WHERE rn = 1
+),
+pairs AS (
+  SELECT b.vec_id AS v2,
+         list_dot_product(na.v, nb.v) AS dot,
+         na.nsq AS nsq1, nb.nsq AS nsq2
+  FROM assign a
+  JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+),
+dups AS (
+  SELECT DISTINCT v2 AS vec_id FROM pairs
+  WHERE dot > 0 AND {td * td} * dot * dot >= {tn * tn} * nsq1 * nsq2
+)
+SELECT a.vec_id, a.cid AS cluster, (d.vec_id IS NULL) AS keep
+FROM assign a LEFT JOIN dups d USING (vec_id)
+"""
+
+
+@query("dedup_semantic_clusters", oracle=_sd_oracle())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-cluster the
+    embedding space, then prune near-duplicates WITHIN each cluster —
+    keep a vector unless a lower-id cluster-mate sits at cosine ≥ τ.
+    Clustering bounds the quadratic: all-pairs cosine over the corpus
+    is O(N²) (the dedup_embedding_cosine baseline), within-cluster
+    pairs are O(Σ|c|²) — with balanced clusters, a 1/k reduction, and
+    at 100 TB k grows with the corpus so cluster sizes stay bounded.
+
+    Determinism contract: every float op is dyadic fixed-point
+    (operators.ml discipline) — vectors quantize to multiples of
+    2^-10, so dot products / squared norms / distances are exact and
+    order-independent, and the threshold test runs entirely in exact
+    arithmetic: cos ≥ τ ⇔ dot > 0 ∧ τ_den²·dot² ≥ τ_num²·|a|²·|b|²
+    (no division, no sqrt — both of which round engine-dependently).
+
+    Scale shape: seeds (the first-k vectors — production would sample)
+    broadcast as k rows; assignment is a map-side cross join with the
+    k×dim broadcast + one partial-combined argmin — the corpus never
+    shuffles for assignment. The pair stage shuffles once keyed on
+    cid; within-cluster self-join is the bounded quadratic above.
+    Distances use ‖a‖² + ‖s‖² − 2⟨a,s⟩ so the per-seed work is one
+    zip_with fold, JVM-side, no UDF."""
+    from pyspark.sql import Window as W
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * _SD_SCALE, 0) / _SD_SCALE
+    )
+    base = emb.select("vec_id", qv.alias("v")).repartition(32, "vec_id")
+
+    def fold_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    norms = base.select("vec_id", "v", fold_dot(F.col("v"), F.col("v")).alias("nsq"))
+    seeds = (
+        norms.orderBy("vec_id")
+        .limit(SEMDEDUP_K)
+        .select(
+            (F.row_number().over(W.orderBy("vec_id")) - 1).cast("bigint").alias("cid"),
+            F.col("v").alias("sv"),
+            F.col("nsq").alias("snsq"),
+        )
+    )
+    dist = norms.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "cid",
+        (F.col("nsq") + F.col("snsq") - 2 * fold_dot(F.col("v"), F.col("sv"))).alias(
+            "d"
+        ),
+    )
+    rn = F.row_number().over(W.partitionBy("vec_id").orderBy("d", "cid"))
+    assign = (
+        dist.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+        .join(norms, "vec_id")
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    tn2 = SEMDEDUP_TAU_NUM * SEMDEDUP_TAU_NUM
+    td2 = SEMDEDUP_TAU_DEN * SEMDEDUP_TAU_DEN
+    dot = fold_dot(F.col("a.v"), F.col("b.v"))
+    dups = (
+        a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("b.vec_id").alias("vec_id"), dot.alias("dot"),
+                F.col("a.nsq").alias("nsq1"), F.col("b.nsq").alias("nsq2"))
+        .filter(
+            (F.col("dot") > 0)
+            & (td2 * F.col("dot") * F.col("dot") >= tn2 * F.col("nsq1") * F.col("nsq2"))
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assign.select("vec_id", F.col("cid").alias("cluster"))
+        .join(dups, "vec_id", "left")
+        .select("vec_id", "cluster", F.coalesce(~F.col("is_dup"), F.lit(True)).alias("keep"))
+    )

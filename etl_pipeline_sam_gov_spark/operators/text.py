@@ -908,3 +908,67 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chunk_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick linear quality classifier
+# ---------------------------------------------------------------------------
+
+#: Feature-hash weight range: each token hashes to an integer weight in
+#: [-CLS_RANGE, +CLS_RANGE] — a stand-in for a trained fastText-style
+#: linear model's per-bucket weights (deterministic, engine-neutral).
+CLS_RANGE = 1000
+_CLS_MOD = 2 * CLS_RANGE + 1
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(text, '\\s+')) AS n_tokens,
+         CAST(list_sum(list_transform(
+             string_split_regex(text, '\\s+'),
+             t -> {_sql_hash60('t')} % {_CLS_MOD} - {CLS_RANGE}
+         )) AS BIGINT) AS logit
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, logit, (logit > 0) AS label
+FROM scored
+""",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear classifier over documents — the fastText /
+    logistic-regression quality-filter shape every LLM data pipeline
+    runs (e.g. CCNet's LM filter, GPT-3's WebText classifier): each
+    token hashes into a weight bucket, the document's score is the sum
+    of its bucket weights, and the keep/drop label is the score's sign.
+    Weights here derive from md5 (a deterministic stand-in for trained
+    parameters — swapping in a real model is a broadcast map lookup
+    with the SAME plan shape).
+
+    Scale shape: scoring is a pure narrow map — tokenize, transform
+    each token to its weight, fold the sum with ``F.aggregate`` — all
+    JVM-side higher-order expressions inside the scan stage. ZERO
+    shuffles, no explode (the token array never leaves the row), no
+    UDF; at 100 TB this runs inline in the ingest scan at I/O speed.
+    The integer logit (not a sigmoid probability) keeps the contract
+    exact across engines: sums of bounded ints are associative —
+    identical bits under any partitioning; monotone in the sigmoid, so
+    thresholding on 0 IS thresholding on p=0.5."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
+
+    weight = lambda t: _spark_hash60(t) % _CLS_MOD - CLS_RANGE  # noqa: E731
+    logit = F.aggregate(
+        F.transform(tokens_col(), weight),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens_col()).cast("bigint").alias("n_tokens"),
+        logit.alias("logit"),
+        (logit > 0).alias("label"),
+    )

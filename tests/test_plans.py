@@ -434,3 +434,24 @@ def test_bloom_prefilter_below_join_exchange(spark, sf_dir):
     # the bloom itself is a single broadcast row built with map-side combine
     assert "IdentityBroadcastMode" in s
     assert "partial_collect_set" in s
+
+
+def test_quality_classifier_is_zero_shuffle_scan(spark, sf_dir):
+    """Scoring must stay a pure narrow map inside the scan stage —
+    no Exchange, no Generate (the token array never explodes), no
+    Python eval. This is the property that lets the filter run inline
+    in a 100 TB ingest scan."""
+    s = plan(eng.QUERIES["text_quality_classifier"](spark, sf_dir))
+    assert "Exchange" not in s
+    assert "Generate" not in s
+    assert "BatchEvalPython" not in s
+
+
+def test_semdedup_assignment_broadcasts_seeds(spark, sf_dir):
+    """Cluster assignment must be a map-side broadcast of the k seed
+    vectors (BroadcastNestedLoopJoin over the 8-row seed relation),
+    never a corpus-vs-corpus shuffle; the only corpus self-join is the
+    within-cluster pair stage keyed on cid."""
+    s = plan(eng.QUERIES["dedup_semantic_clusters"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in s
+    assert "BatchEvalPython" not in s
