@@ -164,6 +164,13 @@ _DEFER_IN_TIER = frozenset(
         "join_bloom_prefilter",
         "dedup_semantic_clusters",
         "text_quality_classifier",
+        # likewise certified at all three scales: the bitmap plan's
+        # oracle is plain COUNT(DISTINCT) (exactness is the contract);
+        # the resample reuses the verified hash-threshold sampling
+        # machinery; the mask lane mirrors the green redaction lane
+        "agg_bitmap_distinct",
+        "curate_temperature_resample",
+        "fn_mask_customer",
     }
 )
 

@@ -524,3 +524,54 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("999999999"),
         ).alias("safe_cast"),
     )
+
+
+@query(
+    "fn_mask_customer",
+    oracle="""
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(
+           c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+         AS name_masked,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS name_digits_hidden,
+       concat(substr(c_name, 1, 3),
+              regexp_replace(regexp_replace(regexp_replace(substr(c_name, 4),
+                  '[A-Za-z]', '*', 'g'), '[0-9]', '*', 'g'), '[^*]', '*', 'g'))
+         AS name_show3
+FROM customer
+""",
+)
+def fn_mask_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data masking (Spark 3.5 ``mask``) — the column-level PII control
+    warehouses attach to governed views: full character-class masking
+    (upper→X, lower→x, digit→n), digit-only hiding, and a
+    show-first-3 partial mask. Complements text_redact_pii (regex
+    pattern redaction inside free text) with the structured-column
+    variant. Pure scan-stage expressions; the oracle rebuilds each
+    mask with character-class regex_replace chains, so the two
+    engines must agree on every output character."""
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    name = F.col("c_name")
+    return cust.select(
+        "c_custkey",
+        F.mask(name).alias("name_masked"),
+        # F.lit(None) = "keep this character class" (Python None would
+        # mean "use the default replacement" in the PySpark wrapper)
+        F.mask(
+            name,
+            upperChar=F.lit(None),
+            lowerChar=F.lit(None),
+            digitChar=F.lit("#"),
+            otherChar=F.lit(None),
+        ).alias("name_digits_hidden"),
+        F.concat(
+            F.substring(name, 1, 3),
+            F.mask(
+                F.substring(name, 4, 2_000_000),
+                upperChar=F.lit("*"),
+                lowerChar=F.lit("*"),
+                digitChar=F.lit("*"),
+                otherChar=F.lit("*"),
+            ),
+        ).alias("name_show3"),
+    )

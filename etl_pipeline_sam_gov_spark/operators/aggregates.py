@@ -815,3 +815,48 @@ def agg_approx_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.expr("inline(approx_top_k_estimate(st, 10))"))
         .select(F.col("item"), F.col("count").cast("bigint").alias("n"))
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates (Spark 3.5
+    ``bitmap_*`` family) — the bitmap-index technique warehouses use
+    when ``COUNT(DISTINCT)`` must be exact but the naive plan (shuffle
+    every raw value, dedup, count) is too wide. Keys bucket by
+    ``bitmap_bucket_number`` (32768 positions per bucket) and each
+    (group, bucket) partial is a fixed ≤4 KB bitmap with the key's bit
+    set; partial aggregation ORs bitmaps map-side, so the shuffle
+    carries one bounded bitmap per (group, bucket) instead of one row
+    per raw value — with popcounts summed per group at the end. Exact
+    by construction (a bit per distinct key), which is why the oracle
+    is plain COUNT(DISTINCT): the bitmap plan must reproduce it bit
+    for bit. Two shuffles ((type, bucket) then type — the second over
+    popcount scalars only); compare count-distinct's expand-or-double-
+    shuffle of raw values.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    per_bucket = (
+        ev.groupBy(
+            "event_type", F.bitmap_bucket_number("user_id").alias("bucket")
+        )
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(
+            F.sum(F.bitmap_count("bm")).alias("n_users"),
+            F.sum("n").alias("n_events"),
+        )
+    )

@@ -361,3 +361,69 @@ def curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("bucket") < rate)
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based language rebalancing (α = 1/2 exponential smoothing)
+# ---------------------------------------------------------------------------
+
+#: Keep probability per language: TEMP_C / sqrt(n_lang) — the α = 0.5
+#: exponential-smoothing rebalance multilingual corpora apply so
+#: high-resource languages stop drowning out the tail (the mBERT/XLM-R
+#: sampling rule with temperature 1/α = 2). TEMP_C = 5 keeps ≈ 34% of
+#: the 218-doc `en` stratum but ≈ 63% of the 64-doc `fr` stratum at
+#: sf0.01 — the kept distribution is proportional to sqrt(n), exactly
+#: the smoothed target.
+TEMP_C = 5
+_TEMP_HBITS = 20  # per-row hash resolution (2^20 buckets)
+
+
+@query(
+    "curate_temperature_resample",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, lang,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang,
+         {_sql_hash60("'temp|' || CAST(doc_id AS VARCHAR)")} % {1 << _TEMP_HBITS} AS h
+  FROM documents
+)
+SELECT doc_id, lang, n_lang,
+       (h * h * n_lang < {TEMP_C * TEMP_C} * {1 << (2 * _TEMP_HBITS)}) AS keep
+FROM sized
+""",
+)
+def curate_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing: keep each document with
+    probability c/sqrt(n_lang), so the sampled corpus follows the
+    α = 0.5 exponentially-smoothed language distribution (square-root
+    temperature sampling). The threshold test never touches a float:
+    P(h < c·2^B/sqrt(n)) over a uniform B-bit hash h is EXACTLY the
+    integer predicate h²·n < c²·2^(2B) — both engines evaluate it in
+    bigint arithmetic (h² ≤ 2^40, ×n ≪ 2^63), so sqrt never appears
+    and the kept set is bit-deterministic.
+
+    Scale shape: the per-language sizes come from one partial-combined
+    groupBy over ≤ |langs| rows, broadcast back onto the corpus — NOT a
+    per-language window (which would serialize each language through
+    one task; the shard-packing straggler lesson). The keep test is
+    then a pure per-row predicate in the scan stage; nothing else
+    shuffles. (The oracle uses the window formulation — fine at oracle
+    scale, never the engine's plan.)"""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sizes = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    h = (
+        _spark_hash60(F.concat(F.lit("temp|"), F.col("doc_id").cast("string")))
+        % (1 << _TEMP_HBITS)
+    )
+    return (
+        docs.join(F.broadcast(sizes), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_lang",
+            (
+                h * h * F.col("n_lang")
+                < F.lit(TEMP_C * TEMP_C * (1 << (2 * _TEMP_HBITS))).cast("bigint")
+            ).alias("keep"),
+        )
+    )

@@ -455,3 +455,25 @@ def test_semdedup_assignment_broadcasts_seeds(spark, sf_dir):
     s = plan(eng.QUERIES["dedup_semantic_clusters"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in s
     assert "BatchEvalPython" not in s
+
+
+def test_temperature_resample_broadcasts_sizes(spark, sf_dir):
+    """The per-language sizes must reach the corpus via a broadcast
+    join of the tiny groupBy result — a per-language Window here would
+    serialize each language through one task at 100 TB (the
+    shard-packing straggler). No Window node, one broadcast."""
+    s = plan(eng.QUERIES["curate_temperature_resample"](spark, sf_dir))
+    assert "Window" not in s
+    assert "BroadcastHashJoin" in s
+    assert "BatchEvalPython" not in s
+
+
+def test_bitmap_distinct_shuffles_bitmaps_not_values(spark, sf_dir):
+    """The first aggregation keys on (event_type, bucket) with a
+    map-side partial bitmap_construct_agg — the shuffle carries
+    bounded bitmaps; no Expand (the count-distinct rewrite) and no
+    second pass over raw values."""
+    s = plan(eng.QUERIES["agg_bitmap_distinct"](spark, sf_dir))
+    assert "Expand" not in s
+    assert "partial_bitmap_construct_agg" in s
+    assert s.count("Exchange") == 2
