@@ -171,6 +171,9 @@ _DEFER_IN_TIER = frozenset(
         "agg_bitmap_distinct",
         "curate_temperature_resample",
         "fn_mask_customer",
+        # composition of the three ops above + semantic_keep, each leg
+        # oracle-certified at all three scales on its own
+        "pipeline_training_corpus_v2",
     }
 )
 

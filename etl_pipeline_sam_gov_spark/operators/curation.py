@@ -427,3 +427,106 @@ def curate_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation DAG v2: quality classifier → temperature rebalance → SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def _v2_oracle() -> str:
+    from etl_pipeline_sam_gov_spark.operators.dedup import _sd_ctes
+    from etl_pipeline_sam_gov_spark.operators.text import SQL_QUALITY_LOGIT
+
+    return f"""
+WITH cls AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+         {SQL_QUALITY_LOGIT} AS logit
+  FROM documents
+),
+q1 AS (SELECT * FROM cls WHERE logit > 0),
+sized AS (
+  SELECT q1.*,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang,
+         {_sql_hash60("'temp|' || CAST(doc_id AS VARCHAR)")} % {1 << _TEMP_HBITS} AS h
+  FROM q1
+),
+q2 AS (
+  SELECT doc_id, lang, n_tokens FROM sized
+  WHERE h * h * n_lang < {TEMP_C * TEMP_C} * {1 << (2 * _TEMP_HBITS)}
+),
+embbase AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e JOIN q2 ON e.vec_id = q2.doc_id
+),
+{_sd_ctes("embbase")},
+verdict AS (
+  SELECT a.vec_id, (d.vec_id IS NULL) AS keep
+  FROM assign a LEFT JOIN dups d USING (vec_id)
+)
+SELECT q2.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(q2.n_tokens) AS BIGINT) AS total_tokens
+FROM q2 LEFT JOIN verdict v ON q2.doc_id = v.vec_id
+WHERE v.keep IS NULL OR v.keep
+GROUP BY q2.lang
+"""
+
+
+@query("pipeline_training_corpus_v2", oracle=_v2_oracle())
+def pipeline_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern LLM curation DAG, composed end-to-end from this
+    round's operators: (1) hashing-trick quality classifier keeps
+    positive-logit documents (text_quality_classifier); (2) α = 0.5
+    temperature resampling rebalances the SURVIVING language
+    distribution (curate_temperature_resample — sizes computed after
+    the quality gate, as a real pipeline would); (3) SemDeDup semantic
+    dedup prunes near-duplicate survivors by embedding (documents
+    without an embedding pass through — you cannot semantically dedup
+    what you cannot embed). Output: per-language kept-document and
+    token counts, i.e. the corpus composition report that feeds
+    mixture planning.
+
+    Scale shape: stages 1–2 are scan-stage predicates plus one
+    broadcast of per-language counts; stage 3 inherits semantic_keep's
+    broadcast-seeds + bounded within-cluster quadratic; the final
+    rollup is one partial-combined groupBy over |langs| rows. Nothing
+    materializes between stages — Catalyst sees ONE plan and pushes
+    the quality predicate into the documents scan."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import semantic_keep
+    from etl_pipeline_sam_gov_spark.operators.text import quality_logit
+
+    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    docs = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.size(tokens_col()).cast("bigint").alias("n_tokens"),
+        quality_logit().alias("logit"),
+    )
+    q1 = docs.filter(F.col("logit") > 0)
+    sizes = q1.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    h = (
+        _spark_hash60(F.concat(F.lit("temp|"), F.col("doc_id").cast("string")))
+        % (1 << _TEMP_HBITS)
+    )
+    q2 = (
+        q1.join(F.broadcast(sizes), "lang")
+        .filter(
+            h * h * F.col("n_lang")
+            < F.lit(TEMP_C * TEMP_C * (1 << (2 * _TEMP_HBITS))).cast("bigint")
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )
+    emb = t["embeddings"].join(
+        q2.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    verdict = semantic_keep(emb).select("vec_id", "keep")
+    return (
+        q2.join(verdict, q2["doc_id"] == verdict["vec_id"], "left")
+        .filter(F.col("keep").isNull() | F.col("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

@@ -857,21 +857,25 @@ SEMDEDUP_TAU_DEN = 5
 _SD_SCALE = 1024  # dyadic fixed-point (2^-10), cf. operators.ml.KM_SCALE
 
 
-def _sd_oracle() -> str:
+def _sd_ctes(base: str = "embeddings") -> str:
+    """The SemDeDup CTE chain (q → norms → seeds → dist → assign →
+    pairs → dups) over an arbitrary base relation exposing
+    (vec_id, embedding) — shared by the standalone query and the
+    composed curation pipeline, so both oracles stay one source of
+    truth."""
     tn, td = SEMDEDUP_TAU_NUM, SEMDEDUP_TAU_DEN
-    return f"""
-WITH q AS (
+    return f"""q AS (
   SELECT vec_id,
          list_transform(CAST(embedding AS DOUBLE[]),
                         x -> round(x * {_SD_SCALE}, 0) / {_SD_SCALE}) AS v
-  FROM embeddings
+  FROM {base}
 ),
 norms AS (SELECT vec_id, v, list_dot_product(v, v) AS nsq FROM q),
 seeds AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
          v AS sv, list_dot_product(v, v) AS snsq
   FROM q
-  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {SEMDEDUP_K})
+  WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT {SEMDEDUP_K})
 ),
 dist AS (
   SELECT n.vec_id, s.cid,
@@ -896,39 +900,23 @@ pairs AS (
 dups AS (
   SELECT DISTINCT v2 AS vec_id FROM pairs
   WHERE dot > 0 AND {td * td} * dot * dot >= {tn * tn} * nsq1 * nsq2
-)
+)"""
+
+
+#: Per-vector verdict over the full CTE chain.
+_SD_SELECT = """
 SELECT a.vec_id, a.cid AS cluster, (d.vec_id IS NULL) AS keep
 FROM assign a LEFT JOIN dups d USING (vec_id)
 """
 
 
-@query("dedup_semantic_clusters", oracle=_sd_oracle())
-def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-cluster the
-    embedding space, then prune near-duplicates WITHIN each cluster —
-    keep a vector unless a lower-id cluster-mate sits at cosine ≥ τ.
-    Clustering bounds the quadratic: all-pairs cosine over the corpus
-    is O(N²) (the dedup_embedding_cosine baseline), within-cluster
-    pairs are O(Σ|c|²) — with balanced clusters, a 1/k reduction, and
-    at 100 TB k grows with the corpus so cluster sizes stay bounded.
-
-    Determinism contract: every float op is dyadic fixed-point
-    (operators.ml discipline) — vectors quantize to multiples of
-    2^-10, so dot products / squared norms / distances are exact and
-    order-independent, and the threshold test runs entirely in exact
-    arithmetic: cos ≥ τ ⇔ dot > 0 ∧ τ_den²·dot² ≥ τ_num²·|a|²·|b|²
-    (no division, no sqrt — both of which round engine-dependently).
-
-    Scale shape: seeds (the first-k vectors — production would sample)
-    broadcast as k rows; assignment is a map-side cross join with the
-    k×dim broadcast + one partial-combined argmin — the corpus never
-    shuffles for assignment. The pair stage shuffles once keyed on
-    cid; within-cluster self-join is the bounded quadratic above.
-    Distances use ‖a‖² + ‖s‖² − 2⟨a,s⟩ so the per-seed work is one
-    zip_with fold, JVM-side, no UDF."""
+def semantic_keep(emb: DataFrame) -> DataFrame:
+    """(vec_id, cluster, keep) SemDeDup verdicts for any relation
+    exposing (vec_id, embedding) — the engine core behind
+    dedup_semantic_clusters and the composed curation pipeline.
+    See dedup_semantic_clusters for the semantics/scale contract."""
     from pyspark.sql import Window as W
 
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     qv = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * _SD_SCALE, 0) / _SD_SCALE
     )
@@ -984,3 +972,31 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dups, "vec_id", "left")
         .select("vec_id", "cluster", F.coalesce(~F.col("is_dup"), F.lit(True)).alias("keep"))
     )
+
+
+@query("dedup_semantic_clusters", oracle="WITH " + _sd_ctes() + _SD_SELECT)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-cluster the
+    embedding space, then prune near-duplicates WITHIN each cluster —
+    keep a vector unless a lower-id cluster-mate sits at cosine ≥ τ.
+    Clustering bounds the quadratic: all-pairs cosine over the corpus
+    is O(N²) (the dedup_embedding_cosine baseline), within-cluster
+    pairs are O(Σ|c|²) — with balanced clusters, a 1/k reduction, and
+    at 100 TB k grows with the corpus so cluster sizes stay bounded.
+
+    Determinism contract: every float op is dyadic fixed-point
+    (operators.ml discipline) — vectors quantize to multiples of
+    2^-10, so dot products / squared norms / distances are exact and
+    order-independent, and the threshold test runs entirely in exact
+    arithmetic: cos ≥ τ ⇔ dot > 0 ∧ τ_den²·dot² ≥ τ_num²·|a|²·|b|²
+    (no division, no sqrt — both of which round engine-dependently).
+
+    Scale shape: seeds (the first-k vectors — production would sample)
+    broadcast as k rows; assignment is a map-side cross join with the
+    k×dim broadcast + one partial-combined argmin — the corpus never
+    shuffles for assignment. The pair stage shuffles once keyed on
+    cid; within-cluster self-join is the bounded quadratic above.
+    Distances use ‖a‖² + ‖s‖² − 2⟨a,s⟩ so the per-seed work is one
+    zip_with fold, JVM-side, no UDF."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return semantic_keep(emb)

@@ -920,6 +920,26 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLS_RANGE = 1000
 _CLS_MOD = 2 * CLS_RANGE + 1
 
+#: DuckDB expression for the document logit (kept in lockstep with
+#: quality_logit below; shared with the composed curation pipeline).
+SQL_QUALITY_LOGIT = (
+    "CAST(list_sum(list_transform(string_split_regex(text, '\\s+'), "
+    f"t -> {_sql_hash60('t')} % {_CLS_MOD} - {CLS_RANGE})) AS BIGINT)"
+)
+
+
+def quality_logit() -> Column:
+    """Integer document logit: fold of per-token hashed weights — the
+    Spark twin of SQL_QUALITY_LOGIT."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
+
+    weight = lambda t: _spark_hash60(t) % _CLS_MOD - CLS_RANGE  # noqa: E731
+    return F.aggregate(
+        F.transform(tokens_col(), weight),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
 
 @query(
     "text_quality_classifier",
@@ -927,10 +947,7 @@ _CLS_MOD = 2 * CLS_RANGE + 1
 WITH scored AS (
   SELECT doc_id, lang,
          len(string_split_regex(text, '\\s+')) AS n_tokens,
-         CAST(list_sum(list_transform(
-             string_split_regex(text, '\\s+'),
-             t -> {_sql_hash60('t')} % {_CLS_MOD} - {CLS_RANGE}
-         )) AS BIGINT) AS logit
+         {SQL_QUALITY_LOGIT} AS logit
   FROM documents
 )
 SELECT doc_id, lang, n_tokens, logit, (logit > 0) AS label
@@ -957,14 +974,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical bits under any partitioning; monotone in the sigmoid, so
     thresholding on 0 IS thresholding on p=0.5."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
-
-    weight = lambda t: _spark_hash60(t) % _CLS_MOD - CLS_RANGE  # noqa: E731
-    logit = F.aggregate(
-        F.transform(tokens_col(), weight),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    logit = quality_logit()
     return docs.select(
         "doc_id",
         "lang",
