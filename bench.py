@@ -50,6 +50,8 @@ HEADLINE = [
     "multimodal_features",  # Arrow-batched mapInPandas decode kernel
     "graph_pagerank_bipartite",  # iterative join rounds over cached edges
     "resample_interpolate_hourly",  # merged-timeline gap-fill windows
+    "join_bloom_prefilter",  # runtime bloom filter below the join shuffle
+    "pipeline_training_corpus_v2",  # classifier → rebalance → SemDeDup DAG
 ]
 
 

@@ -426,14 +426,14 @@ def test_bloom_prefilter_below_join_exchange(spark, sf_dir):
     non-joining fact rows from the shuffle at 100 TB."""
     s = plan(eng.QUERIES["join_bloom_prefilter"](spark, sf_dir))
     assert "SortMergeJoin" in s  # join pinned to the no-broadcast regime
-    assert s.count("array_contains") == 3
+    assert s.count("shiftright") >= 3  # O(1) word-fetch membership tests
     probe_exchange = s.index("Exchange hashpartitioning(o_custkey")
-    assert s.index("array_contains") > probe_exchange, (
+    assert s.index("shiftright") > probe_exchange, (
         "bloom filter applied above the probe shuffle — prefiltering lost"
     )
     # the bloom itself is a single broadcast row built with map-side combine
     assert "IdentityBroadcastMode" in s
-    assert "partial_collect_set" in s
+    assert "partial_bit_or" in s
 
 
 def test_quality_classifier_is_zero_shuffle_scan(spark, sf_dir):

@@ -40,6 +40,13 @@ STRESS_QUERIES = (
     "text_top_bigrams",       # explode + partial-combined count + top-k
     "text_chunk_sliding",     # narrow generate — must track the scan
     "dedup_crossdoc_ngrams",  # shingle df join — linear iff dup set bounded
+    "text_quality_classifier",  # zero-shuffle hashed-weight fold — pure scan
+    "curate_temperature_resample",  # tiny groupBy + broadcast + scan filter
+    # (dedup_semantic_clusters is deliberately NOT stressed: its
+    # within-cluster pair stage is quadratic in cluster size BY DESIGN,
+    # bounded only when k grows with the corpus — the fixture pins k=8
+    # for the oracle, so amplification would measure the known
+    # quadratic, not a regression.)
     # event-timeline family (reads the amplified events table):
     "sessionize_events",      # one timeline shuffle + windows
     "resample_interpolate_hourly",  # grid explode + merged-timeline walk
