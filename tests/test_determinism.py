@@ -26,6 +26,9 @@ REPRESENTATIVE = [
     "text_repetition_quality",   # per-row array folds (trivially invariant)
     "resample_interpolate_hourly",  # merged-timeline windows + float lerp
     "ml_kmeans_embeddings",      # dyadic fixed-point Lloyd iterations
+    "join_bloom_prefilter",      # bloom transparency under any layout
+    "dedup_semantic_clusters",   # dyadic cosine + argmin tie-breaks
+    "pipeline_training_corpus_v2",  # composed classifier→rebalance→dedup
 ]
 
 
