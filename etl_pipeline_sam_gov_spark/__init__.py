@@ -174,6 +174,11 @@ _DEFER_IN_TIER = frozenset(
         # composition of the three ops above + semantic_keep, each leg
         # oracle-certified at all three scales on its own
         "pipeline_training_corpus_v2",
+        # blocked-Levenshtein ER join (verbatim-SQL oracle like the
+        # LATERAL lane) and the cumulative twin of agg_bitmap_distinct,
+        # both certified at all three scales
+        "join_fuzzy_name_match",
+        "agg_bitmap_rollup_daily",
     }
 )
 

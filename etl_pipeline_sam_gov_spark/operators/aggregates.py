@@ -860,3 +860,58 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n_events"),
         )
     )
+
+
+@query(
+    "agg_bitmap_rollup_daily",
+    oracle="""
+WITH ev AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id FROM events
+),
+daily AS (SELECT day, COUNT(DISTINCT user_id) AS n_daily FROM ev GROUP BY day),
+fs AS (SELECT user_id, MIN(day) AS first_day FROM ev GROUP BY user_id),
+cum AS (
+  SELECT d.day, COUNT(*) AS n_cum
+  FROM fs JOIN (SELECT DISTINCT day FROM ev) d ON fs.first_day <= d.day
+  GROUP BY d.day
+)
+SELECT daily.day, daily.n_daily, cum.n_cum
+FROM daily JOIN cum ON daily.day = cum.day
+""",
+)
+def agg_bitmap_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style distinct rollup over time from MERGEABLE
+    partials: per-day exact distinct users AND the running cumulative
+    distinct through each day, both answered from per-(day, bucket)
+    bitmaps — raw events are read ONCE to build the partials; every
+    rollup after that merges bitmaps (bitmap_or_agg) without touching
+    a raw row again. This is the continuous-aggregate pattern: a
+    100 TB event store keeps ~KB of bitmap per (day, bucket), and any
+    time-range distinct (day, week, arbitrary span) is a popcount
+    over OR-merged partials — compare the naive plan, which re-scans
+    and re-shuffles every raw event per window. The prefix fan-out
+    joins the |days|×|buckets| partial relation, never the corpus;
+    exactness (vs HLL's ±2%) is the bitmap family's selling point,
+    which is why the oracle is plain COUNT(DISTINCT) + a first-seen
+    prefix count."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    base = ev.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    partials = base.groupBy(
+        "day", F.bitmap_bucket_number("user_id").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    daily = partials.groupBy("day").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_daily")
+    )
+    days = partials.select("day").distinct()
+    cum = (
+        partials.alias("p")
+        .join(F.broadcast(days).alias("d"), F.col("p.day") <= F.col("d.day"))
+        .groupBy(F.col("d.day").alias("day"), F.col("p.bucket"))
+        .agg(F.bitmap_or_agg(F.col("p.bm")).alias("bm"))
+        .groupBy("day")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_cum"))
+    )
+    return daily.join(cum, "day")

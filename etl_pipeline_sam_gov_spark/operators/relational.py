@@ -730,3 +730,56 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "spend"))
     )
+
+
+#: Shared verbatim by Spark and the DuckDB oracle: entity-resolution
+#: blocking + edit-distance verification + deterministic best-match.
+#: The dirty side is derived from the base (customers whose key is
+#: ≡0 mod 13 get their name's last two digits transposed — a classic
+#: keyboard transposition typo), so the oracle can rebuild it exactly.
+_FUZZY_MATCH_SQL = """
+WITH dirty AS (
+  SELECT c_custkey + 9000000 AS dirty_id,
+         substr(c_name, 1, 16)
+           || substr(c_name, 18, 1) || substr(c_name, 17, 1) AS dirty_name
+  FROM customer WHERE c_custkey % 13 = 0
+),
+cand AS (
+  SELECT d.dirty_id, d.dirty_name, c.c_custkey, c.c_name,
+         levenshtein(d.dirty_name, c.c_name) AS edit_dist
+  FROM dirty d JOIN customer c
+    ON substr(d.dirty_name, 10, 5) = substr(c.c_name, 10, 5)
+  WHERE levenshtein(d.dirty_name, c.c_name) <= 2
+)
+SELECT dirty_id, dirty_name, c_custkey AS matched_key,
+       CAST(edit_dist AS BIGINT) AS edit_dist
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY dirty_id ORDER BY edit_dist, c_custkey) AS rn
+  FROM cand
+) WHERE rn = 1
+"""
+
+
+@query("join_fuzzy_name_match", oracle=_FUZZY_MATCH_SQL)
+def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-resolution join (record linkage): match typo'd
+    records back to the master table by BLOCKING on a stable substring
+    key, then verifying candidates with Levenshtein edit distance and
+    keeping the deterministic best match (min distance, then min key).
+    This is the blocking-verification shape every dedup/ER system uses
+    (Fellegi-Sunter style): all-pairs edit distance over N×M records
+    is infeasible, but an equi-join on a block key reduces candidates
+    to same-block pairs — the string-domain analogue of
+    dedup_simhash_blocked's byte-band pigeonhole.
+
+    Scale shape: the block-key equi-join shuffles both sides on the
+    key (hash-partitioned, AQE-skew-splittable if one block is hot);
+    Levenshtein runs JVM-side only on candidates; the best-match
+    row_number partitions by dirty_id — one shuffle each, no cross
+    join anywhere. The SQL runs verbatim on both engines (transposed
+    digits at positions 17-18 never touch the 5-digit block key at
+    positions 10-14, so a true match can never be blocked away —
+    recall is provable, the blocked-SimHash discipline)."""
+    load_tables(spark, sf_dir, ("customer",))
+    return spark.sql(_FUZZY_MATCH_SQL)
