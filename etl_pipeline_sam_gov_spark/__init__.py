@@ -35,6 +35,7 @@ from etl_pipeline_sam_gov_spark.operators import (  # noqa: F401
     graph as _graph,
     ml as _ml,
     relational as _relational,
+    retrieval as _retrieval,
     setops as _setops,
     similarity as _similarity,
     text as _text,
@@ -179,6 +180,13 @@ _DEFER_IN_TIER = frozenset(
         # both certified at all three scales
         "join_fuzzy_name_match",
         "agg_bitmap_rollup_daily",
+        # retrieval family (this session): BM25 recombines the
+        # driver-green tfidf machinery (same explode→count→window→df
+        # shape); the inverted index is the capped-collect dual of the
+        # green decontamination shingle index — both certified locally
+        # at all three fixture scales before registration
+        "text_bm25_retrieval",
+        "text_inverted_index",
     }
 )
 

@@ -1,0 +1,220 @@
+"""Corpus retrieval over ``documents`` (SURVEY.md §2.12 extensions):
+BM25 ranked retrieval and an inverted-index (posting-list) build — the
+index/serve stages that follow the text-analysis and dedup stages of an
+LLM training-data pipeline (the reference's rank-and-top-k kernel,
+``lambda_function.py:173-179``, generalized from one scored column to a
+corpus-wide relevance model).
+
+Scale shape (100 TB): both queries ride ONE explode → partial-combined
+``groupBy(doc_id, tok)`` over the corpus; everything per-token after
+that point (document frequency, the BM25 model, posting caps) operates
+on the *vocabulary-sized* or *query-sized* relations and broadcasts
+back. No all-pairs work, no collect, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_pipeline_sam_gov_spark.operators.dedup import spread_docs, tokens_col
+from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.tables import load_tables
+
+#: Fixed keyword queries for the retrieval benchmark (deterministic —
+#: the oracle embeds the same VALUES list).
+BM25_QUERY_TERMS: list[tuple[int, tuple[str, ...]]] = [
+    (1, ("spark", "join")),
+    (2, ("window", "agg", "stream")),
+    (3, ("customer", "value", "table")),
+]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 5
+
+#: Max doc_ids materialized per posting list (real indexes cap or tier
+#: posting lists; the cap is applied BELOW the collect, via a rank
+#: window on the same shuffle key, so no unbounded row ever forms).
+POSTING_CAP = 8
+
+
+def _doc_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok, c) term frequencies: one explode, one
+    partial-combined groupBy — the single corpus-wide shuffle both
+    retrieval queries share."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        spread_docs(docs)
+        .select("doc_id", F.explode(tokens_col()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _sql_query_values() -> str:
+    rows = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in BM25_QUERY_TERMS for t in terms
+    )
+    return f"q(query_id, tok) AS (VALUES {rows})"
+
+
+_ALL_QUERY_TERMS = sorted({t for _, terms in BM25_QUERY_TERMS for t in terms})
+
+
+@query(
+    "text_bm25_retrieval",
+    oracle=f"""
+WITH {_sql_query_values()},
+tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dl FROM c GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM c) AS total_toks
+),
+df AS (
+  SELECT tok, COUNT(*) AS df FROM c
+  WHERE tok IN ({", ".join(f"'{t}'" for t in _ALL_QUERY_TERMS)})
+  GROUP BY tok
+),
+scored AS (
+  SELECT q.query_id, c.doc_id,
+         round(SUM(
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+           * (c.c * ({BM25_K1} + 1))
+           / (c.c + {BM25_K1} * (1 - {BM25_B}
+              + {BM25_B} * dl.dl / (stats.total_toks::DOUBLE / stats.n_docs)))
+         ), 6) AS bm25
+  FROM c
+  JOIN q USING (tok)
+  JOIN df USING (tok)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, c.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, bm25,
+         row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT query_id, doc_id, CAST(rnk AS INT) AS rnk, bm25
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+)
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson/Sparck Jones) top-k retrieval for a fixed
+    keyword query set — the classic sparse-retrieval ranking kernel.
+
+    Scale shape: term frequencies are the shared partial-combined
+    groupBy; per-doc length rides a window on the SAME (doc_id, tok)
+    exchange (partition-prefix key); document frequency is computed
+    AFTER restricting to the query vocabulary (a broadcast IN-filter),
+    so the df aggregation touches only matching postings; the corpus
+    scalars (N, avgdl) are a broadcast 1-row cross join, never a
+    collected literal. Candidate scoring is |matching postings|-sized —
+    corpus-size-independent for fixed queries. Ranking orders by the
+    ROUNDED score with doc_id tiebreak (repo convention: both engines
+    rank identical values)."""
+    counts = _doc_term_counts(spark, sf_dir)
+    dl = F.sum("c").over(W.partitionBy("doc_id")).cast("bigint")
+    with_dl = counts.withColumn("dl", dl)
+    matched = with_dl.filter(F.col("tok").isin(_ALL_QUERY_TERMS))
+    df_term = matched.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = counts.agg(
+        F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        F.sum("c").cast("bigint").alias("total_toks"),
+    )
+    qterms = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).cast("int").alias("query_id"),
+                        F.lit(t).alias("tok"),
+                    )
+                    for qid, terms in BM25_QUERY_TERMS
+                    for t in terms
+                ]
+            )
+        ).alias("q")
+    ).select("q.query_id", "q.tok")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    avgdl = F.col("total_toks").cast("double") / F.col("n_docs")
+    tf_norm = (F.col("c") * (BM25_K1 + 1)) / (
+        F.col("c") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
+    )
+    scored = (
+        matched.join(F.broadcast(qterms), "tok")
+        .join(F.broadcast(df_term), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_norm), 6).alias("bm25"))
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "rnk", "bm25")
+    )
+
+
+@query(
+    "text_inverted_index",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+full_stats AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(c) AS BIGINT) AS cf
+  FROM c GROUP BY tok
+),
+capped AS (
+  SELECT tok, doc_id,
+         row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+  FROM c
+),
+postings AS (
+  SELECT tok, array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+  FROM capped WHERE rn <= {POSTING_CAP} GROUP BY tok
+)
+SELECT f.tok, f.df, f.cf, p.postings
+FROM full_stats f JOIN postings p USING (tok)
+""",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → document frequency, collection
+    frequency, and a capped posting list (first {POSTING_CAP} doc_ids,
+    ascending) — the index artifact behind sparse retrieval and the
+    decontamination joins.
+
+    Scale shape: ONE exchange on ``tok`` serves both the posting-cap
+    rank window and the final aggregation (window keys on the shuffle
+    key itself); the cap is applied BEFORE ``collect_list`` so no task
+    ever materializes an unbounded posting array (a stopword's full
+    posting list at corpus scale is millions of entries — capped lists
+    are how real indexes tier such terms). df/cf are computed on the
+    same pass with a conditional collect, not a second shuffle."""
+    counts = _doc_term_counts(spark, sf_dir)
+    rn = F.row_number().over(W.partitionBy("tok").orderBy("doc_id"))
+    return (
+        counts.withColumn("rn", rn)
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("c").cast("bigint").alias("cf"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") <= POSTING_CAP, F.col("doc_id"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings"),
+        )
+    )

@@ -477,3 +477,26 @@ def test_bitmap_distinct_shuffles_bitmaps_not_values(spark, sf_dir):
     assert "Expand" not in s
     assert "partial_bitmap_construct_agg" in s
     assert s.count("Exchange") == 2
+
+
+def test_bm25_partial_topk_and_broadcast_model(spark, sf_dir):
+    """BM25's ranking must plan as WindowGroupLimit (partial top-k on
+    the map side, no full per-query sort shuffle) and the query-term /
+    document-frequency model relations must broadcast — shuffling the
+    (doc, term) counts against a vocabulary-sized model would be the
+    100 TB bottleneck."""
+    s = plan(eng.QUERIES["text_bm25_retrieval"](spark, sf_dir))
+    assert "WindowGroupLimit" in s
+    assert s.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in s
+
+
+def test_inverted_index_caps_before_collect(spark, sf_dir):
+    """The posting cap must sit BELOW collect_list (a conditional
+    collect over the rank window) so no task materializes an unbounded
+    posting array, and the rank window + final aggregation must share
+    ONE exchange on tok (3 total: spread, term-count, tok)."""
+    s = plan(eng.QUERIES["text_inverted_index"](spark, sf_dir))
+    assert "partial_collect_list(CASE WHEN" in s
+    assert s.count("Window") == 1
+    assert s.count("Exchange") <= 3
