@@ -187,6 +187,13 @@ _DEFER_IN_TIER = frozenset(
         # at all three fixture scales before registration
         "text_bm25_retrieval",
         "text_inverted_index",
+        # curation additions (this session): the negative sampler is
+        # the green hash-split determinism contract driving a plain
+        # equi-join; DSIR recombines the green hashed-feature +
+        # broadcast-model shapes (quality classifier / unigram NLL) —
+        # certified locally at all three fixture scales
+        "curate_negative_pairs",
+        "curate_dsir_importance",
     }
 )
 

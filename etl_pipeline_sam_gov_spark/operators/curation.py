@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from etl_pipeline_sam_gov_spark.operators.dedup import (
     _spark_hash60,
     _sql_hash60,
+    spread_docs,
     tokens_col,
 )
 from etl_pipeline_sam_gov_spark.registry import query
@@ -529,4 +530,208 @@ def pipeline_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative sampling
+# ---------------------------------------------------------------------------
+
+NEG_K = 3  #: negatives drawn per anchor
+NEG_ANCHOR_STRIDE = 10  #: doc_id % stride == 0 → the anchor set
+
+
+@query(
+    "curate_negative_pairs",
+    oracle=f"""
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+anchors AS (
+  SELECT doc_id AS anchor_id, lang AS anchor_lang FROM documents
+  WHERE doc_id % {NEG_ANCHOR_STRIDE} = 0
+),
+slots AS (
+  SELECT anchor_id, anchor_lang, unnest(range({NEG_K})) AS neg_slot FROM anchors
+),
+cand AS (
+  SELECT anchor_id, anchor_lang, CAST(neg_slot AS INT) AS neg_slot,
+         {_sql_hash60("anchor_id || ':' || neg_slot")} % n.n_docs AS neg_id
+  FROM slots CROSS JOIN n
+)
+SELECT c.anchor_id, c.neg_slot, c.neg_id, c.anchor_lang,
+       d.lang AS neg_lang, (c.anchor_lang = d.lang) AS same_lang
+FROM cand c JOIN documents d ON d.doc_id = c.neg_id
+WHERE c.neg_id <> c.anchor_id
+""",
+)
+def curate_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    each anchor document draws NEG_K pseudo-random partners via an
+    md5-derived position (never ``rand()`` — reproducible across
+    engines, runs, and retries, the module's determinism contract),
+    then joins the partner's metadata back for curriculum filtering
+    (e.g. same-language negatives are "hard").
+
+    Scale shape: the candidate relation is |anchors| × NEG_K rows built
+    by a generated-key equi-join against the corpus — no cross product
+    ever forms; the corpus-size scalar rides a broadcast 1-row cross
+    join. Accidental self-pairs are dropped (deterministically on both
+    engines) rather than re-drawn, keeping the op one pass."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    anchors = docs.filter(F.col("doc_id") % NEG_ANCHOR_STRIDE == 0).select(
+        F.col("doc_id").alias("anchor_id"), F.col("lang").alias("anchor_lang")
+    )
+    cand = (
+        anchors.crossJoin(F.broadcast(n))
+        .select(
+            "anchor_id",
+            "anchor_lang",
+            F.explode(F.sequence(F.lit(0), F.lit(NEG_K - 1))).alias("neg_slot"),
+            "n_docs",
+        )
+        .select(
+            "anchor_id",
+            "anchor_lang",
+            F.col("neg_slot").cast("int").alias("neg_slot"),
+            (
+                _spark_hash60(
+                    F.concat(
+                        F.col("anchor_id").cast("string"),
+                        F.lit(":"),
+                        F.col("neg_slot").cast("string"),
+                    )
+                )
+                % F.col("n_docs")
+            ).alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+    )
+    neg = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang")
+    )
+    return cand.join(neg, "neg_id").select(
+        "anchor_id",
+        "neg_slot",
+        "neg_id",
+        "anchor_lang",
+        "neg_lang",
+        (F.col("anchor_lang") == F.col("neg_lang")).alias("same_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (hashed n-gram features)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 64  #: hashed unigram feature dimensionality
+DSIR_TARGET_SOURCE = "src0"  #: the "target distribution" slice
+
+
+@query(
+    "curate_dsir_importance",
+    oracle=rf"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+),
+tb AS (SELECT doc_id, source, {_sql_hash60("tok")} % {DSIR_BUCKETS} AS bucket FROM tok),
+raw AS (SELECT bucket, COUNT(*) AS r FROM tb GROUP BY bucket),
+tgt AS (SELECT bucket, COUNT(*) AS t
+        FROM tb WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY bucket),
+totals AS (
+  SELECT (SELECT COUNT(*) FROM tb) AS r_total,
+         (SELECT COUNT(*) FROM tb WHERE source = '{DSIR_TARGET_SOURCE}') AS t_total
+),
+b AS (SELECT unnest(range({DSIR_BUCKETS})) AS bucket),
+model AS (
+  SELECT b.bucket,
+         ln(((COALESCE(t, 0) + 1)::DOUBLE / (t_total + {DSIR_BUCKETS}))
+            / ((COALESCE(r, 0) + 1)::DOUBLE / (r_total + {DSIR_BUCKETS}))) AS lw
+  FROM b LEFT JOIN raw USING (bucket) LEFT JOIN tgt USING (bucket)
+  CROSS JOIN totals
+),
+scored AS (
+  SELECT tb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         round(SUM(lw), 6) AS logw
+  FROM tb JOIN model USING (bucket) GROUP BY tb.doc_id
+)
+SELECT doc_id, n_tokens, logw,
+       round(1 / (1 + exp(-logw)), 6) AS accept_p,
+       (({_sql_hash60("'dsir:' || doc_id")} % 1000000) / 1000000.0
+        < round(1 / (1 + exp(-logw)), 6)) AS keep
+FROM scored
+""",
+)
+def curate_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every document by the log-likelihood ratio
+    of a hashed-unigram bag-of-words model fit on a target slice vs the
+    raw corpus, then resample with probability sigmoid(logw) using the
+    module's deterministic md5-hash coin.
+
+    Scale shape: the feature "model" is DSIR_BUCKETS rows — fit by two
+    partial-combined counts over one token explode and broadcast back
+    onto the token stream; per-doc scoring is the same groupBy the
+    quality filters use. Nothing about the corpus is ever collected,
+    and a bigger corpus only widens the two count aggregations. The
+    add-one-smoothed ratio is computed as ONE ln() of a ratio (not a
+    difference of lns) so both engines evaluate the identical float
+    expression; the resampling coin compares a 6-decimal hash fraction
+    against the 6-decimal rounded sigmoid (boundary-stable across
+    engines, same technique as the hash-threshold split)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tb = (
+        spread_docs(docs)
+        .select("doc_id", "source", F.explode(tokens_col()).alias("tok"))
+        .select(
+            "doc_id",
+            "source",
+            (_spark_hash60(F.col("tok")) % DSIR_BUCKETS).alias("bucket"),
+        )
+    )
+    is_tgt = F.col("source") == DSIR_TARGET_SOURCE
+    raw = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("r"))
+    tgt = tb.filter(is_tgt).groupBy("bucket").agg(F.count(F.lit(1)).alias("t"))
+    totals = tb.agg(
+        F.count(F.lit(1)).alias("r_total"),
+        F.sum(is_tgt.cast("bigint")).alias("t_total"),
+    )
+    model = (
+        spark.range(DSIR_BUCKETS)
+        .select(F.col("id").alias("bucket"))
+        .join(F.broadcast(raw), "bucket", "left")
+        .join(F.broadcast(tgt), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.log(
+                (
+                    (F.coalesce(F.col("t"), F.lit(0)) + 1).cast("double")
+                    / (F.col("t_total") + DSIR_BUCKETS)
+                )
+                / (
+                    (F.coalesce(F.col("r"), F.lit(0)) + 1).cast("double")
+                    / (F.col("r_total") + DSIR_BUCKETS)
+                )
+            ).alias("lw"),
+        )
+    )
+    scored = (
+        tb.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum("lw"), 6).alias("logw"),
+        )
+    )
+    accept_p = F.round(1 / (1 + F.exp(-F.col("logw"))), 6)
+    coin = (
+        _spark_hash60(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string")))
+        % 1000000
+    ) / 1000000.0
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "logw",
+        accept_p.alias("accept_p"),
+        (coin < accept_p).alias("keep"),
     )

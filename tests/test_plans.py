@@ -500,3 +500,24 @@ def test_inverted_index_caps_before_collect(spark, sf_dir):
     assert "partial_collect_list(CASE WHEN" in s
     assert s.count("Window") == 1
     assert s.count("Exchange") <= 3
+
+
+def test_negative_pairs_no_cartesian_candidates(spark, sf_dir):
+    """Candidate generation must be a generated-key equi-join: the only
+    nested-loop allowed is the 1-row corpus-size scalar broadcast — a
+    CartesianProduct over (anchors × corpus) would be the O(n²) trap
+    this operator exists to avoid."""
+    s = plan(eng.QUERIES["curate_negative_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in s
+    assert "BatchEvalPython" not in s
+
+
+def test_dsir_model_broadcasts_onto_token_stream(spark, sf_dir):
+    """The DSIR bucket model (64 rows) must broadcast back onto the
+    token stream — shuffling the exploded corpus against it would add
+    a corpus-sized exchange; scoring then rides the same per-doc
+    groupBy as the quality filters."""
+    s = plan(eng.QUERIES["curate_dsir_importance"](spark, sf_dir))
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+    assert "BatchEvalPython" not in s
