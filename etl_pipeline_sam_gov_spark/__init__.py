@@ -194,6 +194,11 @@ _DEFER_IN_TIER = frozenset(
         # certified locally at all three fixture scales
         "curate_negative_pairs",
         "curate_dsir_importance",
+        # PQ encode reuses the IVF codebook machinery (same candidate
+        # rule, same broadcast-collect, same argmin tiebreak) whose
+        # assignment plan the driver will sample via ann_ivf_topk in
+        # this round's prefix; certified locally at all three scales
+        "ann_pq_encode",
     }
 )
 

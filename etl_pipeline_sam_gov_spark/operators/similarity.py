@@ -394,3 +394,136 @@ def ann_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("nrm", 6).alias("l2_norm"),
         qvec.alias("qvec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  #: subspaces (64-dim embeddings → 8 dims per subspace)
+PQ_SUB_DIM = 8
+
+
+@query(
+    "ann_pq_encode",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ss AS (SELECT unnest(range({PQ_M})) AS s),
+cents AS (
+  SELECT s, vec_id AS cent_id, v[s*{PQ_SUB_DIM}+1 : s*{PQ_SUB_DIM}+{PQ_SUB_DIM}] AS cv
+  FROM v CROSS JOIN ss
+  WHERE vec_id % {IVF_CENTROID_STRIDE} = 0 AND vec_id < {IVF_MAX_CENTROID_ID}
+),
+sub AS (
+  SELECT vec_id, s, v[s*{PQ_SUB_DIM}+1 : s*{PQ_SUB_DIM}+{PQ_SUB_DIM}] AS sv
+  FROM v CROSS JOIN ss
+),
+dist AS (
+  SELECT sub.vec_id, sub.s, c.cent_id,
+         list_aggregate(
+           list_transform(range({PQ_SUB_DIM}),
+                          i -> (sub.sv[i+1] - c.cv[i+1]) * (sub.sv[i+1] - c.cv[i+1])),
+           'sum') AS d
+  FROM sub JOIN cents c ON c.s = sub.s
+),
+best AS (
+  SELECT vec_id, s, cent_id, d,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cent_id) AS rn
+  FROM dist
+)
+SELECT vec_id,
+       list(cent_id ORDER BY s) AS codes,
+       round(list_aggregate(list(d ORDER BY s), 'sum'), 6) AS recon_err
+FROM best WHERE rn = 1
+GROUP BY vec_id
+""",
+)
+def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search"): split each embedding into PQ_M
+    subvectors, assign each to its nearest sub-centroid, and emit the
+    code word plus total reconstruction error — the encoding that turns
+    a 64×8-byte vector into PQ_M single-byte codes for RAM-resident
+    billion-vector indexes (complements the IVF cell assignment:
+    IVF-PQ is exactly these two operators composed).
+
+    Scale shape: the sub-codebook (PQ_M × ≤100 centroids, same
+    deterministic candidate rule as the IVF codebook) collapses to ONE
+    broadcast array row via a distributed collect_list — cell
+    assignment is then a per-row argmin over the broadcast array,
+    fully map-side, ZERO shuffle over the corpus (the ivf-assignment
+    plan property, reused). The subvector slices are materialized once
+    per row before the per-centroid loop (higher-order exprs are
+    interpreted — an inline slice would re-slice per centroid), and
+    both the per-subspace argmin (distance, then cent_id) and the
+    subspace-ordered error fold replicate the oracle's arithmetic
+    exactly."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    vd = _parallelize(emb.select("vec_id", _as_double().alias("v")))
+    cent_arr = (
+        vd.filter(
+            (F.col("vec_id") % IVF_CENTROID_STRIDE == 0)
+            & (F.col("vec_id") < IVF_MAX_CENTROID_ID)
+        )
+        .select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+            "v",
+        )
+        .select(
+            F.struct(
+                F.col("s").cast("bigint").alias("s"),
+                F.col("vec_id").alias("cent_id"),
+                F.slice(
+                    F.col("v"), F.col("s") * PQ_SUB_DIM + 1, F.lit(PQ_SUB_DIM)
+                ).alias("cv"),
+            ).alias("c")
+        )
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+    # The slices array is the ITERATION INPUT of the argmin transform
+    # (index-aware lambda), so each subvector is built once per row and
+    # bound to the lambda variable — an element_at from inside the
+    # per-centroid loop would re-evaluate the whole slice transform per
+    # centroid once CollapseProject inlines it (interpreted HOFs, no
+    # common-subexpression elimination).
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda s: F.slice(F.col("v"), s * PQ_SUB_DIM + 1, F.lit(PQ_SUB_DIM)),
+    )
+    best_arr = F.transform(
+        subs,
+        lambda sub, s: F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.filter(F.col("cents"), lambda c: c["s"] == s),
+                    lambda c: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                sub,
+                                c["cv"],
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, e: acc + e,
+                        ).alias("d"),
+                        c["cent_id"].alias("cent_id"),
+                    ),
+                )
+            ),
+            1,
+        ),
+    )
+    encoded = vd.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", best_arr.alias("best")
+    )
+    return encoded.select(
+        "vec_id",
+        F.transform(F.col("best"), lambda b: b["cent_id"]).alias("codes"),
+        F.round(
+            F.aggregate(
+                F.col("best"), F.lit(0.0), lambda acc, b: acc + b["d"]
+            ),
+            6,
+        ).alias("recon_err"),
+    )

@@ -521,3 +521,17 @@ def test_dsir_model_broadcasts_onto_token_stream(spark, sf_dir):
     assert "BroadcastHashJoin" in s
     assert "CartesianProduct" not in s
     assert "BatchEvalPython" not in s
+
+
+def test_pq_encode_is_shuffle_free_assignment(spark, sf_dir):
+    """PQ code assignment must be map-side against the broadcast
+    sub-codebook: the only exchanges are the fixture-layout spread and
+    the codebook's own tiny collect — never a corpus-wide shuffle, no
+    per-(vector, subspace) explode reaching an Exchange."""
+    s = plan(eng.QUERIES["ann_pq_encode"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in s  # the 1-row codebook attach
+    assert "CartesianProduct" not in s
+    assert "BatchEvalPython" not in s
+    # corpus side: spread exchange only; codebook side: one shuffle into
+    # the single-row collect_list agg (BroadcastExchange is not a shuffle)
+    assert s.count("Exchange") - s.count("BroadcastExchange") <= 3
