@@ -199,6 +199,10 @@ _DEFER_IN_TIER = frozenset(
         # assignment plan the driver will sample via ann_ivf_topk in
         # this round's prefix; certified locally at all three scales
         "ann_pq_encode",
+        # the rollup's mergeable-partial mechanics are the exact
+        # decimal-sum lane the driver has green many times over
+        # (agg_rollup, q1); certified locally at all three scales
+        "agg_hypertable_rollup",
     }
 )
 

@@ -535,3 +535,12 @@ def test_pq_encode_is_shuffle_free_assignment(spark, sf_dir):
     # corpus side: spread exchange only; codebook side: one shuffle into
     # the single-row collect_list agg (BroadcastExchange is not a shuffle)
     assert s.count("Exchange") - s.count("BroadcastExchange") <= 3
+
+
+def test_hypertable_rollup_merges_partials_not_raw(spark, sf_dir):
+    """The hourly tier must aggregate the 5-minute rollup relation,
+    not re-scan raw events: exactly two aggregation exchanges (bucket
+    tier, merge tier) over ONE FileScan of events."""
+    s = plan(eng.QUERIES["agg_hypertable_rollup"](spark, sf_dir))
+    assert s.count("FileScan") == 1
+    assert s.count("Exchange") - s.count("BroadcastExchange") == 2
