@@ -30,10 +30,11 @@ from etl_pipeline_sam_gov_spark.tables import load_tables
 PR_DAMPING = 0.85
 PR_ITERS = 3
 
-#: session id → persisted (edges, deg) pair of the latest invocation;
-#: the previous pair is released when a new one is built (same bounded
-#: one-slot cache discipline as curation._PACK_CACHE).
-_EDGE_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
+#: session id → persisted relations (edges, deg, per-iteration rank
+#: vectors) of the latest invocation; the previous set is released when
+#: a new one is built (same bounded one-slot cache discipline as
+#: curation._PACK_CACHE).
+_EDGE_CACHE: dict[int, tuple[DataFrame, ...]] = {}
 
 
 def _pagerank_oracle() -> str:
@@ -117,7 +118,7 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    _EDGE_CACHE[slot] = (edges, deg)
+    cached: list[DataFrame] = [edges, deg]
 
     # deg is keyed by src and every node of the symmetric graph has an
     # out-edge, so deg IS the node relation — deriving nodes/counts from
@@ -158,7 +159,19 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(PR_DAMPING) * F.coalesce(F.col("m"), F.lit(0.0))
                 ).alias("rank"),
             )
+            # Persist the |V|-row rank vector per round: each round's
+            # vector is referenced twice (next round's message AND next
+            # round's left join), so an unpersisted chain re-inlines
+            # every prior round's contribution subtree at ~2^r growth,
+            # leaning on ReuseExchange to dedupe at runtime (fragile
+            # under AQE replanning). The vector is node-count-sized —
+            # the same bounded per-round persist the CC label loop
+            # uses; at real scale, checkpoint to cluster storage to
+            # also truncate lineage.
+            .persist()
         )
+        cached.append(ranks)
+    _EDGE_CACHE[slot] = tuple(cached)
     return ranks.select(
         F.when(F.col("node") % 2 == 0, "customer")
         .otherwise("supplier")
