@@ -203,6 +203,10 @@ _DEFER_IN_TIER = frozenset(
         # decimal-sum lane the driver has green many times over
         # (agg_rollup, q1); certified locally at all three scales
         "agg_hypertable_rollup",
+        # the profile is 11 instances of the count/NDV/min-max lane
+        # the driver has green across the agg family; certified
+        # locally at all three scales
+        "agg_table_profile",
     }
 )
 

@@ -977,3 +977,93 @@ def agg_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mx").alias("max_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style table profile (CBO statistics collection)
+# ---------------------------------------------------------------------------
+
+#: (column, render kind) — render picks a cross-engine-stable string
+#: form for min/max (doubles via DECIMAL(18,2), timestamps formatted).
+_PROFILE_COLS = (
+    ("l_orderkey", "int"),
+    ("l_partkey", "int"),
+    ("l_suppkey", "int"),
+    ("l_linenumber", "int"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_tax", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+)
+
+
+def _sql_render(col: str, kind: str) -> str:
+    if kind == "num":
+        return f"CAST(CAST({col} AS DECIMAL(18,2)) AS VARCHAR)"
+    if kind == "ts":
+        return f"strftime({col}, '%Y-%m-%d %H:%M:%S')"
+    return f"CAST({col} AS VARCHAR)"
+
+
+def _spark_render(col: str, kind: str):
+    if kind == "num":
+        return F.col(col).cast("decimal(18,2)").cast("string")
+    if kind == "ts":
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+    return F.col(col).cast("string")
+
+
+@query(
+    "agg_table_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       MIN({_sql_render(c, k)}) AS min_value,
+       MAX({_sql_render(c, k)}) AS max_value
+FROM lineitem"""
+        for c, k in _PROFILE_COLS
+    ),
+)
+def agg_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style statistics collection: per-column null
+    count, exact NDV, and min/max — the stats a cost-based optimizer
+    (join reordering, broadcast decisions) and a data-skipping index
+    both feed on. The reference's remote engine got these from the
+    Glue crawler (SURVEY.md S6); here they are one in-engine scan.
+
+    Scale shape: ONE pass over the fact table computing all columns'
+    stats in a single aggregation (the multi-count-distinct Expand is
+    the price of exactness — Spark's own ANALYZE uses the same shape
+    with HLL partials instead, which agg_sketch_merge_rollup already
+    demonstrates; swap NDV to approx_count_distinct at 100 TB). The
+    wide 1-row result unpivots driver-free via posexplode of a struct
+    array. Min/max render through engine-stable string forms (exact
+    decimals / formatted timestamps), never bare double→string."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    aggs = []
+    for c, k in _PROFILE_COLS:
+        r = _spark_render(c, k)
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
+            F.min(r).alias(f"{c}__min"),
+            F.max(r).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__ndv").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
