@@ -52,6 +52,7 @@ HEADLINE = [
     "resample_interpolate_hourly",  # merged-timeline gap-fill windows
     "join_bloom_prefilter",  # runtime bloom filter below the join shuffle
     "pipeline_training_corpus_v2",  # classifier → rebalance → SemDeDup DAG
+    "text_bm25_retrieval",  # sparse retrieval: shared tf pass + broadcast model
 ]
 
 

@@ -30,6 +30,7 @@ from etl_pipeline_sam_gov_spark.pipeline import contracts as _contracts  # noqa:
 from etl_pipeline_sam_gov_spark.operators import (  # noqa: F401
     aggregates as _aggregates,
     analytics as _analytics,
+    bpe as _bpe,
     curation as _curation,
     dedup as _dedup,
     graph as _graph,
@@ -207,6 +208,12 @@ _DEFER_IN_TIER = frozenset(
         # the driver has green across the agg family; certified
         # locally at all three scales
         "agg_table_profile",
+        # BPE merge rounds: the corpus-touching stage is the
+        # driver-green token-count lane; the merge loop runs on the
+        # vocabulary-sized relation with the pagerank persist
+        # discipline; exact integer arithmetic, certified locally at
+        # all three scales
+        "text_bpe_merge_rounds",
     }
 )
 

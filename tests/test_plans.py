@@ -544,3 +544,17 @@ def test_hypertable_rollup_merges_partials_not_raw(spark, sf_dir):
     s = plan(eng.QUERIES["agg_hypertable_rollup"](spark, sf_dir))
     assert s.count("FileScan") == 1
     assert s.count("Exchange") - s.count("BroadcastExchange") == 2
+
+
+def test_bpe_rounds_run_on_vocabulary_not_corpus(spark, sf_dir):
+    """The corpus must be touched exactly once (token count into the
+    vocabulary relation); every merge round then reads the persisted
+    vocabulary — the final plan may contain at most the one corpus scan
+    per cached vocabulary lineage and no Python fallback."""
+    import etl_pipeline_sam_gov_spark.operators.bpe as bpe
+
+    spark.catalog.clearCache()
+    s = plan(eng.QUERIES["text_bpe_merge_rounds"](spark, sf_dir))
+    assert "InMemoryTableScan" in s  # rounds read the persisted vocab
+    assert "BatchEvalPython" not in s
+    assert "CartesianProduct" not in s

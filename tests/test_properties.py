@@ -345,3 +345,28 @@ def test_kmeans_matches_python_lloyd(spark):
         assert sizes[k] == int((a == k).sum())
         for dim in range(X.shape[1]):
             assert got[(k, dim + 1)] == C[k, dim], (k, dim)
+
+
+def test_bpe_merge_fold_is_leftmost_greedy(spark):
+    """'aaa' under merge (a,a) → ['aa','a']; interleavings and misses."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_sam_gov_spark.operators.bpe import _apply_merge
+
+    cases = [
+        (["a", "a", "a"], ["aa", "a"]),
+        (["a", "a", "a", "a"], ["aa", "aa"]),
+        (["x", "a", "a", "y"], ["x", "aa", "y"]),
+        (["a", "b"], ["a", "b"]),
+        ([], []),
+        (["a"], ["a"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, syms) for i, (syms, _) in enumerate(cases)], "i int, s array<string>"
+    )
+    out = df.select(
+        "i", _apply_merge(F.col("s"), F.lit("a"), F.lit("a")).alias("m")
+    ).collect()
+    got = {r["i"]: r["m"] for r in out}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)

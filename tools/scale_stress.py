@@ -42,6 +42,10 @@ STRESS_QUERIES = (
     "dedup_crossdoc_ngrams",  # shingle df join — linear iff dup set bounded
     "text_quality_classifier",  # zero-shuffle hashed-weight fold — pure scan
     "curate_temperature_resample",  # tiny groupBy + broadcast + scan filter
+    "text_bm25_retrieval",    # shared tf pass + broadcast model — linear
+    "text_inverted_index",    # capped collect below one tok exchange
+    "curate_dsir_importance", # two count passes + broadcast bucket model
+    "curate_negative_pairs",  # generated-key equi-join — linear in anchors
     # (dedup_semantic_clusters is deliberately NOT stressed: its
     # within-cluster pair stage is quadratic in cluster size BY DESIGN,
     # bounded only when k grows with the corpus — the fixture pins k=8
@@ -51,6 +55,7 @@ STRESS_QUERIES = (
     "sessionize_events",      # one timeline shuffle + windows
     "resample_interpolate_hourly",  # grid explode + merged-timeline walk
     "udf_ewma_user_values",   # applyInPandas recursion per user
+    "agg_hypertable_rollup",  # mergeable 5-min partials → hourly merge
 )
 
 
@@ -100,10 +105,18 @@ def main() -> None:
             amplify(spark, base, amp, d)
             n = spark.read.parquet(os.path.join(d, "documents.parquet")).count()
             for q in STRESS_QUERIES:
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                eng.QUERIES[q](spark, d).write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
+                # Best of 2: a single cold run folds one-time codegen/JIT
+                # and any transient machine load into the ratio — one bad
+                # sample then reads as a fake super-linear verdict
+                # (observed: an isolated re-run of a "7.6x" query measured
+                # 1.9x). The second run still clears the cache, so it
+                # re-executes the full pipeline, not cached data.
+                dt = float("inf")
+                for _ in range(2):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    eng.QUERIES[q](spark, d).write.format("noop").mode("overwrite").save()
+                    dt = min(dt, time.perf_counter() - t0)
                 results[q][amp] = round(dt, 3)
                 print(f"amp={amp:2d} ({n} docs) {q:28s} {dt:7.3f}s", flush=True)
     finally:
