@@ -214,6 +214,7 @@ _DEFER_IN_TIER = frozenset(
         # discipline; exact integer arithmetic, certified locally at
         # all three scales
         "text_bpe_merge_rounds",
+        "text_bpe_encode",
     }
 )
 

@@ -33,10 +33,11 @@ from etl_pipeline_sam_gov_spark.tables import load_tables
 
 BPE_ROUNDS = 3
 
-#: session id → persisted per-round vocabulary relations of the latest
-#: invocation (bounded one-slot cache, same discipline as graph./
-#: curation. caches).
-_VOCAB_CACHE: dict[int, tuple[DataFrame, ...]] = {}
+#: (session id, query tag) → persisted per-round vocabulary relations
+#: of the latest invocation (bounded one-slot-per-query cache, same
+#: discipline as graph./curation. caches; tagged so the two BPE
+#: queries don't evict each other's live relations mid-plan).
+_VOCAB_CACHE: dict[tuple[int, str], tuple[DataFrame, ...]] = {}
 
 
 def _adjacent_pairs(syms: Column) -> Column:
@@ -84,11 +85,12 @@ def _apply_merge(syms: Column, a: Column, b: Column) -> Column:
     return F.aggregate(syms, init, step, fin)
 
 
-def _oracle() -> str:
-    """Unrolled BPE_ROUNDS-round BPE as chained CTEs. The merge
-    application is expressed positionally (candidate positions →
-    gaps-and-islands runs → even-offset-within-run wins), which is the
-    same leftmost-greedy rule as the engine's sequential fold."""
+def _oracle_ctes() -> str:
+    """Unrolled BPE_ROUNDS-round BPE as chained CTEs (shared by both
+    BPE oracles). The merge application is expressed positionally
+    (candidate positions → gaps-and-islands runs → even-offset-within-
+    run wins), which is the same leftmost-greedy rule as the engine's
+    sequential fold."""
     head = r"""
 WITH tok AS (
   SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents
@@ -136,19 +138,23 @@ syms{r} AS (
   WHERE g.i IS NULL
   GROUP BY p.word
 )""")
+    return head + "".join(parts)
+
+
+def _oracle() -> str:
     sel = "\nUNION ALL\n".join(
         f"SELECT {r} AS round, a AS left_sym, b AS right_sym, a || b AS merged, cnt FROM top{r}"
         for r in range(1, BPE_ROUNDS + 1)
     )
-    return head + "".join(parts) + "\n" + sel
+    return _oracle_ctes() + "\n" + sel
 
 
-@query("text_bpe_merge_rounds", oracle=_oracle())
-def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First BPE_ROUNDS byte-pair merges learned from the corpus:
-    (round, left, right, merged, weighted pair count). See module
-    docstring for the scale argument; ties break lexicographically on
-    the pair so both engines learn the identical vocabulary."""
+def _merge_chain(
+    spark: SparkSession, sf_dir: str, tag: str, rounds: int = BPE_ROUNDS
+) -> tuple[DataFrame, list[DataFrame]]:
+    """(final vocabulary with merged symbol arrays, per-round top-pair
+    1-row DataFrames). All lazy; per-round vocab relations persist
+    under the (session, tag) cache slot."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     words = (
         spread_docs(docs)
@@ -156,7 +162,7 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
-    slot = id(spark)
+    slot = (id(spark), tag)
     prev = _VOCAB_CACHE.pop(slot, None)
     if prev is not None:
         for df in prev:
@@ -166,8 +172,8 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word", "wc", F.expr("regexp_extract_all(word, '.', 0)").alias("s")
     ).persist()
     cached.append(vocab)
-    tops = []
-    for r in range(1, BPE_ROUNDS + 1):
+    tops: list[DataFrame] = []
+    for _ in range(rounds):
         prs = (
             vocab.select("wc", F.explode(_adjacent_pairs(F.col("s"))).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
@@ -189,28 +195,100 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (-F.col("t.nc")).alias("cnt"),
             )
         )
-        tops.append(
-            top.select(
-                F.lit(r).cast("int").alias("round"),
-                F.col("a").alias("left_sym"),
-                F.col("b").alias("right_sym"),
-                F.concat("a", "b").alias("merged"),
-                "cnt",
+        tops.append(top)
+        vocab = (
+            vocab.crossJoin(F.broadcast(top))
+            .select(
+                "word",
+                "wc",
+                _apply_merge(F.col("s"), F.col("a"), F.col("b")).alias("s"),
             )
+            .persist()
         )
-        if r < BPE_ROUNDS:
-            vocab = (
-                vocab.crossJoin(F.broadcast(top))
-                .select(
-                    "word",
-                    "wc",
-                    _apply_merge(F.col("s"), F.col("a"), F.col("b")).alias("s"),
-                )
-                .persist()
-            )
-            cached.append(vocab)
+        cached.append(vocab)
     _VOCAB_CACHE[slot] = tuple(cached)
-    out = tops[0]
-    for t in tops[1:]:
-        out = out.unionByName(t)
+    return vocab, tops
+
+
+@query("text_bpe_merge_rounds", oracle=_oracle())
+def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE_ROUNDS byte-pair merges learned from the corpus:
+    (round, left, right, merged, weighted pair count). See module
+    docstring for the scale argument; ties break lexicographically on
+    the pair so both engines learn the identical vocabulary."""
+    _, tops = _merge_chain(spark, sf_dir, "merges")
+    out = None
+    for r, top in enumerate(tops, start=1):
+        row = top.select(
+            F.lit(r).cast("int").alias("round"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.concat("a", "b").alias("merged"),
+            "cnt",
+        )
+        out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "text_bpe_encode",
+    oracle=_oracle_ctes()
+    + f""",
+wstats AS (
+  SELECT word, length(word) AS n_chars, len(s) AS n_syms FROM syms{BPE_ROUNDS}
+),
+doctok AS (
+  -- zero-length tokens carry no symbols and are dropped by the syms
+  -- chain's position explode; exclude them on both engines
+  SELECT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+        FROM documents)
+  WHERE word <> ''
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(w.n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(w.n_syms) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(SUM(w.n_syms) AS DOUBLE) / CAST(SUM(w.n_chars) AS DOUBLE), 6)
+         AS compression
+FROM doctok d JOIN wstats w USING (word)
+GROUP BY d.doc_id
+""",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the learned BPE merges: per document, the
+    raw token count, character count, post-merge symbol count, and the
+    symbols-per-character compression ratio — the tokenizer-application
+    stage that turns the induced vocabulary into model-ready token
+    budgets.
+
+    Scale shape: the encoding is computed ONCE per distinct word on the
+    vocabulary-sized relation (the merge chain), then broadcast-joined
+    back onto the token stream — the corpus is never re-tokenized per
+    merge. Per-doc totals are exact integers; the single ratio is one
+    shared double division."""
+    vocab, _ = _merge_chain(spark, sf_dir, "encode")
+    wstats = vocab.select(
+        "word",
+        F.length("word").cast("bigint").alias("n_chars"),
+        F.size("s").cast("bigint").alias("n_syms"),
+    )
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    doctok = (
+        spread_docs(docs)
+        .select("doc_id", F.explode(tokens_col()).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        doctok.join(F.broadcast(wstats), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_syms").cast("double") / F.sum("n_chars").cast("double"),
+                6,
+            ).alias("compression"),
+        )
+    )
