@@ -558,3 +558,27 @@ def test_bpe_rounds_run_on_vocabulary_not_corpus(spark, sf_dir):
     assert "InMemoryTableScan" in s  # rounds read the persisted vocab
     assert "BatchEvalPython" not in s
     assert "CartesianProduct" not in s
+
+
+def test_dynamic_partition_pruning_on_partitioned_join(spark, sf_dir, tmp_path):
+    """Joining a partition-keyed fact against a selectively-filtered
+    dimension must plan a dynamicpruning subquery on the partition
+    column — the runtime generalization of the reference's manual
+    date-window pushdown (SURVEY.md S2): only matching partitions are
+    listed at execution, without the user writing the partition filter."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    out = str(tmp_path / "orders_by_status_dpp")
+    t["orders"].write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("F", "final"), ("O", "open"), ("P", "pending")],
+        "status string, label string",
+    )
+    joined = (
+        fact.join(dim, fact["o_orderstatus"] == dim["status"])
+        .filter(F.col("label") == "final")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = formatted(joined)
+    assert "dynamicpruning" in s.lower(), "no DPP subquery in the scan"
