@@ -215,6 +215,10 @@ _DEFER_IN_TIER = frozenset(
         # all three scales
         "text_bpe_merge_rounds",
         "text_bpe_encode",
+        # stream-maintained twin of agg_hypertable_rollup sharing its
+        # verbatim oracle; the streaming groupBy lane itself is
+        # exercised by the 8 stream_* queries in this round's prefix
+        "stream_hypertable_rollup",
     }
 )
 

@@ -733,3 +733,61 @@ def stream_left_outer_join_purchases(spark: SparkSession, sf_dir: str) -> DataFr
         .cast("bigint")
         .alias("lag_s"),
     )
+
+
+def _hypertable_oracle() -> str:
+    """The batch twin's raw-scan oracle, verbatim — one source of truth
+    for what BOTH the batch and the stream-maintained rollup must equal."""
+    from etl_pipeline_sam_gov_spark.registry import ORACLES
+
+    return ORACLES["agg_hypertable_rollup"]
+
+
+@query(
+    "stream_hypertable_rollup",
+    oracle=_hypertable_oracle(),
+)
+def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate maintained BY THE STREAM: the 5-minute
+    partial tier (count / exact-decimal sum / min / max, all mergeable)
+    is a streaming groupBy whose state the runtime updates
+    incrementally per micro-batch; the hourly tier then merges the
+    streamed partials in batch. Same final answer as the
+    agg_hypertable_rollup batch twin and the raw-scan oracle — which is
+    the continuous-aggregate correctness contract: stream-maintained
+    partials must be indistinguishable from a batch rebuild.
+
+    Scale notes: per-partition state is O(open 5-minute buckets ×
+    event types); a production job adds a watermark-bounded window key
+    so state for closed buckets is evicted after the hourly merge
+    consumes them (replaceWhere partitioned-overwrite per hour)."""
+    from etl_pipeline_sam_gov_spark.functions.exact import dec2
+    from etl_pipeline_sam_gov_spark.operators.aggregates import (
+        HOUR_BUCKETS,
+        M5_US,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    partial = events.groupBy(
+        F.expr(f"unix_micros(ts) div {M5_US}").alias("b5"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec2("value")).alias("sv"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    m5 = run_to_memory(partial, mode="complete")
+    total = F.sum("sv")
+    return (
+        m5.groupBy(
+            F.expr(f"(b5 div {HOUR_BUCKETS}) * 3600000000").alias("hour_us"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            total.cast("double").alias("total_value"),
+            F.round(total.cast("double") / F.sum("n"), 6).alias("avg_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
