@@ -219,6 +219,10 @@ _DEFER_IN_TIER = frozenset(
         # verbatim oracle; the streaming groupBy lane itself is
         # exercised by the 8 stream_* queries in this round's prefix
         "stream_hypertable_rollup",
+        # hashing-trick vectorizer: one conditional-count groupBy —
+        # the md5-bucket + exact-integer lanes the driver has green
+        # across the curation family; certified at all three scales
+        "ml_feature_hash",
     }
 )
 

@@ -236,3 +236,58 @@ def ml_linear_regression_closed_form(spark: SparkSession, sf_dir: str) -> DataFr
     load_tables(spark, sf_dir, ("lineitem",))
     solve = _lr_solve_sql(lambda e: f"round({e}, 6)")
     return spark.sql(f"WITH moments AS ({_LR_SUMS_SQL})\n{solve}")
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the "hashing trick" vectorizer)
+# ---------------------------------------------------------------------------
+
+FH_BUCKETS = 16  #: hashed feature dimensionality
+
+
+def _fh_bucket_sql() -> str:
+    from etl_pipeline_sam_gov_spark.operators.dedup import _sql_hash60
+
+    return f"{_sql_hash60('event_type')} % {FH_BUCKETS}"
+
+
+@query(
+    "ml_feature_hash",
+    oracle=f"""
+WITH b AS (
+  SELECT user_id, {_fh_bucket_sql()} AS bucket FROM events
+)
+SELECT user_id,
+       list_value({", ".join(f"CAST(SUM(CASE WHEN bucket = {i} THEN 1 ELSE 0 END) AS BIGINT)" for i in range(FH_BUCKETS))}) AS features,
+       CAST(COUNT(DISTINCT bucket) AS BIGINT) AS nnz,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM b GROUP BY user_id
+""",
+)
+def ml_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature vectorization (Weinberger et al., "Feature
+    Hashing for Large Scale Multitask Learning"): each user's
+    categorical event stream becomes a fixed-width dense count vector
+    via an md5-derived bucket index — the fixed-dimensionality,
+    vocabulary-free encoder that feeds downstream models without a
+    fitted dictionary (the same determinism contract as the hashed
+    quality classifier and DSIR features).
+
+    Scale shape: ONE partial-combined groupBy on user_id computing all
+    FH_BUCKETS conditional counts map-side — no explode, no pivot
+    shuffle, no per-bucket pass; exact integer arithmetic end to end."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    bucket = _spark_hash60(F.col("event_type")) % FH_BUCKETS
+    withb = ev.select("user_id", bucket.alias("bucket"))
+    return withb.groupBy("user_id").agg(
+        F.array(
+            *[
+                F.sum(F.when(F.col("bucket") == i, 1).otherwise(0)).alias(f"f{i}")
+                for i in range(FH_BUCKETS)
+            ]
+        ).alias("features"),
+        F.count_distinct(F.col("bucket")).alias("nnz"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
