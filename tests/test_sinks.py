@@ -150,3 +150,24 @@ def test_merge_schema_reads_evolving_snapshots(spark, sf_dir, tmp_path):
     # old-snapshot rows surface the new column as NULL
     n_old = merged.filter(F.col("priority_band").isNull()).count()
     assert n_old == v1.count() > 0
+
+
+def test_compact_snapshot_reduces_file_count(spark, sf_dir, tmp_path):
+    """A many-file write compacts to the size-derived target count with
+    identical contents; the swap leaves no temp residue."""
+    import os
+
+    from etl_pipeline_sam_gov_spark.sinks import compact_snapshot
+    from etl_pipeline_sam_gov_spark.tables import load_tables
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    out = str(tmp_path / "li_fragmented")
+    li.repartition(64).write.parquet(out)  # simulate micro-batch litter
+    before = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert before >= 64
+    n_rows = li.count()
+    n_after = compact_snapshot(spark, out, target_file_bytes=1 << 20)
+    after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert after == n_after < before
+    assert spark.read.parquet(out).count() == n_rows
+    assert not os.path.exists(out + "__compacting")
