@@ -29,6 +29,12 @@ REPRESENTATIVE = [
     "join_bloom_prefilter",      # bloom transparency under any layout
     "dedup_semantic_clusters",   # dyadic cosine + argmin tie-breaks
     "pipeline_training_corpus_v2",  # composed classifier→rebalance→dedup
+    "text_bm25_retrieval",       # rounded-score ranking + doc_id tiebreak
+    "curate_dsir_importance",    # float log-sums under round(6) + hash coin
+    "text_bpe_merge_rounds",     # iterative argmax with lexicographic ties
+    "ann_pq_encode",             # per-subspace argmin tie-breaks
+    "ml_feature_hash",           # exact conditional counts (trivially invariant)
+    "agg_hypertable_rollup",     # mergeable partials under re-partitioning
 ]
 
 
