@@ -51,3 +51,53 @@ def python_in_hot_path(df: DataFrame) -> bool:
     """True if row-at-a-time Python evaluation appears in the plan —
     the thing the engine's relational paths must never do."""
     return "BatchEvalPython" in physical_plan(df)
+
+
+def execution_metrics(df: DataFrame) -> dict[str, dict[str, int]]:
+    """Per-operator SQL metrics of an EXECUTED DataFrame: operator name
+    → {metric: value} (rows produced, shuffle bytes, spill, scan rows).
+    The observability hook a perf investigation starts from — the same
+    numbers the Spark UI shows, programmatically, so regression
+    harnesses can assert on "bytes shuffled" rather than wall-clock.
+
+    Run an action first (count/noop write); metrics are zero until the
+    plan executes. Metric keys are Spark's internal names
+    ("numOutputRows", "shuffleBytesWritten", "spillSize", ...)."""
+    out: dict[str, dict[str, int]] = {}
+    idx = [0]
+
+    def walk(node):
+        name = node.nodeName()
+        # AQE wrapper and materialized query stages hold the real tree
+        # behind accessors, not children()
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+            return
+        if name.endswith("QueryStage"):
+            walk(node.plan())
+            return
+        m = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            m[str(kv._1())] = int(kv._2().value())
+        if m:
+            out[f"{idx[0]:03d}_{name}"] = m
+        idx[0] += 1
+        cit = node.children().iterator()
+        while cit.hasNext():
+            walk(cit.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def total_metric(df: DataFrame, metric_key: str) -> int:
+    """Sum of one metric key across all operators (e.g. "spillSize",
+    "shuffleBytesWritten", "numOutputRows")."""
+    return sum(
+        v
+        for per_op in execution_metrics(df).values()
+        for k, v in per_op.items()
+        if k == metric_key
+    )

@@ -78,3 +78,38 @@ def test_parallel_fetch_plan_runs_on_executors(spark):
     rows = df.collect()
     assert len(rows) == 80
     assert {r["title"] for r in rows} == {f"p{i}" for i in range(8)}
+
+
+def test_corrupt_json_rows_are_quarantined_not_fatal(spark, tmp_path):
+    """PERMISSIVE JSON ingest: malformed rows land in _corrupt_record
+    instead of failing the job — the ingest-robustness contract a
+    landing-zone reader needs (the reference would crash on a null
+    field, SURVEY.md §1.4; the engine quarantines instead)."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    p = tmp_path / "landing.json"
+    rows = [json.dumps({"id": 1, "v": "ok"}), "{not json at all", json.dumps({"id": 3, "v": "also ok"})]
+    p.write_text("\n".join(rows))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        .cache()  # SPARK-21610: corrupt-record column needs a materialized scan
+    )
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert "{not json" in bad.collect()[0]["_corrupt_record"]
+    df.unpersist()

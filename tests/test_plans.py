@@ -582,3 +582,56 @@ def test_dynamic_partition_pruning_on_partitioned_join(spark, sf_dir, tmp_path):
     )
     s = formatted(joined)
     assert "dynamicpruning" in s.lower(), "no DPP subquery in the scan"
+
+
+def test_execution_metrics_expose_shuffle_and_rows(spark, sf_dir):
+    """The metrics hook must surface per-operator rows and shuffle
+    bytes after execution — the programmatic Spark-UI numbers a perf
+    harness gates on (bytes shuffled, not wall clock)."""
+    from etl_pipeline_sam_gov_spark.plans.introspect import (
+        execution_metrics,
+        total_metric,
+    )
+
+    df = eng.QUERIES["q1_pricing_summary"](spark, sf_dir)
+    df.collect()  # the DataFrame's OWN QueryExecution must run
+    metrics = execution_metrics(df)
+    assert metrics, "no metrics collected"
+    assert total_metric(df, "numOutputRows") > 0
+    assert total_metric(df, "shuffleBytesWritten") > 0  # the groupBy
+
+
+def test_aqe_replans_smj_to_broadcast_at_runtime(spark, sf_dir):
+    """With a deliberately huge static estimate (no stats, inflated
+    threshold disabled) AQE must still convert the sort-merge join to a
+    broadcast join at RUNTIME once the filtered side's true size is
+    known — the runtime replan that saves the shuffle at 100 TB when
+    a filter is far more selective than the optimizer guessed."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    # static broadcast OFF, adaptive broadcast ON: the only way this
+    # join can broadcast is an AQE runtime conversion. The build side
+    # is an aggregation whose post-filter size is unknowable statically
+    # (and whose shuffle stage materializes BEFORE the join stage is
+    # planned — raw scan-side filters get no such replan point).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+    try:
+        tiny = (
+            t["orders"]
+            .groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 100)  # empty at runtime; unknown statically
+        )
+        joined = t["lineitem"].join(
+            tiny, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        joined.collect()  # finalize THIS DataFrame's adaptive plan
+        s = plan(joined)
+        assert "isFinalPlan=true" in s
+        final = s.split("== Initial Plan ==")[0]
+        initial = s.split("== Initial Plan ==")[1]
+        assert "SortMergeJoin" in initial, "static plan was already broadcast"
+        assert "BroadcastHashJoin" in final, "AQE did not replan to broadcast"
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
