@@ -223,6 +223,12 @@ _DEFER_IN_TIER = frozenset(
         # the md5-bucket + exact-integer lanes the driver has green
         # across the curation family; certified at all three scales
         "ml_feature_hash",
+        # the PIT join is the SCD2 build (driver-lane) + the residual
+        # band-predicate hash-join shape the as-of/interval joins have
+        # green; the map-HOF lane is relationally oracle-pinned —
+        # both certified locally at all three scales
+        "join_point_in_time_features",
+        "fn_map_hof_events",
     }
 )
 

@@ -138,3 +138,54 @@ def fn_sequence_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1).cast("long"), (F.col("p_size") % 4 + 1).cast("long"))
         ).alias("i"),
     )
+
+
+MAP_HOF_MIN = 4  #: keep entries whose doubled count reaches this
+
+
+@query(
+    "fn_map_hof_events",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type
+),
+kept AS (SELECT user_id, event_type, n * 2 AS n2 FROM c WHERE n * 2 >= {MAP_HOF_MIN})
+SELECT c.user_id,
+       CAST(COUNT(DISTINCT c.event_type) AS INT) AS n_types,
+       CAST((SELECT COUNT(*) FROM kept k WHERE k.user_id = c.user_id) AS INT) AS n_kept,
+       coalesce((SELECT string_agg(k.event_type || '=' || k.n2, ',' ORDER BY k.event_type)
+                 FROM kept k WHERE k.user_id = c.user_id), '') AS kept_entries
+FROM c GROUP BY c.user_id
+""",
+)
+def fn_map_hof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions end to end: build a per-user
+    event_type→count map (map_from_entries over a grouped collect),
+    rescale every value with transform_values, drop small entries with
+    map_filter, and render the surviving entries deterministically
+    (map_entries → array_sort → concat_ws) — the map-typed analog of
+    the array HOF lane. The oracle computes the same result
+    relationally, pinning the HOF semantics rather than DuckDB's map
+    runtime."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = F.map_from_entries(
+        F.collect_list(F.struct("event_type", "n"))
+    )
+    per_user = counts.groupBy("user_id").agg(m.alias("m"))
+    doubled = F.transform_values(F.col("m"), lambda k, v: v * 2)
+    kept = F.map_filter(doubled, lambda k, v: v >= MAP_HOF_MIN)
+    entries = F.array_sort(F.map_entries(kept))
+    return per_user.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.size(entries).alias("n_kept"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                entries, lambda e: F.concat_ws("=", e["key"], e["value"])
+            ),
+        ).alias("kept_entries"),
+    )

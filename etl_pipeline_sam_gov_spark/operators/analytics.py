@@ -791,3 +791,80 @@ def streak_longest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("streak_start"),
         )
     )
+
+
+@query(
+    "join_point_in_time_features",
+    oracle="""
+WITH dim AS (
+  SELECT user_id,
+         CAST(row_number() OVER w AS BIGINT) AS version,
+         epoch_us(ts) AS valid_from_us,
+         lead(epoch_us(ts)) OVER w AS valid_to_us,
+         round(value, 6) AS feature_value
+  FROM events
+  WHERE event_type = 'signup'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       d.version AS feature_version,
+       d.feature_value,
+       round(p.value, 6) AS purchase_value
+FROM events p
+JOIN dim d
+  ON d.user_id = p.user_id
+ AND d.valid_from_us <= epoch_us(p.ts)
+ AND (d.valid_to_us IS NULL OR epoch_us(p.ts) < d.valid_to_us)
+WHERE p.event_type = 'purchase'
+""",
+)
+def join_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join: each purchase event is
+    enriched with the SCD2 feature version that was valid AT THE
+    EVENT'S TIMESTAMP — the training-serving-skew guard (a model
+    trained with future feature values leaks; this join is how feature
+    stores prevent it).
+
+    Scale shape: an equi-join on the entity key carries the validity
+    band as a residual predicate — the planner gets a hash join keyed
+    on user_id (never a nested-loop over the band), and each entity's
+    probe touches only its own few versions. Both relations shuffle on
+    the same key; in a real feature store the dimension is bucketed by
+    entity so only the event side moves."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    dim = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("d_user"),
+        F.row_number().over(w).cast("bigint").alias("feature_version"),
+        ts_us.alias("valid_from_us"),
+        F.lead(ts_us).over(w).alias("valid_to_us"),
+        F.round("value", 6).alias("feature_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.round("value", 6).alias("purchase_value"),
+    )
+    return (
+        purchases.join(
+            dim,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("valid_from_us") <= F.col("purchase_us"))
+            & (
+                F.col("valid_to_us").isNull()
+                | (F.col("purchase_us") < F.col("valid_to_us"))
+            ),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_us",
+            "feature_version",
+            "feature_value",
+            "purchase_value",
+        )
+    )

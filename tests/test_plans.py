@@ -635,3 +635,13 @@ def test_aqe_replans_smj_to_broadcast_at_runtime(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_point_in_time_join_is_keyed_not_nested_loop(spark, sf_dir):
+    """The PIT feature join must key on the entity (hash/sort-merge
+    join on user_id) with the validity band as a RESIDUAL predicate —
+    a nested-loop over the band would be quadratic per entity."""
+    s = plan(eng.QUERIES["join_point_in_time_features"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+    assert ("BroadcastHashJoin" in s) or ("SortMergeJoin" in s)
