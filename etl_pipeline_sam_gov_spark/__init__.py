@@ -229,6 +229,11 @@ _DEFER_IN_TIER = frozenset(
         # both certified locally at all three scales
         "join_point_in_time_features",
         "fn_map_hof_events",
+        # k-per-group is the hash-coin + WindowGroupLimit lanes
+        # (both driver-green); winsorize is percentile + broadcast +
+        # exact-decimal mean — certified locally at all three scales
+        "curate_sample_k_per_group",
+        "fn_winsorize_values",
     }
 )
 

@@ -1067,3 +1067,73 @@ def agg_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Percentile winsorization (robust feature clipping)
+# ---------------------------------------------------------------------------
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+@query(
+    "fn_winsorize_values",
+    oracle=f"""
+WITH bounds AS (
+  SELECT event_type,
+         round(quantile_cont(value, {WINSOR_LO}), 6) AS lo,
+         round(quantile_cont(value, {WINSOR_HI}), 6) AS hi
+  FROM events GROUP BY event_type
+),
+clipped AS (
+  SELECT e.event_type, b.lo, b.hi,
+         CASE WHEN e.value < b.lo THEN 1 ELSE 0 END AS clip_lo,
+         CASE WHEN e.value > b.hi THEN 1 ELSE 0 END AS clip_hi,
+         least(greatest(e.value, b.lo), b.hi) AS v
+  FROM events e JOIN bounds b USING (event_type)
+)
+SELECT event_type, lo, hi,
+       CAST(SUM(clip_lo) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(clip_hi) AS BIGINT) AS n_clipped_high,
+       round(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS winsorized_mean
+FROM clipped GROUP BY event_type, lo, hi
+""",
+)
+def fn_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each event's value to its type's [p5, p95]
+    band — the robust-statistics feature-prep step that tames heavy
+    tails before model fitting (vs dropping outliers, which biases
+    counts). Percentiles are Spark's exact linear-interpolated
+    ``percentile`` (== DuckDB ``quantile_cont``), rounded to 6 decimals
+    BEFORE clipping so the comparison boundary is engine-stable; the
+    clipped mean sums exact decimals (clipped values are 2-decimal data
+    or the 6-decimal bound — both exactly representable).
+
+    Scale shape: one aggregation for the per-type bounds (exact
+    percentile sorts within the aggregation buffer — at 100 TB swap in
+    approx_percentile or the KLL lane), broadcast back onto the scan,
+    one final partial-combined aggregation."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.expr(f"percentile(value, {WINSOR_LO})"), 6).alias("lo"),
+        F.round(F.expr(f"percentile(value, {WINSOR_HI})"), 6).alias("hi"),
+    )
+    v = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.sum((F.col("value") < F.col("lo")).cast("bigint")).alias(
+                "n_clipped_low"
+            ),
+            F.sum((F.col("value") > F.col("hi")).cast("bigint")).alias(
+                "n_clipped_high"
+            ),
+            F.round(
+                F.sum(v.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("winsorized_mean"),
+        )
+    )

@@ -735,3 +735,48 @@ def curate_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         accept_p.alias("accept_p"),
         (coin < accept_p).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded per-group sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_K_PER_LANG = 20  #: eval-set rows retained per language
+
+
+@query(
+    "curate_sample_k_per_group",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_sql_hash60("'kpg|' || doc_id")}, doc_id) AS rnk
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {SAMPLE_K_PER_LANG}
+""",
+)
+def curate_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group sampling (eval-set carving, per-language
+    spot-check panels): rank every row by an md5-derived coin within
+    its group and keep the first k — the deterministic, engine-portable
+    equivalent of per-group reservoir sampling (same statistical
+    guarantee: each member equally likely under the hash coin, but
+    reproducible across runs/engines/cluster sizes, which a true
+    reservoir is not).
+
+    Scale shape: one window over the group key — and because the rank
+    predicate is `rnk <= k`, Spark plans WindowGroupLimit: each task
+    keeps a k-row heap map-side, so the shuffle carries candidate
+    heads, not whole groups."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    coin = _spark_hash60(F.concat(F.lit("kpg|"), F.col("doc_id").cast("string")))
+    rnk = F.row_number().over(
+        W.partitionBy("lang").orderBy(coin, F.col("doc_id"))
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars", rnk.alias("rnk"))
+        .filter(F.col("rnk") <= SAMPLE_K_PER_LANG)
+    )

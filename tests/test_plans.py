@@ -645,3 +645,17 @@ def test_point_in_time_join_is_keyed_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in s
     assert "CartesianProduct" not in s
     assert ("BroadcastHashJoin" in s) or ("SortMergeJoin" in s)
+
+
+def test_sample_k_per_group_uses_window_group_limit(spark, sf_dir):
+    """rnk <= k must plan as WindowGroupLimit: per-task k-row heaps,
+    so the shuffle carries candidate heads, never whole groups."""
+    s = plan(eng.QUERIES["curate_sample_k_per_group"](spark, sf_dir))
+    assert "WindowGroupLimit" in s
+
+
+def test_winsorize_broadcasts_bounds(spark, sf_dir):
+    """The per-type percentile bounds are group-count-sized — they must
+    broadcast back onto the event scan, never shuffle it."""
+    s = plan(eng.QUERIES["fn_winsorize_values"](spark, sf_dir))
+    assert "BroadcastHashJoin" in s
