@@ -53,6 +53,7 @@ HEADLINE = [
     "join_bloom_prefilter",  # runtime bloom filter below the join shuffle
     "pipeline_training_corpus_v2",  # classifier → rebalance → SemDeDup DAG
     "text_bm25_retrieval",  # sparse retrieval: shared tf pass + broadcast model
+    "text_bpe_merge_rounds",  # iterative vocab induction on the word-count table
 ]
 
 
