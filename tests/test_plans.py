@@ -659,3 +659,23 @@ def test_winsorize_broadcasts_bounds(spark, sf_dir):
     broadcast back onto the event scan, never shuffle it."""
     s = plan(eng.QUERIES["fn_winsorize_values"](spark, sf_dir))
     assert "BroadcastHashJoin" in s
+
+
+def test_no_cartesian_product_anywhere_unless_declared(spark, sf_dir):
+    """Registry-wide sweep: a CartesianProduct node is only legal where
+    the SEMANTICS are a cross product (the explicit cross-join query).
+    Everywhere else — joins, ANN, dedup, interval/range shapes — a
+    cartesian means a broadcast hint or an equi-key got lost and the
+    operator just became O(n*m) at scale."""
+    DECLARED_CROSS = {"join_cross_region_status"}
+    offenders = []
+    for name in sorted(eng.QUERIES):
+        if name in DECLARED_CROSS:
+            continue
+        try:
+            s = plan(eng.QUERIES[name](spark, sf_dir))
+        except Exception as e:  # streaming memory-sink reruns etc.
+            raise AssertionError(f"{name} failed to plan: {e}") from e
+        if "CartesianProduct" in s:
+            offenders.append(name)
+    assert not offenders, f"unintended cartesian products: {offenders}"
