@@ -234,6 +234,9 @@ _DEFER_IN_TIER = frozenset(
         # exact-decimal mean — certified locally at all three scales
         "curate_sample_k_per_group",
         "fn_winsorize_values",
+        # gradient-descent twin of the driver-lane exact-decimal ML
+        # pair (KMeans/OLS); certified locally at all three scales
+        "ml_logistic_regression_gd",
     }
 )
 

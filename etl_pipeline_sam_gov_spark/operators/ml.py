@@ -291,3 +291,118 @@ def ml_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("bucket")).alias("nnz"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression via gradient descent (bit-reproducible)
+# ---------------------------------------------------------------------------
+
+LOGIT_STEPS = 3
+LOGIT_LR = 4.0  #: learning rate (η)
+
+#: DuckDB spelling of Spark's shortest-repr HALF_UP round-to-6 kept as
+#: an exact DECIMAL (the udf_ewma_user_values technique).
+_SQL_P6 = "CAST(CAST({e} AS VARCHAR) AS DECIMAL(8,6))"
+
+
+def _logit_oracle() -> str:
+    """LOGIT_STEPS unrolled GD steps. Per step: the sigmoid is computed
+    in double (one shared expression tree), snapped to an exact
+    6-decimal DECIMAL via shortest-repr HALF_UP; residuals and
+    gradients are then EXACT decimal sums (order-proof), and only the
+    final weight update re-enters double — one shared expression,
+    rounded to 6 again. Any summation order gives the same bits."""
+    ctes = ["w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"]
+    for t in range(1, LOGIT_STEPS + 1):
+        p = t - 1
+        sig = (
+            f"1 / (1 + exp(-(w.w0 + w.w1 * (l_quantity / 50)"
+            f" + w.w2 * l_discount)))"
+        )
+        ctes.append(f"""
+g{t} AS (
+  SELECT COUNT(*) AS n,
+         SUM(r) AS s0, SUM(r * x1) AS s1, SUM(r * x2) AS s2,
+         MIN(w.w0) AS w0, MIN(w.w1) AS w1, MIN(w.w2) AS w2
+  FROM (
+    SELECT CAST(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS DECIMAL(8,6))
+             - {_SQL_P6.format(e=sig)} AS r,
+           CAST(l_quantity / 50 AS DECIMAL(4,2)) AS x1,
+           CAST(l_discount AS DECIMAL(4,2)) AS x2,
+           w.w0, w.w1, w.w2
+    FROM lineitem CROSS JOIN w{p} w
+  ) w
+),
+w{t} AS (
+  SELECT round(w0 + {LOGIT_LR} * (CAST(s0 AS DOUBLE) / n), 6) AS w0,
+         round(w1 + {LOGIT_LR} * (CAST(s1 AS DOUBLE) / n), 6) AS w1,
+         round(w2 + {LOGIT_LR} * (CAST(s2 AS DOUBLE) / n), 6) AS w2
+  FROM g{t}
+)""")
+        # NOTE: w updates round through plain round() — safe here
+        # because the operand is a sum-of-exact-decimals divided once,
+        # whose shortest repr both engines agree on at 6 decimals
+        # (the agg_corr_matrix precedent); only the SIGMOID needs the
+        # VARCHAR chain, being a transcendental fed back into exact
+        # arithmetic.
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {t} AS step, w0, w1, w2 FROM w{t}"
+        for t in range(1, LOGIT_STEPS + 1)
+    )
+    return "WITH " + ",".join(ctes) + "\n" + sel
+
+
+@query("ml_logistic_regression_gd", oracle=_logit_oracle())
+def ml_logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression (y = quantity > 25 on normalized quantity +
+    discount) fit by LOGIT_STEPS full-batch gradient-descent steps —
+    the iterative in-warehouse model fit, made BIT-REPRODUCIBLE across
+    engines and shuffle orders: the only transcendental (sigmoid) is
+    snapped to an exact 6-decimal per row, residual/gradient sums are
+    exact decimal arithmetic (associative — any aggregation tree gives
+    identical bits), and the weight update is one shared double
+    expression rounded to 6. The same discipline as the fixed-point
+    KMeans, applied to a gradient loop.
+
+    Scale shape: each step is ONE partial-combined aggregation over the
+    fact scan with the 3-weight model attached as a lazy broadcast
+    1-row cross join — no collect, no persisted state; K steps = K
+    scans, the textbook cost of full-batch GD."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    w = spark.range(1).select(
+        F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
+    )
+    x1_raw = F.col("l_quantity") / 50
+    outs = []
+    for t in range(1, LOGIT_STEPS + 1):
+        scan = li.crossJoin(F.broadcast(w))
+        z = F.col("w0") + F.col("w1") * x1_raw + F.col("w2") * F.col("l_discount")
+        p = F.round(1 / (1 + F.exp(-z)), 6).cast("decimal(8,6)")
+        y = (
+            F.when(F.col("l_quantity") > 25, 1).otherwise(0).cast("decimal(8,6)")
+        )
+        r = y - p
+        g = scan.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(r).alias("s0"),
+            F.sum(r * x1_raw.cast("decimal(4,2)")).alias("s1"),
+            F.sum(r * F.col("l_discount").cast("decimal(4,2)")).alias("s2"),
+            F.min("w0").alias("w0"),
+            F.min("w1").alias("w1"),
+            F.min("w2").alias("w2"),
+        )
+        w = g.select(
+            *[
+                F.round(
+                    F.col(f"w{j}")
+                    + LOGIT_LR * (F.col(f"s{j}").cast("double") / F.col("n")),
+                    6,
+                ).alias(f"w{j}")
+                for j in range(3)
+            ]
+        )
+        outs.append(w.select(F.lit(t).cast("int").alias("step"), "w0", "w1", "w2"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

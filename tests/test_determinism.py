@@ -35,6 +35,7 @@ REPRESENTATIVE = [
     "ann_pq_encode",             # per-subspace argmin tie-breaks
     "ml_feature_hash",           # exact conditional counts (trivially invariant)
     "agg_hypertable_rollup",     # mergeable partials under re-partitioning
+    "ml_logistic_regression_gd",  # exact-decimal gradient sums per GD step
 ]
 
 
