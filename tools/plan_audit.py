@@ -1,0 +1,86 @@
+"""Registry-wide physical-plan audit.
+
+Builds every registered query's plan at the given sf dir and records
+the scale-relevant node counts — shuffles (Exchange minus
+BroadcastExchange), broadcasts, windows, generates, Python eval nodes,
+cartesians — plus red flags (undeclared cartesian, Python in an
+oracle-checked relational path). One line per query; a JSON artifact
+for diffing plan shapes across rounds the way BENCH_FLOOR diffs
+timings.
+
+Counts are TEXTUAL over the plan string: for iterative queries whose
+rounds persist intermediates (CC labels, PageRank, BPE), the cached
+relations' build lineage prints inside InMemoryTableScan, so their
+counts overstate what executes (each cached subtree runs once). The
+numbers are for round-over-round DIFFING, not absolute cost.
+
+Usage: python tools/plan_audit.py [sf_dir] [out_json]
+(defaults: /root/testdata/sf0.001, /tmp/plan_audit.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import etl_pipeline_sam_gov_spark as eng  # noqa: E402
+from etl_pipeline_sam_gov_spark.plans.introspect import physical_plan  # noqa: E402
+from etl_pipeline_sam_gov_spark.session import get_spark  # noqa: E402
+
+#: semantically-cross queries where CartesianProduct is the plan
+DECLARED_CROSS = {"join_cross_region_status"}
+#: queries whose POINT is the Python lane
+PYTHON_LANES = ("udf_", "udtf_", "multimodal_")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/plan_audit.json"
+    spark = get_spark("plan-audit")
+    rows: dict[str, dict] = {}
+    flags: list[str] = []
+    for name, fn in eng.QUERIES.items():
+        try:
+            s = physical_plan(fn(spark, sf_dir))
+        except Exception as e:
+            rows[name] = {"error": str(e)[:200]}
+            flags.append(f"{name}: plan failed")
+            continue
+        r = {
+            "shuffles": s.count("Exchange") - s.count("BroadcastExchange"),
+            "broadcasts": s.count("BroadcastExchange"),
+            "windows": s.count("Window"),
+            "generates": s.count("Generate"),
+            "python": s.count("BatchEvalPython")
+            + s.count("ArrowEvalPython")
+            + s.count("FlatMapGroupsInPandas")
+            + s.count("MapInPandas")
+            + s.count("PythonMapInArrow"),
+            "cartesian": s.count("CartesianProduct"),
+            "scans": s.count("FileScan"),
+        }
+        rows[name] = r
+        if r["cartesian"] and name not in DECLARED_CROSS:
+            flags.append(f"{name}: undeclared CartesianProduct")
+        if r["python"] and not name.startswith(PYTHON_LANES):
+            flags.append(f"{name}: Python eval in a relational path")
+    with open(out_json, "w") as f:
+        json.dump({"sf_dir": sf_dir, "plans": rows, "flags": flags}, f, indent=1)
+    worst = sorted(
+        ((n, r) for n, r in rows.items() if "shuffles" in r),
+        key=lambda kv: -kv[1]["shuffles"],
+    )[:10]
+    print(f"{len(rows)} queries audited; {len(flags)} flags")
+    for fl in flags:
+        print("FLAG:", fl)
+    print("top shuffle counts:")
+    for n, r in worst:
+        print(f"  {n:36s} shuffles={r['shuffles']:2d} broadcasts={r['broadcasts']:2d}")
+
+
+if __name__ == "__main__":
+    main()
