@@ -237,6 +237,9 @@ _DEFER_IN_TIER = frozenset(
         # gradient-descent twin of the driver-lane exact-decimal ML
         # pair (KMeans/OLS); certified locally at all three scales
         "ml_logistic_regression_gd",
+        # serving twin of the batch PIT join, sharing its oracle
+        # verbatim (online/offline consistency)
+        "stream_pit_enrichment",
     }
 )
 

@@ -32,7 +32,7 @@ from __future__ import annotations
 import itertools
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -791,3 +791,67 @@ def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mx").alias("max_value"),
         )
     )
+
+
+def _pit_oracle() -> str:
+    """The batch PIT join's oracle, verbatim — the serving-path stream
+    must produce exactly what the training-path batch join produced
+    (feature stores call this online/offline consistency)."""
+    from etl_pipeline_sam_gov_spark.registry import ORACLES
+
+    return ORACLES["join_point_in_time_features"]
+
+
+@query(
+    "stream_pit_enrichment",
+    oracle=_pit_oracle(),
+)
+def stream_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-side point-in-time feature enrichment: the purchase
+    STREAM joins the batch-built SCD2 feature dimension with the
+    validity band, emitting each purchase with the feature version
+    valid at its event time — the online serving twin of
+    join_point_in_time_features, sharing its oracle verbatim
+    (online/offline consistency is the feature-store contract this
+    pair pins).
+
+    Scale shape: stream-static equi-join keyed on the entity with the
+    band as residual — per micro-batch the dimension is re-read (the
+    production pattern: versions published by the batch tier between
+    epochs are picked up without restarting the stream)."""
+    from etl_pipeline_sam_gov_spark.tables import load_tables
+
+    events = read_events_stream(spark, sf_dir)
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    dim = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("d_user"),
+        F.row_number().over(w).cast("bigint").alias("feature_version"),
+        ts_us.alias("valid_from_us"),
+        F.lead(ts_us).over(w).alias("valid_to_us"),
+        F.round("value", 6).alias("feature_value"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.round("value", 6).alias("purchase_value"),
+    )
+    joined = purchases.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("valid_from_us") <= F.col("purchase_us"))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("purchase_us") < F.col("valid_to_us"))
+        ),
+    ).select(
+        "purchase_id",
+        "user_id",
+        "purchase_us",
+        "feature_version",
+        "feature_value",
+        "purchase_value",
+    )
+    return run_to_memory(joined, mode="append")
