@@ -240,6 +240,9 @@ _DEFER_IN_TIER = frozenset(
         # serving twin of the batch PIT join, sharing its oracle
         # verbatim (online/offline consistency)
         "stream_pit_enrichment",
+        # A-ES weighted sampler: hash-coin + TakeOrderedAndProject
+        # lanes, both long driver-green; certified at all three scales
+        "curate_weighted_sample_aes",
     }
 )
 

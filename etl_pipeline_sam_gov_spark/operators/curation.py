@@ -780,3 +780,59 @@ def curate_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", "n_chars", rnk.alias("rnk"))
         .filter(F.col("rnk") <= SAMPLE_K_PER_LANG)
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 25  #: corpus rows drawn, probability ∝ document length
+
+
+@query(
+    "curate_weighted_sample_aes",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         round(exp(ln(({_sql_hash60("'aes|' || doc_id")} % 1000000 + 1) / 1000000.0)
+                   / n_chars), 12) AS k
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, n_chars, k,
+         row_number() OVER (ORDER BY k DESC, doc_id) AS rnk
+  FROM keyed
+)
+SELECT doc_id, lang, n_chars, k, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {WSAMPLE_K}
+""",
+)
+def curate_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis,
+    "Weighted random sampling with a reservoir"): each row draws key
+    u^(1/w) from a uniform u and its weight w (here: document length —
+    longer documents proportionally likelier), and the global top-k
+    keys ARE a weighted sample without replacement. The standard
+    one-pass distributed weighted sampler (Spark's own sampleByKey
+    lineage) — made reproducible by the module's md5 hash coin instead
+    of rand().
+
+    Scale shape: key generation is a pure scan-side map; the global
+    top-k is TakeOrderedAndProject (per-partition k-row heaps, no full
+    sort, no single-task window). The key is computed as exp(ln(u)/w)
+    — the identical expression spelling on both engines — and rounded
+    to 12 decimals before ranking with a doc_id tiebreak, so ranking
+    is engine-stable."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    u = (
+        _spark_hash60(F.concat(F.lit("aes|"), F.col("doc_id").cast("string")))
+        % 1000000
+        + 1
+    ) / 1000000.0
+    k = F.round(F.exp(F.log(u) / F.col("n_chars")), 12)
+    keyed = docs.select("doc_id", "lang", "n_chars", k.alias("k"))
+    topk = keyed.orderBy(F.desc("k"), F.asc("doc_id")).limit(WSAMPLE_K)
+    rnk = F.row_number().over(W.orderBy(F.desc("k"), F.asc("doc_id")))
+    return topk.select(
+        "doc_id", "lang", "n_chars", "k", rnk.cast("int").alias("rnk")
+    )

@@ -679,3 +679,11 @@ def test_no_cartesian_product_anywhere_unless_declared(spark, sf_dir):
         if "CartesianProduct" in s:
             offenders.append(name)
     assert not offenders, f"unintended cartesian products: {offenders}"
+
+
+def test_weighted_sample_is_topk_not_full_sort(spark, sf_dir):
+    """The A-ES global top-k must plan as TakeOrderedAndProject —
+    per-partition k-row heaps; a full sort (or a global Window over
+    the corpus) would serialize the whole table through one task."""
+    s = plan(eng.QUERIES["curate_weighted_sample_aes"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in s
