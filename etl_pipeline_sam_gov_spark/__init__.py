@@ -243,6 +243,9 @@ _DEFER_IN_TIER = frozenset(
         # A-ES weighted sampler: hash-coin + TakeOrderedAndProject
         # lanes, both long driver-green; certified at all three scales
         "curate_weighted_sample_aes",
+        # directional twin of the driver-green Jaccard pass (same
+        # shingle equi-join candidates); certified at all three scales
+        "dedup_shingle_containment",
     }
 )
 

@@ -1006,3 +1006,70 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_with fold, JVM-side, no UDF."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return semantic_keep(emb)
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment (subset-duplication)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_shingle_containment",
+    oracle="WITH "
+    + _SQL_SHINGLES
+    + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc, COUNT(*) AS intersection
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT inner_doc, outer_doc,
+       round(intersection::DOUBLE / si.sz, 6) AS containment
+FROM pairs
+JOIN sizes si ON si.doc_id = inner_doc
+JOIN sizes so ON so.doc_id = outer_doc
+WHERE intersection::DOUBLE / si.sz >= {CONTAINMENT_THRESHOLD}
+  AND si.sz <= so.sz
+""",
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B| / |A| — the near-dup
+    signal Jaccard structurally MISSES: a short document quoted whole
+    inside a long one has tiny Jaccard (union is dominated by the long
+    doc) but containment ≈ 1. Web corpora are full of exactly this
+    (syndicated articles, quoted posts), which is why dedup pipelines
+    run a containment pass beside the symmetric one.
+
+    Scale shape: same candidate generation as the Jaccard pass — the
+    shingle equi-join materializes only co-shingled pairs — but scored
+    directionally and kept only when the inner (contained) doc is the
+    smaller side. The shingle relation persists once and feeds the
+    pair join and both size lookups."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = doc_shingles(docs).persist()
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("inner_doc"),
+            F.col("b.doc_id").alias("outer_doc"),
+        )
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    si = sizes.select(F.col("doc_id").alias("inner_doc"), F.col("sz").alias("szi"))
+    so = sizes.select(F.col("doc_id").alias("outer_doc"), F.col("sz").alias("szo"))
+    cont = F.col("intersection").cast("double") / F.col("szi")
+    return (
+        inter.join(si, "inner_doc")
+        .join(so, "outer_doc")
+        .filter((cont >= CONTAINMENT_THRESHOLD) & (F.col("szi") <= F.col("szo")))
+        .select("inner_doc", "outer_doc", F.round(cont, 6).alias("containment"))
+    )

@@ -296,3 +296,71 @@ def test_outer_join_tail_rows_flush_via_heartbeat(spark, sf_dir):
     assert out.select("purchase_id").distinct().count() == n_purchases
     # no heartbeat rows leak
     assert out.filter(F.col("purchase_id") < 0).count() == 0
+
+
+def test_checkpoint_recovery_is_exactly_once(spark, sf_dir, tmp_path):
+    """Crash a checkpointed stream mid-epoch, restart it from the same
+    checkpoint, and an EPOCH-KEYED IDEMPOTENT sink ends up with exactly
+    the batch answer — no loss, no dupes. This pins the real contract:
+    foreachBatch delivers each epoch at-least-once (a crashed epoch is
+    REDELIVERED under the same epoch_id on restart — the first version
+    of this test proved that by double-counting), and idempotent
+    upserts keyed on epoch_id are what turn that into exactly-once."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_sam_gov_spark.streaming.jobs import _denaive
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    # two flat files → two availableNow micro-batches at 1 file/trigger
+    import glob
+    import shutil
+
+    for tag, parity in (("a", 0), ("b", 1)):
+        d = str(tmp_path / f"half_{tag}")
+        ev.filter(F.col("event_id") % 2 == parity).coalesce(1).write.parquet(d)
+        part = glob.glob(d + "/part-*.parquet")[0]
+        shutil.move(part, os.path.join(landing, f"{tag}.parquet"))
+    ckpt = str(tmp_path / "ckpt")
+    out: dict[int, int] = {}  # epoch_id → sum: idempotent on redelivery
+    epochs_seen: list[int] = []
+
+    def run_until(n_batches: int) -> None:
+        got: list[int] = []
+
+        def sink(batch_df, epoch_id):
+            got.append(batch_df.count())
+            epochs_seen.append(epoch_id)
+            out[epoch_id] = batch_df.agg(F.sum("event_id")).collect()[0][0] or 0
+            if len(got) >= n_batches:
+                raise RuntimeError("deliberate mid-stream crash")
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = (
+            _denaive(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except Exception:
+            pass  # the deliberate crash surfaces here
+        finally:
+            q.stop()
+
+    run_until(1)  # crash inside the first epoch (uncommitted)
+    run_until(99)  # restart from the checkpoint, drain everything
+    total_batch = ev.agg(F.sum("event_id")).collect()[0][0]
+    assert sum(out.values()) == total_batch, "restart lost or duplicated rows"
+    assert len(out) >= 2  # both files processed, as separate epochs
+    # the crashed epoch was REDELIVERED under the same id (at-least-once)
+    assert len(epochs_seen) > len(set(epochs_seen))
