@@ -246,6 +246,10 @@ _DEFER_IN_TIER = frozenset(
         # directional twin of the driver-green Jaccard pass (same
         # shingle equi-join candidates); certified at all three scales
         "dedup_shingle_containment",
+        # nearest-direction twin of the driver-green asof pair,
+        # reusing the certified merged-timeline walk; certified at
+        # all three scales
+        "asof_join_nearest",
     }
 )
 

@@ -868,3 +868,100 @@ def join_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_value",
         )
     )
+
+
+@query(
+    "asof_join_nearest",
+    oracle="""
+WITH tl AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+walled AS (
+  SELECT user_id, ts_us, event_id, kind,
+         last_value(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS) OVER w_back AS prev_ts,
+         last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER w_back AS prev_id,
+         first_value(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS) OVER w_fwd AS next_ts,
+         first_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER w_fwd AS next_id
+  FROM tl
+  WINDOW w_back AS (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_fwd AS (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id AS purchase_id, user_id, ts_us AS purchase_us,
+       CASE WHEN next_ts IS NULL THEN prev_id
+            WHEN prev_ts IS NULL THEN next_id
+            WHEN ts_us - prev_ts <= next_ts - ts_us THEN prev_id
+            ELSE next_id END AS click_id,
+       CASE WHEN next_ts IS NULL THEN ts_us - prev_ts
+            WHEN prev_ts IS NULL THEN next_ts - ts_us
+            WHEN ts_us - prev_ts <= next_ts - ts_us THEN ts_us - prev_ts
+            ELSE next_ts - ts_us END AS gap_us
+FROM walled
+WHERE kind = 1 AND (prev_ts IS NOT NULL OR next_ts IS NOT NULL)
+""",
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (pandas merge_asof
+    direction='nearest'): each purchase matches its temporally closest
+    click in either direction, ties to the earlier side — completing
+    the as-of family (backward and tolerance variants above).
+
+    Scale shape: the resample_interpolate merged-timeline trick — both
+    event kinds union into ONE relation, a backward and a forward
+    IGNORE NULLS window walk the per-user timeline in a single sort,
+    and the nearest pick is a row-local CASE. No join at all: one
+    shuffle on user_id, each task one sorted merge (a band-predicate
+    join formulation would re-scan clicks per purchase). Same-ts
+    clicks sort before purchases (kind asc), so a tie counts as
+    backward — matching the equal-allowed backward convention."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    tl = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
+    )
+    order = [F.col("ts_us"), F.col("kind"), F.col("event_id")]
+    w_back = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("kind") == 0, F.col("ts_us"))
+    click_id = F.when(F.col("kind") == 0, F.col("event_id"))
+    walled = tl.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "kind",
+        F.last(click_ts, ignorenulls=True).over(w_back).alias("prev_ts"),
+        F.last(click_id, ignorenulls=True).over(w_back).alias("prev_id"),
+        F.first(click_ts, ignorenulls=True).over(w_fwd).alias("next_ts"),
+        F.first(click_id, ignorenulls=True).over(w_fwd).alias("next_id"),
+    )
+    prev_gap = F.col("ts_us") - F.col("prev_ts")
+    next_gap = F.col("next_ts") - F.col("ts_us")
+    pick_prev = (
+        F.col("next_ts").isNull()
+        | (F.col("prev_ts").isNotNull() & (prev_gap <= next_gap))
+    )
+    return walled.filter(
+        (F.col("kind") == 1)
+        & (F.col("prev_ts").isNotNull() | F.col("next_ts").isNotNull())
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_us"),
+        F.when(pick_prev, F.col("prev_id")).otherwise(F.col("next_id")).alias(
+            "click_id"
+        ),
+        F.when(pick_prev, prev_gap).otherwise(next_gap).alias("gap_us"),
+    )
