@@ -27,9 +27,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_verbatim(spark, SMOKE_SF_DIR)
 
 
+def _verification_priority() -> list[str]:
+    """Registry names ordered by certification need: queries whose last
+    driver CORRECTNESS row failed first (they carry fixes to re-prove),
+    then queries never sampled by any driver round, then the rest from
+    least- to most-recently certified. Dict order IS the declared sweep
+    order — a driver sampling a prefix certifies the tail fastest."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last_round: dict[str, int] = {}
+    last_ok: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rows = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()) or 0)
+        for name, row in rows.items():
+            last_round[name] = rnd
+            last_ok[name] = bool(
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            )
+
+    def key(name: str) -> tuple:
+        if name in last_ok and not last_ok[name]:
+            return (0, last_round[name], name)  # failed → re-certify first
+        if name not in last_round:
+            return (1, 0, name)  # never sampled
+        return (2, last_round[name], name)  # oldest certification first
+
+    return sorted(eng.QUERIES, key=key)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(eng.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, in
+    verification-priority order (see _verification_priority)."""
+    return {name: eng.QUERIES[name] for name in _verification_priority()}
 
 
 def oracle_sql() -> dict[str, str]:

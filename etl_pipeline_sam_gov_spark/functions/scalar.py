@@ -494,8 +494,8 @@ SELECT o_orderkey,
             ELSE round(o_totalprice / (o_orderkey % 5), 6) END AS safe_div,
        CAST(CASE WHEN o_orderkey % 2 = 1 THEN NULL
             ELSE -2147483648 END AS INTEGER) AS safe_sub,
-       CASE WHEN o_orderkey % 3 = 0 THEN NULL
-            ELSE CAST(o_orderkey AS DECIMAL(9,0)) END AS safe_cast
+       CAST(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+            ELSE o_orderkey END AS BIGINT) AS safe_cast
 FROM orders
 """,
 )
@@ -508,7 +508,11 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal_quarantine pattern) instead of a stack trace. The
     oracle predicts each NULL from the generating arithmetic: mod-5
     zero denominators, mod-2-driven INT_MIN - 1 overflow, and a
-    mod-3-gated string that fails numeric parsing."""
+    mod-3-gated string that fails numeric parsing. The parsed value is
+    cast DECIMAL(9,0)→BIGINT on both sides: DECIMAL outputs are
+    driver-hostile (Spark pandas keeps ``Decimal('1')``, DuckDB pandas
+    converts to float64 ``1.0`` — same value, different stringification),
+    so decimals never appear in a registered output schema."""
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     k = F.col("o_orderkey")
     return orders.select(
@@ -522,7 +526,9 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_to_number(
             F.when(k % 3 == 0, F.lit("oops")).otherwise(k.cast("string")),
             F.lit("999999999"),
-        ).alias("safe_cast"),
+        )
+        .cast("long")
+        .alias("safe_cast"),
     )
 
 

@@ -1000,20 +1000,27 @@ _PROFILE_COLS = (
 )
 
 
-def _sql_render(col: str, kind: str) -> str:
+def _sql_render(expr: str, kind: str) -> str:
+    """Render an ALREADY-AGGREGATED value to an engine-stable string.
+
+    Aggregation happens on the NATIVE column and the render wraps the
+    result — rendering first would make int/num min/max lexicographic
+    (e.g. max l_orderkey '999' beating 1499), silently wrong for the
+    CBO/data-skipping stats this profile exists to produce."""
     if kind == "num":
-        return f"CAST(CAST({col} AS DECIMAL(18,2)) AS VARCHAR)"
+        return f"CAST(CAST({expr} AS DECIMAL(18,2)) AS VARCHAR)"
     if kind == "ts":
-        return f"strftime({col}, '%Y-%m-%d %H:%M:%S')"
-    return f"CAST({col} AS VARCHAR)"
+        return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
+    return f"CAST({expr} AS VARCHAR)"
 
 
-def _spark_render(col: str, kind: str):
+def _spark_render(expr, kind: str):
+    """Spark twin of _sql_render; ``expr`` is an aggregated Column."""
     if kind == "num":
-        return F.col(col).cast("decimal(18,2)").cast("string")
+        return expr.cast("decimal(18,2)").cast("string")
     if kind == "ts":
-        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
-    return F.col(col).cast("string")
+        return F.date_format(expr, "yyyy-MM-dd HH:mm:ss")
+    return expr.cast("string")
 
 
 @query(
@@ -1022,8 +1029,8 @@ def _spark_render(col: str, kind: str):
         f"""SELECT '{c}' AS col_name,
        CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
-       MIN({_sql_render(c, k)}) AS min_value,
-       MAX({_sql_render(c, k)}) AS max_value
+       {_sql_render(f"MIN({c})", k)} AS min_value,
+       {_sql_render(f"MAX({c})", k)} AS max_value
 FROM lineitem"""
         for c, k in _PROFILE_COLS
     ),
@@ -1041,17 +1048,18 @@ def agg_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     with HLL partials instead, which agg_sketch_merge_rollup already
     demonstrates; swap NDV to approx_count_distinct at 100 TB). The
     wide 1-row result unpivots driver-free via posexplode of a struct
-    array. Min/max render through engine-stable string forms (exact
-    decimals / formatted timestamps), never bare double→string."""
+    array. Min/max aggregate on the NATIVE column (numeric/timestamp
+    ordering) and only the aggregated result renders to an
+    engine-stable string (exact decimals / formatted timestamps) —
+    rendering before aggregating would give lexicographic extrema."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     aggs = []
     for c, k in _PROFILE_COLS:
-        r = _spark_render(c, k)
         aggs += [
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
             F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
-            F.min(r).alias(f"{c}__min"),
-            F.max(r).alias(f"{c}__max"),
+            _spark_render(F.min(F.col(c)), k).alias(f"{c}__min"),
+            _spark_render(F.max(F.col(c)), k).alias(f"{c}__max"),
         ]
     wide = li.agg(*aggs)
     rows = F.array(

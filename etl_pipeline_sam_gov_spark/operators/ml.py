@@ -74,11 +74,14 @@ c{i} AS (
   GROUP BY a.cid, v.dim
 )"""
         )
+    # ``+ 0.0`` normalizes IEEE negative zero (-0.0 + 0.0 = +0.0) —
+    # DuckDB's mean expression can emit -0.0 where Spark emits 0.0, and
+    # the driver's pandas stringification distinguishes them.
     tail = f"""
 SELECT c.cid AS cluster,
        CAST(c.dim AS INT) AS dim,
        n.n_members,
-       c.cval AS centroid
+       c.cval + 0.0 AS centroid
 FROM c{KM_ITERS} c
 JOIN (SELECT cid, COUNT(*) AS n_members FROM a{KM_ITERS} GROUP BY cid) n
   ON c.cid = n.cid
@@ -154,7 +157,7 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cid").alias("cluster"),
             F.col("dim").cast("int").alias("dim"),
             "n_members",
-            F.col("cval").alias("centroid"),
+            (F.col("cval") + F.lit(0.0)).alias("centroid"),
         )
     )
 
@@ -258,7 +261,7 @@ WITH b AS (
   SELECT user_id, {_fh_bucket_sql()} AS bucket FROM events
 )
 SELECT user_id,
-       list_value({", ".join(f"CAST(SUM(CASE WHEN bucket = {i} THEN 1 ELSE 0 END) AS BIGINT)" for i in range(FH_BUCKETS))}) AS features,
+       array_to_string(list_value({", ".join(f"CAST(SUM(CASE WHEN bucket = {i} THEN 1 ELSE 0 END) AS BIGINT)" for i in range(FH_BUCKETS))}), ',') AS features,
        CAST(COUNT(DISTINCT bucket) AS BIGINT) AS nnz,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM b GROUP BY user_id
@@ -281,12 +284,17 @@ def ml_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     bucket = _spark_hash60(F.col("event_type")) % FH_BUCKETS
     withb = ev.select("user_id", bucket.alias("bucket"))
+    # The dense vector ships as a comma-joined string (driver-compat:
+    # array output columns are banned registry-wide).
     return withb.groupBy("user_id").agg(
-        F.array(
+        F.concat_ws(
+            ",",
             *[
-                F.sum(F.when(F.col("bucket") == i, 1).otherwise(0)).alias(f"f{i}")
+                F.sum(F.when(F.col("bucket") == i, 1).otherwise(0)).cast(
+                    "string"
+                )
                 for i in range(FH_BUCKETS)
-            ]
+            ],
         ).alias("features"),
         F.count_distinct(F.col("bucket")).alias("nnz"),
         F.count(F.lit(1)).alias("n_events"),

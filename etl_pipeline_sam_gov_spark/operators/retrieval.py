@@ -106,8 +106,11 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword query set — the classic sparse-retrieval ranking kernel.
 
     Scale shape: term frequencies are the shared partial-combined
-    groupBy; per-doc length rides a window on the SAME (doc_id, tok)
-    exchange (partition-prefix key); document frequency is computed
+    groupBy; per-doc length is a window over doc_id — note this costs
+    one extra exchange: Spark's HashPartitioning on (doc_id, tok) does
+    NOT satisfy a ClusteredDistribution on the prefix doc_id, so the
+    planner re-shuffles for the window (prefix keys are not reusable
+    the way range-partitioned sorts are); document frequency is computed
     AFTER restricting to the query vocabulary (a broadcast IN-filter),
     so the df aggregation touches only matching postings; the corpus
     scalars (N, avgdl) are a broadcast 1-row cross join, never a

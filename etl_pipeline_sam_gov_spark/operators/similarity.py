@@ -370,7 +370,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_SQL_NORMS}
 SELECT vec_id,
        round(nrm, 6) AS l2_norm,
-       list_transform(v, x -> CAST(trunc(x / nrm * 127) AS TINYINT)) AS qvec
+       array_to_string(
+         list_transform(v, x -> CAST(trunc(x / nrm * 127) AS TINYINT)), ',')
+         AS qvec
 FROM norms
 """,
 )
@@ -383,7 +385,10 @@ def ann_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH engines — Spark's non-ANSI double→tinyint cast and the
     oracle's explicit trunc() — so the lattice assignment is
     bit-identical cross-engine. Pure narrow map: zero shuffle beyond
-    the fixture-layout repartition in with_norms."""
+    the fixture-layout repartition in with_norms. The code vector is
+    emitted as a comma-joined STRING, not array<tinyint> — array-typed
+    output columns crash the driver's pandas row-sorter (unhashable
+    list), so serialized codes are the registry-wide contract."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     nv = with_norms(emb)
     qvec = F.transform(
@@ -392,7 +397,9 @@ def ann_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nv.select(
         "vec_id",
         F.round("nrm", 6).alias("l2_norm"),
-        qvec.alias("qvec"),
+        F.concat_ws(",", F.transform(qvec, lambda x: x.cast("string"))).alias(
+            "qvec"
+        ),
     )
 
 
@@ -432,7 +439,7 @@ best AS (
   FROM dist
 )
 SELECT vec_id,
-       list(cent_id ORDER BY s) AS codes,
+       array_to_string(list(cent_id ORDER BY s), ',') AS codes,
        round(list_aggregate(list(d ORDER BY s), 'sum'), 6) AS recon_err
 FROM best WHERE rn = 1
 GROUP BY vec_id
@@ -517,9 +524,13 @@ def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded = vd.crossJoin(F.broadcast(cent_arr)).select(
         "vec_id", best_arr.alias("best")
     )
+    # Codes ship as a comma-joined string (driver-compat: array output
+    # columns are banned registry-wide; see ann_quantize_embeddings).
     return encoded.select(
         "vec_id",
-        F.transform(F.col("best"), lambda b: b["cent_id"]).alias("codes"),
+        F.concat_ws(
+            ",", F.transform(F.col("best"), lambda b: b["cent_id"].cast("string"))
+        ).alias("codes"),
         F.round(
             F.aggregate(
                 F.col("best"), F.lit(0.0), lambda acc, b: acc + b["d"]

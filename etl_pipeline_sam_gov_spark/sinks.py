@@ -83,14 +83,26 @@ def compact_snapshot(
     then pays open/footer costs per file and loses row-group-level
     pruning. Compaction is the maintenance operator every table format
     (Delta OPTIMIZE, Iceberg rewrite_data_files) ships; this is the
-    plain-parquet version: size-aware coalesce via a round-robin
-    repartition to ceil(bytes / target) files, staged through a temp
-    suffix then atomically swapped, so concurrent readers never observe
-    a half-compacted table.
+    plain-parquet version: size-aware coalesce to ceil(bytes / target)
+    files, staged through a temp suffix then swapped in via two renames
+    (live → __old, tmp → live, delete __old) so the destination is
+    absent only between two back-to-back metadata renames, never for
+    the duration of a recursive delete, and a crash at any point leaves
+    the data intact at exactly one of the three suffixes. (True
+    atomicity needs a table format's metadata pointer — rename is not
+    atomic on object stores; this is the best plain-FS approximation.)
+
+    Unpartitioned: plain round-robin repartition to n files.
+    Partitioned: repartition on the PARTITION COLUMNS plus a salt sized
+    from per-partition byte estimates — round-robin would scatter every
+    partition value across every task and emit up to n_files ×
+    n_partitions tiny files, defeating the size targeting.
 
     Uses the actual on-disk byte size (Hadoop FS content summary), not
     row counts — file-size targeting is the point of the operator."""
     import math
+
+    from pyspark.sql import functions as F
 
     sc = spark.sparkContext
     hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
@@ -99,12 +111,49 @@ def compact_snapshot(
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compacting"
-    writer = df.repartition(n_files).write.mode("overwrite")
     if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
+        # Per-partition salt count ∝ that partition's byte share, so
+        # each partition compacts toward target_file_bytes on its own.
+        counts = df.groupBy(*partition_cols).count()
+        total_rows = max(
+            1, sum(r["count"] for r in counts.select("count").collect())
+        )
+        salts = counts.select(
+            *partition_cols,
+            F.greatest(
+                F.lit(1),
+                F.ceil(
+                    F.col("count") / total_rows * total_bytes / target_file_bytes
+                ),
+            )
+            .cast("int")
+            .alias("__n_salt"),
+        )
+        salted = df.join(F.broadcast(salts), list(partition_cols)).withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]), F.col("__n_salt")
+            ),
+        )
+        writer = (
+            salted.repartition(n_files, *partition_cols, "__salt")
+            .drop("__n_salt", "__salt")
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+        )
+    else:
+        writer = df.repartition(n_files).write.mode("overwrite")
     writer.parquet(tmp)
     tmp_path = sc._jvm.org.apache.hadoop.fs.Path(tmp)
-    fs.delete(hpath, True)
+    old = path.rstrip("/") + "__old"
+    old_path = sc._jvm.org.apache.hadoop.fs.Path(old)
+    fs.delete(old_path, True)  # clear any stale leftover from a crash
+    fs.rename(hpath, old_path)
     fs.rename(tmp_path, hpath)
-    out = fs.globStatus(sc._jvm.org.apache.hadoop.fs.Path(path + "/*.parquet"))
-    return len(out)
+    fs.delete(old_path, True)
+    it = fs.listFiles(hpath, True)
+    n_out = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n_out += 1
+    return n_out

@@ -737,7 +737,12 @@ def stream_left_outer_join_purchases(spark: SparkSession, sf_dir: str) -> DataFr
 
 def _hypertable_oracle() -> str:
     """The batch twin's raw-scan oracle, verbatim — one source of truth
-    for what BOTH the batch and the stream-maintained rollup must equal."""
+    for what BOTH the batch and the stream-maintained rollup must equal.
+    Imports the defining module first so the lookup works even when this
+    module is imported standalone (not via the package __init__'s
+    operators-before-streaming order)."""
+    import etl_pipeline_sam_gov_spark.operators.aggregates  # noqa: F401
+
     from etl_pipeline_sam_gov_spark.registry import ORACLES
 
     return ORACLES["agg_hypertable_rollup"]
@@ -796,7 +801,10 @@ def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pit_oracle() -> str:
     """The batch PIT join's oracle, verbatim — the serving-path stream
     must produce exactly what the training-path batch join produced
-    (feature stores call this online/offline consistency)."""
+    (feature stores call this online/offline consistency). Imports the
+    defining module first so decoration order doesn't matter."""
+    import etl_pipeline_sam_gov_spark.operators.analytics  # noqa: F401
+
     from etl_pipeline_sam_gov_spark.registry import ORACLES
 
     return ORACLES["join_point_in_time_features"]

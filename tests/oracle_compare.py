@@ -101,8 +101,17 @@ def _canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # repr round-trips doubles exactly; 0.0 == -0.0 normalized
-        return repr(v + 0.0)
+        if v == 0.0 and math.copysign(1.0, v) < 0.0:
+            # The driver's pandas stringification DISTINGUISHES -0.0
+            # from 0.0; the local gate must be harsher, not laxer
+            # (normalizing here is exactly what hid the r03
+            # ml_kmeans_embeddings failure). Engines must emit +0.0:
+            # append `+ 0.0` to the final double expression.
+            raise AssertionError(
+                "negative zero in output column — driver-visible; "
+                "normalize the expression with `+ 0.0` on both sides"
+            )
+        return repr(v)
     if isinstance(v, bool):
         return str(bool(v))
     if isinstance(v, bytes):
@@ -110,6 +119,76 @@ def _canon_cell(v):
     if isinstance(v, list):
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     return str(v)
+
+
+#: Canonical-type fragments the driver's pandas canonicalizer cannot
+#: handle: list/map/struct columns crash its row sorter (`TypeError:
+#: unhashable type`), DECIMAL stringifies differently per engine
+#: (Spark toPandas keeps `Decimal('1')` → "1"; DuckDB .df() converts
+#: to float64 → "1.0"), HUGEINT has no Spark twin. No registered
+#: query may emit them (serialize arrays with concat_ws/array_to_string,
+#: cast decimals to BIGINT/DOUBLE).
+_DRIVER_HOSTILE = ("list<", "map<", "struct<", "decimal(", "int128")
+
+
+def assert_driver_safe_types(name: str, side: str, types: dict[str, str]) -> None:
+    bad = {
+        c: t
+        for c, t in types.items()
+        if any(frag in t for frag in _DRIVER_HOSTILE)
+    }
+    assert not bad, (
+        f"{name}: {side} output schema has driver-hostile column types {bad} "
+        "— arrays/maps/structs crash the driver's pandas row sorter and "
+        "DECIMAL stringifies differently across engines; serialize or cast"
+    )
+
+
+def _driver_cell(v, decimal_to_float: bool = False):
+    """Mirror the driver's pandas-path cell stringification.
+
+    Spark ``toPandas()`` keeps DecimalType as ``decimal.Decimal``
+    objects; DuckDB ``.df()`` converts DECIMAL columns to float64 —
+    that asymmetry (plus -0.0 vs 0.0 being distinct under ``str``)
+    is exactly what failed fn_try_arithmetic and ml_kmeans_embeddings
+    in the round-3 driver run while the collect()-path compare stayed
+    green. This path is run IN ADDITION to the exact path so local
+    green implies driver green.
+    """
+    import decimal as _dec
+
+    if v is None:
+        return "∅"
+    if decimal_to_float and isinstance(v, _dec.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # repr distinguishes -0.0 from 0.0, like pandas
+    if isinstance(v, bool):
+        return str(bool(v))
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(_driver_cell(x, decimal_to_float) for x in v) + "]"
+    return str(v)
+
+
+def driver_canonical_rows(
+    cols: list[str],
+    rows: list[tuple],
+    decimal_cols: frozenset[str] = frozenset(),
+) -> list[tuple]:
+    """Order-insensitive canonical form under the DRIVER's conversions:
+    ``decimal_cols`` (DuckDB side only) are converted decimal→float64
+    first, mirroring ``.df()``."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [
+        tuple(_driver_cell(r[i], cols[i] in decimal_cols) for i in order)
+        for r in rows
+    ]
+    out.sort()
+    return out
 
 
 def canonical_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
@@ -141,6 +220,8 @@ def compare(spark, name: str, fn, oracle: str, sf_dir: str) -> None:
         f"{name}: column TYPE mismatch (spark vs duckdb): {type_diffs} — "
         "the driver's value-hash is typed; cast both sides to one type"
     )
+    assert_driver_safe_types(name, "spark", s_types)
+    assert_driver_safe_types(name, "duckdb", d_types)
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count spark={len(s_rows)} duckdb={len(d_rows)}"
     )
@@ -152,4 +233,17 @@ def compare(spark, name: str, fn, oracle: str, sf_dir: str) -> None:
         ][:5]
         raise AssertionError(
             f"{name}: value mismatch; first diffs (spark vs duckdb): {diffs}"
+        )
+    # Second pass through the DRIVER's pandas-conversion semantics
+    # (duckdb decimals→float64, spark decimals kept, -0.0 distinct).
+    duck_decimal_cols = frozenset(
+        c for c, t in d_types.items() if t.startswith("decimal(")
+    )
+    s_drv = driver_canonical_rows(s_cols, s_rows)
+    d_drv = driver_canonical_rows(d_cols, d_rows, duck_decimal_cols)
+    if s_drv != d_drv:
+        diffs = [(a, b) for a, b in zip(s_drv, d_drv) if a != b][:5]
+        raise AssertionError(
+            f"{name}: DRIVER-path value mismatch (pandas canonicalization); "
+            f"first diffs (spark vs duckdb): {diffs}"
         )

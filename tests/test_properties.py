@@ -370,3 +370,30 @@ def test_bpe_merge_fold_is_leftmost_greedy(spark):
     got = {r["i"]: r["m"] for r in out}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_table_profile_extrema_are_numeric_not_lexicographic(spark):
+    """Regression (round-4 ADVICE): min/max must aggregate the NATIVE
+    column — string-rendered aggregation gave lexicographic extrema
+    ('999' > '1499') on int/num columns while the oracle replicated the
+    same mistake, so only a ground-truth check catches it."""
+    import duckdb
+
+    from etl_pipeline_sam_gov_spark.operators.aggregates import (
+        agg_table_profile,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    prof = {
+        r["col_name"]: r
+        for r in agg_table_profile(spark, sf_dir).collect()
+    }
+    truth = duckdb.sql(
+        f"SELECT MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi,"
+        f" MIN(l_extendedprice) AS plo, MAX(l_extendedprice) AS phi"
+        f" FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchone()
+    assert prof["l_orderkey"]["min_value"] == str(truth[0])
+    assert prof["l_orderkey"]["max_value"] == str(truth[1])
+    assert float(prof["l_extendedprice"]["min_value"]) == float(truth[2])
+    assert float(prof["l_extendedprice"]["max_value"]) == float(truth[3])

@@ -171,3 +171,40 @@ def test_compact_snapshot_reduces_file_count(spark, sf_dir, tmp_path):
     assert after == n_after < before
     assert spark.read.parquet(out).count() == n_rows
     assert not os.path.exists(out + "__compacting")
+
+
+def test_compact_snapshot_partitioned_respects_layout(spark, sf_dir, tmp_path):
+    """Partitioned compaction keeps the hive layout, compacts per
+    partition (no n_files × n_partitions blow-up from round-robin),
+    preserves contents, and leaves no __compacting/__old residue."""
+    import os
+
+    from etl_pipeline_sam_gov_spark.sinks import compact_snapshot
+    from etl_pipeline_sam_gov_spark.tables import load_tables
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    by_yr = orders.withColumn("yr", F.year("o_orderdate"))
+    out = str(tmp_path / "orders_part_frag")
+    by_yr.repartition(16).write.partitionBy("yr").parquet(out)
+    part_dirs = [d for d in os.listdir(out) if d.startswith("yr=")]
+    assert len(part_dirs) > 1
+    before = sum(
+        len([f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")])
+        for d in part_dirs
+    )
+    assert before >= 16  # fragmented: every task wrote into every partition
+    n_rows = by_yr.count()
+    n_after = compact_snapshot(
+        spark, out, target_file_bytes=64 << 20, partition_cols=("yr",)
+    )
+    # whole table is far below one target file per partition → exactly
+    # one file per partition, not one per (task, partition) pair
+    assert n_after == len(part_dirs) < before
+    back = spark.read.parquet(out)
+    assert back.count() == n_rows
+    assert sorted(r["yr"] for r in back.select("yr").distinct().collect()) == sorted(
+        int(d.split("=")[1]) for d in part_dirs
+    )
+    assert "__salt" not in back.columns and "__n_salt" not in back.columns
+    assert not os.path.exists(out + "__compacting")
+    assert not os.path.exists(out + "__old")
