@@ -855,15 +855,37 @@ SEMDEDUP_K = 8
 SEMDEDUP_TAU_NUM = 2
 SEMDEDUP_TAU_DEN = 5
 _SD_SCALE = 1024  # dyadic fixed-point (2^-10), cf. operators.ml.KM_SCALE
+#: Per-cluster size cap for the capped scale path: clusters larger than
+#: this are deterministically sub-bucketed before the pair stage, so
+#: within-bucket pair counts are ≤ cap² regardless of cluster skew.
+SEMDEDUP_MAX_CLUSTER = 32
 
 
-def _sd_ctes(base: str = "embeddings") -> str:
+def _sd_ctes(base: str = "embeddings", cap: int | None = None) -> str:
     """The SemDeDup CTE chain (q → norms → seeds → dist → assign →
     pairs → dups) over an arbitrary base relation exposing
     (vec_id, embedding) — shared by the standalone query and the
     composed curation pipeline, so both oracles stay one source of
-    truth."""
+    truth. With ``cap`` set, oversized clusters sub-bucket by an
+    md5-derived hash of vec_id into ceil(|c|/cap) buckets before the
+    pair stage (the capped scale path's oracle)."""
     tn, td = SEMDEDUP_TAU_NUM, SEMDEDUP_TAU_DEN
+    if cap is None:
+        pair_src, pair_on = "assign", "a.cid = b.cid"
+    else:
+        pair_src, pair_on = "asub", "a.cid = b.cid AND a.sub = b.sub"
+    sub_cte = (
+        ""
+        if cap is None
+        else f""",
+asub AS (
+  SELECT vec_id, cid,
+         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+           % CAST(ceil((COUNT(*) OVER (PARTITION BY cid)) / {cap}.0) AS BIGINT)
+           AS sub
+  FROM assign
+)"""
+    )
     return f"""q AS (
   SELECT vec_id,
          list_transform(CAST(embedding AS DOUBLE[]),
@@ -887,13 +909,13 @@ assign AS (
     SELECT vec_id, cid,
            row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
     FROM dist) WHERE rn = 1
-),
+){sub_cte},
 pairs AS (
   SELECT b.vec_id AS v2,
          list_dot_product(na.v, nb.v) AS dot,
          na.nsq AS nsq1, nb.nsq AS nsq2
-  FROM assign a
-  JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  FROM {pair_src} a
+  JOIN {pair_src} b ON {pair_on} AND a.vec_id < b.vec_id
   JOIN norms na ON na.vec_id = a.vec_id
   JOIN norms nb ON nb.vec_id = b.vec_id
 ),
@@ -910,11 +932,22 @@ FROM assign a LEFT JOIN dups d USING (vec_id)
 """
 
 
-def semantic_keep(emb: DataFrame) -> DataFrame:
+def semantic_keep(
+    emb: DataFrame, max_cluster_size: int | None = None
+) -> DataFrame:
     """(vec_id, cluster, keep) SemDeDup verdicts for any relation
     exposing (vec_id, embedding) — the engine core behind
     dedup_semantic_clusters and the composed curation pipeline.
-    See dedup_semantic_clusters for the semantics/scale contract."""
+    See dedup_semantic_clusters for the semantics/scale contract.
+
+    ``max_cluster_size`` enables the capped scale path: a cluster with
+    |c| members sub-buckets into ceil(|c|/cap) deterministic md5-hash
+    buckets and pruning runs within buckets, bounding the pair stage at
+    ~cap²·ceil(|c|/cap) comparisons per cluster — LINEAR in |c| for
+    fixed cap, so one skewed mega-cluster can no longer go quadratic.
+    Trade-off: a duplicate pair split across buckets is missed, so the
+    capped keep-set is a SUPERSET of the exact one (capping only ever
+    keeps more; it never drops a non-duplicate)."""
     from pyspark.sql import Window as W
 
     qv = F.transform(
@@ -957,12 +990,26 @@ def semantic_keep(emb: DataFrame) -> DataFrame:
         # pipeline writes to storage between clustering and pruning.
         .persist()
     )
-    a, b = assign.alias("a"), assign.alias("b")
+    work = assign
+    if max_cluster_size is not None:
+        n_sub = F.ceil(
+            F.count(F.lit(1)).over(W.partitionBy("cid"))
+            / float(max_cluster_size)
+        )
+        work = assign.withColumn(
+            "sub", _spark_hash60(F.col("vec_id").cast("string")) % n_sub
+        )
+    a, b = work.alias("a"), work.alias("b")
     tn2 = SEMDEDUP_TAU_NUM * SEMDEDUP_TAU_NUM
     td2 = SEMDEDUP_TAU_DEN * SEMDEDUP_TAU_DEN
     dot = fold_dot(F.col("a.v"), F.col("b.v"))
+    pair_cond = (F.col("a.cid") == F.col("b.cid")) & (
+        F.col("a.vec_id") < F.col("b.vec_id")
+    )
+    if max_cluster_size is not None:
+        pair_cond = pair_cond & (F.col("a.sub") == F.col("b.sub"))
     dups = (
-        a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(b, pair_cond)
         .select(F.col("b.vec_id").alias("vec_id"), dot.alias("dot"),
                 F.col("a.nsq").alias("nsq1"), F.col("b.nsq").alias("nsq2"))
         .filter(
@@ -1006,6 +1053,29 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_with fold, JVM-side, no UDF."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return semantic_keep(emb)
+
+
+@query(
+    "dedup_semantic_capped",
+    oracle="WITH " + _sd_ctes(cap=SEMDEDUP_MAX_CLUSTER) + _SD_SELECT,
+)
+def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a per-cluster size cap — the 100× skew-proof twin
+    of dedup_semantic_clusters. The uncapped pair stage is O(Σ|c|²):
+    fine when k scales with the corpus, quadratic disaster when one
+    mega-cluster absorbs a constant fraction of it (embedding spaces
+    DO produce such clusters — boilerplate, templated spam). Here a
+    cluster of |c| members sub-buckets into ceil(|c|/SEMDEDUP_MAX_
+    CLUSTER) deterministic md5(vec_id) buckets and pruning runs within
+    buckets: per-cluster work drops to ~cap·|c| — linear — at the cost
+    of missing cross-bucket duplicate pairs, so the capped keep-set is
+    a proven SUPERSET of the exact one (tested); recall lost is the
+    price of the worst-case bound, the same trade LSH banding makes.
+    Sub-bucketing is hash-based (not range/ntile) so bucket membership
+    is stable under corpus append — re-running after ingest doesn't
+    reshuffle old members across buckets."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return semantic_keep(emb, max_cluster_size=SEMDEDUP_MAX_CLUSTER)
 
 
 # ---------------------------------------------------------------------------

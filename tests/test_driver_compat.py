@@ -114,3 +114,36 @@ def test_every_query_has_an_oracle_or_declared_rows_only():
         f"queries with neither an oracle nor a rows_only declaration: "
         f"{sorted(undeclared)}"
     )
+
+
+def test_queries_dict_is_verification_priority_ordered():
+    """queries() must lead with whatever the driver most needs to
+    (re-)certify: last-round failures first, then never-sampled, then
+    oldest certifications — so a prefix sample burns down the tail."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as ent
+
+    names = list(ent.queries())
+    assert set(names) == set(eng.QUERIES)
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sampled: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        sampled.update(json.load(open(path)))
+    if not sampled:
+        return  # round 1: no artifacts yet, any order is fine
+
+    def cls(n):
+        if n not in sampled:
+            return "never"
+        row = sampled[n]
+        ok = row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
+        return "green" if ok else "failed"
+
+    classes = [cls(n) for n in names]
+    # all failed before any never-sampled, all never-sampled before green
+    rank = {"failed": 0, "never": 1, "green": 2}
+    assert [rank[c] for c in classes] == sorted(rank[c] for c in classes)

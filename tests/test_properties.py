@@ -397,3 +397,33 @@ def test_table_profile_extrema_are_numeric_not_lexicographic(spark):
     assert prof["l_orderkey"]["max_value"] == str(truth[1])
     assert float(prof["l_extendedprice"]["min_value"]) == float(truth[2])
     assert float(prof["l_extendedprice"]["max_value"]) == float(truth[3])
+
+
+def test_semdedup_cap_keeps_superset_and_splits_clusters(spark):
+    """The capped SemDeDup path may only MISS duplicate pairs (bucket
+    boundary), never invent them: keep_capped ⊇ keep_exact. Also prove
+    the cap is actually exercised at test scale (≥1 cluster splits)."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import (
+        SEMDEDUP_MAX_CLUSTER,
+        dedup_semantic_capped,
+        dedup_semantic_clusters,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    exact = {r["vec_id"]: r["keep"] for r in dedup_semantic_clusters(spark, sf_dir).collect()}
+    capped = {r["vec_id"]: r["keep"] for r in dedup_semantic_capped(spark, sf_dir).collect()}
+    assert set(exact) == set(capped)
+    for vid, keep in exact.items():
+        if keep:
+            assert capped[vid], f"capped dropped {vid} that exact kept"
+    # at 500 vectors / 8 clusters, average cluster ≈ 62 > cap=32 →
+    # sub-bucketing must engage and lose at least some recall
+    n_exact_kept = sum(exact.values())
+    n_capped_kept = sum(capped.values())
+    assert n_capped_kept >= n_exact_kept
+    from collections import Counter
+
+    sizes = Counter(
+        r["cluster"] for r in dedup_semantic_clusters(spark, sf_dir).collect()
+    )
+    assert max(sizes.values()) > SEMDEDUP_MAX_CLUSTER

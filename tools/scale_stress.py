@@ -50,7 +50,8 @@ STRESS_QUERIES = (
     # within-cluster pair stage is quadratic in cluster size BY DESIGN,
     # bounded only when k grows with the corpus — the fixture pins k=8
     # for the oracle, so amplification would measure the known
-    # quadratic, not a regression.)
+    # quadratic, not a regression. Its skew-proof twin IS stressed:)
+    "dedup_semantic_capped",  # sub-bucketed pair stage — linear at fixed cap
     # event-timeline family (reads the amplified events table):
     "sessionize_events",      # one timeline shuffle + windows
     "resample_interpolate_hourly",  # grid explode + merged-timeline walk
@@ -90,6 +91,28 @@ def amplify(spark, base_dir: str, amp: int, out_dir: str) -> None:
         .drop("rep")
     )
     amped_ev.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+    # Embeddings: replicas are near-dup vectors (vec_id offset + a tiny
+    # rep-dependent shift on the first coordinate — below the 2^-10
+    # quantization grid's duplicate threshold but nonzero, so replicas
+    # cluster together and the capped pair stage does real work).
+    emb = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    amped_emb = (
+        emb.crossJoin(F.broadcast(reps))
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * F.lit(1_000_000_000))
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(
+                    i == 0, (x + F.col("rep") * F.lit(0.001)).cast("float")
+                ).otherwise(x),
+            ),
+        )
+        .drop("rep")
+    )
+    amped_emb.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
 
 
 def main() -> None:
