@@ -1145,3 +1145,29 @@ def fn_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_mean"),
         )
     )
+
+
+_GBA_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ALL
+"""
+
+
+@query("agg_group_by_all", oracle=_GBA_SQL)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` (Spark 3.4+/4.x, DuckDB-compatible): the
+    analyst-ergonomics form that infers the grouping set as every
+    non-aggregate select item — here (returnflag, linestatus,
+    ship_year). The analyzer resolves ALL before optimization, so the
+    plan is byte-identical to the explicit GROUP BY: partial-combined
+    hash aggregation on three low-cardinality keys, quantity summed as
+    exact decimals. The same SQL text runs verbatim on both engines —
+    the capability under test is the resolution rule itself (grouping
+    by the aliased ``ship_year`` expression, not the raw column)."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(_GBA_SQL)

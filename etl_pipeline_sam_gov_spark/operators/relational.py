@@ -783,3 +783,53 @@ def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is provable, the blocked-SimHash discipline)."""
     load_tables(spark, sf_dir, ("customer",))
     return spark.sql(_FUZZY_MATCH_SQL)
+
+
+_PIPE_AGGS = (
+    "COUNT(*) AS n_orders,\n"
+    "             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+    " AS total_price,\n"
+    "             round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))"
+    " AS DOUBLE) / COUNT(*), 6) AS avg_price"
+)
+
+
+@query(
+    "sql_pipe_topsegments",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus <> 'F'
+GROUP BY c_mktsegment
+ORDER BY total_price DESC, c_mktsegment
+LIMIT 3
+""",
+)
+def sql_pipe_topsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0 ``|>`` operators, SQL:2023-adjacent):
+    the same segment-revenue ranking as a classic SELECT, expressed as
+    a linear pipeline — FROM |> WHERE |> JOIN |> AGGREGATE |> ORDER BY
+    |> LIMIT. The pipe form parses to the identical logical plan (the
+    parser desugars each stage into the corresponding relational
+    operator), so Catalyst optimizes it exactly like the oracle's
+    nested form: filter pushed below the join, decimal partial
+    aggregation, TakeOrderedAndProject for the ORDER+LIMIT. Registered
+    because the surface itself is the capability — a user migrating
+    pipe-syntax queries needs the engine to accept them verbatim.
+    Money sums go through exact decimals per functions/exact.py."""
+    load_tables(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        f"""
+FROM orders
+|> WHERE o_orderstatus <> 'F'
+|> JOIN customer ON o_custkey = c_custkey
+|> AGGREGATE {_PIPE_AGGS}
+   GROUP BY c_mktsegment
+|> ORDER BY total_price DESC, c_mktsegment
+|> LIMIT 3
+"""
+    )
