@@ -242,10 +242,10 @@ IVF_MAX_CENTROID_ID = 2500  # …capped to a FIXED-size codebook (≤100 cells):
 IVF_NPROBE = 2
 
 
-@query(
-    "ann_ivf_topk",
-    oracle=f"""
-WITH {_SQL_NORMS},
+#: IVF CTE chain through cell assignment + probe lists — shared by the
+#: plain top-k query, the quantized-rerank pipeline, and the kNN
+#: classifier so all three provably search identical candidate sets.
+_SQL_IVF_PROBES = f"""{_SQL_NORMS},
 cents AS (
   SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM norms
   WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
@@ -263,7 +263,12 @@ assign AS (SELECT vec_id, v, nrm, cent_id AS cell FROM aff WHERE crank = 1),
 probes AS (
   SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cent_id AS cell
   FROM aff WHERE vec_id % {QUERY_STRIDE} = 0 AND crank <= {IVF_NPROBE}
-),
+)"""
+
+#: The complete IVF top-k statement (reused verbatim as the kNN
+#: classifier's neighbor-list CTE).
+_SQL_IVF_TOPK = f"""
+WITH {_SQL_IVF_PROBES},
 scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
          list_dot_product(p.qv, a.v) / (p.qnrm * a.nrm) AS cos
@@ -277,8 +282,10 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
 FROM ranked WHERE rank <= {TOP_K}
-""",
-)
+"""
+
+
+@query("ann_ivf_topk", oracle=_SQL_IVF_TOPK)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: a coarse centroid quantizer (deterministic sample of the
     corpus) + nprobe>1 multi-probe — the classic inverted-file scale
@@ -296,6 +303,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The affinity argsort and both cosine folds are the same sequential
     double arithmetic as the oracle's ``list_dot_product``, so ranks —
     including the crank tiebreak on cent_id — are bit-identical."""
+    assign, probes = _ivf_assign_probes(spark, sf_dir)
+    scored = assign.join(
+        F.broadcast(probes).withColumnRenamed("cell", "qcell"),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def _ivf_assign_probes(spark: SparkSession, sf_dir: str):
+    """The IVF coarse-quantizer plan shared by every IVF-family query:
+    (cell assignment of the full corpus, probe list of the query set) —
+    the Spark twin of the ``_SQL_IVF_PROBES`` CTE chain."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     base = with_norms(emb)
     cent_arr = (
@@ -348,20 +376,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", "qv", "qnrm", F.col("p")["cent_id"].alias("cell"))
     )
-    scored = assign.join(
-        F.broadcast(probes).withColumnRenamed("cell", "qcell"),
-        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias("cos"),
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
-    )
+    return assign, probes
 
 
 @query(
@@ -537,4 +552,187 @@ def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("recon_err"),
+    )
+
+
+RERANK_SHORTLIST = 20  #: coarse candidates kept per query before exact rerank
+
+
+def _int8_codes(v: Column, nrm: Column) -> Column:
+    """Int8 lattice codes as BIGINTs (same trunc-toward-zero lattice as
+    ann_quantize_embeddings, widened so the dot product can't overflow)."""
+    return F.transform(v, lambda x: (x / nrm * 127).cast("bigint"))
+
+
+@query(
+    "ann_ivf_rerank",
+    oracle=f"""
+WITH {_SQL_IVF_PROBES},
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, p.qv, p.qnrm, a.v, a.nrm
+  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+coarse AS (
+  SELECT query_id, neighbor_id, qv, qnrm, v, nrm,
+         CAST(list_aggregate(
+           list_transform(range(len(v)),
+             i -> CAST(trunc(qv[i+1] / qnrm * 127) AS BIGINT)
+                  * CAST(trunc(v[i+1] / nrm * 127) AS BIGINT)),
+           'sum') AS BIGINT) AS coarse_dot
+  FROM cand
+),
+shortlist AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY coarse_dot DESC, neighbor_id) AS crank
+  FROM coarse
+),
+ranked AS (
+  SELECT query_id, neighbor_id, coarse_dot,
+         list_dot_product(qv, v) / (qnrm * nrm) AS cos,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY list_dot_product(qv, v) / (qnrm * nrm) DESC,
+                    neighbor_id) AS rank
+  FROM shortlist WHERE crank <= {RERANK_SHORTLIST}
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine, coarse_dot
+FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def ann_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: IVF cell probe → int8-quantized coarse
+    scoring → exact cosine rerank of a fixed shortlist — the standard
+    serving pipeline (FAISS IVF-SQ8 shape): the coarse stage touches
+    only cheap integer dot products over 4×-compressed codes, and the
+    expensive float math runs on ≤RERANK_SHORTLIST rows per query.
+
+    Scale design: candidate generation is the shared IVF plan
+    (broadcast codebook, map-side assignment, cell equi-join); the
+    coarse integer fold replaces the float cosine on the wide candidate
+    set, and both rank windows partition by query_id — per-query state
+    never exceeds the shortlist. The coarse score is EXACT integer
+    arithmetic (trunc-to-int8 lattice, widened to BIGINT), so the
+    shortlist — including its neighbor_id tiebreaks — is bit-identical
+    cross-engine, with no float-rounding hazard in the pruning
+    decision; only the final rerank does float math, and that is the
+    same sequential fold as the oracle's list_dot_product."""
+    assign, probes = _ivf_assign_probes(spark, sf_dir)
+    cand = assign.join(
+        F.broadcast(probes).withColumnRenamed("cell", "qcell"),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "qv",
+        "qnrm",
+        "v",
+        "nrm",
+    )
+    coarse = cand.withColumn(
+        "coarse_dot",
+        F.aggregate(
+            F.zip_with(
+                _int8_codes(F.col("qv"), F.col("qnrm")),
+                _int8_codes(F.col("v"), F.col("nrm")),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    cw = W.partitionBy("query_id").orderBy(F.col("coarse_dot").desc(), "neighbor_id")
+    shortlist = (
+        coarse.withColumn("crank", F.row_number().over(cw))
+        .filter(F.col("crank") <= RERANK_SHORTLIST)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "coarse_dot",
+            cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias("cos"),
+        )
+    )
+    rw = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        shortlist.withColumn("rank", F.row_number().over(rw).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cos", 6).alias("cosine"),
+            "coarse_dot",
+        )
+    )
+
+
+@query(
+    "ml_knn_classifier",
+    oracle=f"""
+WITH knn AS ({_SQL_IVF_TOPK}),
+votes AS (
+  SELECT k.query_id, e.label, COUNT(*) AS votes, MIN(k.rank) AS best_rank
+  FROM knn k JOIN embeddings e ON k.neighbor_id = e.vec_id
+  GROUP BY k.query_id, e.label
+),
+pred AS (
+  SELECT query_id, label, votes, best_rank,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY votes DESC, best_rank, label) AS pr
+  FROM votes
+)
+SELECT p.query_id,
+       CAST(p.label AS INT) AS predicted_label,
+       p.votes,
+       p.best_rank,
+       CAST(q.label AS INT) AS true_label,
+       p.label = q.label AS correct
+FROM pred p JOIN embeddings q ON p.query_id = q.vec_id
+WHERE p.pr = 1
+""",
+)
+def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor classification over the labeled embedding
+    corpus: each query vector takes the majority label of its IVF
+    top-k neighbors (tie → the label holding the closest neighbor,
+    then the smaller label id), compared against its own ground-truth
+    label — the non-parametric classifier that needs no training pass
+    and rides entirely on the ANN index (label propagation, weak
+    supervision, dataset-quality probes all reduce to this join).
+
+    Scale design: the neighbor list is the shared IVF plan's output
+    (Q×k rows, tiny) joined to the corpus label column — Spark
+    broadcasts the neighbor side, so the corpus is touched by one
+    map-side hash join and never shuffles; the vote and argmax both
+    partition by query_id. The oracle embeds the IVF top-k statement
+    verbatim as its neighbor CTE, so both engines vote over
+    bit-identical neighbor sets."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    knn = ann_ivf_topk(spark, sf_dir)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        labels.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(knn), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(
+            F.count(F.lit(1)).alias("votes"),
+            F.min("rank").alias("best_rank"),
+        )
+    )
+    pw = W.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), "best_rank", "label"
+    )
+    pred = votes.withColumn("pr", F.row_number().over(pw)).filter(
+        F.col("pr") == 1
+    )
+    truth = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        F.col("label").cast("int").alias("predicted_label"),
+        "votes",
+        "best_rank",
+        F.col("true_label").cast("int").alias("true_label"),
+        (F.col("label") == F.col("true_label")).alias("correct"),
     )
