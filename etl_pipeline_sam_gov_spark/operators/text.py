@@ -982,3 +982,116 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         logit.alias("logit"),
         (logit > 0).alias("label"),
     )
+
+
+#: Gopher/C4-style document-filter thresholds (Rae et al. 2021 §A1.1,
+#: adapted to the fixture corpus's word-count range).
+C4_MIN_WORDS = 25
+C4_MAX_WORDS = 90
+C4_MIN_MEAN_WORD_LEN = 4.0
+C4_MAX_MEAN_WORD_LEN = 10.0
+C4_MAX_TOP_WORD_FRAC = 0.12
+C4_MIN_STOPWORD_HITS = 2
+
+
+@query(
+    "text_c4_gopher_filters",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY doc_id, tok
+),
+top AS (SELECT doc_id, MAX(cnt) AS top_cnt FROM tf GROUP BY doc_id),
+feat AS (
+  SELECT s.doc_id,
+         len(s.t) AS n_words,
+         round(list_aggregate(list_transform(s.t, x -> len(x)::DOUBLE), 'sum')
+               / len(s.t), 6) AS mean_word_len,
+         len(list_filter({_sql_list(STOPWORDS_EN)},
+                         w -> list_contains(s.t, w))) AS stop_hits,
+         round(top.top_cnt::DOUBLE / len(s.t), 6) AS top_word_frac
+  FROM toks s JOIN top ON s.doc_id = top.doc_id
+)
+SELECT doc_id, n_words, mean_word_len, stop_hits, top_word_frac,
+       n_words BETWEEN {C4_MIN_WORDS} AND {C4_MAX_WORDS} AS words_ok,
+       mean_word_len BETWEEN {C4_MIN_MEAN_WORD_LEN} AND {C4_MAX_MEAN_WORD_LEN}
+         AS mwl_ok,
+       stop_hits >= {C4_MIN_STOPWORD_HITS} AS stop_ok,
+       top_word_frac <= {C4_MAX_TOP_WORD_FRAC} AS rep_ok,
+       (n_words BETWEEN {C4_MIN_WORDS} AND {C4_MAX_WORDS})
+         AND (mean_word_len BETWEEN {C4_MIN_MEAN_WORD_LEN}
+                                AND {C4_MAX_MEAN_WORD_LEN})
+         AND stop_hits >= {C4_MIN_STOPWORD_HITS}
+         AND top_word_frac <= {C4_MAX_TOP_WORD_FRAC} AS keep
+FROM feat
+""",
+)
+def text_c4_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher document-quality filter bank (Raffel et al. 2020 §2.2;
+    Rae et al. 2021 §A1.1): word-count bounds, mean-word-length bounds,
+    minimum distinct-stopword presence, and a max top-word-frequency
+    cap (single-token repetition — complements text_repetition_quality,
+    which gates on duplicate 3-grams). Emits the features, each rule's
+    verdict, and the conjunction — the audit-friendly form (a corpus
+    report can aggregate per-rule drop rates before committing to the
+    filtered snapshot).
+
+    Scale shape: everything except the top-word count is a zero-shuffle
+    scan-stage fold over the materialized token array; the top-word
+    count explodes tokens once and aggregates on (doc_id, tok) then
+    doc_id — two partial-combined aggregations on one exchange, the
+    same shape the TF pass of text_tfidf_keywords uses. The stopword
+    probe iterates the FIXED 7-word list against the doc (O(7) membership
+    tests), never the document against the list."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tokd = docs.select("doc_id", tokens_col().alias("t"))
+    t = F.col("t")
+    top = (
+        tokd.select("doc_id", F.explode(t).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"))
+    )
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    feat = tokd.join(top, "doc_id").select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_words"),
+        F.round(
+            F.aggregate(
+                F.transform(t, lambda x: F.length(x).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size(t),
+            6,
+        ).alias("mean_word_len"),
+        F.size(F.filter(stop_arr, lambda w: F.array_contains(t, w)))
+        .cast("bigint")
+        .alias("stop_hits"),
+        F.round(F.col("top_cnt").cast("double") / F.size(t), 6).alias(
+            "top_word_frac"
+        ),
+    )
+    words_ok = F.col("n_words").between(C4_MIN_WORDS, C4_MAX_WORDS)
+    mwl_ok = F.col("mean_word_len").between(
+        C4_MIN_MEAN_WORD_LEN, C4_MAX_MEAN_WORD_LEN
+    )
+    stop_ok = F.col("stop_hits") >= C4_MIN_STOPWORD_HITS
+    rep_ok = F.col("top_word_frac") <= C4_MAX_TOP_WORD_FRAC
+    return feat.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "stop_hits",
+        "top_word_frac",
+        words_ok.alias("words_ok"),
+        mwl_ok.alias("mwl_ok"),
+        stop_ok.alias("stop_ok"),
+        rep_ok.alias("rep_ok"),
+        (words_ok & mwl_ok & stop_ok & rep_ok).alias("keep"),
+    )
