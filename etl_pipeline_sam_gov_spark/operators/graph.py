@@ -272,3 +272,97 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corners.groupBy("suppkey").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+#: Customers linked to more suppliers than this are dropped before the
+#: co-occurrence self-join (hub-node frequency cap).
+JAC_HUB_CAP = 20
+
+_JAC_KEPT_SQL = f"""
+cs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+cdeg AS (SELECT c, COUNT(*) AS d FROM cs GROUP BY c),
+kept AS (SELECT cs.c, cs.s FROM cs JOIN cdeg USING (c) WHERE d <= {JAC_HUB_CAP})"""
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+WITH {_JAC_KEPT_SQL.strip()},
+deg AS (SELECT s, COUNT(*) AS ds FROM kept GROUP BY s),
+shared AS (
+  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS n_shared
+  FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+  GROUP BY a.s, b.s
+)
+SELECT sh.s1, sh.s2, sh.n_shared, d1.ds AS deg1, d2.ds AS deg2,
+       round(sh.n_shared::DOUBLE / (d1.ds + d2.ds - sh.n_shared), 6)
+         AS jaccard
+FROM shared sh
+JOIN deg d1 ON sh.s1 = d1.s
+JOIN deg d2 ON sh.s2 = d2.s
+""",
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity between suppliers sharing
+    customers — the structural-equivalence primitive behind entity
+    resolution, substitute detection, and link prediction
+    (|N(a)∩N(b)| / |N(a)∪N(b)| over the bipartite
+    customer↔supplier graph).
+
+    Scale design: node similarity via a co-occurrence self-join is
+    quadratic in the DEGREE of each shared neighbor — one hub customer
+    touching 10^5 suppliers alone contributes 10^10 pairs. The
+    standard mitigation is applied BEFORE the join: customers above a
+    fixed degree cap are dropped (hubs carry near-zero similarity
+    signal — their inclusion mostly adds noise floor; cf. the bands /
+    blocks / cells that bound every dedup and ANN candidate join in
+    this package). After the cap the pair stage is
+    sum-of-squared-bounded-degrees, linear in the neighbor-list size;
+    every stage is an equi-join or partial-combined aggregation keyed
+    on node ids, and the Jaccard itself divides two identical
+    integers — bit-deterministic cross-engine."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    cs = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cdeg = cs.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    kept = cs.join(cdeg.filter(F.col("d") <= JAC_HUB_CAP), "c").select("c", "s")
+    deg = kept.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("ds").alias("deg1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("ds").alias("deg2"))
+    return (
+        shared.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_shared",
+            "deg1",
+            "deg2",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("deg1") + F.col("deg2") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
