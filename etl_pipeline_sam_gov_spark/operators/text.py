@@ -1095,3 +1095,88 @@ def text_c4_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep_ok.alias("rep_ok"),
         (words_ok & mwl_ok & stop_ok & rep_ok).alias("keep"),
     )
+
+
+@query(
+    "text_bigram_perplexity",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+),
+bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY w1),
+vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks)
+)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(-SUM(ln((bc.c12 + 1)::DOUBLE / (ctx.c1 + vocab.v)))
+             / COUNT(*), 6) AS avg_nll
+FROM bg
+JOIN bc USING (w1, w2)
+JOIN ctx USING (w1)
+CROSS JOIN vocab
+GROUP BY bg.doc_id
+""",
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average NLL under an add-one-smoothed BIGRAM
+    language model fit on the corpus — the stronger fluency filter one
+    step up from text_unigram_nll: word-order violations (shuffled or
+    templated text) score high even when the unigram distribution
+    looks normal, which is exactly the failure mode unigram
+    perplexity filters miss (CCNet, Wenzek et al. 2020 §4.3).
+    P(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+|V|).
+
+    Scale shape: bigrams are materialized by a scan-stage zip of the
+    token array with its own tail (no self-join, no window over the
+    exploded stream); the model is two partial-combined counts
+    (bigram, then its w1 marginal — the second aggregates the ALREADY
+    collapsed bigram relation, not the corpus); scoring broadcast-joins
+    the model back onto the bigram stream, and the vocabulary scalar
+    rides a 1-row broadcast cross join. ln() is transcendental —
+    absorbed by the repo-wide round(6) convention."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select("doc_id", tokens_col().alias("t"))
+    t = F.col("t")
+    n = F.size(t)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(t, F.lit(1), n - 1),
+                F.slice(t, F.lit(2), n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        toks.select(F.explode(t).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    model = bc.join(ctx, "w1")
+    return (
+        bg.join(F.broadcast(model), ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.sum(
+                    F.log(
+                        (F.col("c12") + 1).cast("double")
+                        / (F.col("c1") + F.col("v"))
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
