@@ -157,3 +157,37 @@ def compact_snapshot(
         if it.next().getPath().getName().endswith(".parquet"):
             n_out += 1
     return n_out
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    n_buckets: int,
+    *keys: str,
+    path: str | None = None,
+    sorted_by_keys: bool = True,
+) -> None:
+    """Bucketed (+ optionally sorted) parquet table — the co-located
+    join seam for 100 TB fact tables (SURVEY.md §4, tables.py note).
+
+    Writing both sides of a hot equi-join bucketed by the join key with
+    the SAME bucket count lets Spark plan the join with ZERO shuffle
+    exchanges: each task reads bucket i of both tables (hash(key) is
+    the bucket id — the persisted form of HashPartitioning), so the
+    join's per-key co-location is established once at write time and
+    amortized over every subsequent query. With ``sorted_by_keys`` the
+    per-bucket sort is persisted too, cutting the sort-merge join's
+    sort to a merge when each bucket holds one file. Bucketing requires
+    the table catalog (``saveAsTable``) because the bucket spec lives
+    in table metadata, not in the parquet files — a plain
+    ``.parquet(path)`` write cannot carry it.
+
+    ``tests/test_bucketing.py`` pins the plan property differentially:
+    the bucketed join has no shuffle exchange where the identical
+    unbucketed join has two."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *keys)
+    if sorted_by_keys:
+        w = w.sortBy(*keys)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
