@@ -414,3 +414,170 @@ def ml_logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+#: Power-iteration rounds and the dyadic fixed-point scale (2^10).
+PCA_ITERS = 3
+PCA_SCALE = 1024
+
+#: session id -> persisted relations of the last pca invocation (same
+#: release-before-repersist discipline as operators.graph._EDGE_CACHE).
+_PCA_CACHE: dict[int, tuple] = {}
+
+
+def _pca_oracle() -> str:
+    """PCA_ITERS power-iteration rounds unrolled as chained CTEs. The
+    covariance is formulated as a vec_id self-join here and as a
+    scan-stage outer-product explode on the Spark side — the dyadic
+    exactness (every cross-row sum is an exactly-representable scaled
+    integer) makes the result formulation- and order-independent, so
+    the two shapes must agree bit-for-bit."""
+    S = PCA_SCALE
+    head = f"""
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> round(x * {S}, 0) / {S}) AS v
+  FROM embeddings
+),
+el AS (
+  SELECT vec_id, i, v[i] AS vi
+  FROM vecs, unnest(range(1, len(v) + 1)) AS u(i)
+),
+mu AS (
+  SELECT i, round(SUM(vi) / COUNT(*) * {S}, 0) / {S} AS m
+  FROM el GROUP BY i
+),
+ce AS (SELECT e.vec_id, e.i, e.vi - m.m AS ci FROM el e JOIN mu m USING (i)),
+cov AS (
+  SELECT a.i AS i, b.i AS j,
+         round(SUM(a.ci * b.ci) / COUNT(*) * {S}, 0) / {S} AS c
+  FROM ce a JOIN ce b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+),
+w0 AS (SELECT DISTINCT i, 1.0 AS wi FROM cov)"""
+    steps = []
+    for r in range(1, PCA_ITERS + 1):
+        steps.append(
+            f""",
+p{r} AS (
+  SELECT cov.i, SUM(cov.c * w.wi) AS p
+  FROM cov JOIN w{r - 1} w ON cov.j = w.i
+  GROUP BY cov.i
+),
+n{r} AS (SELECT MAX(abs(p)) AS nm FROM p{r}),
+w{r} AS (
+  SELECT i, round(p / (SELECT nm FROM n{r}) * {S}, 0) / {S} AS wi
+  FROM p{r}
+)"""
+        )
+    # ``+ 0.0`` normalizes IEEE negative zero (a tiny negative loading
+    # rounds to -0.0); see the kmeans centroid note.
+    tail = f"""
+SELECT CAST(w.i AS INT) AS dim,
+       w.wi + 0.0 AS weight,
+       round((SELECT nm FROM n{PCA_ITERS}), 6) AS eigenvalue
+FROM w{PCA_ITERS} w
+"""
+    return head + "".join(steps) + tail
+
+
+@query("ml_pca_power_iteration", oracle=_pca_oracle())
+def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration on the covariance matrix (L∞-normalized, fixed rounds,
+    all-ones start) — the dimensionality-reduction / drift-detection
+    primitive (a corpus whose top component shifts between snapshots
+    changed distribution). Emits each dimension's loading plus the
+    dominant-eigenvalue estimate (the L∞ norm of the last multiply).
+
+    Exactness: vectors, means, covariance entries, and each round's
+    normalized iterate are all snapped to the dyadic 2^-10 lattice, so
+    every cross-row sum — column means, the d² covariance sums, and
+    the 64-term matrix-vector products — is exact scaled-integer
+    arithmetic: identical bits under ANY aggregation order or engine
+    (module docstring contract). Divisions and the final rounds act on
+    bit-identical inputs.
+
+    Scale shape: the covariance is a SCAN-STAGE outer-product explode
+    (each row emits its d² centered products, partial-combined before
+    the only corpus-wide exchange: d² = 4096 grouping keys), never a
+    corpus self-join; the d×d matrix and the d-row iterate then drive
+    each round as a broadcast-sized join + partial-combined sum. The
+    per-round relations are persisted (d rows each) so the unrolled
+    lineage stays linear, and the mean vector rides a 1-row broadcast
+    cross join — no driver collect anywhere."""
+    S = PCA_SCALE
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    quant = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * S, 0) / S,
+    )
+    vecs = emb.select("vec_id", quant.alias("v"))
+    el = vecs.select(
+        "vec_id", F.posexplode("v").alias("i0", "vi")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "vi")
+    mu = el.groupBy("i").agg(
+        (F.round(F.sum("vi") / F.count(F.lit(1)) * S, 0) / S).alias("m")
+    )
+    mu_arr = mu.select(F.struct("i", "m").alias("s")).agg(
+        F.transform(
+            F.array_sort(F.collect_list("s")), lambda s: s["m"]
+        ).alias("mu")
+    )
+    centered = vecs.crossJoin(F.broadcast(mu_arr)).select(
+        "vec_id",
+        F.zip_with(F.col("v"), F.col("mu"), lambda x, m: x - m).alias("cent"),
+    )
+    pairs = centered.select(
+        F.col("cent").alias("arr"), F.posexplode("cent").alias("i0", "ci")
+    ).select(
+        (F.col("i0") + 1).alias("i"),
+        "ci",
+        F.posexplode("arr").alias("j0", "cj"),
+    )
+    slot = id(spark)
+    prev = _PCA_CACHE.pop(slot, None)
+    if prev is not None:
+        for df in prev:
+            df.unpersist()
+    cov = (
+        pairs.groupBy("i", (F.col("j0") + 1).alias("j"))
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("ci") * F.col("cj")) / F.count(F.lit(1)) * S, 0
+                )
+                / S
+            ).alias("c")
+        )
+        .persist()
+    )
+    cached = [cov]
+    w = cov.select("i").distinct().select("i", F.lit(1.0).alias("wi"))
+    nm = None
+    for _ in range(PCA_ITERS):
+        # p is referenced twice (the norm and the normalized iterate) —
+        # persist the d-row relation so the unrolled plan stays linear.
+        p = (
+            cov.join(
+                F.broadcast(w.select(F.col("i").alias("j"), "wi")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("wi")).alias("p"))
+            .persist()
+        )
+        cached.append(p)
+        nm = p.agg(F.max(F.abs(F.col("p"))).alias("nm"))
+        w = p.crossJoin(F.broadcast(nm)).select(
+            "i",
+            (F.round(F.col("p") / F.col("nm") * S, 0) / S).alias("wi"),
+        )
+    _PCA_CACHE[slot] = tuple(cached)
+    return w.crossJoin(
+        F.broadcast(nm.select(F.round("nm", 6).alias("eigenvalue")))
+    ).select(
+        F.col("i").cast("int").alias("dim"),
+        (F.col("wi") + F.lit(0.0)).alias("weight"),
+        "eigenvalue",
+    )
