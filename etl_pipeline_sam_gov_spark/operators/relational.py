@@ -833,3 +833,39 @@ FROM orders
 |> LIMIT 3
 """
     )
+
+
+@query(
+    "sql_parameterized_query",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice >= 50000
+GROUP BY o_orderpriority
+""",
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+/4.x named-parameter API with an
+    ``IDENTIFIER()`` table binding): the injection-safe templating
+    surface — values bind as typed literals, identifiers through the
+    dedicated clause, and neither ever goes through string
+    interpolation. The analyzer substitutes parameters BEFORE
+    optimization, so the plan is identical to the inlined oracle
+    (predicate pushed to the scan, decimal partial agg). The
+    capability under test is the binding API itself: a user migrating
+    templated dashboards needs ``spark.sql(query, args=...)`` to
+    accept the named-parameter + IDENTIFIER form verbatim."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM IDENTIFIER(:tbl)
+WHERE o_orderstatus = :status AND o_totalprice >= :min_price
+GROUP BY o_orderpriority
+""",
+        args={"tbl": "orders", "status": "O", "min_price": 50000},
+    )

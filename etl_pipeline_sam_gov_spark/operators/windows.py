@@ -205,3 +205,67 @@ def window_range_price_neighborhood(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("double")
         .alias("sum_below"),
     )
+
+
+@query(
+    "window_cumulative_distinct_users",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+),
+daily_new AS (
+  SELECT first_day AS day, COUNT(*) AS new_users
+  FROM first_seen GROUP BY first_day
+),
+daily_active AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS active_users
+  FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT strftime(a.day, '%Y-%m-%d') AS day,
+       a.active_users,
+       COALESCE(n.new_users, 0) AS new_users,
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.day) AS BIGINT)
+         AS cumulative_users
+FROM daily_active a LEFT JOIN daily_new n ON a.day = n.day
+""",
+)
+def window_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-curve metric a
+    naive COUNT(DISTINCT) OVER (ORDER BY day) cannot compute scalably
+    (distinct-over-running-frame holds the whole history per frame).
+    The standard reformulation: each user collapses to their FIRST
+    active day (one partial-combined min), daily first-appearance
+    counts then accumulate with an ordinary running sum — turning an
+    O(days × users) distinct into two aggregations plus a window over
+    the days-sized relation. Daily actives ride along for the
+    active/cumulative ratio.
+
+    The running-sum window is unpartitioned BUT ordered over the
+    ~60-row day relation (post-aggregation, bounded — the audited
+    small-relation window pattern, cf. tpch.py:334). Dates are emitted
+    as formatted strings per the registry timestamp convention."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    day = F.to_date("ts")
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    daily_new = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    daily_active = ev.groupBy(day.alias("day")).agg(
+        F.count_distinct("user_id").alias("active_users")
+    )
+    w = W.orderBy("day")
+    return (
+        daily_active.join(F.broadcast(daily_new), "day", "left")
+        .select(
+            "day",
+            "active_users",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "active_users",
+            "new_users",
+            F.sum("new_users").over(w).alias("cumulative_users"),
+        )
+    )

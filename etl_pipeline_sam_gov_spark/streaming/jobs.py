@@ -863,3 +863,56 @@ def stream_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
     )
     return run_to_memory(joined, mode="append")
+
+
+STREAM_TOPK = 2  #: event types kept per window in the serving rank
+
+
+@query(
+    "stream_window_topk_types",
+    oracle=f"""
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n, rnk
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY window_start ORDER BY n DESC, event_type) AS rnk
+  FROM hourly
+) WHERE rnk <= {STREAM_TOPK}
+""",
+)
+def stream_window_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rollup + serving-side rank: the tumbling-hour × type
+    counts are maintained by the streaming runtime (watermarked,
+    complete mode), and the consumer-facing "top event types per hour"
+    leaderboard ranks the MATERIALIZED rollup — the dashboard pattern
+    (rank over an incrementally-maintained aggregate), since a rank
+    window inside the streaming query itself is unsupported-by-design
+    for unbounded input (ranks are non-incremental: any new row can
+    demote every existing one).
+
+    Scale shape: streaming state is O(open windows × types); the rank
+    runs on the windows×types-sized rollup, partitioned by window —
+    WindowGroupLimit prunes to STREAM_TOPK per partition before the
+    final sort. Deterministic tiebreak on event_type."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rollup = run_to_memory(agg, mode="complete").select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+    )
+    w = W.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        rollup.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= STREAM_TOPK)
+        .select("window_start", "event_type", "n", "rnk")
+    )
