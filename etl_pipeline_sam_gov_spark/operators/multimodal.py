@@ -390,3 +390,91 @@ def multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, status string, mime string, n_bytes long, error string",
     )
     return feats.select("doc_id", "status", "mime", "n_bytes")
+
+
+def scanline_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: real PIXEL-level decode of the BMP payloads —
+    walks the pixel array (bottom-up row order, 4-byte row stride,
+    padding bytes excluded) and emits per-scanline byte statistics.
+    Non-BMP payloads are passed over (the WAV half of the corpus has no
+    scanlines). One Python pass per batch; integer sums are exact."""
+    for pdf in batches:
+        doc, row, mean_b, min_b, max_b = [], [], [], [], []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            b = bytes(content)
+            if b[:2] != b"BM":
+                continue
+            width = int.from_bytes(b[18:22], "little", signed=True)
+            height = int.from_bytes(b[22:26], "little", signed=True)
+            off = int.from_bytes(b[10:14], "little")
+            stride = (width * 3 + 3) // 4 * 4
+            for f in range(height):
+                line = b[off + f * stride : off + f * stride + width * 3]
+                doc.append(int(doc_id))
+                # BMP stores rows bottom-up: file row f is image row
+                # height-1-f (the decoder, not the oracle, owns the flip)
+                row.append(height - 1 - f)
+                mean_b.append(round(sum(line) / len(line), 6))
+                min_b.append(min(line))
+                max_b.append(max(line))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(doc, dtype="int64"),
+                "row_idx": pd.array(row, dtype="int32"),
+                "mean_byte": pd.array(mean_b, dtype="float64"),
+                "min_byte": pd.array(min_b, dtype="int32"),
+                "max_byte": pd.array(max_b, dtype="int32"),
+            }
+        )
+
+
+@query(
+    "multimodal_image_scanline_stats",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         doc_id % 32 + 1 AS w,
+         (doc_id // 3) % 32 + 1 AS h,
+         ((doc_id % 32 + 1) * 3 + 3) // 4 * 4 AS stride
+  FROM documents WHERE doc_id % 2 = 0
+),
+lines_ AS (SELECT doc_id, w, h, stride, unnest(range(h)) AS f FROM dims),
+px AS (
+  SELECT doc_id, h, f, (doc_id + f * stride + u.b) % 256 AS v
+  FROM lines_, unnest(range(w * 3)) AS u(b)
+)
+SELECT doc_id,
+       CAST(h - 1 - f AS INT) AS row_idx,
+       round(SUM(v)::DOUBLE / COUNT(*), 6) AS mean_byte,
+       CAST(MIN(v) AS INT) AS min_byte,
+       CAST(MAX(v) AS INT) AS max_byte
+FROM px GROUP BY doc_id, h, f
+""",
+)
+def multimodal_image_scanline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-content decode (one level below multimodal_features'
+    header parse): per-scanline mean/min/max over the BMP pixel array —
+    the feature-extraction shape of banding/exposure/corruption checks
+    in an image-curation pipeline. The kernel walks the REAL pixel
+    bytes: bottom-up row order flipped to image order, 4-byte row
+    stride honored, padding bytes excluded — all three are classic BMP
+    decode bugs the oracle would catch, since it predicts every byte
+    of the generator's (doc_id + offset) % 256 pixel fill from doc_id
+    alone and a padding/orientation/stride mistake shifts whole rows.
+
+    Scale shape: synthesize → decode is a two-stage mapInPandas chain,
+    Arrow-batched, partition-parallel, with no shuffle at all — the
+    output is produced in the scan stage exactly as a production
+    pixel-stats pass over a parquet binary column would be; a JPEG
+    decoder drops into the same kernel signature."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select("doc_id").mapInPandas(
+        synthesize_media, schema="doc_id long, content binary"
+    )
+    return media.mapInPandas(
+        scanline_stats,
+        schema=(
+            "doc_id long, row_idx int, mean_byte double,"
+            " min_byte int, max_byte int"
+        ),
+    )
