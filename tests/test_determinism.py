@@ -36,6 +36,11 @@ REPRESENTATIVE = [
     "ml_feature_hash",           # exact conditional counts (trivially invariant)
     "agg_hypertable_rollup",     # mergeable partials under re-partitioning
     "ml_logistic_regression_gd",  # exact-decimal gradient sums per GD step
+    "ml_pca_power_iteration",    # dyadic covariance + power-iteration rounds
+    "ann_ivf_rerank",            # integer coarse pruning + float rerank ties
+    "ml_knn_classifier",         # vote/rank tie-breaks over IVF neighbors
+    "text_bigram_perplexity",    # ln-sum under round(6) + model join
+    "graph_jaccard_neighbors",   # integer co-occurrence counts + division
 ]
 
 
