@@ -672,10 +672,19 @@ def resample_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t_us", "is_grid")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # The forward walk runs over the REVERSED sort with a running frame:
+    # last IGNORE NULLS over [unbounded preceding, current] in
+    # descending order ≡ first IGNORE NULLS over [current, unbounded
+    # following] ascending (any total order reverses cleanly), but
+    # Spark executes running frames incrementally in O(n) per partition
+    # while a [current, unbounded following] frame re-aggregates the
+    # remaining rows PER ROW — O(n²) in the timeline length (measured
+    # 2.46 s → 0.59 s at sf0.1, bit-identical output). Costs a second
+    # sort of the same exchange; the oracle keeps the textbook frame.
     w_fwd = (
         W.partitionBy("user_id")
-        .orderBy("t_us", "is_grid")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
+        .orderBy(F.col("t_us").desc(), F.col("is_grid").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     walled = merged.select(
         "user_id",
@@ -683,8 +692,8 @@ def resample_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_grid",
         F.last("ev_ts", ignorenulls=True).over(w_back).alias("tp"),
         F.last("value", ignorenulls=True).over(w_back).alias("vp"),
-        F.first("ev_ts", ignorenulls=True).over(w_fwd).alias("tn"),
-        F.first("value", ignorenulls=True).over(w_fwd).alias("vn"),
+        F.last("ev_ts", ignorenulls=True).over(w_fwd).alias("tn"),
+        F.last("value", ignorenulls=True).over(w_fwd).alias("vn"),
     )
     tp, vp, tn, vn = (F.col(c) for c in ("tp", "vp", "tn", "vn"))
     t = F.col("t_us")
@@ -930,10 +939,14 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # Reversed-sort running frame for the forward walk (the
+    # resample_interpolate_hourly O(n) trick — a [current, unbounded
+    # following] frame re-aggregates the tail per row, O(n²) in the
+    # timeline length; the oracle keeps the textbook frame).
     w_fwd = (
         W.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
+        .orderBy(*[c.desc() for c in order])
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     click_ts = F.when(F.col("kind") == 0, F.col("ts_us"))
     click_id = F.when(F.col("kind") == 0, F.col("event_id"))
@@ -944,8 +957,8 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         F.last(click_ts, ignorenulls=True).over(w_back).alias("prev_ts"),
         F.last(click_id, ignorenulls=True).over(w_back).alias("prev_id"),
-        F.first(click_ts, ignorenulls=True).over(w_fwd).alias("next_ts"),
-        F.first(click_id, ignorenulls=True).over(w_fwd).alias("next_id"),
+        F.last(click_ts, ignorenulls=True).over(w_fwd).alias("next_ts"),
+        F.last(click_id, ignorenulls=True).over(w_fwd).alias("next_id"),
     )
     prev_gap = F.col("ts_us") - F.col("prev_ts")
     next_gap = F.col("next_ts") - F.col("ts_us")
