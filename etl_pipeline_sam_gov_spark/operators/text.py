@@ -994,9 +994,7 @@ C4_MAX_TOP_WORD_FRAC = 0.12
 C4_MIN_STOPWORD_HITS = 2
 
 
-@query(
-    "text_c4_gopher_filters",
-    oracle=rf"""
+_SQL_C4_FILTERS = rf"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
 ),
@@ -1028,8 +1026,10 @@ SELECT doc_id, n_words, mean_word_len, stop_hits, top_word_frac,
          AND stop_hits >= {C4_MIN_STOPWORD_HITS}
          AND top_word_frac <= {C4_MAX_TOP_WORD_FRAC} AS keep
 FROM feat
-""",
-)
+"""
+
+
+@query("text_c4_gopher_filters", oracle=_SQL_C4_FILTERS)
 def text_c4_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher document-quality filter bank (Raffel et al. 2020 §2.2;
     Rae et al. 2021 §A1.1): word-count bounds, mean-word-length bounds,
@@ -1179,4 +1179,90 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_nll"),
         )
+    )
+
+
+@query(
+    "ml_auc_quality_classifier",
+    oracle=f"""
+WITH c4 AS ({_SQL_C4_FILTERS}),
+q AS (
+  SELECT doc_id, {SQL_QUALITY_LOGIT} AS logit FROM documents
+),
+j AS (SELECT q.doc_id, q.logit, c4.keep FROM q JOIN c4 USING (doc_id)),
+per_score AS (
+  SELECT logit,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS np_s
+  FROM j GROUP BY logit
+),
+ranked AS (
+  SELECT logit, n, np_s,
+         CAST(COALESCE(SUM(n) OVER (
+           ORDER BY logit
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_lower
+  FROM per_score
+),
+agg AS (
+  SELECT CAST(SUM(np_s * (2 * (cum_lower + 1) + n - 1)) AS BIGINT) AS r2sum,
+         CAST(SUM(np_s) AS BIGINT) AS np,
+         CAST(SUM(n) - SUM(np_s) AS BIGINT) AS nn
+  FROM ranked
+)
+SELECT np AS n_pos, nn AS n_neg,
+       round(CAST(r2sum - np * (np + 1) AS DOUBLE) / (2 * np * nn), 6) AS auc
+FROM agg
+""",
+)
+def ml_auc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the hashing-trick quality classifier, scored against
+    the C4/Gopher rule bank's keep verdict as ground truth — the
+    evaluation step that closes the classifier loop (a filter whose
+    AUC against curated rules drifts between corpus snapshots has
+    gone stale). Computed as the Mann-Whitney rank-sum with AVERAGE
+    ranks for ties: AUC = (R₂ − n₊(n₊+1)) / (2·n₊·n₋) where R₂ is the
+    doubled rank-sum of positives (half-unit average ranks kept in
+    integer half-units, so everything before the single final division
+    is exact BIGINT arithmetic — no float rank hazards).
+
+    Scale shape: NO global per-document sort — documents collapse to
+    the per-score relation first (one partial-combined groupBy on the
+    integer logit), and the rank cumsum windows over that
+    score-domain-sized relation (bounded by the weight lattice, the
+    audited small-relation window pattern); the rank-sum is then one
+    aggregation. The truth join reuses the registered C4 query
+    verbatim on both sides."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scores = docs.select("doc_id", quality_logit().alias("logit"))
+    truth = text_c4_gopher_filters(spark, sf_dir).select("doc_id", "keep")
+    j = scores.join(truth, "doc_id")
+    per_score = j.groupBy("logit").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep").cast("bigint")).alias("np_s"),
+    )
+    w = W.orderBy("logit").rowsBetween(W.unboundedPreceding, -1)
+    ranked = per_score.select(
+        "logit",
+        "n",
+        "np_s",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_lower"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("np_s")
+            * (2 * (F.col("cum_lower") + 1) + F.col("n") - 1)
+        ).alias("r2sum"),
+        F.sum("np_s").alias("np"),
+        (F.sum("n") - F.sum("np_s")).alias("nn"),
+    )
+    np_, nn_ = F.col("np"), F.col("nn")
+    return agg.select(
+        np_.alias("n_pos"),
+        nn_.alias("n_neg"),
+        F.round(
+            (F.col("r2sum") - np_ * (np_ + 1)).cast("double")
+            / (2 * np_ * nn_),
+            6,
+        ).alias("auc"),
     )
