@@ -869,3 +869,44 @@ GROUP BY o_orderpriority
 """,
         args={"tbl": "orders", "status": "O", "min_price": 50000},
     )
+
+
+@query(
+    "sql_session_variables",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(50000.0 + 25000.0 AS DOUBLE) AS threshold_used
+FROM orders
+WHERE o_totalprice >= 50000.0 + 25000.0
+GROUP BY o_orderstatus
+""",
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 ``DECLARE VARIABLE`` /
+    ``SET VAR``): the procedural-scripting surface that lets a SQL-only
+    workflow thread computed values between statements without client
+    round-trips. The variable is declared, reassigned with an
+    expression over its prior value, and referenced BOTH in a
+    predicate (where constant folding pushes the resolved value into
+    the parquet scan) and in the projection (echoed so the oracle
+    verifies the SET VAR arithmetic, not just the filter). DECLARE OR
+    REPLACE keeps the query re-runnable within one session — registry
+    sweeps call every query repeatedly."""
+    load_tables(spark, sf_dir, ("orders",))
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 50000.0"
+    )
+    spark.sql("SET VAR price_floor = price_floor + 25000.0")
+    return spark.sql(
+        """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       price_floor AS threshold_used
+FROM orders
+WHERE o_totalprice >= price_floor
+GROUP BY o_orderstatus, price_floor
+"""
+    )

@@ -687,3 +687,20 @@ def test_weighted_sample_is_topk_not_full_sort(spark, sf_dir):
     the corpus) would serialize the whole table through one task."""
     s = plan(eng.QUERIES["curate_weighted_sample_aes"](spark, sf_dir))
     assert "TakeOrderedAndProject" in s
+
+
+def test_timeline_walks_use_running_frames_only(spark, sf_dir):
+    """Spark executes a [current row, unbounded following] window frame
+    by re-aggregating the remaining rows PER ROW — O(n²) in partition
+    length (measured 2.46s → 0.59s at sf0.1 when resample's forward
+    walk moved to the reversed-sort running frame). Pin that no
+    merged-timeline walk plans an unbounded-following aggregate frame;
+    the forward direction must ride the reversed sort instead."""
+    for name in ("resample_interpolate_hourly", "asof_join_nearest"):
+        s = plan(eng.QUERIES[name](spark, sf_dir)).lower()
+        assert "unboundedfollowing" not in s, (
+            f"{name} plans an unbounded-following frame (quadratic "
+            "per-partition execution) — use the reversed-sort running "
+            "frame"
+        )
+        assert s.count("window [") >= 2  # both walk directions present
