@@ -144,13 +144,7 @@ def compact_snapshot(
     else:
         writer = df.repartition(n_files).write.mode("overwrite")
     writer.parquet(tmp)
-    tmp_path = sc._jvm.org.apache.hadoop.fs.Path(tmp)
-    old = path.rstrip("/") + "__old"
-    old_path = sc._jvm.org.apache.hadoop.fs.Path(old)
-    fs.delete(old_path, True)  # clear any stale leftover from a crash
-    fs.rename(hpath, old_path)
-    fs.rename(tmp_path, hpath)
-    fs.delete(old_path, True)
+    swap_into_place(spark, tmp, path)
     it = fs.listFiles(hpath, True)
     n_out = 0
     while it.hasNext():
@@ -191,3 +185,25 @@ def write_bucketed_table(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(name)
+
+
+def swap_into_place(spark: SparkSession, tmp: str, path: str) -> None:
+    """Two-rename swap of a staged dataset into its live location
+    (live → __old, tmp → live, delete __old): the destination is absent
+    only between two back-to-back metadata renames — never for the
+    duration of a recursive delete — and a crash at any point leaves
+    the data intact at exactly one of the three suffixes. Shared by
+    compact_snapshot and the streaming CDC upsert sink. (True atomicity
+    needs a table format's metadata pointer; this is the best plain-FS
+    approximation.)"""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    tmp_path = sc._jvm.org.apache.hadoop.fs.Path(tmp)
+    old = path.rstrip("/") + "__old"
+    old_path = sc._jvm.org.apache.hadoop.fs.Path(old)
+    fs.delete(old_path, True)  # clear any stale leftover from a crash
+    if fs.exists(hpath):
+        fs.rename(hpath, old_path)
+    fs.rename(tmp_path, hpath)
+    fs.delete(old_path, True)

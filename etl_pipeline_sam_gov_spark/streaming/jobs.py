@@ -916,3 +916,129 @@ def stream_window_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= STREAM_TOPK)
         .select("window_start", "event_type", "n", "rnk")
     )
+
+
+def cdc_upsert_stream(events: DataFrame, snap_path: str) -> "object":
+    """Streaming CDC MERGE: each micro-batch upserts into a keyed
+    parquet snapshot — per-user event count accumulates, the latest
+    (ts, event_id)-ordered value wins — and the new snapshot swaps into
+    place with the two-rename dance (sinks.swap_into_place), so
+    concurrent readers never observe a missing or half-merged table.
+    Returns the StreamingQuery (caller drives and stops it).
+
+    This is the streaming twin of merge_incremental_upsert: the same
+    full-outer MERGE shape, run per epoch. The newest-wins comparison
+    is on the (ts_us, event_id) tuple — NOT on batch arrival order —
+    so the merge is correct even when a later micro-batch carries
+    earlier events (out-of-order replay, backfill)."""
+    from etl_pipeline_sam_gov_spark.sinks import swap_into_place
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts_us").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("ts_us").alias("last_ts_us"),
+                F.col("event_id").alias("last_event_id"),
+                F.col("value").alias("last_value"),
+            )
+        )
+        counts = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        changes = counts.join(latest, "user_id")
+        sc = spark.sparkContext
+        hpath = sc._jvm.org.apache.hadoop.fs.Path(snap_path)
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            old = spark.read.parquet(snap_path)
+            o, c = old.alias("o"), changes.alias("c")
+            new_key = F.struct("c.last_ts_us", "c.last_event_id")
+            old_key = F.struct("o.last_ts_us", "o.last_event_id")
+            take_new = F.col("c.last_ts_us").isNotNull() & (
+                F.col("o.last_ts_us").isNull() | (new_key >= old_key)
+            )
+            merged = o.join(c, "user_id", "full_outer").select(
+                "user_id",
+                (
+                    F.coalesce(F.col("o.n_events"), F.lit(0))
+                    + F.coalesce(F.col("c.n_events"), F.lit(0))
+                ).alias("n_events"),
+                F.when(take_new, F.col("c.last_ts_us"))
+                .otherwise(F.col("o.last_ts_us"))
+                .alias("last_ts_us"),
+                F.when(take_new, F.col("c.last_event_id"))
+                .otherwise(F.col("o.last_event_id"))
+                .alias("last_event_id"),
+                F.when(take_new, F.col("c.last_value"))
+                .otherwise(F.col("o.last_value"))
+                .alias("last_value"),
+            )
+        else:
+            merged = changes
+        tmp = snap_path.rstrip("/") + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        swap_into_place(spark, tmp, snap_path)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+@query(
+    "stream_cdc_snapshot_upsert",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+cnt AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+SELECT c.user_id, c.n_events,
+       l.ts_us AS last_ts_us, l.event_id AS last_event_id,
+       round(l.value, 6) AS last_value
+FROM cnt c JOIN latest l ON c.user_id = l.user_id AND l.rn = 1
+""",
+)
+def stream_cdc_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert into a keyed snapshot (SURVEY.md §2.9 +
+    the reference's fixed-key snapshot S4, generalized): foreachBatch
+    MERGEs each epoch's per-user changes into the parquet snapshot —
+    counts accumulate, newest (ts, event_id) value wins — and swaps
+    the result in atomically. The serving read at the end is exactly
+    what a downstream consumer sees between epochs.
+
+    Scale shape: per epoch one window over the BATCH (not the
+    history), one full-outer hash join against the snapshot keyed on
+    user_id, one snapshot rewrite — O(snapshot + batch) per epoch; at
+    100 TB the rewrite becomes a partitioned overwrite of touched
+    partitions (write_partitioned_snapshot) or a table-format MERGE.
+    The availableNow replay is one epoch; the out-of-order multi-batch
+    path is pinned in tests/test_streaming.py."""
+    import tempfile
+
+    events = read_events_stream(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
+    )
+    snap = os.path.join(
+        tempfile.mkdtemp(prefix="spark_graft_cdc_"), "snapshot"
+    )
+    q = cdc_upsert_stream(events, snap)
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(snap).select(
+        "user_id",
+        "n_events",
+        "last_ts_us",
+        "last_event_id",
+        F.round("last_value", 6).alias("last_value"),
+    )

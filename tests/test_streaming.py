@@ -364,3 +364,68 @@ def test_checkpoint_recovery_is_exactly_once(spark, sf_dir, tmp_path):
     assert len(out) >= 2  # both files processed, as separate epochs
     # the crashed epoch was REDELIVERED under the same id (at-least-once)
     assert len(epochs_seen) > len(set(epochs_seen))
+
+
+def test_cdc_upsert_accumulates_out_of_order_microbatches(spark, tmp_path):
+    """The one-shot availableNow replay proves one epoch; this replays
+    the events as two micro-batches with the LATER batch carrying the
+    EARLIER half of each user's timeline (maxFilesPerTrigger=1, files
+    ordered new-events-first), then checks the snapshot still equals
+    the batch answer — the (ts, event_id)-tuple newest-wins comparison,
+    not batch arrival order, decides the merge."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_sam_gov_spark.streaming.jobs import cdc_upsert_stream
+    from etl_pipeline_sam_gov_spark.tables import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001", ("events",))["events"]
+    med = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    base = ev.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
+    )
+    src = str(tmp_path / "batches")
+    # file modification order drives trigger order for the file source;
+    # write the NEW half first so the second micro-batch is the backfill
+    base.filter(F.col("ts_us") > med).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    import time as _t
+
+    _t.sleep(1.1)  # distinct mtimes → deterministic file ordering
+    base.filter(F.col("ts_us") <= med).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", False)
+        .parquet(src)
+    )
+    snap = str(tmp_path / "snapshot")
+    q = cdc_upsert_stream(stream, snap)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["user_id"]: (r["n_events"], r["last_ts_us"], r["last_event_id"])
+        for r in spark.read.parquet(snap).collect()
+    }
+    w = __import__(
+        "pyspark.sql.window", fromlist=["Window"]
+    ).Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    expect = {
+        r["user_id"]: (r["n"], r["ts_us"], r["event_id"])
+        for r in base.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n",
+            F.count(F.lit(1)).over(
+                __import__(
+                    "pyspark.sql.window", fromlist=["Window"]
+                ).Window.partitionBy("user_id")
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == expect and len(got) > 0
