@@ -1171,3 +1171,32 @@ def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the aliased ``ship_year`` expression, not the raw column)."""
     load_tables(spark, sf_dir, ("lineitem",))
     return spark.sql(_GBA_SQL)
+
+
+_FILTERED_AGG_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+            FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_qty,
+       CAST(count_if(l_quantity >= 30) AS BIGINT) AS n_bulk,
+       CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (WHERE l_shipdate >= TIMESTAMP '1996-01-01'), 0.0)
+            AS DOUBLE) AS recent_revenue
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_filtered_aggregates", oracle=_FILTERED_AGG_SQL)
+def agg_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``FILTER (WHERE …)`` aggregate clauses + ``count_if`` — the
+    SQL:2003 conditional-aggregation surface that replaces the
+    CASE-WHEN-inside-SUM idiom: several differently-filtered measures
+    share ONE scan and ONE hash-aggregate (each filter gates its own
+    accumulator update), instead of one pass per condition. The same
+    SQL text runs verbatim on both engines; money sums go through
+    exact decimals, and the possibly-empty filtered sum is COALESCEd
+    so an all-filtered group yields 0.0, not NULL, identically."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(_FILTERED_AGG_SQL)

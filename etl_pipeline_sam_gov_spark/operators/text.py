@@ -268,9 +268,7 @@ WINNOW_K = 3  # k-gram length for the rolling hashes
 WINNOW_W = 4  # winnowing window: one fingerprint per w consecutive hashes
 
 
-@query(
-    "text_winnowing_fingerprint",
-    oracle=rf"""
+_SQL_WINNOW_FPS = rf"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
 ),
@@ -289,8 +287,10 @@ winnowed AS (
   FROM grams
 )
 SELECT DISTINCT doc_id, fp FROM winnowed
-""",
-)
+"""
+
+
+@query("text_winnowing_fingerprint", oracle=_SQL_WINNOW_FPS)
 def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., MOSS): hash
     every positional k-gram (a rolling hash over the token stream),
@@ -1182,10 +1182,9 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ml_auc_quality_classifier",
-    oracle=f"""
-WITH c4 AS ({_SQL_C4_FILTERS}),
+#: Per-score truth relation shared by the AUC and decision-stump
+#: evaluators: (logit, n docs, n positive-by-C4-rules docs).
+_SQL_PER_SCORE = f"""c4 AS ({_SQL_C4_FILTERS}),
 q AS (
   SELECT doc_id, {SQL_QUALITY_LOGIT} AS logit FROM documents
 ),
@@ -1195,7 +1194,28 @@ per_score AS (
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS np_s
   FROM j GROUP BY logit
-),
+)"""
+
+
+def _per_score_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SQL_PER_SCORE (shared by AUC + stump)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scores = docs.select("doc_id", quality_logit().alias("logit"))
+    truth = text_c4_gopher_filters(spark, sf_dir).select("doc_id", "keep")
+    return (
+        scores.join(truth, "doc_id")
+        .groupBy("logit")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("bigint")).alias("np_s"),
+        )
+    )
+
+
+@query(
+    "ml_auc_quality_classifier",
+    oracle=f"""
+WITH {_SQL_PER_SCORE},
 ranked AS (
   SELECT logit, n, np_s,
          CAST(COALESCE(SUM(n) OVER (
@@ -1233,14 +1253,7 @@ def ml_auc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     audited small-relation window pattern); the rank-sum is then one
     aggregation. The truth join reuses the registered C4 query
     verbatim on both sides."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    scores = docs.select("doc_id", quality_logit().alias("logit"))
-    truth = text_c4_gopher_filters(spark, sf_dir).select("doc_id", "keep")
-    j = scores.join(truth, "doc_id")
-    per_score = j.groupBy("logit").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("keep").cast("bigint")).alias("np_s"),
-    )
+    per_score = _per_score_truth(spark, sf_dir)
     w = W.orderBy("logit").rowsBetween(W.unboundedPreceding, -1)
     ranked = per_score.select(
         "logit",
@@ -1265,4 +1278,177 @@ def ml_auc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * np_ * nn_),
             6,
         ).alias("auc"),
+    )
+
+
+WINNOW_DF_CAP = 5  #: fingerprints in more docs than this are dropped
+WINNOW_MIN_SHARED = 2  #: shared fingerprints required to emit a pair
+
+
+@query(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+WITH fps AS ({_SQL_WINNOW_FPS}),
+df AS (SELECT fp, COUNT(*) AS c FROM fps GROUP BY fp),
+kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN df USING (fp)
+         WHERE df.c <= {WINNOW_DF_CAP}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+)
+SELECT sh.doc1, sh.doc2, sh.n_shared, s1.n_fp AS n_fp1, s2.n_fp AS n_fp2,
+       round(sh.n_shared::DOUBLE / least(s1.n_fp, s2.n_fp), 6) AS overlap
+FROM shared sh
+JOIN sizes s1 ON sh.doc1 = s1.doc_id
+JOIN sizes s2 ON sh.doc2 = s2.doc_id
+""",
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document overlap detection via shared winnowing
+    fingerprints (the MOSS pairing stage on top of
+    text_winnowing_fingerprint): documents sharing ≥ WINNOW_MIN_SHARED
+    winnowed k-gram hashes pair up, scored by shared-fingerprint count
+    over the smaller document's fingerprint set — the
+    plagiarism/boilerplate-span detector that complements MinHash
+    (whole-document resemblance) and shingle containment (subset
+    duplication): winnowing guarantees any shared run of ≥ w+k-1
+    tokens survives the 1/w compression, so long verbatim spans are
+    caught from ~1/w the candidate volume of full shingling.
+
+    Scale design: the pair stage joins on the fingerprint AFTER
+    dropping fingerprints present in more than WINNOW_DF_CAP documents
+    (stop-fingerprints — MOSS's own mitigation, the same
+    frequency-cap-before-self-join discipline as
+    graph_jaccard_neighbors' hub cap and the banded LSH buckets), so
+    per-fingerprint pair fan-out is bounded by a constant; overlap
+    divides two identical integers. The oracle embeds the registered
+    fingerprint query verbatim — both engines pair over bit-identical
+    fingerprint sets."""
+    fps = text_winnowing_fingerprint(spark, sf_dir)
+    df_cnt = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    kept = fps.join(
+        df_cnt.filter(F.col("c") <= WINNOW_DF_CAP).select("fp"), "fp"
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_fp").alias("n_fp1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_fp").alias("n_fp2"))
+    return (
+        shared.join(F.broadcast(s1), "doc1")
+        .join(F.broadcast(s2), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            "n_shared",
+            "n_fp1",
+            "n_fp2",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("n_fp1", "n_fp2"),
+                6,
+            ).alias("overlap"),
+        )
+    )
+
+
+@query(
+    "ml_decision_stump",
+    oracle=f"""
+WITH {_SQL_PER_SCORE},
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(np_s) AS BIGINT) AS pt
+  FROM per_score
+),
+cum AS (
+  SELECT logit,
+         CAST(SUM(n) OVER (ORDER BY logit
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+         CAST(SUM(np_s) OVER (ORDER BY logit
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pl
+  FROM per_score
+),
+err AS (
+  SELECT c.logit AS threshold, t.nt, t.pt, c.nl, c.pl,
+         least(c.pl, c.nl - c.pl)
+           + least(t.pt - c.pl, (t.nt - c.nl) - (t.pt - c.pl)) AS err
+  FROM cum c CROSS JOIN tot t
+),
+best AS (
+  SELECT *, row_number() OVER (ORDER BY err, threshold) AS rn FROM err
+)
+SELECT threshold, err AS n_misclassified, nt AS n_total,
+       pl * 2 > nl AS left_label,
+       (pt - pl) * 2 > (nt - nl) AS right_label,
+       round(CAST(nt - err AS DOUBLE) / nt, 6) AS accuracy
+FROM best WHERE rn = 1
+""",
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact one-level decision-tree induction over the classifier's
+    score: the threshold minimizing misclassification of the C4 rule
+    bank's keep verdict (each side predicting its majority class, ties
+    to False, tied thresholds to the smaller logit) — the in-warehouse
+    training step that turns a continuous score into the optimal
+    operating point (where ml_auc ranks thresholds in aggregate, the
+    stump COMMITS to one). Split search on the misclassification count
+    keeps the entire argmin in BIGINT arithmetic — no float impurity
+    to tie-break differently across engines.
+
+    Scale shape: documents collapse to the score-domain relation
+    first (one partial-combined groupBy), so the cumulative
+    left-counts window and the argmin both run over the bounded
+    integer-logit domain — never a per-document sort; corpus totals
+    ride a broadcast 1-row cross join."""
+    per_score = _per_score_truth(spark, sf_dir)
+    tot = per_score.agg(
+        F.sum("n").alias("nt"), F.sum("np_s").alias("pt")
+    )
+    w = W.orderBy("logit").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_score.select(
+        F.col("logit").alias("threshold"),
+        F.sum("n").over(w).alias("nl"),
+        F.sum("np_s").over(w).alias("pl"),
+    )
+    nl, pl, nt, pt = (F.col(c) for c in ("nl", "pl", "nt", "pt"))
+    err = cum.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        "nt",
+        "pt",
+        "nl",
+        "pl",
+        (
+            F.least(pl, nl - pl)
+            + F.least(pt - pl, (nt - nl) - (pt - pl))
+        ).alias("err"),
+    )
+    rw = W.orderBy("err", "threshold")
+    return (
+        err.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "threshold",
+            F.col("err").alias("n_misclassified"),
+            F.col("nt").alias("n_total"),
+            (pl * 2 > nl).alias("left_label"),
+            ((pt - pl) * 2 > (nt - nl)).alias("right_label"),
+            F.round((nt - F.col("err")).cast("double") / nt, 6).alias(
+                "accuracy"
+            ),
+        )
     )
