@@ -33,6 +33,7 @@ from etl_pipeline_sam_gov_spark.operators import (  # noqa: F401
     bpe as _bpe,
     curation as _curation,
     dedup as _dedup,
+    dq as _dq,
     graph as _graph,
     ml as _ml,
     relational as _relational,

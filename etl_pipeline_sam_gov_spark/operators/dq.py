@@ -1,0 +1,276 @@
+"""Data-quality operators: a Deequ/Great-Expectations-style constraint
+suite and a batch snapshot diff (CDC between two table versions).
+
+The reference's only quality control is the null-drop at
+``lambda_function.py:86`` and runtime logging (SURVEY.md §5.1). A
+production pipeline at 100 TB runs declarative expectation suites over
+every landed snapshot and publishes per-constraint pass/fail metrics;
+the CDC diff is the batch dual of the streaming upsert lane
+(``streaming/jobs.py`` stream_cdc_upsert): given yesterday's and
+today's snapshots, emit the minimal insert/update/delete delta.
+
+Scale shape: the whole constraint suite is ONE aggregation per scanned
+table (all constraint metrics ride the same partial-combined agg — no
+per-constraint rescans), plus one broadcast dim join for the
+referential check; the wide 1-row result explodes into constraint rows
+driver-free. The snapshot diff is a single full-outer join on the
+snapshot key — at 100 TB both sides are date-partitioned snapshots
+bucketed on the key, so the join is co-located (tests/test_bucketing.py
+demonstrates the zero-exchange layout on this very shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.tables import load_tables
+
+#: (constraint, target, threshold) — metric >= threshold passes. The
+#: suite deliberately includes a failing check (o_custkey is NOT unique
+#: in orders: customers reorder) so both verdicts are exercised.
+_ORDERS_THRESHOLDS = {
+    "row_count_min": 1.0,
+    "completeness_o_custkey": 1.0,
+    "uniqueness_o_orderkey": 1.0,
+    "uniqueness_o_custkey": 1.0,  # deliberately failing
+    "accepted_values_o_orderstatus": 1.0,
+    "referential_o_custkey_in_customer": 1.0,
+}
+_LINEITEM_THRESHOLDS = {
+    "completeness_l_shipdate": 1.0,
+    "non_negative_l_quantity": 1.0,
+    "range_l_discount": 0.95,
+}
+
+
+def _suite_rows(wide: DataFrame, rows: list[tuple[str, str, float]]) -> DataFrame:
+    """Explode a 1-row wide metric relation into (constraint, target,
+    metric, threshold, passed) rows — same driver-free unpivot as
+    agg_table_profile."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"),
+                F.lit(target).alias("target"),
+                F.round(F.col(name), 6).alias("metric"),
+                F.lit(thr).alias("threshold"),
+                (F.round(F.col(name), 6) >= F.lit(thr)).alias("passed"),
+            )
+            for name, target, thr in rows
+        ]
+    )
+    return wide.select(F.explode(arr).alias("r")).select("r.*")
+
+
+@query(
+    "dq_constraint_suite",
+    oracle=f"""
+WITH o AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nn_cust,
+         CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS nd_ok,
+         CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS nd_ck,
+         CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS DOUBLE) AS ok_status,
+         CAST(SUM(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS ri_ok
+  FROM orders LEFT JOIN customer c ON orders.o_custkey = c.c_custkey
+),
+l AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nn_ship,
+         CAST(SUM(CASE WHEN l_quantity >= 0 THEN 1 ELSE 0 END) AS DOUBLE) AS nonneg_qty,
+         CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 0.11 THEN 1 ELSE 0 END) AS DOUBLE) AS disc_in
+  FROM lineitem
+),
+m AS (
+  SELECT 'row_count_min' AS check_name, 'orders' AS target,
+         round(CASE WHEN n >= 1 THEN 1.0 ELSE 0.0 END, 6) AS metric,
+         {_ORDERS_THRESHOLDS["row_count_min"]} AS threshold FROM o
+  UNION ALL
+  SELECT 'completeness_o_custkey', 'orders', round(nn_cust / n, 6),
+         {_ORDERS_THRESHOLDS["completeness_o_custkey"]} FROM o
+  UNION ALL
+  SELECT 'uniqueness_o_orderkey', 'orders', round(nd_ok / n, 6),
+         {_ORDERS_THRESHOLDS["uniqueness_o_orderkey"]} FROM o
+  UNION ALL
+  SELECT 'uniqueness_o_custkey', 'orders', round(nd_ck / n, 6),
+         {_ORDERS_THRESHOLDS["uniqueness_o_custkey"]} FROM o
+  UNION ALL
+  SELECT 'accepted_values_o_orderstatus', 'orders', round(ok_status / n, 6),
+         {_ORDERS_THRESHOLDS["accepted_values_o_orderstatus"]} FROM o
+  UNION ALL
+  SELECT 'referential_o_custkey_in_customer', 'orders', round(ri_ok / n, 6),
+         {_ORDERS_THRESHOLDS["referential_o_custkey_in_customer"]} FROM o
+  UNION ALL
+  SELECT 'completeness_l_shipdate', 'lineitem', round(nn_ship / n, 6),
+         {_LINEITEM_THRESHOLDS["completeness_l_shipdate"]} FROM l
+  UNION ALL
+  SELECT 'non_negative_l_quantity', 'lineitem', round(nonneg_qty / n, 6),
+         {_LINEITEM_THRESHOLDS["non_negative_l_quantity"]} FROM l
+  UNION ALL
+  SELECT 'range_l_discount', 'lineitem', round(disc_in / n, 6),
+         {_LINEITEM_THRESHOLDS["range_l_discount"]} FROM l
+)
+SELECT check_name, target, metric,
+       CAST(threshold AS DOUBLE) AS threshold,
+       metric >= threshold AS passed
+FROM m
+""",
+)
+def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite (Deequ-style ``VerificationSuite``):
+    completeness, uniqueness, accepted-values, value-range, and
+    referential-integrity constraints evaluated in ONE aggregation per
+    table, emitting (constraint, target, metric, threshold, passed).
+
+    Every metric is a ratio of exact integer counts (division of exact
+    ints is a deterministic IEEE double; ``round(…, 6)`` then pins the
+    rendered value on both engines). The uniqueness check on
+    ``o_custkey`` fails by construction — customers reorder — so the
+    suite exercises both verdicts. Referential integrity rides a
+    broadcast of the customer key dim onto the orders scan; no
+    constraint triggers a second scan of its table."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem", "customer"))
+    cust_keys = t["customer"].select(F.col("c_custkey").alias("ck")).distinct()
+    o_wide = (
+        t["orders"]
+        .join(F.broadcast(cust_keys), F.col("o_custkey") == F.col("ck"), "left")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("o_custkey").isNotNull().cast("int"))
+            .cast("double")
+            .alias("nn_cust"),
+            F.count_distinct(F.col("o_orderkey")).cast("double").alias("nd_ok"),
+            F.count_distinct(F.col("o_custkey")).cast("double").alias("nd_ck"),
+            F.sum(F.col("o_orderstatus").isin("O", "F", "P").cast("int"))
+            .cast("double")
+            .alias("ok_status"),
+            F.sum(F.col("ck").isNotNull().cast("int")).cast("double").alias("ri_ok"),
+        )
+        .select(
+            F.when(F.col("n") >= 1, F.lit(1.0)).otherwise(F.lit(0.0)).alias(
+                "row_count_min"
+            ),
+            (F.col("nn_cust") / F.col("n")).alias("completeness_o_custkey"),
+            (F.col("nd_ok") / F.col("n")).alias("uniqueness_o_orderkey"),
+            (F.col("nd_ck") / F.col("n")).alias("uniqueness_o_custkey"),
+            (F.col("ok_status") / F.col("n")).alias("accepted_values_o_orderstatus"),
+            (F.col("ri_ok") / F.col("n")).alias("referential_o_custkey_in_customer"),
+        )
+    )
+    l_wide = (
+        t["lineitem"]
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("l_shipdate").isNotNull().cast("int"))
+            .cast("double")
+            .alias("nn_ship"),
+            F.sum((F.col("l_quantity") >= 0).cast("int"))
+            .cast("double")
+            .alias("nonneg_qty"),
+            F.sum(F.col("l_discount").between(0, 0.11).cast("int"))
+            .cast("double")
+            .alias("disc_in"),
+        )
+        .select(
+            (F.col("nn_ship") / F.col("n")).alias("completeness_l_shipdate"),
+            (F.col("nonneg_qty") / F.col("n")).alias("non_negative_l_quantity"),
+            (F.col("disc_in") / F.col("n")).alias("range_l_discount"),
+        )
+    )
+    o_rows = _suite_rows(
+        o_wide,
+        [(k, "orders", v) for k, v in _ORDERS_THRESHOLDS.items()],
+    )
+    l_rows = _suite_rows(
+        l_wide,
+        [(k, "lineitem", v) for k, v in _LINEITEM_THRESHOLDS.items()],
+    )
+    return o_rows.unionByName(l_rows)
+
+
+#: Deterministic derivation of the two snapshot versions from orders:
+#: v_old drops keys ≡ 3 (mod 10) (rows inserted since), marks keys ≡ 0
+#: (mod 7) with a stale price (rows updated since); v_new drops keys
+#: ≡ 5 (mod 13) (rows deleted since). The +10.00 price delta is exact
+#: in binary doubles (2-decimal base price + integer), so both engines
+#: compare bit-identical values.
+_CDC_INS_MOD, _CDC_INS_REM = 10, 3
+_CDC_UPD_MOD = 7
+_CDC_DEL_MOD, _CDC_DEL_REM = 13, 5
+_CDC_PRICE_DELTA = 10.0
+
+
+@query(
+    "dq_snapshot_diff_cdc",
+    oracle=f"""
+WITH v_old AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {_CDC_UPD_MOD} = 0
+              THEN o_totalprice + {_CDC_PRICE_DELTA}
+              ELSE o_totalprice END AS price,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey % {_CDC_INS_MOD} <> {_CDC_INS_REM}
+),
+v_new AS (
+  SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status
+  FROM orders WHERE o_orderkey % {_CDC_DEL_MOD} <> {_CDC_DEL_REM}
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS action,
+       o.price AS old_price,
+       n.price AS new_price
+FROM v_old o
+FULL OUTER JOIN v_new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.price <> n.price
+""",
+)
+def dq_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC: diff two snapshot versions of the orders table into
+    the minimal insert/update/delete delta — the batch dual of the
+    streaming upsert (stream_cdc_upsert applies such a delta; this
+    query DERIVES one from two full snapshots, the pattern behind
+    snapshot-based replication into a lakehouse table).
+
+    One full-outer join on the snapshot key; unchanged rows (the vast
+    majority) are filtered out post-join. At 100 TB both snapshot
+    versions are bucketed on the key so the join plans with zero
+    exchanges (tests/test_bucketing.py pins that layout); the delta is
+    typically <1% of rows, so the output write is small."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    k = F.col("o_orderkey")
+    v_old = orders.filter(k % _CDC_INS_MOD != _CDC_INS_REM).select(
+        k.alias("old_key"),
+        F.when(k % _CDC_UPD_MOD == 0, F.col("o_totalprice") + _CDC_PRICE_DELTA)
+        .otherwise(F.col("o_totalprice"))
+        .alias("old_price"),
+    )
+    v_new = orders.filter(k % _CDC_DEL_MOD != _CDC_DEL_REM).select(
+        k.alias("new_key"), F.col("o_totalprice").alias("new_price")
+    )
+    joined = v_old.join(
+        v_new, F.col("old_key") == F.col("new_key"), "full_outer"
+    )
+    return (
+        joined.filter(
+            F.col("old_key").isNull()
+            | F.col("new_key").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+        .select(
+            F.coalesce(F.col("old_key"), F.col("new_key")).alias("o_orderkey"),
+            F.when(F.col("old_key").isNull(), F.lit("insert"))
+            .when(F.col("new_key").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("action"),
+            F.when(F.col("old_key").isNotNull(), F.col("old_price")).alias(
+                "old_price"
+            ),
+            F.when(F.col("new_key").isNotNull(), F.col("new_price")).alias(
+                "new_price"
+            ),
+        )
+    )
