@@ -30,6 +30,7 @@ from etl_pipeline_sam_gov_spark.pipeline import contracts as _contracts  # noqa:
 from etl_pipeline_sam_gov_spark.operators import (  # noqa: F401
     aggregates as _aggregates,
     analytics as _analytics,
+    behavior as _behavior,
     bpe as _bpe,
     curation as _curation,
     dedup as _dedup,

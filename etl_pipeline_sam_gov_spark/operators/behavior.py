@@ -1,0 +1,315 @@
+"""User-behavior analytics: RFM segmentation, Markov event-transition
+matrices, and rolling z-score anomaly detection.
+
+These generalize the reference's banded-scoring kernel
+(``recency_score``, ``lambda_function.py:102-114``: band a continuous
+recency metric into an ordinal score) from one hand-written CASE chain
+to data-driven banding — quartile thresholds computed from the data
+itself (RFM), transition probabilities estimated from the event log
+(Markov), and per-entity adaptive control bands (rolling z-score).
+
+Scale shapes:
+- RFM: one shuffle on the customer key for the per-customer rollup,
+  then ONE tiny percentile aggregation (3 cut points × 3 metrics, a
+  1-row relation) broadcast back. No global sort, no unpartitioned
+  window — the classic ntile() formulation needs a total order and
+  dies at 100 TB; threshold-banding is order-free and gives identical
+  quartiles up to boundary ties.
+- Markov: one shuffle on user_id for the lag window, then a
+  partial-combined count on (prev, next) — the output is
+  |event_type|² rows regardless of corpus size.
+- Anomaly: one shuffle on user_id; the rolling frame is ROWS-bounded
+  (10 preceding), so state per row is O(1) and all arithmetic is
+  exact int64 on centized values (quantization to cents is the
+  documented contract; both engines centize identically because
+  round(double*100) is deterministic IEEE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.tables import load_tables
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_QS = (0.25, 0.5, 0.75)
+
+
+@query(
+    "rfm_customer_segments",
+    oracle=f"""
+WITH base AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(date_diff('day', MAX(o_orderdate),
+              (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+cuts AS (
+  SELECT
+    {", ".join(f"round(quantile_cont(recency_days, {q}), 6) AS r{i}" for i, q in enumerate(_RFM_QS))},
+    {", ".join(f"round(quantile_cont(frequency, {q}), 6) AS f{i}" for i, q in enumerate(_RFM_QS))},
+    {", ".join(f"round(quantile_cont(monetary, {q}), 6) AS m{i}" for i, q in enumerate(_RFM_QS))}
+  FROM base
+),
+scored AS (
+  SELECT c_custkey, recency_days, frequency, monetary,
+         1 + CAST(recency_days < r2 AS INT) + CAST(recency_days < r1 AS INT)
+           + CAST(recency_days < r0 AS INT) AS r_score,
+         1 + CAST(frequency > f0 AS INT) + CAST(frequency > f1 AS INT)
+           + CAST(frequency > f2 AS INT) AS f_score,
+         1 + CAST(monetary > m0 AS INT) + CAST(monetary > m1 AS INT)
+           + CAST(monetary > m2 AS INT) AS m_score
+  FROM base CROSS JOIN cuts
+)
+SELECT c_custkey, recency_days, frequency, monetary,
+       CAST(r_score AS INT) AS r_score,
+       CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR)
+         || '-' || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+""",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation with
+    data-driven quartile banding — the marketing-analytics staple the
+    reference's hand-tuned recency bands (``lambda_function.py:102-114``)
+    approximate with fixed constants.
+
+    Instead of ``ntile(4)`` (which needs a total order → an
+    unpartitioned window → single-task at 100 TB), each score is
+    1 + the number of quartile cut points the metric beats: identical
+    quartile assignment up to boundary ties, computed with one tiny
+    percentile aggregation broadcast back onto the per-customer rollup.
+    Cut points are exact interpolated percentiles rounded to 6 decimals
+    (the engine-stable boundary contract fn_winsorize_values pinned);
+    metrics compared against them are exact ints / exact decimal sums,
+    so band membership is bit-deterministic on both engines. Recency is
+    anchored to the corpus max order date (a 1-row broadcast ride-along),
+    not wall clock — SURVEY.md §5.3 determinism rule."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "c_custkey",
+            F.datediff(F.col("anchor"), F.col("last_order"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    cut_exprs = []
+    for col, pre in (("recency_days", "r"), ("frequency", "f"), ("monetary", "m")):
+        for i, q in enumerate(_RFM_QS):
+            cut_exprs.append(
+                F.round(F.expr(f"percentile({col}, {q})"), 6).alias(f"{pre}{i}")
+            )
+    cuts = base.agg(*cut_exprs)
+    c = base.crossJoin(F.broadcast(cuts))
+    r_score = (
+        F.lit(1)
+        + (F.col("recency_days") < F.col("r2")).cast("int")
+        + (F.col("recency_days") < F.col("r1")).cast("int")
+        + (F.col("recency_days") < F.col("r0")).cast("int")
+    ).cast("int")
+    f_score = (
+        F.lit(1)
+        + (F.col("frequency") > F.col("f0")).cast("int")
+        + (F.col("frequency") > F.col("f1")).cast("int")
+        + (F.col("frequency") > F.col("f2")).cast("int")
+    ).cast("int")
+    m_score = (
+        F.lit(1)
+        + (F.col("monetary") > F.col("m0")).cast("int")
+        + (F.col("monetary") > F.col("m1")).cast("int")
+        + (F.col("monetary") > F.col("m2")).cast("int")
+    ).cast("int")
+    return c.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+        F.concat_ws(
+            "-",
+            r_score.cast("string"),
+            f_score.cast("string"),
+            m_score.cast("string"),
+        ).alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov event-transition matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "markov_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n_transitions,
+       round(CAST(n_transitions AS DOUBLE)
+             / SUM(n_transitions) OVER (PARTITION BY prev_type), 6) AS prob
+FROM pairs
+""",
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | previous event type) — the
+    session-modeling / next-action-prediction primitive (and the
+    stationary analysis behind funnel drop-off attribution).
+
+    One shuffle on user_id for the lag window (the same timeline
+    exchange sessionize_events rides), then a partial-combined count on
+    the (prev, next) pair; the row-normalizing window runs on the
+    |event_type|²-row aggregate, so its cost is independent of corpus
+    size. Probabilities are exact-int ratios rounded to 6 — the
+    deterministic-double contract."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_norm = W.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_norm),
+            6,
+        ).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+ZS_LOOKBACK = 10  # preceding events in the control window
+ZS_MIN_N = 4  # minimum history before scoring
+ZS_SIGMAS = 3  # flag |x - mean| > ZS_SIGMAS * stddev
+
+
+@query(
+    "ts_anomaly_rolling_z",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+framed AS (
+  SELECT user_id, v,
+         COUNT(*)  OVER w AS n,
+         SUM(v)    OVER w AS s1,
+         SUM(v*v)  OVER w AS s2
+  FROM c
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN {ZS_LOOKBACK} PRECEDING AND 1 PRECEDING)
+),
+flagged AS (
+  SELECT user_id,
+         CASE WHEN n >= {ZS_MIN_N}
+              AND (n*v - s1)*(n*v - s1) > {ZS_SIGMAS * ZS_SIGMAS}*(n*s2 - s1*s1)
+              THEN 1 ELSE 0 END AS is_anomaly,
+         CASE WHEN n >= {ZS_MIN_N} THEN 1 ELSE 0 END AS scored
+  FROM framed
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(scored) AS BIGINT) AS n_scored,
+       CAST(SUM(is_anomaly) AS BIGINT) AS n_anomalies
+FROM flagged GROUP BY user_id
+""",
+)
+def ts_anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity adaptive control band: flag an event whose value sits
+    more than {ZS_SIGMAS}σ from the mean of its user's preceding
+    {ZS_LOOKBACK} events — streaming-style anomaly detection in batch
+    form (the stateful-streaming twin is an applyInPandasWithState
+    keyed buffer; this batch form shares the detection algebra).
+
+    The σ test runs WITHOUT computing σ: |x−μ| > kσ is squared into
+    (n·x − S)² > k²·(n·Σx² − S²), all on exact int64 cent values —
+    no sqrt, no float variance, no catastrophic cancellation, and the
+    identical inequality evaluates on both engines bit-for-bit.
+    Quantization to cents is the documented contract (events.value is
+    2-decimal money-like data). One shuffle on user_id; the ROWS frame
+    holds O(1) running state per row."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    c = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZS_LOOKBACK, -1)
+    )
+    framed = c.select(
+        "user_id",
+        "v",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v").over(w).alias("s1"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("s2"),
+    )
+    n, v, s1, s2 = (F.col(x) for x in ("n", "v", "s1", "s2"))
+    dev = n * v - s1
+    is_anom = (
+        (n >= ZS_MIN_N)
+        & (dev * dev > ZS_SIGMAS * ZS_SIGMAS * (n * s2 - s1 * s1))
+    ).cast("int")
+    return (
+        framed.select(
+            "user_id",
+            is_anom.alias("is_anomaly"),
+            (n >= ZS_MIN_N).cast("int").alias("scored"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("scored").alias("n_scored"),
+            F.sum("is_anomaly").alias("n_anomalies"),
+        )
+    )
