@@ -910,3 +910,96 @@ WHERE o_totalprice >= price_floor
 GROUP BY o_orderstatus, price_floor
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) query
+# ---------------------------------------------------------------------------
+
+#: Local-frontier fan-out: candidate pruning buckets for the
+#: distributed skyline's first stage.
+_SKYLINE_BUCKETS = 16
+
+
+@query(
+    "join_skyline_parts",
+    oracle="""
+SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS INT) AS p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+""",
+)
+def join_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query: the parts not dominated on
+    (minimize retail price, maximize size) — the multi-criteria
+    shortlist operator (Börzsönyi et al., ICDE'01). The oracle states
+    the semantics as the quadratic NOT-EXISTS dominance anti-join; the
+    engine computes the identical set WITHOUT any self-join, via the
+    two-stage distributed sort-filter skyline:
+
+    1. Local stage: hash the table into buckets; inside each bucket a
+       cumulative-max window over the price order finds the bucket's
+       local frontier (a point dominated within ANY subset is dominated
+       globally, so survivors ⊇ the true frontier).
+    2. Global stage: re-run the same window over the union of local
+       frontiers — a relation the size of the summed local frontiers
+       (≈ O(buckets × frontier), tiny), so its single-partition window
+       is bounded, not corpus-sized.
+
+    Dominance testing via windows: with rows ordered by price cents,
+    a part is on the frontier iff its size equals the running max over
+    price ≤ its own (RANGE frame — price ties included: an equal-price
+    larger-size row dominates) AND strictly exceeds the running max
+    over price < its own (RANGE … 1 PRECEDING — a strictly-cheaper
+    equal-size row dominates). Prices quantize exactly to integer
+    cents (2-decimal doubles), making the RANGE offset frame exact
+    integer arithmetic on both stages."""
+    from pyspark.sql import Window as W
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    cents = F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
+    base = part.select(
+        "p_partkey",
+        "p_retailprice",
+        F.col("p_size").cast("int").alias("p_size"),
+        cents.alias("cents"),
+    )
+
+    def frontier(df: DataFrame, *bucket_cols: str) -> DataFrame:
+        w_incl = (
+            W.partitionBy(*bucket_cols)
+            .orderBy("cents")
+            .rangeBetween(W.unboundedPreceding, 0)
+        )
+        w_strict = (
+            W.partitionBy(*bucket_cols)
+            .orderBy("cents")
+            .rangeBetween(W.unboundedPreceding, -1)
+        )
+        return df.select(
+            "p_partkey",
+            "p_retailprice",
+            "p_size",
+            "cents",
+            F.max("p_size").over(w_incl).alias("m_incl"),
+            F.max("p_size").over(w_strict).alias("m_strict"),
+        ).filter(
+            (F.col("p_size") == F.col("m_incl"))
+            & (
+                F.col("m_strict").isNull()
+                | (F.col("p_size") > F.col("m_strict"))
+            )
+        ).select("p_partkey", "p_retailprice", "p_size", "cents")
+
+    local = frontier(
+        base.withColumn(
+            "bucket", F.pmod(F.col("p_partkey"), F.lit(_SKYLINE_BUCKETS))
+        ),
+        "bucket",
+    )
+    return frontier(local).select("p_partkey", "p_retailprice", "p_size")

@@ -60,11 +60,12 @@ def _sql_query_values() -> str:
 
 _ALL_QUERY_TERMS = sorted({t for _, terms in BM25_QUERY_TERMS for t in terms})
 
-
-@query(
-    "text_bm25_retrieval",
-    oracle=f"""
-WITH {_sql_query_values()},
+#: The full BM25 CTE chain (query values → token counts → doc length →
+#: corpus stats → df → scored → ranked), shared verbatim by the BM25
+#: oracle and the hybrid-RRF oracle so the sparse leg of the fusion is
+#: provably the SAME ranking the driver certifies via
+#: text_bm25_retrieval.
+_BM25_CTES = f"""{_sql_query_values()},
 tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
 c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
 dl AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dl FROM c GROUP BY doc_id),
@@ -96,7 +97,13 @@ ranked AS (
   SELECT query_id, doc_id, bm25,
          row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rnk
   FROM scored
-)
+)"""
+
+
+@query(
+    "text_bm25_retrieval",
+    oracle=f"""
+WITH {_BM25_CTES}
 SELECT query_id, doc_id, CAST(rnk AS INT) AS rnk, bm25
 FROM ranked WHERE rnk <= {BM25_TOP_K}
 """,
@@ -118,6 +125,18 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-size-independent for fixed queries. Ranking orders by the
     ROUNDED score with doc_id tiebreak (repo convention: both engines
     rank identical values)."""
+    return (
+        _bm25_ranked(spark, sf_dir)
+        .filter(F.col("rnk") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "rnk", "bm25")
+    )
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All BM25 candidates ranked per query (query_id, doc_id, rnk,
+    bm25) — the shared sparse-ranking relation behind both
+    text_bm25_retrieval (top-k cut) and retrieval_hybrid_rrf (fusion
+    depth cut)."""
     counts = _doc_term_counts(spark, sf_dir)
     dl = F.sum("c").over(W.partitionBy("doc_id")).cast("bigint")
     with_dl = counts.withColumn("dl", dl)
@@ -158,11 +177,7 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rnk = F.row_number().over(
         W.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
     )
-    return (
-        scored.withColumn("rnk", rnk)
-        .filter(F.col("rnk") <= BM25_TOP_K)
-        .select("query_id", "doc_id", "rnk", "bm25")
-    )
+    return scored.withColumn("rnk", rnk)
 
 
 @query(
@@ -219,5 +234,152 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda x: x.cast("string"),
                 ),
             ).alias("postings"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the sparse (BM25) and
+# dense (embedding-cosine) rankings
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard RRF smoothing constant (Cormack et al.)
+RRF_DEPTH = 20  # per-leg candidate depth fed into the fusion
+RRF_TOP_K = 5
+
+#: Dense probes: the embedding whose vec_id equals the BM25 query_id
+#: stands in as that query's dense representation (doc_id ↔ vec_id is
+#: the corpus's 1:1 embedding mapping, FIXTURES.md §B).
+_RRF_PROBE_IDS = tuple(qid for qid, _ in BM25_QUERY_TERMS)
+
+_SQL_RRF_NORMS = """
+norms AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)"""
+
+
+@query(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+WITH {_BM25_CTES},
+sparse AS (
+  SELECT CAST(query_id AS INT) AS query_id, doc_id, rnk AS sparse_rank
+  FROM ranked WHERE rnk <= {RRF_DEPTH}
+),
+{_SQL_RRF_NORMS.strip()},
+probes AS (
+  SELECT vec_id, v, nrm FROM norms
+  WHERE vec_id IN ({", ".join(str(i) for i in _RRF_PROBE_IDS)})
+),
+dscored AS (
+  SELECT CAST(p.vec_id AS INT) AS query_id, n.vec_id AS doc_id,
+         list_dot_product(p.v, n.v) / (p.nrm * n.nrm) AS cos
+  FROM probes p CROSS JOIN norms n
+),
+dranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS drnk
+  FROM dscored
+),
+dense AS (SELECT query_id, doc_id, drnk AS dense_rank FROM dranked WHERE drnk <= {RRF_DEPTH}),
+fused AS (
+  SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+         COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         s.sparse_rank, d.dense_rank,
+         round(COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + s.sparse_rank), CAST(0.0 AS DOUBLE))
+             + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + d.dense_rank), CAST(0.0 AS DOUBLE)), 6) AS rrf
+  FROM sparse s
+  FULL OUTER JOIN dense d ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+),
+franked AS (
+  SELECT query_id, doc_id, sparse_rank, dense_rank, rrf,
+         row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS frnk
+  FROM fused
+)
+SELECT query_id, doc_id, CAST(frnk AS INT) AS fused_rank, rrf,
+       CAST(sparse_rank AS INT) AS sparse_rank,
+       CAST(dense_rank AS INT) AS dense_rank
+FROM franked WHERE frnk <= {RRF_TOP_K}
+""",
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the sparse BM25
+    ranking and a dense embedding-cosine ranking each contribute
+    1/(k + rank); the fused score re-ranks the union of both top-20
+    candidate lists — the standard serving-side combination behind
+    RAG retrieval stacks (sparse catches exact keyword hits, dense
+    catches paraphrase; RRF needs no score calibration because it
+    fuses RANKS, not scores).
+
+    Scale shape: the sparse leg is the certified _bm25_ranked relation
+    (one corpus shuffle); the dense leg broadcasts the 3 probe vectors
+    onto the embedding scan (the ann_bruteforce pattern at fixed probe
+    count); the fusion joins two ≤ (queries × depth)-row relations —
+    corpus-size-independent. Fusion scores are sums of exact-int
+    reciprocals rounded to 6; ranking orders by the rounded score with
+    doc_id tiebreak on both engines."""
+    from etl_pipeline_sam_gov_spark.operators.similarity import (
+        cosine,
+        with_norms,
+    )
+
+    sparse = (
+        _bm25_ranked(spark, sf_dir)
+        .filter(F.col("rnk") <= RRF_DEPTH)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            "doc_id",
+            F.col("rnk").alias("sparse_rank"),
+        )
+    )
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    norms = with_norms(emb)
+    probes = norms.filter(
+        F.col("vec_id").isin(*_RRF_PROBE_IDS)
+    ).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dscored = norms.crossJoin(F.broadcast(probes)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias("cos"),
+    )
+    drnk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    )
+    dense = (
+        dscored.withColumn("drnk", drnk)
+        .filter(F.col("drnk") <= RRF_DEPTH)
+        .select("query_id", "doc_id", F.col("drnk").alias("dense_rank"))
+    )
+    leg = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(RRF_K) + r), F.lit(0.0)
+    )
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "sparse_rank",
+        "dense_rank",
+        F.round(
+            leg(F.col("sparse_rank")) + leg(F.col("dense_rank")), 6
+        ).alias("rrf"),
+    )
+    frnk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    )
+    return (
+        fused.withColumn("fused_rank", frnk)
+        .filter(F.col("fused_rank") <= RRF_TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            "fused_rank",
+            "rrf",
+            "sparse_rank",
+            "dense_rank",
         )
     )
