@@ -581,3 +581,147 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("wi") + F.lit(0.0)).alias("weight"),
         "eigenvalue",
     )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial naive Bayes language classifier
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_naive_bayes_langid",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split_regex(text, '\s+')) AS tok
+  FROM documents
+),
+doc_len AS (
+  SELECT doc_id, lang AS actual, CAST(COUNT(*) AS BIGINT) AS n_toks
+  FROM toks GROUP BY doc_id, lang
+),
+counts AS (
+  SELECT lang AS cls, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY lang, tok
+),
+classes AS (
+  SELECT lang AS cls,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_cls,
+         CAST(COUNT(*) AS BIGINT) AS n_toks_cls
+  FROM toks GROUP BY lang
+),
+corpus AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab
+  FROM toks
+),
+hits AS (
+  SELECT t.doc_id, c.cls, SUM(ln((c.c + 1)::DOUBLE)) AS hit_ll
+  FROM toks t JOIN counts c ON t.tok = c.tok
+  GROUP BY t.doc_id, c.cls
+),
+scored AS (
+  SELECT d.doc_id, d.actual, k.cls,
+         round(ln(k.n_docs_cls::DOUBLE / corpus.n_docs)
+               + COALESCE(h.hit_ll, 0.0)
+               - d.n_toks * ln((k.n_toks_cls + corpus.vocab)::DOUBLE), 6)
+           AS score
+  FROM doc_len d
+  CROSS JOIN classes k
+  CROSS JOIN corpus
+  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.cls = k.cls
+),
+ranked AS (
+  SELECT doc_id, actual, cls, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+  FROM scored
+)
+SELECT doc_id, actual, cls AS predicted, score AS best_score,
+       cls = actual AS correct
+FROM ranked WHERE rn = 1
+""",
+)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language identification, fit and scored
+    in one pass over the corpus: argmax_c [ln P(c) + Σ_t ln P(t|c)]
+    with add-one smoothing — the fastText-style supervised twin of the
+    heuristic n-gram language ID in text.py (here the model is LEARNED
+    from the labels rather than rule-listed).
+
+    The smoothing makes the model join sparse: an absent (token, class)
+    pair contributes ln(0+1) = 0, so the score decomposes as
+    ln prior + Σ_hits ln(c+1) − n_tokens·ln(N_c + |V|) and only
+    OBSERVED (token, class) count rows are ever materialized or
+    joined — no dense |V|×|C| model. Scale shape: the model is two
+    partial-combined counts over one token-stream scan; scoring joins
+    the stream against the (tok, class, c) relation on tok (fan-out
+    bounded by |classes|), then one groupBy (doc, class) and a per-doc
+    argmax window. Scores are rounded to 6 before the argmax so both
+    engines rank identical values (ln-sum convention of
+    text_bigram_perplexity); ties break on class name."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import (
+        spread_docs,
+        tokens_col,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = spread_docs(docs).select(
+        "doc_id", "lang", F.explode(tokens_col()).alias("tok")
+    )
+    doc_len = toks.groupBy("doc_id", F.col("lang").alias("actual")).agg(
+        F.count(F.lit(1)).alias("n_toks")
+    )
+    counts = toks.groupBy(F.col("lang").alias("cls"), "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    classes = toks.groupBy(F.col("lang").alias("cls")).agg(
+        F.count_distinct("doc_id").alias("n_docs_cls"),
+        F.count(F.lit(1)).alias("n_toks_cls"),
+    )
+    corpus = toks.agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count_distinct("tok").alias("vocab"),
+    )
+    # NOTE: no broadcast hint on the model — it is vocabulary-sized
+    # (|V|×|C| observed pairs), a scale-class relation per the hint
+    # policy; the planner broadcasts it at small SF from estimates and
+    # AQE demotes to a shuffle join on tok at 100 TB.
+    hits = (
+        toks.join(counts, "tok")
+        .groupBy("doc_id", "cls")
+        .agg(F.sum(F.log((F.col("c") + 1).cast("double"))).alias("hit_ll"))
+    )
+    scored = (
+        doc_len.crossJoin(F.broadcast(classes))
+        .crossJoin(F.broadcast(corpus))
+        .join(hits, ["doc_id", "cls"], "left")
+        .select(
+            "doc_id",
+            "actual",
+            "cls",
+            F.round(
+                F.log(
+                    F.col("n_docs_cls").cast("double") / F.col("n_docs")
+                )
+                + F.coalesce(F.col("hit_ll"), F.lit(0.0))
+                - F.col("n_toks")
+                * F.log(
+                    (F.col("n_toks_cls") + F.col("vocab")).cast("double")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "actual",
+            F.col("cls").alias("predicted"),
+            F.col("score").alias("best_score"),
+            (F.col("cls") == F.col("actual")).alias("correct"),
+        )
+    )
