@@ -478,3 +478,108 @@ def multimodal_image_scanline_stats(spark: SparkSession, sf_dir: str) -> DataFra
             " min_byte int, max_byte int"
         ),
     )
+
+
+def pcm_channel_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: real SAMPLE-level decode of the WAV payloads —
+    walks the RIFF chunk list (not fixed offsets: a chunk-walk survives
+    extra chunks like LIST/INFO), de-interleaves the PCM16 frames per
+    channel, and emits per-channel amplitude statistics. Non-WAV
+    payloads are passed over (the BMP half has no samples). Energy is
+    an exact int64 sum of squares (|int16|² ≤ 2³⁰ — no float
+    accumulation), so only the final mean renders through a round."""
+    import numpy as np
+
+    for pdf in batches:
+        doc, chan, n_s, peak, energy, mean_a = [], [], [], [], [], []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            b = bytes(content)
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                continue
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                sz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+                if cid == b"fmt ":
+                    fmt = b[pos + 8 : pos + 8 + sz]
+                elif cid == b"data":
+                    data = b[pos + 8 : pos + 8 + sz]
+                pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+            channels = int.from_bytes(fmt[2:4], "little")
+            v = np.frombuffer(data, dtype="<i2").reshape(-1, channels)
+            a = np.abs(v.astype(np.int64))
+            for c in range(channels):
+                doc.append(int(doc_id))
+                chan.append(c)
+                n_s.append(v.shape[0])
+                peak.append(int(a[:, c].max()))
+                energy.append(int((a[:, c] ** 2).sum()))
+                mean_a.append(round(int(a[:, c].sum()) / v.shape[0], 6))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(doc, dtype="int64"),
+                "channel": pd.array(chan, dtype="int32"),
+                "n_samples": pd.array(n_s, dtype="int64"),
+                "peak_abs": pd.array(peak, dtype="int32"),
+                "energy": pd.array(energy, dtype="int64"),
+                "mean_abs": pd.array(mean_a, dtype="float64"),
+            }
+        )
+
+
+@query(
+    "multimodal_audio_channel_stats",
+    oracle="""
+WITH params AS (
+  SELECT doc_id,
+         1 + (doc_id // 2) % 2 AS ch,
+         doc_id % 128 + 8 AS n
+  FROM documents WHERE doc_id % 2 = 1
+),
+samples AS (
+  SELECT doc_id, ch, u.s % ch AS channel,
+         ((doc_id + 2 * u.s) % 256) + ((doc_id + 2 * u.s + 1) % 256) * 256 AS raw
+  FROM params, unnest(range(n * ch)) AS u(s)
+),
+vals AS (
+  SELECT doc_id, channel,
+         CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+  FROM samples
+)
+SELECT doc_id,
+       CAST(channel AS INT) AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(MAX(ABS(v)) AS INT) AS peak_abs,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       round(SUM(ABS(v))::DOUBLE / COUNT(*), 6) AS mean_abs
+FROM vals GROUP BY doc_id, channel
+""",
+)
+def multimodal_audio_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-content decode of the audio half of the corpus (the WAV
+    twin of multimodal_image_scanline_stats): per-channel peak, exact
+    energy, and mean amplitude over the de-interleaved PCM16 stream —
+    the loudness/clipping/silence screen of an audio-curation pipeline.
+    The kernel decodes REAL bytes through a RIFF chunk walk (fixed
+    offsets would break on any extra chunk) and the oracle predicts
+    every 16-bit sample — including the signed wraparound at 0x8000 —
+    from doc_id alone, so an endianness, interleave, or sign mistake
+    cannot hash-match.
+
+    Scale shape: synthesize → decode is the same shuffle-free
+    Arrow-batched mapInPandas chain as the image kernel; the per-channel
+    aggregation happens INSIDE the kernel per document (bounded by
+    frames × channels per doc), so no exploded sample relation ever
+    crosses an exchange. An MP3/FLAC decoder drops into the same kernel
+    signature."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select("doc_id").mapInPandas(
+        synthesize_media, schema="doc_id long, content binary"
+    )
+    return media.mapInPandas(
+        pcm_channel_stats,
+        schema=(
+            "doc_id long, channel int, n_samples long,"
+            " peak_abs int, energy long, mean_abs double"
+        ),
+    )
