@@ -725,3 +725,94 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cls") == F.col("actual")).alias("correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Reliability (calibration) table for the quality classifier
+# ---------------------------------------------------------------------------
+
+_RELIA_QS = tuple(round(0.1 * i, 1) for i in range(1, 10))  # deciles
+
+
+def _reliability_oracle() -> str:
+    from etl_pipeline_sam_gov_spark.operators.text import (
+        _SQL_C4_FILTERS,
+        SQL_QUALITY_LOGIT,
+    )
+
+    cuts = ", ".join(
+        f"round(quantile_cont(logit, {q}), 6) AS d{i}"
+        for i, q in enumerate(_RELIA_QS)
+    )
+    bin_expr = " + ".join(
+        f"CAST(logit > d{i} AS INT)" for i in range(len(_RELIA_QS))
+    )
+    return f"""
+WITH c4 AS ({_SQL_C4_FILTERS}),
+q AS (SELECT doc_id, {SQL_QUALITY_LOGIT} AS logit FROM documents),
+j AS (SELECT q.doc_id, q.logit, c4.keep FROM q JOIN c4 USING (doc_id)),
+cuts AS (SELECT {cuts} FROM j),
+binned AS (
+  SELECT logit, keep, 1 + {bin_expr} AS bin
+  FROM j CROSS JOIN cuts
+)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       round(SUM(logit)::DOUBLE / COUNT(*), 6) AS mean_logit,
+       round(SUM(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+         AS pos_rate
+FROM binned GROUP BY bin
+"""
+
+
+@query("ml_reliability_bins_quality", oracle=_reliability_oracle())
+def ml_reliability_bins_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) table for the hashed quality
+    classifier: documents bucketed into score deciles, each reporting
+    mean score vs observed positive rate against the C4/Gopher rule
+    verdicts — the companion evaluation to ml_auc_quality_classifier
+    (AUC measures ranking; this measures whether the score LEVELS track
+    reality, which is what a downstream sampling threshold consumes).
+
+    Decile edges are exact interpolated percentiles of the exact
+    integer logit (rounded to 6 — the fn_winsorize_values boundary
+    contract); bin membership is 1 + #edges-beaten, so no global sort
+    or ntile window exists anywhere — one per-doc scoring scan, one
+    tiny percentile aggregation broadcast back, one partial-combined
+    groupBy(bin). All averages are exact-int ratios rounded to 6."""
+    from etl_pipeline_sam_gov_spark.operators.text import (
+        quality_logit,
+        text_c4_gopher_filters,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scores = docs.select("doc_id", quality_logit().alias("logit"))
+    truth = text_c4_gopher_filters(spark, sf_dir).select("doc_id", "keep")
+    j = scores.join(truth, "doc_id")
+    cuts = j.agg(
+        *[
+            F.round(F.expr(f"percentile(logit, {q})"), 6).alias(f"d{i}")
+            for i, q in enumerate(_RELIA_QS)
+        ]
+    )
+    bin_col = F.lit(1)
+    for i in range(len(_RELIA_QS)):
+        bin_col = bin_col + (F.col("logit") > F.col(f"d{i}")).cast("int")
+    return (
+        j.crossJoin(F.broadcast(cuts))
+        .select("logit", "keep", bin_col.cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_pos"),
+            F.round(
+                F.sum("logit").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_logit"),
+            F.round(
+                F.sum(F.col("keep").cast("bigint")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pos_rate"),
+        )
+    )
