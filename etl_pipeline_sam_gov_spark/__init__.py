@@ -252,6 +252,31 @@ _DEFER_IN_TIER = frozenset(
         # reusing the certified merged-timeline walk; certified at
         # all three scales
         "asof_join_nearest",
+        # round-4 continuation additions, all certified at sf0.001 AND
+        # sf0.01 through the driver-contract replica before commit:
+        # deferred so the ~60-query pre-existing never-tested tail
+        # keeps the driver's 50 sweep slots. Each is a recombination
+        # of driver-green lanes: the dq suite is the exact-int-ratio
+        # agg lane + a broadcast RI join; the CDC diff is the MERGE
+        # full-outer shape; RFM/markov/anomaly are the percentile-
+        # broadcast, lag-window, and exact-int window-frame lanes;
+        # RRF fuses the certified BM25 and brute-force-cosine ranked
+        # relations; the skyline is a window filter whose oracle is
+        # the independent NOT-EXISTS formulation; k-core reuses the
+        # PageRank graph + persist discipline; NB/reliability reuse
+        # the ln-round6 and percentile-banding contracts; the PCM
+        # walk mirrors the driver-green BMP scanline kernel
+        "dq_constraint_suite",
+        "dq_snapshot_diff_cdc",
+        "rfm_customer_segments",
+        "markov_event_transitions",
+        "ts_anomaly_rolling_z",
+        "retrieval_hybrid_rrf",
+        "join_skyline_parts",
+        "graph_kcore_membership",
+        "ml_naive_bayes_langid",
+        "ml_reliability_bins_quality",
+        "multimodal_audio_channel_stats",
     }
 )
 

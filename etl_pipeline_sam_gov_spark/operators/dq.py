@@ -128,14 +128,19 @@ def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ints is a deterministic IEEE double; ``round(…, 6)`` then pins the
     rendered value on both engines). The uniqueness check on
     ``o_custkey`` fails by construction — customers reorder — so the
-    suite exercises both verdicts. Referential integrity rides a
-    broadcast of the customer key dim onto the orders scan; no
-    constraint triggers a second scan of its table."""
+    suite exercises both verdicts. Referential integrity joins the
+    customer key dim onto the orders scan (un-hinted per the broadcast
+    policy — planner-broadcast at small SF, AQE-demotable at scale);
+    no constraint triggers a second scan of its table."""
     t = load_tables(spark, sf_dir, ("orders", "lineitem", "customer"))
+    # No broadcast pin on the customer key dim: customer is a
+    # scale-class table per the hint policy (test_plans gates this) —
+    # the planner broadcasts it from size estimates at small SF and
+    # AQE can demote to a shuffle join at 100 TB.
     cust_keys = t["customer"].select(F.col("c_custkey").alias("ck")).distinct()
     o_wide = (
         t["orders"]
-        .join(F.broadcast(cust_keys), F.col("o_custkey") == F.col("ck"), "left")
+        .join(cust_keys, F.col("o_custkey") == F.col("ck"), "left")
         .agg(
             F.count(F.lit(1)).cast("double").alias("n"),
             F.sum(F.col("o_custkey").isNotNull().cast("int"))

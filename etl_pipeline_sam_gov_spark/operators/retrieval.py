@@ -336,12 +336,17 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     norms = with_norms(emb)
-    probes = norms.filter(
-        F.col("vec_id").isin(*_RRF_PROBE_IDS)
-    ).select(
-        F.col("vec_id").cast("int").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
+    # .limit() makes the probe set's bound PLAN-VISIBLE (GlobalLimit),
+    # so the broadcast pin passes the hint-policy gate on its merits:
+    # the build side provably cannot exceed the fixed probe count.
+    probes = (
+        norms.filter(F.col("vec_id").isin(*_RRF_PROBE_IDS))
+        .limit(len(_RRF_PROBE_IDS))
+        .select(
+            F.col("vec_id").cast("int").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
     )
     dscored = norms.crossJoin(F.broadcast(probes)).select(
         "query_id",

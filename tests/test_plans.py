@@ -704,3 +704,39 @@ def test_timeline_walks_use_running_frames_only(spark, sf_dir):
             "frame"
         )
         assert s.count("window [") >= 2  # both walk directions present
+
+
+def test_skyline_is_window_based_not_quadratic(spark, sf_dir):
+    """The skyline must plan as the two-stage window filter — the
+    oracle's NOT-EXISTS dominance formulation would appear here as a
+    nested-loop self-join, which is O(n²) and dies at scale."""
+    s = plan(eng.QUERIES["join_skyline_parts"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+    assert "Window" in s
+
+
+def test_dq_suite_scans_each_table_once(spark, sf_dir):
+    """All constraint metrics for a table must ride ONE aggregation
+    over one scan — a per-constraint rescan pattern multiplies 100 TB
+    scan cost by the number of checks."""
+    s = formatted(eng.QUERIES["dq_constraint_suite"](spark, sf_dir))
+    assert s.count("FileScan parquet") <= 3  # orders + lineitem + customer
+
+
+def test_kcore_rounds_reuse_persisted_relations(spark, sf_dir):
+    """Each peel round must read the persisted previous-round edge set
+    (InMemoryTableScan), not replay the whole peel lineage — the same
+    flat-lineage discipline the PageRank loop pins."""
+    from etl_pipeline_sam_gov_spark.operators.graph import KC_ROUNDS
+
+    s = plan(eng.QUERIES["graph_kcore_membership"](spark, sf_dir))
+    assert s.count("InMemoryTableScan") >= KC_ROUNDS
+
+
+def test_audio_stats_is_shuffle_free(spark, sf_dir):
+    """synthesize → chunk-walk decode → per-channel stats all happen in
+    the scan stage (per-doc aggregation inside the kernel); an Exchange
+    would mean raw samples crossed the network."""
+    s = plan(eng.QUERIES["multimodal_audio_channel_stats"](spark, sf_dir))
+    assert "Exchange" not in s

@@ -62,6 +62,16 @@ STRESS_QUERIES = (
     "text_bigram_perplexity",  # scan zip + model counts + broadcast score
     "window_cumulative_distinct_users",  # two aggs + days-sized window
     "multimodal_image_scanline_stats",   # two-stage mapInPandas, no shuffle
+    # round-4 continuation additions (documents/events consumers; the
+    # TPC-H-table consumers — dq suite, CDC diff, RFM, skyline, k-core
+    # — aren't amplifiable by this tool, which only amplifies the
+    # documents/events corpus):
+    "markov_event_transitions",  # lag window + |types|² agg
+    "ts_anomaly_rolling_z",      # ROWS-frame exact-int window
+    "ml_naive_bayes_langid",     # model counts + |C|-bounded score join
+    "ml_reliability_bins_quality",  # scoring scan + tiny percentile agg
+    "multimodal_audio_channel_stats",  # two-stage mapInPandas, no shuffle
+    "retrieval_hybrid_rrf",      # BM25 leg grows; dense leg fixed probes
     # (ann_*/ml_knn are deliberately NOT stressed: the query set grows
     # with the corpus by construction (vec_id % 50), so candidates grow
     # ~quadratically under amplification — that measures the fixture's
