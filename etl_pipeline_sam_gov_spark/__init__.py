@@ -277,6 +277,10 @@ _DEFER_IN_TIER = frozenset(
         "ml_naive_bayes_langid",
         "ml_reliability_bins_quality",
         "multimodal_audio_channel_stats",
+        # streaming twin of markov_event_transitions sharing its
+        # oracle verbatim; the applyInPandasWithState lane is
+        # driver-green via stream_stateful_user_totals/stream_ewma
+        "stream_markov_transitions",
     }
 )
 

@@ -1042,3 +1042,86 @@ def stream_cdc_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_event_id",
         F.round("last_value", 6).alias("last_value"),
     )
+
+
+def _markov_oracle() -> str:
+    """The batch Markov matrix's oracle, verbatim — the stream-fed
+    transition counts must equal the batch lag-window's exactly
+    (online/offline consistency, the stream_pit_enrichment contract).
+    Imports the defining module first so decoration order doesn't
+    matter."""
+    import etl_pipeline_sam_gov_spark.operators.behavior  # noqa: F401
+
+    from etl_pipeline_sam_gov_spark.registry import ORACLES
+
+    return ORACLES["markov_event_transitions"]
+
+
+@query("stream_markov_transitions", oracle=_markov_oracle())
+def stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of markov_event_transitions: per-user GroupState
+    carries the LAST event type across micro-batches and each batch
+    emits the (prev, next) adjacent pairs — the order-sensitive
+    stateful shape (stream_ewma_user_values' contract: batch rows sort
+    by (ts, event_id) before the fold, and batch boundaries respect
+    event time per user under availableNow replay / a log-ordered
+    source). The emitted pair stream then aggregates to the transition
+    matrix in batch — counts and row-normalized probabilities equal to
+    what the batch lag window computes over the full history, pinned
+    by sharing that query's oracle verbatim.
+
+    Scale: state per user is ONE string (the last event type) — far
+    smaller than the windowed aggs' open-window state; the pair stream
+    is append-mode (each pair emitted exactly once), so the downstream
+    aggregation could itself be a streaming groupBy in production."""
+    events = read_events_stream(spark, sf_dir)
+
+    def update_pairs(key, pdfs, state):
+        import pandas as pd
+
+        prev = state.get[0] if state.exists else None
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        prevs, nexts = [], []
+        for t in pdf["event_type"].tolist():
+            if prev is not None:
+                prevs.append(prev)
+                nexts.append(t)
+            prev = t
+        state.update((prev,))
+        yield pd.DataFrame({"prev_type": prevs, "next_type": nexts})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("prev_type", T.StringType()),
+            T.StructField("next_type", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("last_type", T.StringType())])
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pairs_stream = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_pairs,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    pairs = run_to_memory(pairs_stream, mode="append", shuffle_partitions=8)
+    counted = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_norm = W.partitionBy("prev_type")
+    return counted.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_norm),
+            6,
+        ).alias("prob"),
+    )
