@@ -281,6 +281,13 @@ _DEFER_IN_TIER = frozenset(
         # oracle verbatim; the applyInPandasWithState lane is
         # driver-green via stream_stateful_user_totals/stream_ewma
         "stream_markov_transitions",
+        # windowed-percentile and hash-sample-estimator lanes, both
+        # recombinations of driver-green contracts (percentile ≡
+        # quantile_cont from fn_winsorize_values; md5 hash-threshold
+        # sampling from the curation family); certified at all three
+        # scales
+        "window_moving_median",
+        "agg_aqp_sample_estimate",
     }
 )
 

@@ -1200,3 +1200,94 @@ def agg_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     so an all-filtered group yields 0.0, not NULL, identically."""
     load_tables(spark, sf_dir, ("lineitem",))
     return spark.sql(_FILTERED_AGG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Approximate query processing: hash-sample estimator with a pinned
+# error bound
+# ---------------------------------------------------------------------------
+
+from etl_pipeline_sam_gov_spark.operators.dedup import _sql_hash60
+
+AQP_BUCKETS = 10  # 1-in-10 deterministic hash sample
+AQP_REL_TOL = 0.05
+
+
+@query(
+    "agg_aqp_sample_estimate",
+    oracle=f"""
+WITH keyed AS (
+  SELECT l_extendedprice,
+         {_sql_hash60("l_orderkey || '-' || l_linenumber")} % {AQP_BUCKETS} AS b
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * {AQP_BUCKETS} AS DOUBLE)
+           AS est_revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_sample
+  FROM keyed WHERE b = 0
+),
+x AS (
+  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS exact_revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM lineitem
+)
+SELECT n_total, n_sample, est_revenue, exact_revenue,
+       abs(est_revenue - exact_revenue) <= {AQP_REL_TOL} * exact_revenue
+         AS within_tol
+FROM s CROSS JOIN x
+""",
+)
+def agg_aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing (AQP): estimate total revenue from
+    a deterministic 1-in-{AQP_BUCKETS} hash sample, Horvitz-Thompson
+    scaled — the interactive-dashboard / query-planning shortcut that
+    reads 10% of a 100 TB fact table instead of all of it. The md5
+    bucket on the row key makes BOTH engines draw the IDENTICAL sample
+    (the curation-family reproducible-sampling contract), so the
+    estimate itself hash-matches exactly; the estimator's QUALITY is
+    pinned by an oracle-checked relative-error bound against the exact
+    scan (the agg_approx_sketches technique: the driver certifies the
+    error claim, not just the arithmetic).
+
+    Scale shape: the sample aggregation's scan prunes 90% of rows at
+    the map side (hash-filter before any exchange); both sums are
+    exact-decimal, scaled by an integer, rendered once as double. In
+    production the exact leg is dropped and only the sample leg runs —
+    here it exists to make the error bound checkable."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
+
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    keyed = li.select(
+        "l_extendedprice", (_spark_hash60(key) % AQP_BUCKETS).alias("b")
+    )
+    s = keyed.filter(F.col("b") == 0).agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            * AQP_BUCKETS
+        )
+        .cast("double")
+        .alias("est_revenue"),
+        F.count(F.lit(1)).alias("n_sample"),
+    )
+    x = li.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("exact_revenue"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    return s.crossJoin(F.broadcast(x)).select(
+        "n_total",
+        "n_sample",
+        "est_revenue",
+        "exact_revenue",
+        (
+            F.abs(F.col("est_revenue") - F.col("exact_revenue"))
+            <= AQP_REL_TOL * F.col("exact_revenue")
+        ).alias("within_tol"),
+    )

@@ -269,3 +269,55 @@ def window_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum("new_users").over(w).alias("cumulative_users"),
         )
     )
+
+
+@query(
+    "window_moving_median",
+    oracle="""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v2
+  FROM events
+)
+SELECT event_id, user_id,
+       round(quantile_cont(v2, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) / 100, 6)
+         AS moving_median
+FROM c
+""",
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median over each user's trailing 6 events — the robust
+    smoother that rolling means can't match on spiky data (one outlier
+    shifts a mean by outlier/n but leaves the median untouched). Spark
+    evaluates the exact ``percentile`` aggregate over a ROWS window
+    frame; DuckDB's ``quantile_cont`` over the same frame is its
+    contractual equal (the fn_winsorize_values equivalence, here per
+    frame instead of per group).
+
+    Determinism: the median interpolates between exact integer cent
+    values — midpoints are x.5 exactly in both engines regardless of
+    interpolation formula (ints and their halves are binary-exact), so
+    no float-summation hazard exists anywhere; the /100 rescale and
+    round(6) render identically. One shuffle on user_id; the frame
+    buffer is O(6) per row."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    c = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v2"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-5, 0)
+    )
+    return c.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(v2, 0.5)").over(w) / 100, 6).alias(
+            "moving_median"
+        ),
+    )
