@@ -288,6 +288,10 @@ _DEFER_IN_TIER = frozenset(
         # scales
         "window_moving_median",
         "agg_aqp_sample_estimate",
+        # groupBy-audit and hash-coin + exact-ratio lanes (both long
+        # driver-green shapes); certified at all three scales
+        "dq_k_anonymity_audit",
+        "ab_test_proportions",
     }
 )
 

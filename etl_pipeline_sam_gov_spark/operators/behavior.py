@@ -313,3 +313,121 @@ def ts_anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_anomaly").alias("n_anomalies"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis (two-proportion z-test)
+# ---------------------------------------------------------------------------
+
+#: z² threshold for two-sided α=0.05 significance: 1.96² = 3.8416.
+AB_Z2_CRIT = 3.8416
+
+
+@query(
+    "ab_test_proportions",
+    oracle=f"""
+WITH assigned AS (
+  SELECT user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS converted
+  FROM events
+  GROUP BY user_id
+),
+arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM assigned GROUP BY arm
+),
+w AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+         MAX(CASE WHEN arm = 0 THEN conv END) AS conv_a,
+         MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+         MAX(CASE WHEN arm = 1 THEN conv END) AS conv_b
+  FROM arms
+),
+z AS (
+  SELECT n_a, conv_a, n_b, conv_b,
+         (conv_b * n_a - conv_a * n_b)::DOUBLE
+           * (conv_b * n_a - conv_a * n_b)
+           * (n_a + n_b) / n_a / n_b
+           / (conv_a + conv_b) / (n_a + n_b - conv_a - conv_b) AS z2
+  FROM w
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       round(conv_a::DOUBLE / n_a, 6) AS rate_a,
+       round(conv_b::DOUBLE / n_b, 6) AS rate_b,
+       round(conv_b::DOUBLE / n_b - conv_a::DOUBLE / n_a, 6) AS uplift,
+       round(z2, 6) AS z_squared,
+       z2 > {AB_Z2_CRIT} AS significant
+FROM z
+""",
+)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-assigned to two arms, pooled
+    two-proportion z-test on purchase conversion — the experimentation
+    primitive behind every product-launch decision pipeline. Assignment
+    is the md5-hash coin of the curation family (reproducible,
+    append-stable: a user's arm never changes as data grows — the
+    property a real experiment assignment MUST have).
+
+    Algebra: with D = conv_b·n_a − conv_a·n_b, C = conv_a+conv_b,
+    N = n_a+n_b, the pooled z² = D²·N / (n_a·n_b·C·(N−C)). Every
+    factor is an exact int64; the ONE float expression computes this
+    in an identical operation order on both engines (multiply up,
+    divide down), so the bits — and the significance boolean compared
+    against 1.96² — agree exactly. One groupBy(user_id) to collapse
+    events (the conversion flag is a MAX — order-free), one 2-row arm
+    aggregate, one 1-row readout."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    assigned = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("bigint")).alias(
+                "converted"
+            )
+        )
+        .select(
+            (_spark_hash60(F.col("user_id").cast("string")) % 2).alias("arm"),
+            "converted",
+        )
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    n_a, conv_a = F.col("n_a"), F.col("conv_a")
+    n_b, conv_b = F.col("n_b"), F.col("conv_b")
+    d = conv_b * n_a - conv_a * n_b
+    z2 = (
+        d.cast("double")
+        * d
+        * (n_a + n_b)
+        / n_a
+        / n_b
+        / (conv_a + conv_b)
+        / (n_a + n_b - conv_a - conv_b)
+    )
+    zrel = w.select(
+        "n_a", "conv_a", "n_b", "conv_b", z2.alias("z2")
+    )
+    return zrel.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(conv_a.cast("double") / n_a, 6).alias("rate_a"),
+        F.round(conv_b.cast("double") / n_b, 6).alias("rate_b"),
+        F.round(
+            conv_b.cast("double") / n_b - conv_a.cast("double") / n_a, 6
+        ).alias("uplift"),
+        F.round(F.col("z2"), 6).alias("z_squared"),
+        (F.col("z2") > AB_Z2_CRIT).alias("significant"),
+    )

@@ -279,3 +279,79 @@ def dq_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+KANON_K = 5  # minimum group size for a quasi-identifier combination
+
+
+@query(
+    "dq_k_anonymity_audit",
+    oracle=f"""
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM customer GROUP BY c_mktsegment, c_nationkey
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(CASE WHEN group_size < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_risky_groups,
+         CAST(SUM(CASE WHEN group_size < {KANON_K} THEN group_size ELSE 0 END) AS BIGINT)
+           AS n_risky_rows,
+         CAST(MIN(group_size) AS BIGINT) AS k_anonymity
+  FROM g
+)
+SELECT g.c_mktsegment, CAST(g.c_nationkey AS INT) AS c_nationkey,
+       g.group_size, t.k_anonymity,
+       g.group_size < {KANON_K} AS risky,
+       t.n_risky_groups, t.n_risky_rows
+FROM g CROSS JOIN t
+WHERE g.group_size < {KANON_K}
+""",
+)
+def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (market
+    segment, nation): every combination whose group is smaller than k
+    is a re-identification risk — the privacy-compliance check run
+    before releasing or joining "anonymized" data (Sweeney 2002). The
+    companion to the masking lane (fn_mask_customer): masking hides
+    direct identifiers; this audits whether the REMAINING columns
+    still single people out.
+
+    Output: each risky group with its size, alongside the table-wide
+    k-anonymity (the min group size) and risk totals (a 1-row scalar
+    relation riding a broadcast cross join — the scalar ride-along
+    pattern). One partial-combined groupBy of the table; the audit
+    relation is |segments × nations|-sized regardless of row count."""
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    g = cust.groupBy("c_mktsegment", F.col("c_nationkey").cast("int").alias("c_nationkey")).agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("group_size") < KANON_K).cast("bigint")).alias(
+            "n_risky_groups"
+        ),
+        F.sum(
+            F.when(F.col("group_size") < KANON_K, F.col("group_size")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_risky_rows"),
+        F.min("group_size").alias("k_anonymity"),
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .filter(F.col("group_size") < KANON_K)
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "group_size",
+            "k_anonymity",
+            (F.col("group_size") < KANON_K).alias("risky"),
+            "n_risky_groups",
+            "n_risky_rows",
+        )
+    )
