@@ -292,6 +292,9 @@ _DEFER_IN_TIER = frozenset(
         # driver-green shapes); certified at all three scales
         "dq_k_anonymity_audit",
         "ab_test_proportions",
+        # basket self-join on the order key (the q21 self-join lane) +
+        # exact-ratio render; certified at all three scales
+        "reco_item_lift",
     }
 )
 

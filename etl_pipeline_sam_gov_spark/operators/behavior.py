@@ -431,3 +431,104 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("z2"), 6).alias("z_squared"),
         (F.col("z2") > AB_Z2_CRIT).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket analysis (item-item lift)
+# ---------------------------------------------------------------------------
+
+MB_MIN_SUPPORT = 2  # minimum co-occurrence count for a reported pair
+MB_TOP_K = 50
+
+
+@query(
+    "reco_item_lift",
+    oracle=f"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+item AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM basket GROUP BY l_partkey
+),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM basket),
+pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+scored AS (
+  SELECT p.part_a, p.part_b, p.c_ab,
+         round(p.c_ab::DOUBLE / ia.c, 6) AS confidence,
+         round(n.n_orders::DOUBLE * p.c_ab / ia.c / ib.c, 6) AS lift
+  FROM pair p
+  JOIN item ia ON p.part_a = ia.l_partkey
+  JOIN item ib ON p.part_b = ib.l_partkey
+  CROSS JOIN n
+  WHERE p.c_ab >= {MB_MIN_SUPPORT}
+)
+SELECT part_a, part_b, c_ab, confidence, lift
+FROM scored
+ORDER BY lift DESC, part_a, part_b
+LIMIT {MB_TOP_K}
+""",
+)
+def reco_item_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: item-item association rules ranked by
+    lift = N·c(a,b) / (c(a)·c(b)) — the co-purchase recommendation
+    primitive ("customers who bought A also bought B") and the
+    association-rule kernel under Apriori-style mining.
+
+    Scale shape: pair generation is a self-join of the distinct
+    (order, part) basket ON THE ORDER KEY, so fan-out is bounded by
+    basket size squared per order (≤ C(17,2) here; a real retailer
+    caps basket size the same way) and never corpus-quadratic. At
+    100 TB the basket relation is bucketed on orderkey so the
+    self-join is exchange-free (the dq_snapshot_diff layout). Counts
+    are exact ints; lift/confidence are one float expression in
+    identical operation order on both engines, rounded to 6; the
+    top-k cut orders by the ROUNDED lift with pair tiebreaks and
+    plans as TakeOrderedAndProject, not a full sort."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    item = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    n = basket.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    a = basket.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = basket.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    pair = (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= MB_MIN_SUPPORT)
+    )
+    scored = (
+        pair.join(item.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a")), "part_a")
+        .join(item.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b")), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            F.round(F.col("c_ab").cast("double") / F.col("c_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_orders").cast("double")
+                * F.col("c_ab")
+                / F.col("c_a")
+                / F.col("c_b"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+    ).limit(MB_TOP_K)
