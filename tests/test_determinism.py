@@ -41,6 +41,12 @@ REPRESENTATIVE = [
     "ml_knn_classifier",         # vote/rank tie-breaks over IVF neighbors
     "text_bigram_perplexity",    # ln-sum under round(6) + model join
     "graph_jaccard_neighbors",   # integer co-occurrence counts + division
+    "join_skyline_parts",        # cumulative-max frontier under re-bucketing
+    "graph_kcore_membership",    # iterative semi-join peel rounds
+    "retrieval_hybrid_rrf",      # rank fusion of two rounded-score legs
+    "ml_naive_bayes_langid",     # ln-sum argmax under round(6) + class ties
+    "ts_anomaly_rolling_z",      # exact-int window frames (trivially invariant)
+    "ab_test_proportions",       # one float expression over exact ints
 ]
 
 
