@@ -295,6 +295,9 @@ _DEFER_IN_TIER = frozenset(
         # basket self-join on the order key (the q21 self-join lane) +
         # exact-ratio render; certified at all three scales
         "reco_item_lift",
+        # the PIT band-join + purchase-key window lanes (both
+        # driver-green); certified at all three scales
+        "attribution_position_based",
     }
 )
 

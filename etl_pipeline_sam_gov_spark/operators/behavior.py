@@ -532,3 +532,105 @@ def reco_item_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("lift"), F.asc("part_a"), F.asc("part_b")
     ).limit(MB_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution (position-based / U-shaped)
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_S = 3600  # clicks within this many seconds before a purchase
+
+
+@query(
+    "attribution_position_based",
+    oracle=f"""
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us, value
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+),
+touch AS (
+  SELECT p.purchase_id, p.value, c.click_id,
+         row_number() OVER (PARTITION BY p.purchase_id ORDER BY c.c_us, c.click_id) AS pos,
+         COUNT(*) OVER (PARTITION BY p.purchase_id) AS n
+  FROM p JOIN c
+    ON p.user_id = c.user_id
+   AND c.c_us > p.p_us - CAST({ATTR_WINDOW_S} AS BIGINT) * 1000000
+   AND c.c_us <= p.p_us
+),
+credited AS (
+  SELECT purchase_id, click_id, CAST(pos AS INT) AS pos, CAST(n AS INT) AS n_touches,
+         CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+              WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+              WHEN pos = 1 OR pos = n THEN CAST(0.4 AS DOUBLE)
+              ELSE CAST(0.2 AS DOUBLE) / (n - 2) END AS credit,
+         value
+  FROM touch
+)
+SELECT purchase_id, click_id, pos, n_touches,
+       round(credit, 6) AS credit,
+       round(value * credit, 6) AS attributed_value
+FROM credited
+""",
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every click
+    in the hour before a purchase shares the purchase's value — 40% to
+    the first touch, 40% to the last, the middle 20% split evenly —
+    the marketing-spend allocation model one step past the
+    single-touch as-of join (asof_join_purchase_click picks ONE click;
+    this credits the whole path).
+
+    Scale shape: purchases⋈clicks is an equi-join on user_id with the
+    time band as a residual predicate (the join_point_in_time_features
+    shape), so fan-out is bounded by a user's click rate × the window,
+    never corpus-quadratic; position and path length come from one
+    window over the purchase key. Credit is a CASE over exact ints
+    with double literals evaluated in identical expression order on
+    both engines; renders through round(6)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    us = F.unix_micros(F.col("ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        us.alias("p_us"),
+        "value",
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        us.alias("c_us"),
+    )
+    touch = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_us") > F.col("p_us") - ATTR_WINDOW_S * 1_000_000)
+        & (F.col("c_us") <= F.col("p_us")),
+    )
+    w_pos = W.partitionBy("purchase_id").orderBy("c_us", "click_id")
+    w_n = W.partitionBy("purchase_id")
+    staged = touch.select(
+        "purchase_id",
+        "click_id",
+        "value",
+        F.row_number().over(w_pos).cast("int").alias("pos"),
+        F.count(F.lit(1)).over(w_n).cast("int").alias("n_touches"),
+    )
+    n, pos = F.col("n_touches"), F.col("pos")
+    credit = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when((pos == 1) | (pos == n), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2))
+    )
+    return staged.select(
+        "purchase_id",
+        "click_id",
+        "pos",
+        "n_touches",
+        F.round(credit, 6).alias("credit"),
+        F.round(F.col("value") * credit, 6).alias("attributed_value"),
+    )
