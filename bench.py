@@ -54,6 +54,9 @@ HEADLINE = [
     "pipeline_training_corpus_v2",  # classifier → rebalance → SemDeDup DAG
     "text_bm25_retrieval",  # sparse retrieval: shared tf pass + broadcast model
     "text_bpe_merge_rounds",  # iterative vocab induction on the word-count table
+    "reco_item_lift",  # market-basket self-join bounded per order
+    "graph_kcore_membership",  # iterative peel: degree count + semi-joins
+    "ts_anomaly_rolling_z",  # exact-int ROWS-frame control bands
 ]
 
 

@@ -298,6 +298,10 @@ _DEFER_IN_TIER = frozenset(
         # the PIT band-join + purchase-key window lanes (both
         # driver-green); certified at all three scales
         "attribution_position_based",
+        # pure scan-stage date rendering (the F4/F5 lane the driver
+        # has green via contracts/fn_date_orders); certified at all
+        # three scales
+        "fn_calendar_orders",
     }
 )
 

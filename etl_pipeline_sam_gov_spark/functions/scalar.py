@@ -581,3 +581,55 @@ def fn_mask_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("name_show3"),
     )
+
+
+@query(
+    "fn_calendar_orders",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+       CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+       CAST(date_diff('day', date_trunc('month', o_orderdate),
+            last_day(CAST(o_orderdate AS DATE))) + 1 AS INT) AS days_in_month,
+       strftime(CAST(o_orderdate AS DATE)
+         + to_days(CAST(CASE WHEN (5 - isodow(o_orderdate) + 7) % 7 = 0 THEN 7
+                ELSE (5 - isodow(o_orderdate) + 7) % 7 END AS INT)), '%Y-%m-%d')
+         AS next_friday
+FROM orders
+""",
+)
+def fn_calendar_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic breadth over the order dates: month shifts
+    with end-of-month clamping (add_months), month boundaries, ISO
+    week/day-of-week numbering, month lengths, and strictly-next
+    weekday scheduling (next_day) — the business-calendar derivations
+    every reporting layer builds on the F4/F5 date lane
+    (``lambda_function.py:21,88``).
+
+    Cross-engine trap list this query pins: Spark ``dayofweek`` is
+    1=Sunday while DuckDB ``isodow`` is 1=Monday (bridged via Spark
+    ``weekday()+1`` ≡ isodow); DuckDB has no ``next_day`` (bridged by
+    the isodow offset formula with the 0→7 strictly-next adjustment);
+    both engines clamp month addition to month ends. Every output
+    renders as a formatted date string or exact int — zero float
+    anywhere, pure scan-stage codegen."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = F.col("o_orderdate")
+    iso_dow = (F.weekday(d) + 1).cast("int")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3m"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        iso_dow.alias("iso_dow"),
+        (F.datediff(F.last_day(d), F.trunc(d, "month")) + 1)
+        .cast("int")
+        .alias("days_in_month"),
+        F.date_format(F.next_day(d, "Friday"), "yyyy-MM-dd").alias(
+            "next_friday"
+        ),
+    )
