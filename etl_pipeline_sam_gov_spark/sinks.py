@@ -207,3 +207,72 @@ def swap_into_place(spark: SparkSession, tmp: str, path: str) -> None:
         fs.rename(hpath, old_path)
     fs.rename(tmp_path, hpath)
     fs.delete(old_path, True)
+
+
+def write_versioned_snapshot(df: DataFrame, root: str, version: str) -> str:
+    """Write a snapshot under ``root/v=<version>/`` — the
+    dated-snapshot layout whose newest directory is "the table" and
+    whose older siblings are retained history (the reference overwrote
+    ONE fixed key per run, ``lambda_function.py:15,122,126-128``,
+    destroying history; versioned layouts are how production keeps
+    yesterday queryable and makes every publish atomic: readers resolve
+    the newest complete version, never a half-written one)."""
+    path = f"{root.rstrip('/')}/v={version}"
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def list_snapshot_versions(spark: SparkSession, root: str) -> list[str]:
+    """Version labels present under a versioned-snapshot root, oldest
+    first (lexicographic — version labels must sort chronologically,
+    e.g. zero-padded dates/sequence numbers)."""
+    sc = spark.sparkContext
+    hroot = sc._jvm.org.apache.hadoop.fs.Path(root)
+    fs = hroot.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(hroot):
+        return []
+    out = []
+    for status in fs.listStatus(hroot):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("v="):
+            out.append(name[2:])
+    return sorted(out)
+
+
+def expire_snapshots(spark: SparkSession, root: str, keep: int) -> list[str]:
+    """Retention: delete all but the newest ``keep`` versions under a
+    versioned-snapshot root; returns the expired labels. The
+    maintenance companion to compact_snapshot (Iceberg calls this
+    expire_snapshots; Delta, VACUUM): without retention a daily
+    100 TB snapshot pipeline grows unbounded. Deletion order is
+    oldest-first so a crash mid-expiry leaves a contiguous (newest)
+    suffix of versions intact — the invariant readers rely on."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1 — refusing to delete every version")
+    versions = list_snapshot_versions(spark, root)
+    doomed = versions[: max(0, len(versions) - keep)]
+    sc = spark.sparkContext
+    fs = sc._jvm.org.apache.hadoop.fs.Path(root).getFileSystem(
+        sc._jsc.hadoopConfiguration()
+    )
+    for v in doomed:
+        fs.delete(sc._jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/v={v}"), True)
+    return doomed
+
+
+def read_snapshot_version(
+    spark: SparkSession, root: str, version: str | None = None
+) -> DataFrame:
+    """Read one version of a versioned snapshot (newest when
+    ``version`` is None) with schema-evolution-on-read: mergeSchema
+    unifies columns added across versions, so a reader spanning old
+    and new snapshots sees the superset schema with NULLs where a
+    version predates a column — the plain-parquet form of the schema
+    evolution every table format guarantees."""
+    versions = list_snapshot_versions(spark, root)
+    if not versions:
+        raise FileNotFoundError(f"no versions under {root}")
+    v = version if version is not None else versions[-1]
+    return spark.read.option("mergeSchema", "true").parquet(
+        f"{root.rstrip('/')}/v={v}"
+    )

@@ -208,3 +208,48 @@ def test_compact_snapshot_partitioned_respects_layout(spark, sf_dir, tmp_path):
     assert "__salt" not in back.columns and "__n_salt" not in back.columns
     assert not os.path.exists(out + "__compacting")
     assert not os.path.exists(out + "__old")
+
+
+def test_versioned_snapshots_retention_and_schema_evolution(spark, sf_dir, tmp_path):
+    """Versioned-snapshot lifecycle: publish N versions, expire to a
+    retention window (oldest deleted first, newest suffix intact),
+    read the latest with mergeSchema so a column added in a later
+    version surfaces as NULL-padded superset schema."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_sam_gov_spark.sinks import (
+        expire_snapshots,
+        list_snapshot_versions,
+        read_snapshot_version,
+        write_versioned_snapshot,
+    )
+
+    root = str(tmp_path / "contracts_versions")
+    base = spark.range(5).select(F.col("id").alias("k"))
+    write_versioned_snapshot(base, root, "2026-08-01")
+    write_versioned_snapshot(base, root, "2026-08-02")
+    # schema evolves: a new column appears in the newest version
+    write_versioned_snapshot(
+        base.withColumn("score", F.col("k") * 2), root, "2026-08-03"
+    )
+    assert list_snapshot_versions(spark, root) == [
+        "2026-08-01",
+        "2026-08-02",
+        "2026-08-03",
+    ]
+
+    expired = expire_snapshots(spark, root, keep=2)
+    assert expired == ["2026-08-01"]
+    assert list_snapshot_versions(spark, root) == ["2026-08-02", "2026-08-03"]
+
+    newest = read_snapshot_version(spark, root)
+    assert set(newest.columns) == {"k", "score"}
+    assert newest.count() == 5
+
+    older = read_snapshot_version(spark, root, "2026-08-02")
+    assert set(older.columns) == {"k"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        expire_snapshots(spark, root, keep=0)

@@ -72,6 +72,15 @@ STRESS_QUERIES = (
     "ml_reliability_bins_quality",  # scoring scan + tiny percentile agg
     "multimodal_audio_channel_stats",  # two-stage mapInPandas, no shuffle
     "retrieval_hybrid_rrf",      # BM25 leg grows; dense leg fixed probes
+    "attribution_position_based",  # user-keyed band join + purchase windows
+    # TPC-H-side consumers (amplified key populations):
+    "reco_item_lift",            # basket self-join bounded per order
+    "graph_kcore_membership",    # per-round degree count + semi-joins
+    "dq_constraint_suite",       # one agg per table + RI key join
+    "dq_snapshot_diff_cdc",      # full-outer key join, delta filter
+    "rfm_customer_segments",     # per-customer rollup + percentile bands
+    "join_skyline_parts",        # local→global cumulative-max frontier
+    "ab_test_proportions",       # user collapse + 2-row arm agg
     # (ann_*/ml_knn are deliberately NOT stressed: the query set grows
     # with the corpus by construction (vec_id % 50), so candidates grow
     # ~quadratically under amplification — that measures the fixture's
@@ -134,6 +143,32 @@ def amplify(spark, base_dir: str, amp: int, out_dir: str) -> None:
     amped_emb.write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
     )
+    # TPC-H-side tables: each replica is a NEW key population (orderkey/
+    # custkey/partkey/suppkey offsets kept mutually consistent so joins
+    # still land), which grows entity counts — the dimension a cluster
+    # parallelizes over — without stretching any single entity's
+    # footprint. Needed by the relational-side stressed operators
+    # (market basket, k-core, dq suite, CDC diff, RFM, skyline).
+    key_offsets = {
+        "orders": {"o_orderkey": 1_000_000_000, "o_custkey": 1_000_000},
+        "lineitem": {
+            "l_orderkey": 1_000_000_000,
+            "l_partkey": 10_000_000,
+            "l_suppkey": 10_000,
+        },
+        "customer": {"c_custkey": 1_000_000},
+        "part": {"p_partkey": 10_000_000},
+    }
+    for table, offsets in key_offsets.items():
+        df = spark.read.parquet(os.path.join(base_dir, f"{table}.parquet"))
+        amped_t = df.crossJoin(F.broadcast(reps))
+        for col, off in offsets.items():
+            amped_t = amped_t.withColumn(
+                col, F.col(col) + F.col("rep") * F.lit(off)
+            )
+        amped_t.drop("rep").write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{table}.parquet")
+        )
 
 
 def main() -> None:
