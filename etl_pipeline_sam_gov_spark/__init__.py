@@ -302,6 +302,10 @@ _DEFER_IN_TIER = frozenset(
         # has green via contracts/fn_date_orders); certified at all
         # three scales
         "fn_calendar_orders",
+        # occurrence-collapse + exact-contingency lanes; certified at
+        # all three scales
+        "seq_pattern_support",
+        "ml_mutual_information",
     }
 )
 

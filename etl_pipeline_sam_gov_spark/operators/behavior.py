@@ -634,3 +634,83 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(credit, 6).alias("credit"),
         F.round(F.col("value") * credit, 6).alias("attributed_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential-pattern support (2-sequences)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "seq_pattern_support",
+    oracle="""
+WITH occ AS (
+  SELECT user_id, event_type,
+         MIN(epoch_us(ts) * 100 + event_id % 100) AS first_k,
+         MAX(epoch_us(ts) * 100 + event_id % 100) AS last_k
+  FROM events GROUP BY user_id, event_type
+),
+users AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+pairs AS (
+  SELECT a.event_type AS first_type, b.event_type AS then_type,
+         CAST(COUNT(*) AS BIGINT) AS n_supporting
+  FROM occ a JOIN occ b
+    ON a.user_id = b.user_id AND a.first_k < b.last_k
+   AND a.event_type <> b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT first_type, then_type, n_supporting,
+       round(n_supporting::DOUBLE / n_users, 6) AS support
+FROM pairs CROSS JOIN users
+""",
+)
+def seq_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining (the 2-sequence core of
+    PrefixSpan/GSP): for every ordered type pair ⟨A then B⟩, the count
+    and fraction of users whose timeline contains SOME A before SOME
+    B — the order-sensitive complement to markov_event_transitions
+    (Markov counts adjacent steps; this counts containment with
+    arbitrary gaps, the pattern-mining notion of support).
+
+    The containment test collapses to first(A) < last(B) per user, so
+    the corpus reduces to one groupBy(user, type) of first/last
+    occurrence keys — |users|×|types| rows — and the pair join runs on
+    that reduced relation, bounded by |types|² per user, never over
+    raw events. Occurrence keys pack (epoch_us, event_id mod 100) into
+    one int64 (micros × 100 stays under 2⁶³) so the before/after
+    comparison is a single exact integer compare; the low-digit
+    tiebreak is identical on both engines, which is the parity
+    contract."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    k = F.unix_micros(F.col("ts")) * 100 + F.col("event_id") % 100
+    occ = ev.groupBy("user_id", "event_type").agg(
+        F.min(k).alias("first_k"), F.max(k).alias("last_k")
+    )
+    users = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    a = occ.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("first_type"),
+        "first_k",
+    )
+    b = occ.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("then_type"),
+        "last_k",
+    )
+    pairs = (
+        a.join(b, "u")
+        .filter(
+            (F.col("first_type") != F.col("then_type"))
+            & (F.col("first_k") < F.col("last_k"))
+        )
+        .groupBy("first_type", "then_type")
+        .agg(F.count(F.lit(1)).alias("n_supporting"))
+    )
+    return pairs.crossJoin(F.broadcast(users)).select(
+        "first_type",
+        "then_type",
+        "n_supporting",
+        F.round(
+            F.col("n_supporting").cast("double") / F.col("n_users"), 6
+        ).alias("support"),
+    )

@@ -816,3 +816,133 @@ def ml_reliability_bins_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information feature ranking
+# ---------------------------------------------------------------------------
+
+_MI_TERM_SQL = """CASE WHEN {n} > 0 THEN ({n}::DOUBLE / nu)
+       * ln({n}::DOUBLE * nu / ({rt}::DOUBLE * {ct})) ELSE 0.0 END"""
+
+
+def _mi_oracle() -> str:
+    terms = " + ".join(
+        _MI_TERM_SQL.format(n=n, rt=rt, ct=ct)
+        for n, rt, ct in (
+            ("n11", "(n11 + n10)", "(n11 + n01)"),
+            ("n10", "(n11 + n10)", "(n10 + n00)"),
+            ("n01", "(n01 + n00)", "(n11 + n01)"),
+            ("n00", "(n01 + n00)", "(n10 + n00)"),
+        )
+    )
+    return f"""
+WITH conv AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS converted
+  FROM events GROUP BY user_id
+),
+has_t AS (
+  SELECT DISTINCT user_id, event_type FROM events WHERE event_type <> 'purchase'
+),
+nu_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM conv),
+cells AS (
+  SELECT h.event_type AS feature,
+         CAST(SUM(c.converted) AS BIGINT) AS n11,
+         CAST(COUNT(*) - SUM(c.converted) AS BIGINT) AS n10
+  FROM has_t h JOIN conv c USING (user_id)
+  GROUP BY h.event_type
+),
+conv_tot AS (SELECT CAST(SUM(converted) AS BIGINT) AS n_conv FROM conv),
+full_cells AS (
+  SELECT feature, n11, n10,
+         n_conv - n11 AS n01,
+         nu - n11 - n10 - (n_conv - n11) AS n00,
+         nu
+  FROM cells CROSS JOIN nu_t CROSS JOIN conv_tot
+)
+SELECT feature, n11, n10, n01, n00,
+       round({terms}, 6) AS mutual_info
+FROM full_cells
+"""
+
+
+@query("ml_mutual_information", oracle=_mi_oracle())
+def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(feature; label) between "user emitted
+    event type T" and "user converted" — the filter-method feature
+    selector (information gain) run before model fitting, ranking
+    which behaviors actually carry signal about conversion.
+
+    The 2×2 contingency per feature comes from exact integer counts
+    (one distinct user-type pass joined to the per-user conversion
+    flag); n01/n00 derive algebraically from the row/column totals so
+    no anti-join is needed. The four p·ln(p/pq) terms are written in
+    the SAME fixed order on both engines (a 4-term float sum is
+    order-sensitive; fixing the order makes it bit-identical), zero
+    cells contribute exactly 0 by CASE, and the result renders through
+    round(6). Output is |event_types| rows regardless of corpus
+    size."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    conv = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("bigint")).alias(
+            "converted"
+        )
+    )
+    has_t = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    nu_t = conv.agg(F.count(F.lit(1)).alias("nu"))
+    conv_tot = conv.agg(F.sum("converted").alias("n_conv"))
+    cells = (
+        has_t.join(conv, "user_id")
+        .groupBy(F.col("event_type").alias("feature"))
+        .agg(
+            F.sum("converted").alias("n11"),
+            (F.count(F.lit(1)) - F.sum("converted")).alias("n10"),
+        )
+    )
+    fc = (
+        cells.crossJoin(F.broadcast(nu_t))
+        .crossJoin(F.broadcast(conv_tot))
+        .select(
+            "feature",
+            "n11",
+            "n10",
+            (F.col("n_conv") - F.col("n11")).alias("n01"),
+            (
+                F.col("nu")
+                - F.col("n11")
+                - F.col("n10")
+                - (F.col("n_conv") - F.col("n11"))
+            ).alias("n00"),
+            "nu",
+        )
+    )
+
+    def term(n, rt, ct):
+        return F.when(
+            n > 0,
+            (n.cast("double") / F.col("nu"))
+            * F.log(n.cast("double") * F.col("nu") / (rt.cast("double") * ct)),
+        ).otherwise(F.lit(0.0))
+
+    n11, n10 = F.col("n11"), F.col("n10")
+    n01, n00 = F.col("n01"), F.col("n00")
+    mi = (
+        term(n11, n11 + n10, n11 + n01)
+        + term(n10, n11 + n10, n10 + n00)
+        + term(n01, n01 + n00, n11 + n01)
+        + term(n00, n01 + n00, n10 + n00)
+    )
+    return fc.select(
+        "feature",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(mi, 6).alias("mutual_info"),
+    )
