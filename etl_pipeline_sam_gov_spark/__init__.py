@@ -306,6 +306,9 @@ _DEFER_IN_TIER = frozenset(
         # all three scales
         "seq_pattern_support",
         "ml_mutual_information",
+        # evaluation readout over the NB relation, oracle shared
+        # verbatim; certified at all three scales
+        "ml_confusion_matrix_langid",
     }
 )
 

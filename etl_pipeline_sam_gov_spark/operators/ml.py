@@ -588,9 +588,9 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "ml_naive_bayes_langid",
-    oracle=r"""
+#: NB oracle body — shared verbatim with the confusion-matrix oracle
+#: so both certify the SAME classifier output.
+_NB_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id, lang, unnest(string_split_regex(text, '\s+')) AS tok
   FROM documents
@@ -638,8 +638,10 @@ ranked AS (
 SELECT doc_id, actual, cls AS predicted, score AS best_score,
        cls = actual AS correct
 FROM ranked WHERE rn = 1
-""",
-)
+"""
+
+
+@query("ml_naive_bayes_langid", oracle=_NB_ORACLE)
 def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial naive Bayes language identification, fit and scored
     in one pass over the corpus: argmax_c [ln P(c) + Σ_t ln P(t|c)]
@@ -945,4 +947,46 @@ def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n01",
         "n00",
         F.round(mi, 6).alias("mutual_info"),
+    )
+
+
+@query(
+    "ml_confusion_matrix_langid",
+    oracle=f"""
+WITH nb AS ({_NB_ORACLE}),
+cells AS (
+  SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+  FROM nb GROUP BY actual, predicted
+)
+SELECT actual, predicted, n,
+       round(n::DOUBLE / SUM(n) OVER (PARTITION BY actual), 6)
+         AS frac_of_actual
+FROM cells
+""",
+)
+def ml_confusion_matrix_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the naive Bayes language classifier:
+    (actual, predicted) cell counts plus per-class recall fractions —
+    the evaluation readout that turns per-document predictions into a
+    model-quality decision (which languages bleed into which). Built
+    ON the registered classifier relation and certified against an
+    oracle that embeds the NB oracle VERBATIM as a CTE, so the
+    evaluated predictions are provably the same ones the driver
+    certifies via ml_naive_bayes_langid.
+
+    Scale: the matrix is |langs|² rows from one partial-combined count
+    over the prediction relation; the row-normalizing window runs on
+    that tiny aggregate."""
+    nb = ml_naive_bayes_langid(spark, sf_dir)
+    cells = nb.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("actual")
+    return cells.select(
+        "actual",
+        "predicted",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w), 6
+        ).alias("frac_of_actual"),
     )
