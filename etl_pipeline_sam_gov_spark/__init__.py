@@ -309,6 +309,9 @@ _DEFER_IN_TIER = frozenset(
         # evaluation readout over the NB relation, oracle shared
         # verbatim; certified at all three scales
         "ml_confusion_matrix_langid",
+        # the md5-coin + WindowGroupLimit-adjacent shard-local sort
+        # lanes; certified at all three scales
+        "curate_epoch_order",
     }
 )
 

@@ -836,3 +836,74 @@ def curate_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         "doc_id", "lang", "n_chars", "k", rnk.cast("int").alias("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch-wise deterministic shuffle-sharding
+# ---------------------------------------------------------------------------
+
+EPOCH_COUNT = 2
+EPOCH_SHARDS = 8
+
+
+@query(
+    "curate_epoch_order",
+    oracle=f"""
+WITH epochs AS (
+  SELECT doc_id, u.e AS epoch,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(u.e AS VARCHAR)), 1, 15))::BIGINT
+           AS k
+  FROM documents, unnest(range({EPOCH_COUNT})) AS u(e)
+)
+SELECT doc_id, CAST(epoch AS INT) AS epoch,
+       CAST(k % {EPOCH_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY epoch, k % {EPOCH_SHARDS} ORDER BY k, doc_id
+       ) AS BIGINT) AS position
+FROM epochs
+""",
+)
+def curate_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-wise deterministic shuffle-sharding: for every training
+    epoch, each document gets a fresh pseudo-random order key
+    (md5(doc_id, epoch)), a shard (key mod S), and its position within
+    the shard — the data-loader recipe that makes multi-epoch training
+    see a DIFFERENT document order per epoch while staying perfectly
+    reproducible (re-runs and stragglers re-derive identical order;
+    no RNG state to checkpoint). Hash-derived order is also
+    append-stable per epoch: adding documents never reorders existing
+    pairs within a shard.
+
+    Scale shape: the only sort is WITHIN (epoch, shard) — exactly the
+    shard-local sort a training loader performs when writing shuffled
+    shards, parallel across S×E partitions; no global order exists
+    anywhere. The epoch fan-out is a scan-stage explode (×E), and the
+    md5 keys are the curation family's engine-neutral coin."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    epochs = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(e) for e in range(EPOCH_COUNT)])
+        ).alias("epoch"),
+    ).select(
+        "doc_id",
+        "epoch",
+        _spark_hash60(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("epoch").cast("string"),
+            )
+        ).alias("k"),
+    )
+    w = W.partitionBy(
+        "epoch", (F.col("k") % EPOCH_SHARDS)
+    ).orderBy("k", "doc_id")
+    return epochs.select(
+        "doc_id",
+        F.col("epoch").cast("int").alias("epoch"),
+        (F.col("k") % EPOCH_SHARDS).cast("int").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("position"),
+    )
