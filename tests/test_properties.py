@@ -427,3 +427,69 @@ def test_semdedup_cap_keeps_superset_and_splits_clusters(spark):
         r["cluster"] for r in dedup_semantic_clusters(spark, sf_dir).collect()
     )
     assert max(sizes.values()) > SEMDEDUP_MAX_CLUSTER
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=40),  # price cents
+            st.integers(min_value=1, max_value=10),  # size
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_skyline_windows_match_dominance_model(pts, spark):
+    """The two-stage window frontier equals brute-force strict
+    dominance for ANY point set (duplicates included) — the exact
+    property the NOT-EXISTS oracle states, here exercised over
+    adversarial tiny inputs (ties on price, ties on size, duplicate
+    points) where off-by-one frame bugs live."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rows = [(i, float(p) / 100.0, s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "p_partkey long, p_retailprice double, p_size int")
+
+    # model: strict dominance (minimize price, maximize size)
+    def dominated(i):
+        pi, si = pts[i]
+        return any(
+            (pj <= pi and sj >= si and (pj < pi or sj > si))
+            for j, (pj, sj) in enumerate(pts)
+            if j != i
+        )
+
+    expect = {i for i in range(len(pts)) if not dominated(i)}
+
+    cents = F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
+    base = df.select("p_partkey", "p_size", cents.alias("cents"))
+
+    def frontier(rel, *bucket):
+        w_incl = W.partitionBy(*bucket).orderBy("cents").rangeBetween(
+            W.unboundedPreceding, 0
+        )
+        w_strict = W.partitionBy(*bucket).orderBy("cents").rangeBetween(
+            W.unboundedPreceding, -1
+        )
+        return (
+            rel.select(
+                "p_partkey",
+                "p_size",
+                "cents",
+                F.max("p_size").over(w_incl).alias("mi"),
+                F.max("p_size").over(w_strict).alias("ms"),
+            )
+            .filter(
+                (F.col("p_size") == F.col("mi"))
+                & (F.col("ms").isNull() | (F.col("p_size") > F.col("ms")))
+            )
+            .select("p_partkey", "p_size", "cents")
+        )
+
+    local = frontier(
+        base.withColumn("b", F.pmod(F.col("p_partkey"), F.lit(3))), "b"
+    )
+    got = {r.p_partkey for r in frontier(local).collect()}
+    assert got == expect
