@@ -312,6 +312,9 @@ _DEFER_IN_TIER = frozenset(
         # the md5-coin + WindowGroupLimit-adjacent shard-local sort
         # lanes; certified at all three scales
         "curate_epoch_order",
+        # serving-sized join of the two certified ranked relations,
+        # oracles embedded verbatim; certified at all three scales
+        "ann_recall_at_k",
     }
 )
 

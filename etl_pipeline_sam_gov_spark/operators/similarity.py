@@ -85,10 +85,9 @@ norms AS (
 """
 
 
-@query(
-    "ann_bruteforce_topk",
-    baseline_of="ann_ivf_topk",
-    oracle=f"""
+#: Exact brute-force top-k statement — shared verbatim by the
+#: ann_bruteforce_topk oracle and the recall evaluator's ground truth.
+_SQL_BF_TOPK = f"""
 WITH {_SQL_NORMS},
 q AS (SELECT * FROM norms WHERE vec_id % {QUERY_STRIDE} = 0),
 scored AS (
@@ -103,7 +102,13 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
 FROM ranked WHERE rank <= {TOP_K}
-""",
+"""
+
+
+@query(
+    "ann_bruteforce_topk",
+    baseline_of="ann_ivf_topk",
+    oracle=_SQL_BF_TOPK,
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast queries × corpus scan × rank window.
@@ -735,4 +740,52 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_rank",
         F.col("true_label").cast("int").alias("true_label"),
         (F.col("label") == F.col("true_label")).alias("correct"),
+    )
+
+
+@query(
+    "ann_recall_at_k",
+    oracle=f"""
+WITH bf AS ({_SQL_BF_TOPK}),
+ivf AS ({_SQL_IVF_TOPK}),
+hits AS (
+  SELECT bf.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM bf JOIN ivf USING (query_id, neighbor_id)
+  GROUP BY bf.query_id
+),
+qs AS (SELECT DISTINCT query_id FROM bf)
+SELECT qs.query_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       round(COALESCE(h.n_hits, 0)::DOUBLE / {TOP_K}, 6) AS recall
+FROM qs LEFT JOIN hits h USING (query_id)
+""",
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against the exact brute-force ground
+    truth: per query, the fraction of the true top-k the approximate
+    index returned — THE quality metric an ANN deployment is tuned on
+    (nprobe trades this against probe cost). Built on the two
+    registered relations and certified against an oracle embedding
+    BOTH of their statements verbatim, so the evaluated rankings are
+    provably the ones the driver certifies via ann_bruteforce_topk /
+    ann_ivf_topk; recall is an exact-int ratio.
+
+    Scale: the two ranked relations are (queries × k)-sized, so the
+    hit join and the per-query count are serving-sized, not
+    corpus-sized — the expensive legs are the indexes themselves,
+    shared unchanged."""
+    bf = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qs = bf.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / TOP_K, 6
+        ).alias("recall"),
     )
