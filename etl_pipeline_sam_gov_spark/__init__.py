@@ -315,6 +315,9 @@ _DEFER_IN_TIER = frozenset(
         # serving-sized join of the two certified ranked relations,
         # oracles embedded verbatim; certified at all three scales
         "ann_recall_at_k",
+        # probe-exploded twin of the driver-green bucketed LSH lane;
+        # certified at all three scales
+        "ann_lsh_multiprobe_topk",
     }
 )
 

@@ -789,3 +789,95 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / TOP_K, 6
         ).alias("recall"),
     )
+
+
+def _flip_bit_sql(i: int) -> str:
+    """Bucket string with bit i flipped (1-indexed position in the
+    LSH_SIGN_DIMS-char '0'/'1' string)."""
+    return (
+        f"substr(bucket, 1, {i - 1}) || "
+        f"(CASE WHEN substr(bucket, {i}, 1) = '1' THEN '0' ELSE '1' END) || "
+        f"substr(bucket, {i + 1})"
+    )
+
+
+@query(
+    "ann_lsh_multiprobe_topk",
+    oracle=f"""
+WITH {_SQL_NORMS},
+bucketed AS (SELECT vec_id, v, nrm, {_sign_bucket_sql()} AS bucket FROM norms),
+q0 AS (SELECT * FROM bucketed WHERE vec_id % {QUERY_STRIDE} = 0),
+probes AS (
+  SELECT vec_id, v, nrm, bucket AS probe FROM q0
+  {"".join(f" UNION ALL SELECT vec_id, v, nrm, {_flip_bit_sql(i + 1)} FROM q0" for i in range(LSH_SIGN_DIMS))}
+),
+scored AS (
+  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(p.v, c.v) / (p.nrm * c.nrm) AS cos
+  FROM probes p JOIN bucketed c
+    ON c.bucket = p.probe AND c.vec_id <> p.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al., VLDB'07): each query probes its
+    own sign-pattern cell PLUS every cell one bit-flip away — the
+    standard recall-recovery move for bucketed LSH (a near neighbor
+    on the far side of one hyperplane lands one bit off), bought with
+    probes-per-query instead of more tables. The plan shape is
+    UNCHANGED from the single-probe variant: still an equi-join on the
+    cell id, just with (1 + n_dims) probe rows per query exploded on
+    the broadcast side; candidates from overlapping probes dedupe
+    before ranking."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    bucketed = with_norms(emb).withColumn("bucket", sign_bucket(F.col("v")))
+    q0 = bucketed.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+
+    def flip(i: int) -> Column:
+        return F.concat(
+            F.substring(F.col("bucket"), 1, i - 1),
+            F.when(
+                F.substring(F.col("bucket"), i, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1")),
+            F.substring(F.col("bucket"), i + 1, LSH_SIGN_DIMS),
+        )
+
+    probe_arr = F.array(
+        F.col("bucket"), *[flip(i + 1) for i in range(LSH_SIGN_DIMS)]
+    )
+    probes = q0.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.explode(probe_arr).alias("probe"),
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("probe"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias(
+                "cos"
+            ),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine")
+        )
+    )
