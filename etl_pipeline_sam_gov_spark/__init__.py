@@ -318,6 +318,9 @@ _DEFER_IN_TIER = frozenset(
         # probe-exploded twin of the driver-green bucketed LSH lane;
         # certified at all three scales
         "ann_lsh_multiprobe_topk",
+        # candidate-set-sized estimator readout over the driver-green
+        # MinHash machinery; certified at all three scales
+        "dedup_minhash_estimate_quality",
     }
 )
 

@@ -1143,3 +1143,104 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((cont >= CONTAINMENT_THRESHOLD) & (F.col("szi") <= F.col("szo")))
         .select("inner_doc", "outer_doc", F.round(cont, 6).alias("containment"))
     )
+
+
+def _sql_minhash_estimate() -> str:
+    eq_sum = " + ".join(
+        f"CASE WHEN a.s{k} = b.s{k} THEN 1 ELSE 0 END"
+        for k in range(len(MINHASH_PERMS))
+    )
+    return (
+        "WITH "
+        + _sql_minhash_pair_ctes()
+        + f""",
+est AS (
+  SELECT c.doc1, c.doc2,
+         ({eq_sum})::DOUBLE / {len(MINHASH_PERMS)} AS est_j
+  FROM cand c
+  JOIN sigs a ON a.doc_id = c.doc1
+  JOIN sigs b ON b.doc_id = c.doc2
+),
+exact_j AS (
+  SELECT c.doc1, c.doc2,
+         COALESCE(i.intersection, 0)::DOUBLE
+           / (s1.sz + s2.sz - COALESCE(i.intersection, 0)) AS ex_j
+  FROM cand c
+  LEFT JOIN inter i ON i.doc1 = c.doc1 AND i.doc2 = c.doc2
+  JOIN sizes s1 ON s1.doc_id = c.doc1
+  JOIN sizes s2 ON s2.doc_id = c.doc2
+)
+SELECT e.doc1, e.doc2,
+       round(e.est_j, 6) AS est_jaccard,
+       round(x.ex_j, 6) AS exact_jaccard,
+       round(abs(e.est_j - x.ex_j), 6) AS abs_err
+FROM est e
+JOIN exact_j x ON x.doc1 = e.doc1 AND x.doc2 = e.doc2
+"""
+    )
+
+
+@query("dedup_minhash_estimate_quality", oracle=_sql_minhash_estimate())
+def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality readout for the MinHash sketch: for every LSH
+    candidate pair, the signature-agreement Jaccard estimate
+    (matching components / 16 — the unbiased MinHash estimator) next
+    to the EXACT shingle Jaccard, with the absolute error — the
+    evaluation that justifies trusting 16 integers per document in
+    place of its whole shingle set (the agg_approx_sketches /
+    ann_recall_at_k pattern: certify the approximation's quality, not
+    just its arithmetic).
+
+    Scale: both legs are candidate-set-sized — signature agreement
+    joins two 16-column rows per pair; exact Jaccard intersects the
+    persisted per-doc shingle ARRAYS inside the row (the
+    dedup_minhash_lsh verification shape). Estimates are exact-int
+    ratios; everything renders through round(6)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    arrs = with_shingle_arrays(docs).persist()
+    sh = arrs.select("doc_id", F.explode("arr").alias("shingle"))
+    sigs = minhash_signatures(sh)
+    cand = lsh_candidate_pairs(sigs)
+    k = len(MINHASH_PERMS)
+    eq_sum = None
+    for i in range(k):
+        t = (F.col(f"a.s{i}") == F.col(f"b.s{i}")).cast("int")
+        eq_sum = t if eq_sum is None else eq_sum + t
+    est = (
+        cand.join(sigs.alias("a"), F.col("a.doc_id") == F.col("doc1"))
+        .join(sigs.alias("b"), F.col("b.doc_id") == F.col("doc2"))
+        .select(
+            "doc1",
+            "doc2",
+            (eq_sum.cast("double") / k).alias("est_j"),
+        )
+    )
+    a1 = arrs.select(
+        F.col("doc_id").alias("doc1"), F.col("arr").alias("arr1")
+    )
+    a2 = arrs.select(
+        F.col("doc_id").alias("doc2"), F.col("arr").alias("arr2")
+    )
+    exact = (
+        cand.join(a1, "doc1")
+        .join(a2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            (
+                F.size(F.array_intersect("arr1", "arr2")).cast("double")
+                / (
+                    F.size("arr1")
+                    + F.size("arr2")
+                    - F.size(F.array_intersect("arr1", "arr2"))
+                )
+            ).alias("ex_j"),
+        )
+    )
+    return est.join(exact, ["doc1", "doc2"]).select(
+        "doc1",
+        "doc2",
+        F.round("est_j", 6).alias("est_jaccard"),
+        F.round("ex_j", 6).alias("exact_jaccard"),
+        F.round(F.abs(F.col("est_j") - F.col("ex_j")), 6).alias("abs_err"),
+    )
