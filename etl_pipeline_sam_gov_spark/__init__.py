@@ -321,6 +321,9 @@ _DEFER_IN_TIER = frozenset(
         # candidate-set-sized estimator readout over the driver-green
         # MinHash machinery; certified at all three scales
         "dedup_minhash_estimate_quality",
+        # pixel-walk kernel + simhash-style banding (both driver-green
+        # lanes); certified at all three scales
+        "multimodal_image_dhash_pairs",
     }
 )
 

@@ -583,3 +583,169 @@ def multimodal_audio_channel_stats(spark: SparkSession, sf_dir: str) -> DataFram
             " peak_abs int, energy long, mean_abs double"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) + near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+DHASH_ROWS, DHASH_COLS = 8, 8  # 64-bit difference hash
+DHASH_BANDS = 4  # 16-bit bands for pigeonhole blocking
+DHASH_MAX_HAM = 3  # ham ≤ bands-1 ⟹ some band matches exactly (lossless)
+
+
+def dhash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: dHash over the REAL BMP pixel array — sample
+    an 8×9 luminance grid (integer row/column indices, blue channel of
+    the bottom-up pixel rows) and emit the 64 horizontal-gradient bits
+    packed into 4 16-bit band integers. Non-BMP payloads pass over."""
+    for pdf in batches:
+        doc, b0, b1, b2, b3 = [], [], [], [], []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            b = bytes(content)
+            if b[:2] != b"BM":
+                continue
+            width = int.from_bytes(b[18:22], "little", signed=True)
+            height = int.from_bytes(b[22:26], "little", signed=True)
+            off = int.from_bytes(b[10:14], "little")
+            stride = (width * 3 + 3) // 4 * 4
+
+            def gray(r: int, c: int) -> int:
+                r_idx = r * height // DHASH_ROWS
+                c_idx = c * width // (DHASH_COLS + 1)
+                f = height - 1 - r_idx  # image row → bottom-up file row
+                return b[off + f * stride + 3 * c_idx]
+
+            bands = [0, 0, 0, 0]
+            for r in range(DHASH_ROWS):
+                for c in range(DHASH_COLS):
+                    i = r * DHASH_COLS + c
+                    bit = 1 if gray(r, c) > gray(r, c + 1) else 0
+                    bands[i // 16] |= bit << (15 - i % 16)
+            doc.append(int(doc_id))
+            b0.append(bands[0])
+            b1.append(bands[1])
+            b2.append(bands[2])
+            b3.append(bands[3])
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(doc, dtype="int64"),
+                "b0": pd.array(b0, dtype="int64"),
+                "b1": pd.array(b1, dtype="int64"),
+                "b2": pd.array(b2, dtype="int64"),
+                "b3": pd.array(b3, dtype="int64"),
+            }
+        )
+
+
+def _sql_dhash() -> str:
+    """Per-doc band ints predicted from the generator's
+    (doc_id + offset) % 256 pixel fill — same arithmetic as the
+    kernel's real byte walk."""
+    return f"""
+dims AS (
+  SELECT doc_id,
+         doc_id % 32 + 1 AS w,
+         (doc_id // 3) % 32 + 1 AS h,
+         ((doc_id % 32 + 1) * 3 + 3) // 4 * 4 AS stride
+  FROM documents WHERE doc_id % 2 = 0
+),
+grid AS (
+  SELECT doc_id, w, h, stride, r.r, c.c,
+         r.r * {DHASH_COLS} + c.c AS i
+  FROM dims,
+       unnest(range({DHASH_ROWS})) AS r(r),
+       unnest(range({DHASH_COLS})) AS c(c)
+),
+bits AS (
+  SELECT doc_id, i,
+         CASE WHEN
+           (doc_id + (h - 1 - (r * h // {DHASH_ROWS})) * stride
+              + 3 * (c * w // {DHASH_COLS + 1})) % 256
+           >
+           (doc_id + (h - 1 - (r * h // {DHASH_ROWS})) * stride
+              + 3 * ((c + 1) * w // {DHASH_COLS + 1})) % 256
+         THEN 1 ELSE 0 END AS bit
+  FROM grid
+),
+hashes AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN i // 16 = 0 THEN bit * (1 << (15 - i % 16)) ELSE 0 END) AS BIGINT) AS b0,
+         CAST(SUM(CASE WHEN i // 16 = 1 THEN bit * (1 << (15 - i % 16)) ELSE 0 END) AS BIGINT) AS b1,
+         CAST(SUM(CASE WHEN i // 16 = 2 THEN bit * (1 << (15 - i % 16)) ELSE 0 END) AS BIGINT) AS b2,
+         CAST(SUM(CASE WHEN i // 16 = 3 THEN bit * (1 << (15 - i % 16)) ELSE 0 END) AS BIGINT) AS b3
+  FROM bits GROUP BY doc_id
+)"""
+
+
+@query(
+    "multimodal_image_dhash_pairs",
+    oracle=f"""
+WITH {_sql_dhash().strip()},
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2,
+         x.b0 AS x0, x.b1 AS x1, x.b2 AS x2, x.b3 AS x3,
+         y.b0 AS y0, y.b1 AS y1, y.b2 AS y2, y.b3 AS y3
+  FROM hashes x JOIN hashes y
+    ON x.doc_id < y.doc_id
+   AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+)
+SELECT doc1, doc2,
+       CAST(bit_count(CAST(xor(x0, y0) AS BIGINT))
+          + bit_count(CAST(xor(x1, y1) AS BIGINT))
+          + bit_count(CAST(xor(x2, y2) AS BIGINT))
+          + bit_count(CAST(xor(x3, y3) AS BIGINT)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(CAST(xor(x0, y0) AS BIGINT))
+    + bit_count(CAST(xor(x1, y1) AS BIGINT))
+    + bit_count(CAST(xor(x2, y2) AS BIGINT))
+    + bit_count(CAST(xor(x3, y3) AS BIGINT)) <= {DHASH_MAX_HAM}
+""",
+)
+def multimodal_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image detection: dHash (64
+    horizontal-gradient bits over an 8×9 sampled luminance grid) on
+    the REAL decoded pixels, then pairs within Hamming distance
+    {DHASH_MAX_HAM} — the image twin of SimHash text dedup, and the
+    screen an image-curation pipeline runs before training (resized /
+    re-encoded copies keep their gradient structure and collide here).
+
+    Blocking is LOSSLESS by pigeonhole: with 4 bands and ham ≤ 3, at
+    least one 16-bit band must match exactly, so the candidate join is
+    an equi-join-per-band union, never all-pairs (the dedup_simhash
+    banding argument, applied to pixels). The oracle predicts every
+    bit from the generator arithmetic — sampling-grid, orientation, or
+    bit-packing mistakes cannot hash-match. Hamming is exact int
+    bit_count on both engines."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select("doc_id").mapInPandas(
+        synthesize_media, schema="doc_id long, content binary"
+    )
+    hashes = media.mapInPandas(
+        dhash_kernel,
+        schema="doc_id long, b0 long, b1 long, b2 long, b3 long",
+    )
+    x = hashes.select(
+        F.col("doc_id").alias("doc1"),
+        *[F.col(f"b{i}").alias(f"x{i}") for i in range(DHASH_BANDS)],
+    )
+    y = hashes.select(
+        F.col("doc_id").alias("doc2"),
+        *[F.col(f"b{i}").alias(f"y{i}") for i in range(DHASH_BANDS)],
+    )
+    band_match = None
+    for i in range(DHASH_BANDS):
+        t = F.col(f"x{i}") == F.col(f"y{i}")
+        band_match = t if band_match is None else band_match | t
+    ham = None
+    for i in range(DHASH_BANDS):
+        t = F.bit_count(
+            F.col(f"x{i}").bitwiseXOR(F.col(f"y{i}")).cast("bigint")
+        )
+        ham = t if ham is None else ham + t
+    return (
+        x.join(y, (F.col("doc1") < F.col("doc2")) & band_match)
+        .select("doc1", "doc2", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= DHASH_MAX_HAM)
+        .distinct()
+    )
