@@ -94,7 +94,7 @@ def udf_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, user_id,
        round((value - avg(value) OVER (PARTITION BY user_id))
-             / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS zscore
+             / stddev_samp(value) OVER (PARTITION BY user_id), 4) + 0.0 AS zscore
 FROM events
 """,
 )
@@ -112,7 +112,10 @@ def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "event_id": pdf["event_id"],
                 "user_id": pdf["user_id"],
-                "zscore": ((pdf["value"] - mu) / sd).round(4),
+                # + 0.0 normalizes IEEE negative zero (a z-score that
+                # rounds to -0.0 at 4 decimals stringifies differently
+                # from 0.0 under the driver's pandas canonicalizer)
+                "zscore": ((pdf["value"] - mu) / sd).round(4) + 0.0,
             }
         )
 
