@@ -324,6 +324,9 @@ _DEFER_IN_TIER = frozenset(
         # pixel-walk kernel + simhash-style banding (both driver-green
         # lanes); certified at all three scales
         "multimodal_image_dhash_pairs",
+        # twin one-pass profile aggs + the deterministic-float compare
+        # lane; certified at all three scales
+        "dq_profile_drift",
     }
 )
 

@@ -355,3 +355,133 @@ def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_risky_rows",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot profile-drift detection
+# ---------------------------------------------------------------------------
+
+#: Relative-drift threshold: a metric moving more than 1% between
+#: snapshot versions is flagged.
+DRIFT_REL_TOL = 0.01
+
+
+@query(
+    "dq_profile_drift",
+    oracle=f"""
+WITH v_old AS (
+  SELECT * FROM lineitem WHERE l_orderkey % {_CDC_INS_MOD} <> {_CDC_INS_REM}
+),
+p_old AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_disc
+  FROM v_old
+),
+p_new AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_disc
+  FROM lineitem
+),
+m AS (
+  SELECT 'row_count' AS metric,
+         CAST(o.n AS DOUBLE) AS old_value, CAST(nw.n AS DOUBLE) AS new_value
+  FROM p_old o CROSS JOIN p_new nw
+  UNION ALL
+  SELECT 'mean_l_quantity', o.mean_qty, nw.mean_qty FROM p_old o CROSS JOIN p_new nw
+  UNION ALL
+  SELECT 'mean_l_extendedprice', o.mean_price, nw.mean_price FROM p_old o CROSS JOIN p_new nw
+  UNION ALL
+  SELECT 'mean_l_discount', o.mean_disc, nw.mean_disc FROM p_old o CROSS JOIN p_new nw
+)
+SELECT metric,
+       round(old_value, 6) AS old_value,
+       round(new_value, 6) AS new_value,
+       round(abs(new_value - old_value) / abs(old_value), 6) AS rel_drift,
+       abs(new_value - old_value) > {DRIFT_REL_TOL} * abs(old_value) AS drifted
+FROM m
+""",
+)
+def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical profile drift between two snapshot versions: compare
+    row counts and column means of the previous landing (the CDC
+    lane's v_old derivation) against today's, flag metrics moving more
+    than {DRIFT_REL_TOL:.0%} — the data-drift monitor that catches an
+    upstream source silently changing distribution BEFORE a model
+    trains on it (the monitoring companion to dq_constraint_suite:
+    constraints check invariants, drift checks trends).
+
+    One aggregation per version (exact decimal sums rendered once as
+    doubles); the comparison relation is metrics-count-sized. The
+    drift boolean compares the SAME float expression on both engines
+    (single multiply vs abs-difference — deterministic bits, the
+    ab_test_proportions contract)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+
+    def profile(df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_qty"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("mean_price"),
+            (
+                F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_disc"),
+        )
+
+    p_old = profile(li.filter(F.col("l_orderkey") % _CDC_INS_MOD != _CDC_INS_REM))
+    p_new = profile(li)
+    o = p_old.select(
+        F.col("n").cast("double").alias("o_n"),
+        F.col("mean_qty").alias("o_qty"),
+        F.col("mean_price").alias("o_price"),
+        F.col("mean_disc").alias("o_disc"),
+    )
+    nw = p_new.select(
+        F.col("n").cast("double").alias("n_n"),
+        F.col("mean_qty").alias("n_qty"),
+        F.col("mean_price").alias("n_price"),
+        F.col("mean_disc").alias("n_disc"),
+    )
+    wide = o.crossJoin(F.broadcast(nw))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("metric"),
+                F.col(oc).alias("old_value"),
+                F.col(nc).alias("new_value"),
+            )
+            for name, oc, nc in (
+                ("row_count", "o_n", "n_n"),
+                ("mean_l_quantity", "o_qty", "n_qty"),
+                ("mean_l_extendedprice", "o_price", "n_price"),
+                ("mean_l_discount", "o_disc", "n_disc"),
+            )
+        ]
+    )
+    flat = wide.select(F.explode(rows).alias("r")).select("r.*")
+    return flat.select(
+        "metric",
+        F.round("old_value", 6).alias("old_value"),
+        F.round("new_value", 6).alias("new_value"),
+        F.round(
+            F.abs(F.col("new_value") - F.col("old_value"))
+            / F.abs(F.col("old_value")),
+            6,
+        ).alias("rel_drift"),
+        (
+            F.abs(F.col("new_value") - F.col("old_value"))
+            > DRIFT_REL_TOL * F.abs(F.col("old_value"))
+        ).alias("drifted"),
+    )
