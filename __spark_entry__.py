@@ -54,12 +54,19 @@ def _verification_priority() -> list[str]:
                 and row.get("hash_match")
             )
 
+    # Registry dict order encodes the package's own priority queue
+    # (family order + the _DEFER_IN_TIER policy that keeps brand-new
+    # recombinations of green lanes BEHIND the longest-waiting
+    # never-sampled queries) — so the never-sampled tier must follow
+    # it, not the alphabet.
+    registry_pos = {name: i for i, name in enumerate(eng.QUERIES)}
+
     def key(name: str) -> tuple:
         if name in last_ok and not last_ok[name]:
-            return (0, last_round[name], name)  # failed → re-certify first
+            return (0, last_round[name], registry_pos[name])  # failed first
         if name not in last_round:
-            return (1, 0, name)  # never sampled
-        return (2, last_round[name], name)  # oldest certification first
+            return (1, 0, registry_pos[name])  # never sampled
+        return (2, last_round[name], registry_pos[name])  # oldest cert first
 
     return sorted(eng.QUERIES, key=key)
 
