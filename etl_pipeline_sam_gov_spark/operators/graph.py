@@ -477,3 +477,247 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kind"),
         "degree",
     )
+
+
+#: HITS fixed iteration count (each iteration = one authority update +
+#: one hub update, both L1-normalized).
+HITS_ITERS = 2
+
+#: session id → persisted relations of the latest HITS invocation
+#: (pairs plus per-round score vectors; PageRank cache discipline).
+_HITS_CACHE: dict[int, tuple[DataFrame, ...]] = {}
+
+
+def _hits_oracle() -> str:
+    """Unrolled HITS_ITERS-iteration HITS as chained CTEs. The graph is
+    the DIRECTED customer→supplier order relation (hub side: customers,
+    authority side: suppliers); every score vector is L1-normalized so
+    the magnitudes stay O(1/|V|) and the two engines agree to ~1e-15
+    before the final 1e-8 rounding."""
+    head = """
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+h0 AS (SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS hub FROM pairs)"""
+    steps = []
+    for i in range(1, HITS_ITERS + 1):
+        steps.append(f""",
+a{i}r AS (
+  SELECT p.s, SUM(h.hub) AS v
+  FROM pairs p JOIN h{i - 1} h ON p.c = h.c
+  GROUP BY p.s
+),
+a{i} AS (SELECT s, v / (SELECT SUM(v) FROM a{i}r) AS auth FROM a{i}r),
+h{i}r AS (
+  SELECT p.c, SUM(a.auth) AS v
+  FROM pairs p JOIN a{i} a ON p.s = a.s
+  GROUP BY p.c
+),
+h{i} AS (SELECT c, v / (SELECT SUM(v) FROM h{i}r) AS hub FROM h{i}r)"""
+        )
+    tail = f"""
+SELECT 'supplier' AS kind, s AS entity_id, round(auth, 8) AS score
+FROM a{HITS_ITERS}
+UNION ALL
+SELECT 'customer' AS kind, c AS entity_id, round(hub, 8) AS score
+FROM h{HITS_ITERS}
+"""
+    return head + "".join(steps) + tail
+
+
+@query("graph_hits_scores", oracle=_hits_oracle())
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg '99) over the directed customer→supplier order
+    graph: customers score as HUBS (they point at many good suppliers),
+    suppliers as AUTHORITIES (they are pointed at by many good hubs) —
+    the complementary centrality to PageRank's single scalar, used for
+    marketplace buyer/seller quality and link-spam analysis. Each of
+    the HITS_ITERS fixed iterations is one partial-combined SUM keyed
+    on the receiving side; the L1 normalizer is a 1-row aggregate that
+    rides along as a broadcast cross join (no collected literal), so an
+    iteration never shuffles the edge relation — only the |V|-row score
+    vectors move. Scores are L1-normalized each half-step (the standard
+    formulation; keeps magnitudes O(1/|V|)) and rounded to 8 decimals
+    at the end under the same cross-engine float-sum argument as
+    graph_pagerank_bipartite."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    pairs = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    slot = id(spark)
+    prev = _HITS_CACHE.pop(slot, None)
+    if prev is not None:
+        for df in prev:
+            df.unpersist()
+    pairs = pairs.persist()
+    cached: list[DataFrame] = [pairs]
+    hub = pairs.select("c").distinct().select("c", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(HITS_ITERS):
+        a_raw = (
+            pairs.join(hub, "c")
+            .groupBy("s")
+            .agg(F.sum("hub").alias("v"))
+        )
+        a_tot = a_raw.agg(F.sum("v").alias("tot"))
+        auth = (
+            a_raw.crossJoin(F.broadcast(a_tot))
+            .select("s", (F.col("v") / F.col("tot")).alias("auth"))
+            .persist()
+        )
+        cached.append(auth)
+        h_raw = (
+            pairs.join(auth, "s")
+            .groupBy("c")
+            .agg(F.sum("auth").alias("v"))
+        )
+        h_tot = h_raw.agg(F.sum("v").alias("tot"))
+        hub = (
+            h_raw.crossJoin(F.broadcast(h_tot))
+            .select("c", (F.col("v") / F.col("tot")).alias("hub"))
+            .persist()
+        )
+        cached.append(hub)
+    _HITS_CACHE[slot] = tuple(cached)
+    return (
+        auth.select(
+            F.lit("supplier").alias("kind"),
+            F.col("s").alias("entity_id"),
+            F.round("auth", 8).alias("score"),
+        ).unionAll(
+            hub.select(
+                F.lit("customer").alias("kind"),
+                F.col("c").alias("entity_id"),
+                F.round("hub", 8).alias("score"),
+            )
+        )
+    )
+
+
+#: BFS seed predicate modulus (customers with c_custkey % BFS_SEED_MOD
+#: == 0 are the hop-0 sources) and bounded frontier depth.
+BFS_SEED_MOD = 997
+BFS_MAX_HOPS = 3
+
+#: session id → persisted frontier/visited relations (PageRank cache
+#: discipline).
+_BFS_CACHE: dict[int, tuple[DataFrame, ...]] = {}
+
+
+def _bfs_oracle() -> str:
+    """Unrolled bounded multi-source BFS as chained CTEs over the
+    symmetric customer↔supplier graph (node encoding matches PageRank:
+    customers even, suppliers odd)."""
+    head = f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+v0 AS (
+  SELECT c_custkey * 2 AS node, 0 AS hop
+  FROM customer WHERE c_custkey % {BFS_SEED_MOD} = 0
+)"""
+    steps = []
+    for i in range(1, BFS_MAX_HOPS + 1):
+        steps.append(f""",
+f{i} AS (
+  SELECT DISTINCT e.dst AS node
+  FROM edges e JOIN v{i - 1} v ON e.src = v.node AND v.hop = {i - 1}
+),
+v{i} AS (
+  SELECT node, hop FROM v{i - 1}
+  UNION ALL
+  SELECT f.node, {i} AS hop FROM f{i} f
+  WHERE f.node NOT IN (SELECT node FROM v{i - 1})
+)"""
+        )
+    tail = f"""
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       CAST(hop AS INTEGER) AS hop
+FROM v{BFS_MAX_HOPS}
+"""
+    return head + "".join(steps) + tail
+
+
+@query("graph_bfs_hops", oracle=_bfs_oracle())
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS: shortest hop distance (≤ BFS_MAX_HOPS)
+    from a deterministic seed set of customers to every reachable node
+    of the symmetric customer↔supplier graph — the reachability /
+    blast-radius primitive (fraud propagation, recall expansion,
+    influence frontiers). This is Pregel-style frontier expansion on a
+    shuffle engine: each round joins the CURRENT frontier (|frontier|
+    rows, never the visited set) against the persisted edge list, then
+    anti-joins the visited relation to keep first-discovery hops only.
+    Both per-round relations are node-count-bounded and persisted under
+    the release-before-re-persist cache rule, so lineage stays flat.
+    At 100 TB the frontier⋈edges join is keyed on node id and the
+    visited anti-join on the same key — a cluster co-partitions all
+    rounds on one exchange."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+    pairs = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    slot = id(spark)
+    prev = _BFS_CACHE.pop(slot, None)
+    if prev is not None:
+        for df in prev:
+            df.unpersist()
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .persist()
+    )
+    cached: list[DataFrame] = [edges]
+    seeds = (
+        t["customer"]
+        .filter(F.col("c_custkey") % BFS_SEED_MOD == 0)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    visited = seeds.select("node", F.lit(0).alias("hop")).persist()
+    frontier = visited.select("node")
+    cached.append(visited)
+    for i in range(1, BFS_MAX_HOPS + 1):
+        reached = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = reached.join(visited.select("node"), "node", "anti").select(
+            "node", F.lit(i).alias("hop")
+        )
+        visited = visited.unionAll(fresh).persist()
+        frontier = visited.filter(F.col("hop") == i).select("node")
+        cached.append(visited)
+    _BFS_CACHE[slot] = tuple(cached)
+    return visited.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        F.col("hop").cast("int").alias("hop"),
+    )
