@@ -1291,3 +1291,95 @@ def agg_aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= AQP_REL_TOL * F.col("exact_revenue")
         ).alias("within_tol"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency estimation with md5-derived
+# hash rows (engine-neutral, like the MinHash/LSH determinism contract)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # independent hash rows; P(overestimate) decays per row
+CMS_WIDTH = 256  # buckets per row; expected collision load = n_items/width
+
+
+@query(
+    "agg_count_min_sketch",
+    oracle=f"""
+WITH hrows AS (SELECT unnest(range({CMS_DEPTH})) AS i),
+cells AS (
+  SELECT h.i,
+         ('0x' || substr(md5(h.i || ':' || e.user_id), 1, 15))::BIGINT
+           % {CMS_WIDTH} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events e CROSS JOIN hrows h
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM events GROUP BY user_id
+),
+probes AS (
+  SELECT x.user_id, x.exact_count, h.i,
+         ('0x' || substr(md5(h.i || ':' || x.user_id), 1, 15))::BIGINT
+           % {CMS_WIDTH} AS bucket
+  FROM exact x CROSS JOIN hrows h
+)
+SELECT p.user_id, p.exact_count,
+       MIN(c.c) AS cms_estimate,
+       MIN(c.c) - p.exact_count AS overestimate
+FROM probes p JOIN cells c ON p.i = c.i AND p.bucket = c.bucket
+GROUP BY p.user_id, p.exact_count
+""",
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) frequency
+    estimation over the event stream, certified against exact counts:
+    CMS_DEPTH md5-derived hash rows × CMS_WIDTH buckets, estimate =
+    min over rows of the hit bucket's counter — overestimate-only by
+    construction (the query emits each item's slack, never negative).
+
+    The sketch build IS the distributed merge: groupBy(i, bucket) with
+    map-side partial combine means every partition builds a local CMS
+    and the shuffle adds counters cell-wise — exactly how mergeable
+    sketches ship between executors, and the reason the sketch relation
+    (≤ DEPTH×WIDTH rows) is broadcastable to the probe side. Hashes
+    derive from md5 (the dedup module's determinism contract), so both
+    engines build bit-identical sketches and the certification is an
+    exact integer match, not a tolerance band. Scale shape: the build
+    is one explode(DEPTH) flatMap + one partial-combined groupBy; the
+    probe side joins item-count rows against the broadcast sketch."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    hrows = F.explode(
+        F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    ).alias("i")
+    cell = _spark_hash60(
+        F.concat(F.col("i").cast("string"), F.lit(":"),
+                 F.col("user_id").cast("string"))
+    ) % CMS_WIDTH
+    cells = (
+        ev.select("user_id", hrows)
+        .select("i", cell.alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    probes = exact.select("user_id", "exact_count", hrows).select(
+        "user_id", "exact_count", "i", cell.alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "user_id",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias(
+                "overestimate"
+            ),
+        )
+    )

@@ -1244,3 +1244,90 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
         F.round("ex_j", 6).alias("exact_jaccard"),
         F.round(F.abs(F.col("est_j") - F.col("ex_j")), 6).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL-canonicalization dedup (web-corpus provenance dedup)
+# ---------------------------------------------------------------------------
+
+#: Page-group modulus for the synthesized URL variants — coprime with
+#: the 5 variant styles so every page group mixes several styles.
+URL_GROUP_MOD = 199
+
+
+def _messy_url() -> Column:
+    """Deterministically synthesized messy URL for each document: one
+    of 5 real-world non-canonical spellings (scheme/host case, default
+    port, trailing slash, tracking params, fragment) of the page
+    ``https://example.org/page/<doc_id % URL_GROUP_MOD>``."""
+    g = (F.col("doc_id") % URL_GROUP_MOD).cast("string")
+    v = F.col("doc_id") % 5
+    base = F.concat(F.lit("https://example.org/page/"), g)
+    return (
+        F.when(v == 0, base)
+        .when(v == 1, F.concat(F.lit("HTTPS://EXAMPLE.ORG/page/"), g,
+                               F.lit("#section-2")))
+        .when(v == 2, F.concat(F.lit("https://example.org:443/page/"), g))
+        .when(v == 3, F.concat(base, F.lit("/")))
+        .otherwise(
+            F.concat(base, F.lit("?utm_source=feed&utm_campaign=x"))
+        )
+    )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Generic URL canonicalizer (no knowledge of the generator):
+    strip fragment → lowercase scheme+authority → drop default :443/:80
+    ports → drop utm_* tracking params (cleaning dangling ?/&) → strip
+    one trailing slash on a non-root path. Pure JVM regex chain —
+    scan-stage, codegen'd, no UDF."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    scheme_host = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    host_clean = F.regexp_replace(scheme_host, r":(443|80)$", "")
+    joined = F.concat(host_clean, rest)
+    no_utm = F.regexp_replace(joined, r"([?&])utm_[^&]*", "$1")
+    no_dangle = F.regexp_replace(
+        F.regexp_replace(no_utm, r"[?&]+$", ""), r"\?&", "?"
+    )
+    return F.regexp_replace(no_dangle, r"(.+://.+/.+)/$", "$1")
+
+
+@query(
+    "dedup_url_canonicalized",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id,
+         'https://example.org/page/' || CAST(doc_id % {URL_GROUP_MOD} AS VARCHAR)
+           AS canonical_url
+  FROM documents
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       MIN(doc_id) AS kept_doc_id
+FROM u GROUP BY canonical_url
+""",
+)
+def dedup_url_canonicalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup stage of every
+    web-crawl corpus (C4, CCNet, RefinedWeb): collapse re-crawls of
+    the same page that differ only in scheme/host case, default port,
+    trailing slash, #fragment, or utm_* tracking params, keeping the
+    smallest doc_id per canonical URL. The canonicalizer is a generic
+    scan-stage regex chain (``canonicalize_url``); the oracle predicts
+    the canonical form from the URL generator's arithmetic
+    (derivation-oracle pattern, cf. fn_url_parse), so the hash match
+    PROVES the chain normalizes all five variant styles. Scale shape:
+    narrow map + one partial-combined groupBy on the canonical key —
+    the exact-dedup shape (dedup_exact), corpus-linear."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.select(
+            "doc_id", canonicalize_url(_messy_url()).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.min("doc_id").alias("kept_doc_id"),
+        )
+    )

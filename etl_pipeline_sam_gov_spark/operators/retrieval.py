@@ -388,3 +388,144 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dense_rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood language-model retrieval (Dirichlet smoothing)
+# ---------------------------------------------------------------------------
+
+QL_MU = 300.0  # Dirichlet prior mass (Zhai & Lafferty '01); ~avg doc len
+QL_TOP_K = 5
+
+
+@query(
+    "retrieval_query_likelihood",
+    oracle=f"""
+WITH {_sql_query_values()},
+tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dl FROM c GROUP BY doc_id),
+stats AS (SELECT CAST(SUM(c) AS BIGINT) AS total_toks FROM c),
+cf AS (
+  SELECT tok, CAST(SUM(c) AS BIGINT) AS cf FROM c
+  WHERE tok IN ({", ".join(f"'{t}'" for t in _ALL_QUERY_TERMS)})
+  GROUP BY tok
+),
+kq AS (
+  SELECT q.query_id,
+         SUM(ln({QL_MU} * cf.cf / stats.total_toks)) AS kq,
+         COUNT(*) AS nt
+  FROM q JOIN cf USING (tok) CROSS JOIN stats
+  GROUP BY q.query_id
+),
+m AS (
+  SELECT q.query_id, c.doc_id,
+         SUM(ln(1 + c.c * stats.total_toks / ({QL_MU} * cf.cf))) AS msum
+  FROM c
+  JOIN q USING (tok)
+  JOIN cf USING (tok)
+  CROSS JOIN stats
+  GROUP BY q.query_id, c.doc_id
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         round(m.msum + kq.kq - kq.nt * ln(dl.dl + {QL_MU}), 6) AS ql
+  FROM m JOIN kq USING (query_id) JOIN dl USING (doc_id)
+),
+rankedql AS (
+  SELECT query_id, doc_id, ql,
+         row_number() OVER (PARTITION BY query_id ORDER BY ql DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT query_id, doc_id, CAST(rnk AS INT) AS rnk, ql
+FROM rankedql WHERE rnk <= {QL_TOP_K}
+""",
+)
+def retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    '01): rank documents by Σ_t ln p(t|θ_d) with p(t|θ_d) =
+    (c(t,d) + μ·p(t|C)) / (|d| + μ) — the probabilistic LM twin of
+    BM25, and the scoring function behind KL-divergence retrieval.
+
+    The score is computed in the DECOMPOSED form
+    ``Σ_matching ln(1 + c·|C|/(μ·cf)) + Σ_q ln(μ·cf/|C|) − |q|·ln(|d|+μ)``
+    so only MATCHING postings are ever enumerated: the candidate set is
+    docs sharing ≥1 query term (exactly BM25's), the per-query constant
+    and term count are query-sized broadcast relations, and the per-doc
+    length correction joins the |candidates|-row relation — never a
+    corpus × queries product. Collection frequencies are computed AFTER
+    the broadcast IN-filter to the query vocabulary, on the same shared
+    term-count exchange BM25 rides (one corpus shuffle total). Terms
+    absent from the corpus (cf = 0) drop out via the inner join on both
+    engines — the standard handling, which also keeps ln() away from 0.
+    Scores are rounded to 6 before the rank window, doc_id tiebreak."""
+    counts = _doc_term_counts(spark, sf_dir)
+    dl = counts.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("dl"))
+    matched = counts.filter(F.col("tok").isin(_ALL_QUERY_TERMS))
+    cf_term = matched.groupBy("tok").agg(
+        F.sum("c").cast("bigint").alias("cf")
+    )
+    stats = counts.agg(F.sum("c").cast("bigint").alias("total_toks"))
+    qterms = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).cast("int").alias("query_id"),
+                        F.lit(t).alias("tok"),
+                    )
+                    for qid, terms in BM25_QUERY_TERMS
+                    for t in terms
+                ]
+            )
+        ).alias("q")
+    ).select("q.query_id", "q.tok")
+    q_model = (
+        qterms.join(F.broadcast(cf_term), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.log(F.lit(QL_MU) * F.col("cf") / F.col("total_toks"))
+            ).alias("kq"),
+            F.count(F.lit(1)).alias("nt"),
+        )
+    )
+    msum = (
+        matched.join(F.broadcast(qterms), "tok")
+        .join(F.broadcast(cf_term), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    1
+                    + F.col("c")
+                    * F.col("total_toks")
+                    / (F.lit(QL_MU) * F.col("cf"))
+                )
+            ).alias("msum")
+        )
+    )
+    scored = (
+        msum.join(F.broadcast(q_model), "query_id")
+        .join(dl, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("msum")
+                + F.col("kq")
+                - F.col("nt") * F.log(F.col("dl") + QL_MU),
+                6,
+            ).alias("ql"),
+        )
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("ql"), F.asc("doc_id"))
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= QL_TOP_K)
+        .select("query_id", "doc_id", "rnk", "ql")
+    )

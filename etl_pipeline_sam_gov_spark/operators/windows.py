@@ -321,3 +321,63 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "moving_median"
         ),
     )
+
+
+@query(
+    "window_pattern_peaks",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+         lag(value, 2) OVER w AS v_m2,
+         lag(value, 1) OVER w AS v_m1,
+         lead(value, 1) OVER w AS v_p1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, ts_us,
+       round(v_m2, 6) AS v_m2, round(v_m1, 6) AS v_m1,
+       round(value, 6) AS v_peak, round(v_p1, 6) AS v_p1
+FROM seq
+WHERE v_m2 < v_m1 AND v_m1 < value AND value > v_p1
+""",
+)
+def window_pattern_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern detection over per-user event streams — the
+    MATCH_RECOGNIZE / Flink-CEP kernel (``PATTERN (UP UP DOWN)``)
+    lowered to a lag/lead chain: a row is a *peak* when the two
+    preceding values (in (ts, event_id) order) rise monotonically into
+    it and the next value falls. This shape powers spike/alert
+    detection, price-swing screens, and micro-trend labeling.
+
+    Scale shape: ONE window exchange keyed on user_id computes all
+    three offsets in a single sort pass (shared window spec); rows at
+    the partition edges where an offset is undefined are excluded by
+    the NULL-rejecting comparisons on both engines — no per-row UDF,
+    no self-joins, state is O(1) per row (bounded offsets, not
+    unbounded frames). The deterministic (ts, event_id) tiebreak makes
+    every lag/lead value engine-identical; values are rounded only on
+    OUTPUT (comparisons run on raw doubles both sides)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.lag("value", 2).over(w).alias("v_m2"),
+        F.lag("value", 1).over(w).alias("v_m1"),
+        F.lead("value", 1).over(w).alias("v_p1"),
+    )
+    return seq.filter(
+        (F.col("v_m2") < F.col("v_m1"))
+        & (F.col("v_m1") < F.col("value"))
+        & (F.col("value") > F.col("v_p1"))
+    ).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.round("v_m2", 6).alias("v_m2"),
+        F.round("v_m1", 6).alias("v_m1"),
+        F.round("value", 6).alias("v_peak"),
+        F.round("v_p1", 6).alias("v_p1"),
+    )
