@@ -978,3 +978,114 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(pick_prev, prev_gap).otherwise(next_gap).alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STL-lite seasonal decomposition (trend / seasonal / residual)
+# ---------------------------------------------------------------------------
+
+STL_HALF = 12  #: centered moving-average half-width (25-hour window)
+_STL_DEN = 100 * (2 * STL_HALF + 1)  #: cents × window size denominator
+
+
+@query(
+    "ts_stl_decompose_hourly",
+    oracle=f"""
+WITH hv AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS h_us,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+tw AS (
+  SELECT h_us, cents,
+         CAST(SUM(cents) OVER w AS BIGINT) AS s25,
+         COUNT(*) OVER w AS n25
+  FROM hv
+  WINDOW w AS (ORDER BY h_us ROWS BETWEEN {STL_HALF} PRECEDING AND {STL_HALF} FOLLOWING)
+),
+interior AS (
+  SELECT h_us, cents, s25,
+         (2 * {STL_HALF} + 1) * cents - s25 AS det_c,
+         (h_us // 3600000000) % 24 AS hod
+  FROM tw WHERE n25 = 2 * {STL_HALF} + 1
+),
+seas AS (
+  SELECT hod, CAST(SUM(det_c) AS BIGINT) AS sdc, COUNT(*) AS cnt
+  FROM interior GROUP BY hod
+)
+SELECT i.h_us, CAST(i.hod AS INT) AS hod, i.cents,
+       round(CAST(i.s25 AS DOUBLE) / {_STL_DEN}, 6) + 0.0 AS trend,
+       round(CAST(s.sdc AS DOUBLE) / CAST({_STL_DEN} * s.cnt AS DOUBLE), 6) + 0.0
+         AS seasonal,
+       round(CAST(i.det_c AS DOUBLE) / {_STL_DEN}
+             - CAST(s.sdc AS DOUBLE) / CAST({_STL_DEN} * s.cnt AS DOUBLE), 6) + 0.0
+         AS residual
+FROM interior i JOIN seas s USING (hod)
+""",
+)
+def ts_stl_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of the hourly revenue series:
+    trend = centered 25-hour moving average, seasonal = mean detrended
+    value per hour-of-day, residual = the rest — the classical
+    decomposition (Cleveland's STL with one fixed pass instead of
+    loess) behind seasguard dashboards, seasonal adjustment, and
+    anomaly baselines.
+
+    Exactness discipline (the rolling-z pattern): values centize to
+    int64, the detrended series is scaled through the window width
+    (det = W·x − Σ_window x, exact integers — no float mean, no
+    cancellation), and every emitted double is a SINGLE division of
+    two exact integers (plus one subtraction for the residual), so
+    both engines evaluate bit-identically before the final rounding.
+    Scale shape: the corpus collapses to the hour grain in one
+    partial-combined aggregation FIRST; the moving-average window and
+    the hour-of-day seasonal profile then run on the calendar-bounded
+    hourly relation (8.8k rows/year — the partitionless ROWS window
+    carries O(window) state on a bounded series, the hypertable-rollup
+    serving shape, not a corpus-sized sort)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    width = 2 * STL_HALF + 1
+    hv = (
+        ev.select(
+            F.expr("(unix_micros(ts) div 3600000000) * 3600000000").alias("h_us"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("h_us")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    w = W.orderBy("h_us").rowsBetween(-STL_HALF, STL_HALF)
+    tw = hv.select(
+        "h_us",
+        "cents",
+        F.sum("cents").over(w).cast("bigint").alias("s25"),
+        F.count(F.lit(1)).over(w).alias("n25"),
+    )
+    interior = tw.filter(F.col("n25") == width).select(
+        "h_us",
+        "cents",
+        "s25",
+        (F.lit(width) * F.col("cents") - F.col("s25")).alias("det_c"),
+        F.expr("(h_us div 3600000000) % 24").alias("hod"),
+    )
+    seas = interior.groupBy("hod").agg(
+        F.sum("det_c").cast("bigint").alias("sdc"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    seasonal = F.col("sdc").cast("double") / (
+        F.lit(_STL_DEN) * F.col("cnt")
+    ).cast("double")
+    return interior.join(F.broadcast(seas), "hod").select(
+        "h_us",
+        F.col("hod").cast("int").alias("hod"),
+        "cents",
+        (F.round(F.col("s25").cast("double") / _STL_DEN, 6) + F.lit(0.0)).alias(
+            "trend"
+        ),
+        (F.round(seasonal, 6) + F.lit(0.0)).alias("seasonal"),
+        (
+            F.round(
+                F.col("det_c").cast("double") / _STL_DEN - seasonal, 6
+            )
+            + F.lit(0.0)
+        ).alias("residual"),
+    )

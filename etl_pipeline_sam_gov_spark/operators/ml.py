@@ -990,3 +990,48 @@ def ml_confusion_matrix_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(w), 6
         ).alias("frac_of_actual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ridge regression (L2-regularized closed form on the shared moments)
+# ---------------------------------------------------------------------------
+
+RIDGE_LAMBDA = 50.0  #: L2 penalty on the slope block (intercept free)
+
+
+def _ridge_solve_sql(rnd) -> str:
+    """The OLS Cramer's-rule solve with the ridge penalty folded into
+    the normal matrix: (X'X + λ·diag(0,1,1)) — i.e. s11→s11+λ and
+    s22→s22+λ wherever the OLS solve reads them. Rewriting the SHARED
+    generated expression string keeps every other operation textually
+    identical to the certified OLS solve, so the only cross-engine
+    delta is one exact double addition per penalized moment."""
+    return (
+        _lr_solve_sql(rnd)
+        .replace("CAST(s11 AS DOUBLE)", f"(CAST(s11 AS DOUBLE) + {RIDGE_LAMBDA})")
+        .replace("CAST(s22 AS DOUBLE)", f"(CAST(s22 AS DOUBLE) + {RIDGE_LAMBDA})")
+    )
+
+
+@query(
+    "ml_ridge_regression",
+    oracle=f"""
+WITH moments AS ({_LR_SUMS_SQL})
+{_ridge_solve_sql(lambda e: f"CAST(CAST(CAST({e} AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE)")}
+""",
+)
+def ml_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression (Hoerl–Kennard): the OLS fit of
+    price ~ quantity + discount with an L2 penalty λ on the slope
+    coefficients (intercept unpenalized — the standard formulation;
+    penalizing the mean would make the fit depend on the response
+    offset). Closed form: solve (X'X + λ·diag(0,1,1)) β = X'y by the
+    same Cramer's-rule expression tree as the certified OLS query,
+    with the penalty folded in as one exact double addition per
+    diagonal moment — shrinkage without a solver, gradient loop, or
+    collect. Rides the identical one-pass exact-decimal moment
+    aggregation (order-proof partial combine), so at 100 TB the whole
+    fit is still ONE aggregation plus a constant-size expression."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    solve = _ridge_solve_sql(lambda e: f"round({e}, 6)")
+    return spark.sql(f"WITH moments AS ({_LR_SUMS_SQL})\n{solve}")

@@ -1452,3 +1452,128 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth (corpus scaling-law readout)
+# ---------------------------------------------------------------------------
+
+HEAPS_SHARDS = 10  #: random corpus shards; the growth curve's x-axis
+
+
+@query(
+    "text_heaps_vocab_growth",
+    oracle=f"""
+WITH {_SQL_SHINGLES.strip()},
+shards AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % {HEAPS_SHARDS} AS shard
+  FROM documents
+),
+occ AS (
+  SELECT s.shard, CAST(COUNT(*) AS BIGINT) AS occ
+  FROM sh JOIN shards s USING (doc_id) GROUP BY s.shard
+),
+fs AS (
+  SELECT sh.shingle, MIN(s.shard) AS first_shard
+  FROM sh JOIN shards s USING (doc_id) GROUP BY sh.shingle
+),
+nv AS (SELECT first_shard AS shard, CAST(COUNT(*) AS BIGINT) AS nv FROM fs GROUP BY first_shard),
+pts AS (
+  SELECT o.shard,
+         CAST(SUM(o.occ) OVER (ORDER BY o.shard) AS BIGINT) AS cum_tokens,
+         CAST(SUM(COALESCE(nv.nv, 0)) OVER (ORDER BY o.shard) AS BIGINT) AS cum_vocab
+  FROM occ o LEFT JOIN nv ON o.shard = nv.shard
+),
+xy AS (
+  SELECT shard, cum_tokens, cum_vocab,
+         ln(CAST(cum_tokens AS DOUBLE)) AS x,
+         ln(CAST(cum_vocab AS DOUBLE)) AS y
+  FROM pts
+),
+fit AS (
+  SELECT (COUNT(*) * SUM(x*y) - SUM(x) * SUM(y))
+         / (COUNT(*) * SUM(x*x) - SUM(x) * SUM(x)) AS beta
+  FROM xy
+)
+SELECT xy.shard, xy.cum_tokens, xy.cum_vocab,
+       round(fit.beta, 6) + 0.0 AS heaps_beta
+FROM xy CROSS JOIN fit
+""",
+)
+def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: cumulative distinct-shingle count
+    vs cumulative shingle postings across HEAPS_SHARDS md5-random
+    corpus shards, plus the fitted Heaps exponent β (slope of the
+    log-log regression V = k·N^β) — the corpus-statistics readout that
+    sizes tokenizer vocabularies and predicts how much NEW vocabulary
+    the next 10× of crawl data will add. The vocabulary unit is the
+    3-token shingle (the dedup module's certified relation): the
+    synthetic corpus draws tokens from a ~31-word pool, so the TOKEN
+    vocabulary saturates in the first shard (a degenerate flat curve
+    whose β ≈ ±0 even flips sign under shuffle order — caught by the
+    -0.0 gate), while the combinatorial shingle space keeps growing
+    like real crawl vocabulary.
+
+    Prefix-distinct counts use the FIRST-SEEN reformulation (cf.
+    window_cumulative_distinct_users): a shingle's min containing shard
+    assigns it to exactly one growth step, so "distinct in shards ≤ s"
+    is a running SUM over a SHARDS-row relation — never a per-prefix
+    distinct over the corpus. The corpus is touched by one shingle
+    explode; shard totals and first-seen mins are vocabulary-sized
+    aggregations; the running windows and the log-log fit run on the
+    SHARDS-row relation (bounded, so the partitionless window is
+    O(SHARDS) state, not a scale hazard); the fitted β rides along as
+    a broadcast 1-row cross join."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    postings = doc_shingles(docs)
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % HEAPS_SHARDS
+    )
+    sh = docs.select("doc_id", shard.alias("shard"))
+    occ = (
+        postings.join(sh, "doc_id")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
+    )
+    fs = (
+        postings.join(sh, "doc_id")
+        .groupBy("shingle")
+        .agg(F.min("shard").alias("first_shard"))
+    )
+    nv = fs.groupBy(F.col("first_shard").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nv")
+    )
+    w = W.orderBy("shard").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pts = (
+        occ.join(nv, "shard", "left")
+        .select(
+            "shard",
+            F.sum("occ").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("nv"), F.lit(0))).over(w)
+            .cast("bigint")
+            .alias("cum_vocab"),
+        )
+    )
+    xy = pts.select(
+        "shard",
+        "cum_tokens",
+        "cum_vocab",
+        F.log(F.col("cum_tokens").cast("double")).alias("x"),
+        F.log(F.col("cum_vocab").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1))
+    fit = xy.agg(
+        (
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        ).alias("beta")
+    )
+    return xy.crossJoin(F.broadcast(fit)).select(
+        "shard",
+        "cum_tokens",
+        "cum_vocab",
+        (F.round("beta", 6) + F.lit(0.0)).alias("heaps_beta"),
+    )

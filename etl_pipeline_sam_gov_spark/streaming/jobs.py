@@ -1125,3 +1125,112 @@ def stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("prob"),
     )
+
+
+def _peaks_oracle() -> str:
+    """The batch CEP peak-pattern query's oracle, verbatim — the
+    stateful stream detector must find exactly the peaks the batch
+    lag/lead window finds (online/offline consistency). Imports the
+    defining module first so decoration order doesn't matter."""
+    import etl_pipeline_sam_gov_spark.operators.windows  # noqa: F401
+
+    from etl_pipeline_sam_gov_spark.registry import ORACLES
+
+    return ORACLES["window_pattern_peaks"]
+
+
+@query("stream_pattern_peaks", oracle=_peaks_oracle())
+def stream_pattern_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of window_pattern_peaks — CEP-style pattern
+    matching (``PATTERN (UP UP DOWN)``) as a per-user GroupState
+    holding the last THREE events across micro-batches: each arriving
+    event completes a 4-tuple, the peak predicate fires on the middle
+    pair, and the buffer slides by one — the bounded-buffer NFA that
+    Flink CEP compiles such patterns into, here as an
+    applyInPandasWithState fold (batch rows sorted by (ts, event_id),
+    the stream_ewma ordering contract). Every detection is emitted
+    exactly once (append mode); sharing the batch query's oracle
+    verbatim pins online = offline.
+
+    Scale: state per user is exactly 3 events (9 scalars) — O(1), no
+    open windows, no watermark-held rows; detections stream out the
+    moment the closing event arrives (one-event latency, the CEP
+    ideal)."""
+    events = read_events_stream(spark, sf_dir)
+
+    def detect(key, pdfs, state):
+        import pandas as pd
+
+        buf = list(state.get) if state.exists else [None] * 9
+        out = []
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for ts_us, eid, val in zip(
+            pdf["ts_us"].tolist(), pdf["event_id"].tolist(), pdf["value"].tolist()
+        ):
+            b = buf  # (ts,id,v) x 3, oldest first; None-padded at start
+            if b[0] is not None and b[3] is not None and b[6] is not None:
+                if b[2] < b[5] and b[5] < b[8] and b[8] > val:
+                    out.append((key[0], b[7], b[6], b[2], b[5], b[8], val))
+            buf = b[3:] + [ts_us, eid, val]
+        state.update(tuple(buf))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "event_id", "ts_us",
+                "v_m2", "v_m1", "v_peak", "v_p1",
+            ],
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("v_m2", T.DoubleType()),
+            T.StructField("v_m1", T.DoubleType()),
+            T.StructField("v_peak", T.DoubleType()),
+            T.StructField("v_p1", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts1", T.LongType()),
+            T.StructField("id1", T.LongType()),
+            T.StructField("v1", T.DoubleType()),
+            T.StructField("ts2", T.LongType()),
+            T.StructField("id2", T.LongType()),
+            T.StructField("v2", T.DoubleType()),
+            T.StructField("ts3", T.LongType()),
+            T.StructField("id3", T.LongType()),
+            T.StructField("v3", T.DoubleType()),
+        ]
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    detected = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            detect,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    peaks = run_to_memory(detected, mode="append", shuffle_partitions=8)
+    return peaks.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.round("v_m2", 6).alias("v_m2"),
+        F.round("v_m1", 6).alias("v_m1"),
+        F.round("v_peak", 6).alias("v_peak"),
+        F.round("v_p1", 6).alias("v_p1"),
+    )
