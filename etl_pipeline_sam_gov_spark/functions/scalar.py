@@ -633,3 +633,92 @@ def fn_calendar_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_friday"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# IPv4 parsing / CIDR classification (log-analytics lane)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_ipv4_classify",
+    oracle="""
+WITH ip AS (
+  SELECT o_orderkey,
+         ('0x' || substr(md5('ip' || o_orderkey), 1, 15))::BIGINT % 4294967296
+           AS ip_int
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST(ip_int // 16777216 AS VARCHAR) || '.' ||
+       CAST((ip_int // 65536) % 256 AS VARCHAR) || '.' ||
+       CAST((ip_int // 256) % 256 AS VARCHAR) || '.' ||
+       CAST(ip_int % 256 AS VARCHAR) AS ip,
+       CASE
+         WHEN ip_int // 16777216 = 10 THEN 'rfc1918/8'
+         WHEN ip_int // 1048576 = 2748 THEN 'rfc1918/12'
+         WHEN ip_int // 65536 = 49320 THEN 'rfc1918/16'
+         WHEN ip_int // 16777216 = 127 THEN 'loopback'
+         WHEN ip_int // 65536 = 43518 THEN 'linklocal'
+         ELSE 'public'
+       END AS block,
+       ip_int // 16777216 != 10 AND ip_int // 1048576 != 2748
+         AND ip_int // 65536 != 49320 AS is_public_routable,
+       CAST(ip_int // 16777216 AS VARCHAR) || '.' ||
+       CAST((ip_int // 65536) % 256 AS VARCHAR) || '.' ||
+       CAST((ip_int // 256) % 256 AS VARCHAR) || '.0/24' AS subnet24
+FROM ip
+""",
+)
+def fn_ipv4_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 address decomposition and CIDR-block classification over
+    md5-synthesized addresses (derivation-oracle pattern): dotted-quad
+    rendering, RFC-1918 / loopback / link-local membership via prefix
+    integer division (ip >> (32−bits) == net >> (32−bits), spelled as
+    exact int64 division so both engines share the arithmetic), and a
+    /24 subnet rollup key — the log-enrichment lane (client-IP
+    classification, private-traffic filtering, per-subnet abuse
+    aggregation) that at 100 TB must run as scan-stage integer ops,
+    never a per-row UDF or regex parse. The CASE chain tests blocks
+    most-specific-last-octet-first the way routing tables match, and
+    every branch is a single integer compare: /8 → ip div 2^24 = 10,
+    172.16/12 → ip div 2^20 = 2748 (172·16 + 12), 192.168/16 →
+    ip div 2^16 = 49320 (192·256 + 168), 169.254/16 → 43518."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
+
+    ip = _spark_hash60(
+        F.concat(F.lit("ip"), F.col("o_orderkey").cast("string"))
+    ) % F.lit(4294967296)
+    d = lambda n: F.expr(f"ip_int div {n}")  # noqa: E731
+    withip = orders.select("o_orderkey", ip.alias("ip_int"))
+    quad = F.concat_ws(
+        ".",
+        d(16777216).cast("string"),
+        (d(65536) % 256).cast("string"),
+        (d(256) % 256).cast("string"),
+        (F.col("ip_int") % 256).cast("string"),
+    )
+    block = (
+        F.when(d(16777216) == 10, "rfc1918/8")
+        .when(d(1048576) == 2748, "rfc1918/12")
+        .when(d(65536) == 49320, "rfc1918/16")
+        .when(d(16777216) == 127, "loopback")
+        .when(d(65536) == 43518, "linklocal")
+        .otherwise("public")
+    )
+    routable = (
+        (d(16777216) != 10) & (d(1048576) != 2748) & (d(65536) != 49320)
+    )
+    subnet = F.concat(
+        d(16777216).cast("string"), F.lit("."),
+        (d(65536) % 256).cast("string"), F.lit("."),
+        (d(256) % 256).cast("string"), F.lit(".0/24"),
+    )
+    return withip.select(
+        "o_orderkey",
+        quad.alias("ip"),
+        block.alias("block"),
+        routable.alias("is_public_routable"),
+        subnet.alias("subnet24"),
+    )

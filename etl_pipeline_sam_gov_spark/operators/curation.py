@@ -907,3 +907,104 @@ def curate_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") % EPOCH_SHARDS).cast("int").alias("shard"),
         F.row_number().over(w).cast("bigint").alias("position"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Competence-based curriculum ordering (easy → hard training schedule)
+# ---------------------------------------------------------------------------
+
+CURR_STAGES = 4  #: difficulty quartile stages
+CURR_SHARDS = 8  #: loader shards within a stage
+
+
+@query(
+    "curate_curriculum_order",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         n_chars * 100 // len(string_split_regex(text, '\\s+')) AS difficulty,
+         ('0x' || substr(md5('cur' || doc_id), 1, 15))::BIGINT AS k
+  FROM documents
+),
+cuts AS (
+  SELECT quantile_cont(difficulty, 0.25) AS q1,
+         quantile_cont(difficulty, 0.50) AS q2,
+         quantile_cont(difficulty, 0.75) AS q3
+  FROM d
+),
+staged AS (
+  SELECT d.doc_id, d.difficulty, d.k,
+         1 + CAST(d.difficulty > c.q1 AS INT)
+           + CAST(d.difficulty > c.q2 AS INT)
+           + CAST(d.difficulty > c.q3 AS INT) AS stage
+  FROM d CROSS JOIN cuts c
+)
+SELECT doc_id, difficulty, CAST(stage AS INT) AS stage,
+       CAST(k % {CURR_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY stage, k % {CURR_SHARDS} ORDER BY k, doc_id
+       ) AS BIGINT) AS position
+FROM staged
+""",
+)
+def curate_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Competence-based curriculum ordering (Bengio et al. '09 /
+    Platanios et al. '19): rank training documents easy → hard by a
+    scan-stage difficulty score (average token length in exact
+    hundredth-chars — long-word text reads harder), band them into
+    CURR_STAGES quartile stages by exact interpolated percentile cut
+    points, and give each stage the deterministic md5 shard-local
+    order the epoch loader uses — so training consumes stage 1's
+    shards before stage 2's, each shard internally shuffled and
+    reproducible (re-runs re-derive the identical schedule, no RNG
+    checkpoint).
+
+    Scale shape: difficulty is computed in the scan (no shuffle); the
+    quartile cut points are ONE 3-value percentile aggregation
+    broadcast back (the RFM banding pattern — no ntile global sort);
+    the only sort is WITHIN (stage, shard) — S×K parallel shard-local
+    sorts, the loader's own write pattern; stage assignment is three
+    exact int comparisons (interpolated quantiles of int values are
+    dyadic midpoints, binary-exact on both engines)."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import (
+        _spark_hash60,
+        tokens_col,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = docs.select(
+        "doc_id",
+        F.expr("n_chars * 100").cast("bigint").alias("nc100"),
+        F.size(tokens_col()).cast("bigint").alias("ntok"),
+        _spark_hash60(
+            F.concat(F.lit("cur"), F.col("doc_id").cast("string"))
+        ).alias("k"),
+    ).select(
+        "doc_id",
+        F.expr("nc100 div ntok").alias("difficulty"),
+        "k",
+    )
+    cuts = d.agg(
+        F.expr("percentile(difficulty, 0.25)").alias("q1"),
+        F.expr("percentile(difficulty, 0.50)").alias("q2"),
+        F.expr("percentile(difficulty, 0.75)").alias("q3"),
+    )
+    staged = d.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "difficulty",
+        "k",
+        (
+            F.lit(1)
+            + (F.col("difficulty") > F.col("q1")).cast("int")
+            + (F.col("difficulty") > F.col("q2")).cast("int")
+            + (F.col("difficulty") > F.col("q3")).cast("int")
+        ).alias("stage"),
+    )
+    w = W.partitionBy("stage", F.col("k") % CURR_SHARDS).orderBy("k", "doc_id")
+    return staged.select(
+        "doc_id",
+        "difficulty",
+        F.col("stage").cast("int").alias("stage"),
+        (F.col("k") % CURR_SHARDS).cast("int").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("position"),
+    )
