@@ -730,3 +730,98 @@ def seq_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_supporting").cast("double") / F.col("n_users"), 6
         ).alias("support"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime-value (LTV) curves
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "behavior_cohort_ltv",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+firstday AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM firstday GROUP BY cohort_day
+),
+rev AS (
+  SELECT f.cohort_day, date_diff('day', f.cohort_day, e.day) AS age,
+         CAST(SUM(e.cents) AS BIGINT) AS cents
+  FROM ev e JOIN firstday f USING (user_id)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_day, age, cents,
+         CAST(SUM(cents) OVER (PARTITION BY cohort_day ORDER BY age
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cents
+  FROM rev
+)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(c.age AS INT) AS age, s.n_users, c.cum_cents,
+       round(CAST(c.cum_cents AS DOUBLE) / CAST(100 * s.n_users AS DOUBLE), 6)
+         AS ltv
+FROM cum c JOIN sizes s USING (cohort_day)
+""",
+)
+def behavior_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohort by first-activity
+    day; each (cohort, age) cell accumulates the cohort's revenue to
+    that age and normalizes per user — the LTV trajectory behind
+    payback-period and acquisition-budget decisions (retention counts
+    WHO comes back; LTV weighs what they're worth). Revenue stays in
+    exact int64 cents through the cumulative window; the per-user
+    normalization is ONE division of two exact integers at the end
+    (bit-identical both engines, no float accumulation anywhere).
+
+    Scale shape: one shuffle keyed on user_id derives cohorts, one
+    partial-combined groupBy collapses the corpus to (cohort, age)
+    cells, and the running-sum window walks the calendar-bounded cell
+    relation partitioned by cohort — O(days²) cells total regardless
+    of corpus size; cohort sizes broadcast back onto the curve."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    firstday = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = firstday.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    rev = (
+        ev.join(firstday, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("age"),
+        )
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    w = (
+        W.partitionBy("cohort_day")
+        .orderBy("age")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = rev.select(
+        "cohort_day",
+        "age",
+        F.sum("cents").over(w).cast("bigint").alias("cum_cents"),
+    )
+    return cum.join(F.broadcast(sizes), "cohort_day").select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("age").cast("int").alias("age"),
+        "n_users",
+        "cum_cents",
+        F.round(
+            F.col("cum_cents").cast("double")
+            / (F.lit(100) * F.col("n_users")).cast("double"),
+            6,
+        ).alias("ltv"),
+    )

@@ -749,3 +749,117 @@ def multimodal_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= DHASH_MAX_HAM)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Zero-crossing-rate / silence screening (audio curation features)
+# ---------------------------------------------------------------------------
+
+ZCR_QUIET_ABS = 1000  #: |PCM16| below this counts as near-silence
+
+
+def zcr_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: zero-crossing and near-silence statistics
+    over the de-interleaved PCM16 stream — all counting is exact
+    integer (sign-change count, quiet-sample count); only the final
+    two rates render through a round."""
+    import numpy as np
+
+    for pdf in batches:
+        doc, chan, n_s, zc, zcr, quiet = [], [], [], [], [], []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            b = bytes(content)
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                continue
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                sz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+                if cid == b"fmt ":
+                    fmt = b[pos + 8 : pos + 8 + sz]
+                elif cid == b"data":
+                    data = b[pos + 8 : pos + 8 + sz]
+                pos += 8 + sz + (sz & 1)
+            channels = int.from_bytes(fmt[2:4], "little")
+            v = np.frombuffer(data, dtype="<i2").reshape(-1, channels)
+            nonneg = v >= 0
+            for c in range(channels):
+                n = v.shape[0]
+                crossings = int((nonneg[1:, c] != nonneg[:-1, c]).sum())
+                nq = int((np.abs(v[:, c].astype(np.int64)) < ZCR_QUIET_ABS).sum())
+                doc.append(int(doc_id))
+                chan.append(c)
+                n_s.append(n)
+                zc.append(crossings)
+                zcr.append(round(crossings / (n - 1), 6))
+                quiet.append(round(nq / n, 6))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(doc, dtype="int64"),
+                "channel": pd.array(chan, dtype="int32"),
+                "n_samples": pd.array(n_s, dtype="int64"),
+                "zero_crossings": pd.array(zc, dtype="int64"),
+                "zcr": pd.array(zcr, dtype="float64"),
+                "quiet_ratio": pd.array(quiet, dtype="float64"),
+            }
+        )
+
+
+@query(
+    "multimodal_audio_zero_crossings",
+    oracle=f"""
+WITH params AS (
+  SELECT doc_id,
+         1 + (doc_id // 2) % 2 AS ch,
+         doc_id % 128 + 8 AS n
+  FROM documents WHERE doc_id % 2 = 1
+),
+samples AS (
+  SELECT doc_id, ch, u.s % ch AS channel, u.s // ch AS frame,
+         ((doc_id + 2 * u.s) % 256) + ((doc_id + 2 * u.s + 1) % 256) * 256 AS raw
+  FROM params, unnest(range(n * ch)) AS u(s)
+),
+vals AS (
+  SELECT doc_id, channel, frame,
+         CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+  FROM samples
+),
+lagd AS (
+  SELECT doc_id, channel, v,
+         lag(v) OVER (PARTITION BY doc_id, channel ORDER BY frame) AS pv
+  FROM vals
+)
+SELECT doc_id, CAST(channel AS INT) AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(CASE WHEN pv IS NOT NULL AND (pv >= 0) != (v >= 0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       round(SUM(CASE WHEN pv IS NOT NULL AND (pv >= 0) != (v >= 0)
+                THEN 1 ELSE 0 END)::DOUBLE / (COUNT(*) - 1), 6) AS zcr,
+       round(SUM(CASE WHEN ABS(v) < {ZCR_QUIET_ABS} THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS quiet_ratio
+FROM lagd GROUP BY doc_id, channel
+""",
+)
+def multimodal_audio_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing-rate and near-silence screening over the PCM16
+    stream — the cheap time-domain features an audio-curation pipeline
+    uses to triage speech vs tone vs silence BEFORE any expensive
+    spectral model (high ZCR ≈ noise/fricatives, near-zero quiet_ratio
+    + low ZCR ≈ sustained tone, high quiet_ratio ≈ dead air worth
+    dropping). Same RIFF chunk-walk decode and shuffle-free
+    Arrow-batched mapInPandas chain as the channel-stats kernel;
+    sign-change and quiet counts are exact integers inside the kernel
+    (per-document bounded), and the oracle re-derives every sample —
+    sign wraparound included — from doc_id, so an off-by-one in the
+    adjacent-pair walk cannot hash-match."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select("doc_id").mapInPandas(
+        synthesize_media, schema="doc_id long, content binary"
+    )
+    return media.mapInPandas(
+        zcr_kernel,
+        schema=(
+            "doc_id long, channel int, n_samples long,"
+            " zero_crossings long, zcr double, quiet_ratio double"
+        ),
+    )

@@ -1577,3 +1577,227 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_vocab",
         (F.round("beta", 6) + F.lit(0.0)).alias("heaps_beta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-fold cross-validated stump (model-selection harness)
+# ---------------------------------------------------------------------------
+
+KF_FOLDS = 5  #: md5-deterministic cross-validation folds
+
+
+@query(
+    "ml_kfold_cv_stump",
+    oracle=f"""
+WITH c4 AS ({_SQL_C4_FILTERS}),
+q AS (
+  SELECT doc_id, {SQL_QUALITY_LOGIT} AS logit FROM documents
+),
+j AS (SELECT q.doc_id, q.logit, c4.keep FROM q JOIN c4 USING (doc_id)),
+jf AS (
+  SELECT logit, keep,
+         ('0x' || substr(md5('cv' || doc_id), 1, 15))::BIGINT % {KF_FOLDS}
+           AS fold
+  FROM j
+),
+pf AS (
+  SELECT fold, logit, CAST(COUNT(*) AS BIGINT) AS n_f,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS np_f
+  FROM jf GROUP BY fold, logit
+),
+dom AS (SELECT DISTINCT logit FROM pf),
+folds AS (SELECT unnest(range({KF_FOLDS})) AS fold),
+grid AS (
+  SELECT f.fold, d.logit,
+         COALESCE(pf.n_f, 0) AS n_f, COALESCE(pf.np_f, 0) AS np_f
+  FROM folds f CROSS JOIN dom d
+  LEFT JOIN pf ON pf.fold = f.fold AND pf.logit = d.logit
+),
+tot AS (
+  SELECT logit, CAST(SUM(n_f) AS BIGINT) AS n_t,
+         CAST(SUM(np_f) AS BIGINT) AS np_t
+  FROM grid GROUP BY logit
+),
+g2 AS (
+  SELECT g.fold, g.logit, g.n_f, g.np_f,
+         t.n_t - g.n_f AS n_tr, t.np_t - g.np_f AS np_tr
+  FROM grid g JOIN tot t USING (logit)
+),
+cum AS (
+  SELECT fold, logit,
+         CAST(SUM(n_tr) OVER w AS BIGINT) AS nl_tr,
+         CAST(SUM(np_tr) OVER w AS BIGINT) AS pl_tr,
+         CAST(SUM(n_f) OVER w AS BIGINT) AS nl_te,
+         CAST(SUM(np_f) OVER w AS BIGINT) AS pl_te
+  FROM g2
+  WINDOW w AS (PARTITION BY fold ORDER BY logit
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ft AS (
+  SELECT fold,
+         CAST(SUM(n_tr) AS BIGINT) AS nt_tr, CAST(SUM(np_tr) AS BIGINT) AS pt_tr,
+         CAST(SUM(n_f) AS BIGINT) AS nt_te, CAST(SUM(np_f) AS BIGINT) AS pt_te
+  FROM g2 GROUP BY fold
+),
+err AS (
+  SELECT c.fold, c.logit AS threshold,
+         f.nt_tr, f.pt_tr, f.nt_te, f.pt_te,
+         c.nl_tr, c.pl_tr, c.nl_te, c.pl_te,
+         least(c.pl_tr, c.nl_tr - c.pl_tr)
+           + least(f.pt_tr - c.pl_tr, (f.nt_tr - c.nl_tr) - (f.pt_tr - c.pl_tr))
+           AS err_tr,
+         c.pl_tr * 2 > c.nl_tr AS left_label,
+         (f.pt_tr - c.pl_tr) * 2 > (f.nt_tr - c.nl_tr) AS right_label
+  FROM cum c JOIN ft f USING (fold)
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY fold ORDER BY err_tr, threshold) AS rn
+  FROM err
+),
+sel AS (
+  SELECT fold, threshold, err_tr, nt_tr, nt_te, left_label, right_label,
+         (CASE WHEN left_label THEN nl_te - pl_te ELSE pl_te END)
+           + (CASE WHEN right_label THEN (nt_te - nl_te) - (pt_te - pl_te)
+                   ELSE pt_te - pl_te END) AS err_te
+  FROM best WHERE rn = 1
+)
+SELECT CAST(fold AS INT) AS fold, threshold,
+       err_tr AS train_err,
+       round(CAST(nt_tr - err_tr AS DOUBLE) / nt_tr, 6) AS train_acc,
+       err_te AS test_err, nt_te AS n_test,
+       round(CAST(nt_te - err_te AS DOUBLE) / nt_te, 6) AS test_acc,
+       left_label, right_label
+FROM sel
+""",
+)
+def ml_kfold_cv_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation of the decision stump: md5-deterministic
+    folds, each fold's stump trained (exhaustive exact-integer split
+    search, ml_decision_stump's algebra) on the OTHER folds' counts and
+    scored on the held-out fold — the generalization-gap readout
+    (train_acc vs test_acc per fold) that turns the stump from a fit
+    into a model-selection harness. Train counts come free as
+    ``total − fold`` on the shared (fold, logit) grid, so K folds cost
+    ONE corpus pass + a K×|logit-domain| bounded relation; the
+    cumulative windows, per-fold argmins, and held-out scoring all run
+    on that grid (exact BIGINT throughout — fold winners and labels
+    cannot tie-break differently across engines)."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scores = docs.select("doc_id", quality_logit().alias("logit"))
+    truth = text_c4_gopher_filters(spark, sf_dir).select("doc_id", "keep")
+    jf = scores.join(truth, "doc_id").select(
+        "logit",
+        "keep",
+        (
+            _spark_hash60(
+                F.concat(F.lit("cv"), F.col("doc_id").cast("string"))
+            )
+            % KF_FOLDS
+        ).alias("fold"),
+    )
+    pf = jf.groupBy("fold", "logit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_f"),
+        F.sum(F.col("keep").cast("bigint")).cast("bigint").alias("np_f"),
+    )
+    dom = pf.select("logit").distinct()
+    folds = spark.range(KF_FOLDS).select(F.col("id").alias("fold"))
+    grid = (
+        folds.crossJoin(F.broadcast(dom))
+        .join(pf, ["fold", "logit"], "left")
+        .select(
+            "fold",
+            "logit",
+            F.coalesce(F.col("n_f"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.col("np_f"), F.lit(0)).alias("np_f"),
+        )
+    )
+    tot = grid.groupBy("logit").agg(
+        F.sum("n_f").cast("bigint").alias("n_t"),
+        F.sum("np_f").cast("bigint").alias("np_t"),
+    )
+    g2 = grid.join(F.broadcast(tot), "logit").select(
+        "fold",
+        "logit",
+        "n_f",
+        "np_f",
+        (F.col("n_t") - F.col("n_f")).alias("n_tr"),
+        (F.col("np_t") - F.col("np_f")).alias("np_tr"),
+    )
+    w = (
+        W.partitionBy("fold")
+        .orderBy("logit")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = g2.select(
+        "fold",
+        "logit",
+        F.sum("n_tr").over(w).cast("bigint").alias("nl_tr"),
+        F.sum("np_tr").over(w).cast("bigint").alias("pl_tr"),
+        F.sum("n_f").over(w).cast("bigint").alias("nl_te"),
+        F.sum("np_f").over(w).cast("bigint").alias("pl_te"),
+    )
+    ft = g2.groupBy("fold").agg(
+        F.sum("n_tr").cast("bigint").alias("nt_tr"),
+        F.sum("np_tr").cast("bigint").alias("pt_tr"),
+        F.sum("n_f").cast("bigint").alias("nt_te"),
+        F.sum("np_f").cast("bigint").alias("pt_te"),
+    )
+    nl_tr, pl_tr = F.col("nl_tr"), F.col("pl_tr")
+    nt_tr, pt_tr = F.col("nt_tr"), F.col("pt_tr")
+    err = cum.join(F.broadcast(ft), "fold").select(
+        "fold",
+        F.col("logit").alias("threshold"),
+        "nt_tr",
+        "pt_tr",
+        "nt_te",
+        "pt_te",
+        "nl_tr",
+        "pl_tr",
+        "nl_te",
+        "pl_te",
+        (
+            F.least(pl_tr, nl_tr - pl_tr)
+            + F.least(pt_tr - pl_tr, (nt_tr - nl_tr) - (pt_tr - pl_tr))
+        ).alias("err_tr"),
+        (pl_tr * 2 > nl_tr).alias("left_label"),
+        ((pt_tr - pl_tr) * 2 > (nt_tr - nl_tr)).alias("right_label"),
+    )
+    rw = W.partitionBy("fold").orderBy("err_tr", "threshold")
+    best = err.withColumn("rn", F.row_number().over(rw)).filter(
+        F.col("rn") == 1
+    )
+    err_te = F.when(
+        F.col("left_label"), F.col("nl_te") - F.col("pl_te")
+    ).otherwise(F.col("pl_te")) + F.when(
+        F.col("right_label"),
+        (F.col("nt_te") - F.col("nl_te")) - (F.col("pt_te") - F.col("pl_te")),
+    ).otherwise(F.col("pt_te") - F.col("pl_te"))
+    sel = best.select(
+        "fold",
+        "threshold",
+        "err_tr",
+        "nt_tr",
+        "nt_te",
+        "left_label",
+        "right_label",
+        err_te.alias("err_te"),
+    )
+    return sel.select(
+        F.col("fold").cast("int").alias("fold"),
+        "threshold",
+        F.col("err_tr").alias("train_err"),
+        F.round(
+            (F.col("nt_tr") - F.col("err_tr")).cast("double") / F.col("nt_tr"),
+            6,
+        ).alias("train_acc"),
+        F.col("err_te").alias("test_err"),
+        F.col("nt_te").alias("n_test"),
+        F.round(
+            (F.col("nt_te") - F.col("err_te")).cast("double") / F.col("nt_te"),
+            6,
+        ).alias("test_acc"),
+        "left_label",
+        "right_label",
+    )
