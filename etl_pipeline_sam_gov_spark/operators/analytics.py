@@ -1089,3 +1089,118 @@ def ts_stl_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval union / coalescing (variable-length span merge)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_interval_union_spans",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+         epoch_us(ts)
+           + (CAST(round(value * 100) AS BIGINT) % 7200 + 60) * 1000000
+           AS e_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, s_us, e_us,
+         CASE WHEN max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR s_us > max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_span
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s_us, e_us,
+         SUM(new_span) OVER (PARTITION BY user_id ORDER BY s_us, e_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM flagged
+)
+SELECT user_id, CAST(span_id AS INT) AS span_id,
+       MIN(s_us) AS span_start_us, MAX(e_us) AS span_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(e_us) - MIN(s_us) AS covered_us
+FROM islands GROUP BY user_id, span_id
+""",
+)
+def ts_interval_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (coalescing): merge each user's VARIABLE-length
+    activity intervals (duration derived from the event's value, 1–120
+    min) into maximal covered spans — the Allen-algebra union behind
+    utilization billing, on-call coverage, and machine-uptime rollups.
+    This is strictly harder than gap sessionization: an early LONG
+    interval can swallow many later short ones, so the island break
+    tests the new start against the RUNNING MAX of all previous ends
+    (an exclusive-frame cummax window), not against the previous row's
+    end. Touching intervals (start == max end) merge; only a strict
+    gap opens a new span, and a span's union is exactly
+    [min start, max end] because any interior gap would have opened a
+    new island.
+
+    Scale shape: one shuffle keyed on user_id; the cummax flag, island
+    numbering, and span rollup all ride that single sorted pass with
+    O(1) state per row; every quantity is exact integer microseconds
+    (durations derive from centized values — the rolling-z
+    quantization contract)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s_us"),
+        (
+            F.unix_micros("ts")
+            + (
+                F.round(F.col("value") * 100, 0).cast("bigint") % 7200
+                + 60
+            )
+            * 1000000
+        ).alias("e_us"),
+    )
+    order = [F.col("s_us"), F.col("e_us"), F.col("event_id")]
+    prev = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    run = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prev_max = F.max("e_us").over(prev)
+    flagged = iv.select(
+        "user_id",
+        "event_id",
+        "s_us",
+        "e_us",
+        F.when(
+            prev_max.isNull() | (F.col("s_us") > prev_max), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("new_span"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        "event_id",
+        F.sum("new_span").over(run).alias("span_id"),
+    )
+    return islands.groupBy("user_id", "span_id").agg(
+        F.min("s_us").alias("span_start_us"),
+        F.max("e_us").alias("span_end_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("e_us") - F.min("s_us")).alias("covered_us"),
+    ).select(
+        "user_id",
+        F.col("span_id").cast("int").alias("span_id"),
+        "span_start_us",
+        "span_end_us",
+        "n_events",
+        "covered_us",
+    )

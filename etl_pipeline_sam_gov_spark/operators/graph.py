@@ -20,7 +20,7 @@ CTEs for the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_pipeline_sam_gov_spark.registry import query
@@ -721,3 +721,125 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kind"),
         F.col("hop").cast("int").alias("hop"),
     )
+
+
+#: Random-walk length (steps beyond the start node); one walk per node.
+RW_STEPS = 3
+
+
+def _rw_oracle() -> str:
+    """Unrolled RW_STEPS-step deterministic random walks as chained
+    CTEs over the symmetric customer↔supplier graph (PageRank node
+    encoding). Step t from node u moves to the md5-chosen neighbor
+    ``rank[(hash('rw', walk_id, t)) % deg(u)]``."""
+    head = """
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+nbr AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+  FROM edges
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+w0 AS (SELECT src AS walk_id, src AS node FROM deg)"""
+    steps = []
+    for t in range(1, RW_STEPS + 1):
+        steps.append(f""",
+w{t} AS (
+  SELECT w.walk_id, n.dst AS node
+  FROM w{t - 1} w
+  JOIN deg d ON w.node = d.src
+  JOIN nbr n ON n.src = w.node
+   AND n.idx = ('0x' || substr(md5('rw' || w.walk_id || ':' || {t}), 1, 15))::BIGINT % d.deg
+)""")
+    tails = [
+        f"SELECT walk_id, {t} AS step, node FROM w{t}"
+        for t in range(RW_STEPS + 1)
+    ]
+    return (
+        head
+        + "".join(steps)
+        + "\nSELECT walk_id, CAST(step AS INT) AS step, node FROM ("
+        + " UNION ALL ".join(tails)
+        + ") u\n"
+    )
+
+
+@query("graph_random_walks", oracle=_rw_oracle())
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus generation (DeepWalk/node2vec's
+    sampling stage): one RW_STEPS-step walk per node over the
+    symmetric customer↔supplier graph, each step choosing the
+    md5-indexed neighbor ``rank[hash(walk, step) % degree]`` — the
+    graph → sequence transform that feeds skip-gram embedding
+    training, made reproducible the same way the curation family's
+    sampling is (hash coins, no RNG state; re-runs and both engines
+    derive identical walks).
+
+    Scale shape: the neighbor ranking is ONE row_number window on the
+    edge exchange (keyed on src — the same partitioning every step's
+    join reuses); each step is an equi-join of the |V|-row walk
+    frontier against (deg ⋈ nbr) on (node, idx) — never a
+    degree-fan-out explode, never a collect; walk state is one row per
+    walk. At 100 TB with E ≫ V the per-step cost is the frontier join,
+    exactly Pregel's compute shape (cf. graph_bfs_hops)."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    pairs = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    nbr = edges.select(
+        "src",
+        "dst",
+        (
+            F.row_number().over(W.partitionBy("src").orderBy("dst")) - 1
+        ).alias("idx"),
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    cur = deg.select(F.col("src").alias("walk_id"), F.col("src").alias("node"))
+    out = cur.select("walk_id", F.lit(0).cast("int").alias("step"), "node")
+    for step in range(1, RW_STEPS + 1):
+        pick = _spark_hash60(
+            F.concat(
+                F.lit("rw"),
+                F.col("walk_id").cast("string"),
+                F.lit(":"),
+                F.lit(step).cast("string"),
+            )
+        ) % F.col("deg")
+        nb = nbr.alias(f"nbr{step}")
+        cur = (
+            cur.join(deg, F.col("node") == F.col("src"))
+            .select("walk_id", "node", pick.alias("pick_idx"))
+            .join(
+                nb,
+                (F.col("node") == F.col(f"nbr{step}.src"))
+                & (F.col("pick_idx") == F.col(f"nbr{step}.idx")),
+            )
+            .select("walk_id", F.col(f"nbr{step}.dst").alias("node"))
+        )
+        out = out.union(
+            cur.select("walk_id", F.lit(step).cast("int").alias("step"), "node")
+        )
+    return out
