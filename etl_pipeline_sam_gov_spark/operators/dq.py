@@ -485,3 +485,98 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             > DRIFT_REL_TOL * F.abs(F.col("old_value"))
         ).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Candidate-key discovery (uniqueness profiling)
+# ---------------------------------------------------------------------------
+
+#: Candidate key expressions probed over ``orders`` — (label, DuckDB
+#: expression); the Spark side derives its own expressions in lockstep.
+_KEY_CANDIDATES = (
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderdate", "strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')"),
+    ("o_orderstatus", "o_orderstatus"),
+    (
+        "o_custkey+o_orderdate",
+        "CAST(o_custkey AS VARCHAR) || '|' || strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')",
+    ),
+    (
+        "o_custkey+o_orderdate+o_totalprice",
+        "CAST(o_custkey AS VARCHAR) || '|' || strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')"
+        " || '|' || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)",
+    ),
+)
+
+
+@query(
+    "dq_key_discovery",
+    oracle=f"""
+WITH stats AS (
+  SELECT COUNT(*) AS n_rows,
+         {", ".join(f"COUNT(DISTINCT {expr}) AS d{i}" for i, (_, expr) in enumerate(_KEY_CANDIDATES))}
+  FROM orders
+)
+{" UNION ALL ".join(
+    f"SELECT '{label}' AS candidate, CAST(n_rows AS BIGINT) AS n_rows,"
+    f" CAST(d{i} AS BIGINT) AS n_distinct,"
+    f" round(CAST(d{i} AS DOUBLE) / n_rows, 6) AS uniqueness,"
+    f" d{i} = n_rows AS is_key FROM stats"
+    for i, (label, _) in enumerate(_KEY_CANDIDATES)
+)}
+""",
+)
+def dq_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery (the uniqueness half of schema
+    profiling, cf. Abedjan et al.'s data-profiling survey): probe a
+    fixed lattice of column combinations over ``orders`` for exact
+    uniqueness — which single columns and composites functionally
+    identify a row — feeding primary-key inference, MERGE key
+    selection, and the dq suite's uniqueness expectations. ALL
+    candidates evaluate in ONE aggregation pass (Spark plans
+    multi-distinct aggregates via a single expand + two-phase
+    aggregate — still one scan of the fact table, no per-candidate
+    rescans); composite candidates serialize through a delimited
+    rendering identical on both engines (dates as ISO strings, money
+    as exact cents). The result unpivots to one verdict row per
+    candidate with its uniqueness ratio (one exact int division)."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    date_s = F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+    spark_exprs = {
+        "o_orderkey": F.col("o_orderkey").cast("string"),
+        "o_custkey": F.col("o_custkey").cast("string"),
+        "o_orderdate": date_s,
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_custkey+o_orderdate": F.concat_ws(
+            "|", F.col("o_custkey").cast("string"), date_s
+        ),
+        "o_custkey+o_orderdate+o_totalprice": F.concat_ws(
+            "|",
+            F.col("o_custkey").cast("string"),
+            date_s,
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .cast("string"),
+        ),
+    }
+    stats = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.count_distinct(spark_exprs[label]).alias(f"d{i}")
+            for i, (label, _) in enumerate(_KEY_CANDIDATES)
+        ],
+    )
+    rows = None
+    for i, (label, _) in enumerate(_KEY_CANDIDATES):
+        one = stats.select(
+            F.lit(label).alias("candidate"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col(f"d{i}").cast("bigint").alias("n_distinct"),
+            F.round(
+                F.col(f"d{i}").cast("double") / F.col("n_rows"), 6
+            ).alias("uniqueness"),
+            (F.col(f"d{i}") == F.col("n_rows")).alias("is_key"),
+        )
+        rows = one if rows is None else rows.unionAll(one)
+    return rows

@@ -1035,3 +1035,97 @@ def ml_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, ("lineitem",))
     solve = _ridge_solve_sql(lambda e: f"round({e}, 6)")
     return spark.sql(f"WITH moments AS ({_LR_SUMS_SQL})\n{solve}")
+
+
+# ---------------------------------------------------------------------------
+# Rank-1 ALS (alternating least squares, one full iteration)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_als_rank1",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+u1 AS (
+  SELECT user_id,
+         CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS u
+  FROM r GROUP BY user_id
+),
+v1 AS (
+  SELECT r.item,
+         SUM(r.cnt * u1.u) / SUM(u1.u * u1.u) AS v
+  FROM r JOIN u1 USING (user_id)
+  GROUP BY r.item
+),
+u2 AS (
+  SELECT r.user_id,
+         SUM(r.cnt * v1.v) / SUM(v1.v * v1.v) AS u
+  FROM r JOIN v1 USING (item)
+  GROUP BY r.user_id
+)
+SELECT 'user' AS side, CAST(user_id AS VARCHAR) AS entity,
+       round(u, 6) + 0.0 AS factor
+FROM u2
+UNION ALL
+SELECT 'item' AS side, item AS entity, round(v, 6) + 0.0 AS factor
+FROM v1
+""",
+)
+def ml_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 ALS matrix factorization (one full alternating
+    iteration, v⁰ ≡ 1) over the implicit user×event-type count matrix
+    — the collaborative-filtering kernel (Koren/Hu et al.) in its
+    in-warehouse form: each half-step solves the EXACT 1-d least
+    squares u_i = Σ_j r_ij·v_j / Σ_j v_j² as one partial-combined
+    aggregation keyed on the side being solved, which is precisely how
+    distributed ALS alternates (factors of the fixed side join onto
+    the ratings, never a matrix materialization). With v⁰ ≡ 1 the
+    first user step reduces to the row mean (one exact int division);
+    the item and second user steps are sum-of-product folds whose
+    operand order Spark and DuckDB may differ in — hence the final
+    round(6), the HITS float-sum argument. Scale shape: ratings
+    collapse once from the corpus; each half-step is ONE groupBy on a
+    factor-sized relation; factor vectors join back keyed on the
+    rating key (at 100 TB: co-partitioned on user/item alternately —
+    the classic ALS shuffle pair)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    r = ev.groupBy(
+        "user_id", F.col("event_type").alias("item")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    u1 = r.groupBy("user_id").agg(
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("u")
+    )
+    v1 = (
+        r.join(u1, "user_id")
+        .groupBy("item")
+        .agg(
+            (
+                F.sum(F.col("cnt") * F.col("u"))
+                / F.sum(F.col("u") * F.col("u"))
+            ).alias("v")
+        )
+    )
+    u2 = (
+        r.join(F.broadcast(v1), "item")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.col("cnt") * F.col("v"))
+                / F.sum(F.col("v") * F.col("v"))
+            ).alias("u")
+        )
+    )
+    return u2.select(
+        F.lit("user").alias("side"),
+        F.col("user_id").cast("string").alias("entity"),
+        (F.round("u", 6) + F.lit(0.0)).alias("factor"),
+    ).unionAll(
+        v1.select(
+            F.lit("item").alias("side"),
+            F.col("item").alias("entity"),
+            (F.round("v", 6) + F.lit(0.0)).alias("factor"),
+        )
+    )

@@ -1801,3 +1801,149 @@ def ml_kfold_cv_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_label",
         "right_label",
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (corpus-free phrase scoring)
+# ---------------------------------------------------------------------------
+
+RAKE_STOPWORDS = ("a", "the", "and", "of")
+
+
+@query(
+    "text_rake_keyphrase",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+pos AS (
+  SELECT doc_id, u.i, t[u.i] AS tok
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+),
+fl AS (
+  SELECT doc_id, i, tok,
+         CASE WHEN tok IN ({", ".join(f"'{s}'" for s in RAKE_STOPWORDS)})
+              THEN 1 ELSE 0 END AS is_stop
+  FROM pos
+),
+ph AS (
+  SELECT doc_id, i, tok, is_stop,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id
+  FROM fl
+),
+words AS (SELECT doc_id, phrase_id, i, tok FROM ph WHERE is_stop = 0),
+plen AS (
+  SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS plen
+  FROM words GROUP BY 1, 2
+),
+wstats AS (
+  SELECT w.doc_id, w.tok,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(p.plen) AS BIGINT) AS deg
+  FROM words w JOIN plen p USING (doc_id, phrase_id)
+  GROUP BY w.doc_id, w.tok
+),
+pscore AS (
+  SELECT w.doc_id, w.phrase_id,
+         round(SUM(CAST(s.deg AS DOUBLE) / s.freq), 6) AS score
+  FROM words w JOIN wstats s ON w.doc_id = s.doc_id AND w.tok = s.tok
+  GROUP BY 1, 2
+),
+ptext AS (
+  SELECT doc_id, phrase_id, string_agg(tok, ' ' ORDER BY i) AS phrase
+  FROM words GROUP BY 1, 2
+),
+rankedp AS (
+  SELECT p.doc_id, t.phrase, p.score,
+         row_number() OVER (PARTITION BY p.doc_id
+           ORDER BY p.score DESC, t.phrase, p.phrase_id) AS rn
+  FROM pscore p JOIN ptext t USING (doc_id, phrase_id)
+)
+SELECT doc_id, phrase AS top_phrase, score FROM rankedp WHERE rn = 1
+""",
+)
+def text_rake_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. '10): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    degree/frequency (degree = summed length of the phrases it appears
+    in — words that keep company with long phrases score high), a
+    phrase scores the sum of its words, and the top phrase per
+    document is emitted — the corpus-FREE keyword extractor (TF-IDF
+    needs collection statistics; RAKE reads one document at a time,
+    which is why curation pipelines run it at ingest).
+
+    Scale shape: one positional explode; phrase segmentation is a
+    running stopword-count window on the (doc_id)-keyed exchange;
+    word stats and phrase scores are partial-combined groupBys keyed
+    on (doc_id, tok)/(doc_id, phrase_id); ranking is per-doc top-1 on
+    the ROUNDED score with (phrase, phrase_id) tiebreaks (repo ranking
+    convention — both engines rank identical values). Scores are
+    sums of exact int ratios; only the final sum rounds."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from etl_pipeline_sam_gov_spark.operators.dedup import tokens_col
+
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens_col()).alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    fl = pos.select(
+        "doc_id",
+        "i",
+        "tok",
+        F.col("tok").isin(*RAKE_STOPWORDS).cast("int").alias("is_stop"),
+    )
+    run = (
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ph = fl.select(
+        "doc_id",
+        "i",
+        "tok",
+        "is_stop",
+        F.sum("is_stop").over(run).alias("phrase_id"),
+    )
+    words = ph.filter(F.col("is_stop") == 0).select(
+        "doc_id", "phrase_id", "i", "tok"
+    )
+    plen = words.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("plen")
+    )
+    wstats = (
+        words.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("doc_id", "tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    pscore = (
+        words.join(wstats, ["doc_id", "tok"])
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.round(
+                F.sum(F.col("deg").cast("double") / F.col("freq")), 6
+            ).alias("score")
+        )
+    )
+    ptext = words.groupBy("doc_id", "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("i", "tok"))
+                ),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("phrase")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(
+            F.desc("score"), F.asc("phrase"), F.asc("phrase_id")
+        )
+    )
+    return (
+        pscore.join(ptext, ["doc_id", "phrase_id"])
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("phrase").alias("top_phrase"), "score")
+    )

@@ -47,6 +47,21 @@ REPRESENTATIVE = [
     "ml_naive_bayes_langid",     # ln-sum argmax under round(6) + class ties
     "ts_anomaly_rolling_z",      # exact-int window frames (trivially invariant)
     "ab_test_proportions",       # one float expression over exact ints
+    "graph_hits_scores",         # L1-normalized float sums under round(8)
+    "graph_bfs_hops",            # frontier/visited anti-join rounds
+    "graph_random_walks",        # md5-indexed neighbor picks over rank windows
+    "retrieval_query_likelihood",  # ln-sum scoring under round(6) + rank ties
+    "text_heaps_vocab_growth",   # first-seen shard mins + log-log fit round(6)
+    "ts_stl_decompose_hourly",   # exact-int detrend, single-division doubles
+    "ts_interval_union_spans",   # cummax island breaks on exact int spans
+    "join_spatial_grid_radius",  # 9-cell blocking, exact int distances
+    "similarity_maxsim_topk",    # per-token max + rounded-sum ranking
+    "ml_kfold_cv_stump",         # exact-int fold argmins + held-out scoring
+    "ml_als_rank1",              # alternating sum-of-product folds round(6)
+    "agg_count_min_sketch",      # md5 cell counts (exact integer merge)
+    "curate_curriculum_order",   # percentile cuts + shard-local hash order
+    "dedup_url_canonicalized",   # regex canonical keys, exact group mins
+    "text_rake_keyphrase",       # int-ratio phrase scores + tiebreak ranking
 ]
 
 

@@ -87,6 +87,22 @@ STRESS_QUERIES = (
     # query-set rule, not the operator. ml_pca's cost is scan × d² with
     # d fixed — linear by construction, and 16x sf0.1 would explode
     # 4B covariance terms on this box for no extra signal.)
+    # final round-4 batch (fixed-probe/bounded-state consumers):
+    "text_heaps_vocab_growth",   # shingle explode + shard-sized windows
+    "text_rake_keyphrase",       # positional explode + doc-keyed windows
+    "curate_curriculum_order",   # scan score + 3-value percentile + shard sorts
+    "dedup_url_canonicalized",   # regex canonical key + hash groupBy
+    "multimodal_audio_zero_crossings",  # two-stage mapInPandas, no shuffle
+    "agg_count_min_sketch",      # DEPTH-explode + bounded-cell merge
+    "ts_stl_decompose_hourly",   # hour-grain collapse + calendar windows
+    "ts_interval_union_spans",   # user-keyed cummax island walk
+    "behavior_cohort_ltv",       # cohort collapse + (days²)-cell windows
+    "ml_als_rank1",              # ratings collapse + two factor half-steps
+    "similarity_maxsim_topk",    # fixed 24-subvector probes broadcast on scan
+    "join_spatial_grid_radius",  # 9-cell blocking equi-join, int geometry
+    "graph_hits_scores",         # |V|-row score vectors, edges never reshuffled
+    "graph_bfs_hops",            # frontier joins + visited anti-joins
+    "graph_random_walks",        # |V|-row frontier ⋈ ranked neighbors per step
 )
 
 
