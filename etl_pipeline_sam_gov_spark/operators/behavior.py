@@ -825,3 +825,72 @@ def behavior_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ltv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed engagement scoring (feature-store recency weighting)
+# ---------------------------------------------------------------------------
+
+DECAY_HL_SHORT = 7  #: half-life buckets (days) for the fast feature
+DECAY_HL_LONG = 28
+
+
+@query(
+    "behavior_time_decay_score",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+),
+anchor AS (SELECT MAX(day) AS now_day FROM ev),
+w AS (
+  SELECT e.user_id, e.day, e.value,
+         date_diff('day', e.day, a.now_day) AS age
+  FROM ev e CROSS JOIN anchor a
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       strftime(MAX(day), '%Y-%m-%d') AS last_seen_day,
+       round(SUM(value * power(0.5, age // {DECAY_HL_SHORT})), 6) + 0.0
+         AS score_fast,
+       round(SUM(value * power(0.5, age // {DECAY_HL_LONG})), 6) + 0.0
+         AS score_slow
+FROM w GROUP BY user_id
+""",
+)
+def behavior_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement scores (the feature-store recency
+    weighting behind churn features and ranking freshness): each
+    event's value is weighted by 2^(−age/half-life) and summed per
+    user, at a fast (7-day) and slow (28-day) half-life — recent
+    activity dominates the fast feature, sustained history the slow
+    one, and their divergence flags churn risk. The decay exponent is
+    the INTEGER day-age divided by the half-life (floor), so every
+    weight is an exact dyadic double (0.5^k) and each row's term is
+    bit-identical on both engines; only the per-user sum is
+    order-sensitive — hence the final round(6) (+0.0 for the −0.0
+    gate). The anchor "now" is the corpus max day riding a broadcast
+    1-row cross join (deterministic replays, no wall clock — the
+    Date.now() ban appears at the engine level too).
+
+    Scale shape: one narrow scan computes ages and weights; ONE
+    partial-combined groupBy on user_id produces every feature —
+    the cheapest possible shape for a per-entity feature refresh."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "user_id", F.col("ts").cast("date").alias("day"), "value"
+    )
+    anchor = ev.agg(F.max("day").alias("now_day"))
+    aged = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        "day",
+        "value",
+        F.datediff(F.col("now_day"), F.col("day")).alias("age"),
+    )
+    decay = lambda hl: F.sum(  # noqa: E731
+        F.col("value") * F.pow(F.lit(0.5), F.expr(f"age div {hl}"))
+    )
+    return aged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_seen_day"),
+        (F.round(decay(DECAY_HL_SHORT), 6) + F.lit(0.0)).alias("score_fast"),
+        (F.round(decay(DECAY_HL_LONG), 6) + F.lit(0.0)).alias("score_slow"),
+    )

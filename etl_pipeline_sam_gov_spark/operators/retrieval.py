@@ -529,3 +529,131 @@ def retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= QL_TOP_K)
         .select("query_id", "doc_id", "rnk", "ql")
     )
+
+
+# ---------------------------------------------------------------------------
+# Proximity retrieval (positional index, conjunctive semantics)
+# ---------------------------------------------------------------------------
+
+PROX_TOP_K = 5
+
+
+@query(
+    "retrieval_phrase_proximity",
+    oracle=f"""
+WITH {_sql_query_values()},
+toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+pos AS (
+  SELECT doc_id, u.i AS p, t[u.i] AS tok
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+  WHERE t[u.i] IN ({", ".join(f"'{t}'" for t in _ALL_QUERY_TERMS)})
+),
+m AS (SELECT q.query_id, p.doc_id, p.tok, p.p FROM pos p JOIN q USING (tok)),
+qsize AS (SELECT query_id, COUNT(*) AS qn FROM q GROUP BY 1),
+present AS (
+  SELECT query_id, doc_id, COUNT(DISTINCT tok) AS nt
+  FROM m GROUP BY 1, 2
+),
+conj AS (
+  SELECT p.query_id, p.doc_id
+  FROM present p JOIN qsize s USING (query_id) WHERE p.nt = s.qn
+),
+gaps AS (
+  SELECT a.query_id, a.doc_id, CAST(MIN(ABS(a.p - b.p)) AS BIGINT) AS min_gap
+  FROM m a JOIN m b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+),
+rankedpx AS (
+  SELECT c.query_id, c.doc_id, g.min_gap,
+         row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY g.min_gap, c.doc_id) AS rnk
+  FROM conj c JOIN gaps g USING (query_id, doc_id)
+)
+SELECT query_id, doc_id, CAST(rnk AS INT) AS rnk, min_gap
+FROM rankedpx WHERE rnk <= {PROX_TOP_K}
+""",
+)
+def retrieval_phrase_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity retrieval over a positional index: conjunctive
+    semantics (a document must contain ALL query terms — the AND
+    retrieval BM25's OR scoring doesn't express) ranked by the
+    minimum position gap between any two distinct query terms —
+    near-phrase evidence, the positional signal behind phrase boost
+    and "terms near each other" ranking in web search. The entire
+    ranking is EXACT INTEGER (gap, then doc_id) — no score floats
+    anywhere, so cross-engine agreement is structural.
+
+    Scale shape: positions materialize ONLY for the query vocabulary
+    (the broadcast IN-filter runs in the scan — a positional posting
+    list, not a corpus explode); the pair stage self-joins matched
+    positions keyed on (query, doc) with fan-out bounded by per-doc
+    query-term occurrences (never corpus-quadratic); the conjunctive
+    gate is a distinct-count against the broadcast query sizes."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from etl_pipeline_sam_gov_spark.operators.dedup import tokens_col
+
+    pos = (
+        docs.select("doc_id", F.posexplode(tokens_col()).alias("i0", "tok"))
+        .filter(F.col("tok").isin(_ALL_QUERY_TERMS))
+        .select("doc_id", (F.col("i0") + 1).alias("p"), "tok")
+    )
+    qterms = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).cast("int").alias("query_id"),
+                        F.lit(t).alias("tok"),
+                    )
+                    for qid, terms in BM25_QUERY_TERMS
+                    for t in terms
+                ]
+            )
+        ).alias("q")
+    ).select("q.query_id", "q.tok")
+    m = pos.join(F.broadcast(qterms), "tok").select(
+        "query_id", "doc_id", "tok", "p"
+    )
+    qsize = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("qn"))
+    present = m.groupBy("query_id", "doc_id").agg(
+        F.count_distinct("tok").alias("nt")
+    )
+    conj = (
+        present.join(F.broadcast(qsize), "query_id")
+        .filter(F.col("nt") == F.col("qn"))
+        .select("query_id", "doc_id")
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    gaps = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.doc_id").alias("doc_id"),
+        )
+        .agg(
+            F.min(F.abs(F.col("a.p") - F.col("b.p")))
+            .cast("bigint")
+            .alias("min_gap")
+        )
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("query_id").orderBy("min_gap", "doc_id")
+    )
+    return (
+        conj.join(gaps, ["query_id", "doc_id"])
+        .withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= PROX_TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "min_gap",
+        )
+    )

@@ -1234,3 +1234,78 @@ def stream_pattern_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v_peak", 6).alias("v_peak"),
         F.round("v_p1", 6).alias("v_p1"),
     )
+
+
+def _cms_oracle() -> str:
+    """The batch count-min sketch's oracle, verbatim — stream-maintained
+    cells must be indistinguishable from a batch rebuild (the
+    continuous-aggregate contract). Imports the defining module first
+    so decoration order doesn't matter."""
+    import etl_pipeline_sam_gov_spark.operators.aggregates  # noqa: F401
+
+    from etl_pipeline_sam_gov_spark.registry import ORACLES
+
+    return ORACLES["agg_count_min_sketch"]
+
+
+@query("stream_count_min_sketch", oracle=_cms_oracle())
+def stream_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained BY THE STREAM: the DEPTH×WIDTH cell
+    counters are a streaming groupBy over the hash-exploded event feed
+    — the runtime's incremental state update IS the sketch's cell-wise
+    merge, which is the whole point of mergeable sketches (a counter
+    update commutes with micro-batch boundaries, so replay order can't
+    change the sketch). Estimates are then served batch-side by
+    probing the streamed cells with each item's DEPTH cells (the
+    stream_hypertable_rollup serving split: maintain partials in the
+    stream, rank/serve outside it). Shares the batch CMS oracle
+    verbatim — the stream-built sketch must equal a batch rebuild
+    bit-for-bit, certified as exact integers.
+
+    Scale notes: streaming state is bounded at DEPTH×WIDTH counters
+    REGARDLESS of stream cardinality — the defining property that
+    makes a CMS the right heavy-hitter state for an unbounded stream
+    (a per-key streaming count grows with distincts; this never
+    does)."""
+    from etl_pipeline_sam_gov_spark.operators.aggregates import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+    )
+    from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
+    from etl_pipeline_sam_gov_spark.tables import load_tables
+
+    events = read_events_stream(spark, sf_dir)
+    hrows = F.explode(
+        F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    ).alias("i")
+    cell = _spark_hash60(
+        F.concat(F.col("i").cast("string"), F.lit(":"),
+                 F.col("user_id").cast("string"))
+    ) % CMS_WIDTH
+    cells_stream = (
+        events.select("user_id", hrows)
+        .select("i", cell.alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cells = run_to_memory(cells_stream, mode="complete", shuffle_partitions=8)
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    probes = exact.select("user_id", "exact_count", hrows).select(
+        "user_id", "exact_count", "i", cell.alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "user_id",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias(
+                "overestimate"
+            ),
+        )
+    )
