@@ -10,7 +10,7 @@ cardinality, not row count, at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_pipeline_sam_gov_spark.functions.exact import davg, dec2, dsum, sql_davg, sql_dsum
@@ -1381,5 +1381,95 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_estimate") - F.col("exact_count")).alias(
                 "overestimate"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median (lower weighted median, integer weights)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+),
+g AS (
+  SELECT l_returnflag, price_c, CAST(SUM(wt) AS BIGINT) AS wt
+  FROM w GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, price_c, wt,
+         CAST(SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY price_c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+         CAST(SUM(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+  FROM g
+),
+hit AS (
+  SELECT l_returnflag, price_c, tw,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY price_c) AS rn
+  FROM cum WHERE cw * 2 >= tw
+)
+SELECT l_returnflag, CAST(tw AS BIGINT) AS total_weight,
+       price_c AS weighted_median_cents
+FROM hit WHERE rn = 1
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted (lower) median: the smallest price whose
+    cumulative quantity weight reaches half the group's total — the
+    robust central-tendency statistic when rows carry multiplicity
+    (per-unit price weighted by units sold), which plain
+    percentile-of-rows gets wrong. Entirely exact int64: prices
+    centize, weights are integer quantities, and the half-total test
+    is ``2·cumw ≥ totw`` (no division, no float percentile
+    interpolation — the lower-median convention makes the answer a
+    DATA value, deterministic by construction).
+
+    Scale shape: the corpus collapses to the (group, price) domain in
+    one partial-combined groupBy FIRST; the cumulative-weight window
+    and the first-hit selection run on that bounded domain relation,
+    sharing its (group)-keyed exchange — never a row-level sort of
+    the fact table."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    g = (
+        li.select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("bigint")
+            .alias("price_c"),
+            F.col("l_quantity").cast("bigint").alias("wt"),
+        )
+        .groupBy("l_returnflag", "price_c")
+        .agg(F.sum("wt").cast("bigint").alias("wt"))
+    )
+    run = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price_c")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    whole = W.partitionBy("l_returnflag")
+    cum = g.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("wt").over(run).cast("bigint").alias("cw"),
+        F.sum("wt").over(whole).cast("bigint").alias("tw"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("l_returnflag").orderBy("price_c")
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("tw").alias("total_weight"),
+            F.col("price_c").alias("weighted_median_cents"),
         )
     )

@@ -1331,3 +1331,89 @@ def dedup_url_canonicalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("kept_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Keep-best dedup (quality-ranked canonical selection)
+# ---------------------------------------------------------------------------
+
+
+def _keep_best_oracle() -> str:
+    from etl_pipeline_sam_gov_spark.operators.text import SQL_QUALITY_LOGIT
+
+    return f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split_regex(text, '\\s+'))), ' '))
+           AS fingerprint,
+         {SQL_QUALITY_LOGIT} AS logit
+  FROM documents
+),
+rankedkb AS (
+  SELECT fingerprint, doc_id, logit,
+         row_number() OVER (PARTITION BY fingerprint
+                            ORDER BY logit DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY fingerprint) AS n_members,
+         MAX(logit) OVER (PARTITION BY fingerprint)
+           - MIN(logit) OVER (PARTITION BY fingerprint) AS logit_spread
+  FROM fp
+)
+SELECT fingerprint, doc_id AS kept_doc_id, logit AS kept_logit,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(logit_spread AS BIGINT) AS logit_spread
+FROM rankedkb WHERE rn = 1 AND n_members > 1
+"""
+
+
+@query("dedup_keep_best_quality", oracle=_keep_best_oracle())
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked canonical selection: within each near-duplicate
+    cluster (token-set fingerprint — docs that shuffle or repeat the
+    same vocabulary), keep the HIGHEST-quality member by the certified
+    integer classifier logit (ties to the smaller doc_id) instead of
+    the arbitrary min-id the plain dedup queries use — the "keep best,
+    not first" policy production pipelines apply so dedup doesn't
+    silently prefer the worst-OCR'd copy of a page. Emits the
+    surviving doc per multi-member cluster with the cluster size and
+    the quality spread the policy actually exercised.
+
+    Scale shape: fingerprint and logit are scan-stage folds (zero
+    shuffle); ONE exchange keyed on the fingerprint serves the rank,
+    count, and spread windows together (shared window spec). Entirely
+    exact integers — argmax cannot tie-break differently across
+    engines."""
+    from pyspark.sql import Window as W
+
+    from etl_pipeline_sam_gov_spark.operators.text import quality_logit
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.sort_array(F.array_distinct(tokens_col())))
+        ).alias("fingerprint"),
+        quality_logit().alias("logit"),
+    )
+    wall = W.partitionBy("fingerprint")
+    rn = F.row_number().over(
+        wall.orderBy(F.desc("logit"), F.asc("doc_id"))
+    )
+    ranked = fp.select(
+        "fingerprint",
+        "doc_id",
+        "logit",
+        rn.alias("rn"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n_members"),
+        (F.max("logit").over(wall) - F.min("logit").over(wall))
+        .cast("bigint")
+        .alias("logit_spread"),
+    )
+    return ranked.filter(
+        (F.col("rn") == 1) & (F.col("n_members") > 1)
+    ).select(
+        "fingerprint",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("logit").alias("kept_logit"),
+        "n_members",
+        "logit_spread",
+    )

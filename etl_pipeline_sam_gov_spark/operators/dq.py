@@ -580,3 +580,122 @@ def dq_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = one if rows is None else rows.unionAll(one)
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Cross-table value reconciliation (order headers vs line detail)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_reconcile_order_totals",
+    oracle="""
+WITH calc AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(round(l_extendedprice * (1 + l_tax) * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS calc_c
+  FROM lineitem GROUP BY 1
+),
+recon AS (
+  SELECT o.o_orderstatus,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_c,
+         c.calc_c,
+         c.calc_c IS NULL AS missing_lines,
+         ABS(CAST(round(o.o_totalprice * 100) AS BIGINT)
+             - COALESCE(c.calc_c, 0)) AS gap_c
+  FROM orders o LEFT JOIN calc c ON o.o_orderkey = c.l_orderkey
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN missing_lines THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_lines,
+       CAST(SUM(CASE WHEN NOT missing_lines AND gap_c * 100 <= total_c
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+       CAST(SUM(CASE WHEN NOT missing_lines AND gap_c * 100 > total_c
+                     AND gap_c * 10 <= total_c
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_within_10pct,
+       CAST(SUM(CASE WHEN NOT missing_lines AND gap_c * 10 > total_c
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_10pct,
+       CAST(MAX(gap_c) AS BIGINT) AS max_gap_cents,
+       round(CAST(SUM(COALESCE(calc_c, 0)) AS DOUBLE)
+             / CAST(SUM(total_c) AS DOUBLE), 6) AS recon_ratio
+FROM recon GROUP BY o_orderstatus
+""",
+)
+def dq_reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table value reconciliation: does the order header's
+    total match the detail recomputed from its lines
+    (Σ price·(1+tax)·(1−discount))? — the financial-close /
+    double-entry dq check that referential integrity alone can't
+    express (keys can match while the MONEY doesn't). Emits a
+    per-status reconciliation profile: orders with no detail lines,
+    tolerance bands (within 1% / 10% / beyond — spelled as integer
+    cross-multiplications ``gap·100 ≤ total``, no float division per
+    row), the worst gap, and the aggregate recomputed/stated ratio
+    (ONE division of two exact cent sums). On this synthetic corpus
+    the header totals are drawn independently of the lines, so the
+    report quantifies a fully-broken invariant — exactly what it
+    exists to surface.
+
+    Scale shape: one partial-combined rollup of the detail table keyed
+    on the order key, one LEFT join to headers on that key (at 100 TB:
+    both sides co-partitioned on orderkey — the dq suite's RI-join
+    shape), one tiny per-status aggregation. Per-line money rounds to
+    cents through the SAME left-associated expression on both engines,
+    so every gap is an exact integer."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    calc = (
+        t["lineitem"]
+        .select(
+            "l_orderkey",
+            F.round(
+                F.col("l_extendedprice")
+                * (1 + F.col("l_tax"))
+                * (1 - F.col("l_discount"))
+                * 100,
+                0,
+            )
+            .cast("bigint")
+            .alias("line_c"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("line_c").cast("bigint").alias("calc_c"))
+    )
+    recon = (
+        t["orders"]
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("total_c"),
+        )
+        .join(calc, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .select(
+            "o_orderstatus",
+            "total_c",
+            "calc_c",
+            F.col("calc_c").isNull().alias("missing_lines"),
+            F.abs(
+                F.col("total_c") - F.coalesce(F.col("calc_c"), F.lit(0))
+            ).alias("gap_c"),
+        )
+    )
+    n_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    ok = ~F.col("missing_lines")
+    gap, tot = F.col("gap_c"), F.col("total_c")
+    return recon.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        n_if(F.col("missing_lines")).alias("n_missing_lines"),
+        n_if(ok & (gap * 100 <= tot)).alias("n_within_1pct"),
+        n_if(ok & (gap * 100 > tot) & (gap * 10 <= tot)).alias(
+            "n_within_10pct"
+        ),
+        n_if(ok & (gap * 10 > tot)).alias("n_beyond_10pct"),
+        F.max("gap_c").cast("bigint").alias("max_gap_cents"),
+        F.round(
+            F.sum(F.coalesce(F.col("calc_c"), F.lit(0))).cast("double")
+            / F.sum("total_c").cast("double"),
+            6,
+        ).alias("recon_ratio"),
+    )
