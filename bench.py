@@ -57,6 +57,9 @@ HEADLINE = [
     "reco_item_lift",  # market-basket self-join bounded per order
     "graph_kcore_membership",  # iterative peel: degree count + semi-joins
     "ts_anomaly_rolling_z",  # exact-int ROWS-frame control bands
+    "join_spatial_grid_radius",  # 9-cell grid-blocked radius join
+    "similarity_maxsim_topk",  # late-interaction MaxSim over sub-vectors
+    "graph_random_walks",  # frontier ⋈ ranked-neighbor walk steps
 ]
 
 

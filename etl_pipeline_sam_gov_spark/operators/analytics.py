@@ -1204,3 +1204,139 @@ def ts_interval_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "covered_us",
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth-accounting waterfall (period-over-period revenue bridge)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "analytics_growth_waterfall",
+    oracle="""
+WITH m AS (
+  SELECT user_id, date_trunc('month', ts) AS mth,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+months AS (SELECT DISTINCT mth FROM m),
+pairs AS (
+  SELECT mth, mth - INTERVAL 1 MONTH AS prev_mth FROM months
+),
+j AS (
+  SELECT p.mth,
+         COALESCE(cur.user_id, prev.user_id) AS user_id,
+         COALESCE(cur.cents, 0) AS cur_c,
+         COALESCE(prev.cents, 0) AS prev_c
+  FROM pairs p
+  LEFT JOIN m cur ON cur.mth = p.mth
+  LEFT JOIN m prev ON prev.mth = p.prev_mth AND prev.user_id = cur.user_id
+  UNION ALL
+  SELECT p.mth, prev.user_id, 0 AS cur_c, prev.cents AS prev_c
+  FROM pairs p
+  JOIN m prev ON prev.mth = p.prev_mth
+  WHERE NOT EXISTS (
+    SELECT 1 FROM m cur
+    WHERE cur.mth = p.mth AND cur.user_id = prev.user_id
+  )
+)
+SELECT strftime(mth, '%Y-%m') AS month,
+       CAST(SUM(CASE WHEN prev_c = 0 AND cur_c > 0 THEN cur_c ELSE 0 END) AS BIGINT)
+         AS new_cents,
+       CAST(SUM(CASE WHEN cur_c > prev_c AND prev_c > 0 THEN cur_c - prev_c ELSE 0 END) AS BIGINT)
+         AS expansion_cents,
+       CAST(-SUM(CASE WHEN cur_c < prev_c AND cur_c > 0 THEN prev_c - cur_c ELSE 0 END) AS BIGINT)
+         AS contraction_cents,
+       CAST(-SUM(CASE WHEN cur_c = 0 AND prev_c > 0 THEN prev_c ELSE 0 END) AS BIGINT)
+         AS churned_cents,
+       CAST(SUM(cur_c) - SUM(prev_c) AS BIGINT) AS net_change_cents
+FROM j GROUP BY mth
+""",
+)
+def analytics_growth_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting waterfall (the a16z/SaaS revenue bridge):
+    each month's net revenue change decomposes EXACTLY into
+    new + expansion − contraction − churned, attributed per user by
+    comparing their current and prior-month exact-cent revenue — the
+    four mutually-exclusive buckets sum to the net change by
+    construction (the identity every board deck asserts; here it's
+    certified). Users absent this month but active last month enter
+    through the churn leg (the NOT EXISTS / anti-join side of the
+    bridge — a plain inner join silently loses churn).
+
+    Scale shape: the corpus collapses to (user, month) cells in one
+    partial-combined groupBy; the bridge is a self-join of that cell
+    relation on (user, adjacent months) — keyed on user_id, linear in
+    active users — plus an anti-join for the churn side; the waterfall
+    is one tiny per-month rollup. Exact int64 cents end-to-end — the
+    decomposition identity holds bit-for-bit."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    m = (
+        ev.select(
+            "user_id",
+            F.date_trunc("month", "ts").alias("mth"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id", "mth")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    pairs = m.select("mth").distinct().select(
+        "mth", F.add_months(F.col("mth"), -1).alias("prev_mth")
+    )
+    cur = m.select(
+        F.col("mth").alias("c_mth"),
+        F.col("user_id").alias("c_user"),
+        F.col("cents").alias("cur_c"),
+    )
+    prev = m.select(
+        F.col("mth").alias("p_mth"),
+        F.col("user_id").alias("p_user"),
+        F.col("cents").alias("prev_c"),
+    )
+    active = (
+        pairs.join(cur, F.col("mth") == F.col("c_mth"), "left")
+        .join(
+            prev,
+            (F.col("prev_mth") == F.col("p_mth"))
+            & (F.col("p_user") == F.col("c_user")),
+            "left",
+        )
+        .select(
+            "mth",
+            F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+            F.coalesce(F.col("cur_c"), F.lit(0)).alias("cur_c"),
+            F.coalesce(F.col("prev_c"), F.lit(0)).alias("prev_c"),
+        )
+    )
+    churn_side = (
+        pairs.join(prev, F.col("prev_mth") == F.col("p_mth"))
+        .join(
+            cur.select(
+                F.col("c_mth").alias("a_mth"),
+                F.col("c_user").alias("a_user"),
+            ),
+            (F.col("a_mth") == F.col("mth"))
+            & (F.col("a_user") == F.col("p_user")),
+            "anti",
+        )
+        .select(
+            "mth",
+            F.col("p_user").alias("user_id"),
+            F.lit(0).cast("bigint").alias("cur_c"),
+            F.col("prev_c"),
+        )
+    )
+    j = active.unionAll(churn_side)
+    cc, pc = F.col("cur_c"), F.col("prev_c")
+    s_if = lambda c, v: F.sum(F.when(c, v).otherwise(0)).cast("bigint")  # noqa: E731
+    return j.groupBy(F.date_format("mth", "yyyy-MM").alias("month")).agg(
+        s_if((pc == 0) & (cc > 0), cc).alias("new_cents"),
+        s_if((cc > pc) & (pc > 0), cc - pc).alias("expansion_cents"),
+        (-s_if((cc < pc) & (cc > 0), pc - cc)).cast("bigint").alias(
+            "contraction_cents"
+        ),
+        (-s_if((cc == 0) & (pc > 0), pc)).cast("bigint").alias(
+            "churned_cents"
+        ),
+        (F.sum(cc) - F.sum(pc)).cast("bigint").alias("net_change_cents"),
+    )

@@ -1008,3 +1008,92 @@ def curate_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") % CURR_SHARDS).cast("int").alias("shard"),
         F.row_number().over(w).cast("bigint").alias("position"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact token-budget apportionment (largest-remainder / Hamilton)
+# ---------------------------------------------------------------------------
+
+BUDGET_TOKENS = 10_000  #: total token budget to apportion across sources
+
+
+@query(
+    "curate_budget_apportion",
+    oracle=f"""
+WITH t AS (
+  SELECT source,
+         CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM t),
+quota AS (
+  SELECT t.source, t.n_tokens,
+         ({BUDGET_TOKENS} * t.n_tokens) // tot.total AS base,
+         ({BUDGET_TOKENS} * t.n_tokens) % tot.total AS rem
+  FROM t CROSS JOIN tot
+),
+leftover AS (
+  SELECT {BUDGET_TOKENS} - CAST(SUM(base) AS BIGINT) AS k FROM quota
+),
+rankedq AS (
+  SELECT q.source, q.n_tokens, q.base, q.rem, l.k,
+         row_number() OVER (ORDER BY q.rem DESC, q.source) AS rn
+  FROM quota q CROSS JOIN leftover l
+)
+SELECT source, n_tokens, CAST(base AS BIGINT) AS base_alloc,
+       rn <= k AS got_bonus,
+       CAST(base + CASE WHEN rn <= k THEN 1 ELSE 0 END AS BIGINT)
+         AS allocated_tokens
+FROM rankedq
+""",
+)
+def curate_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-budget apportionment across corpus sources by the
+    largest-remainder (Hamilton) method: each source's integer base
+    share is ⌊B·tᵢ/T⌋ and the unallocated remainder seats go to the
+    largest fractional remainders (ties to source name) — the
+    deterministic way a training-mixture budget is split so the
+    allocations are integers that sum EXACTLY to the budget (naive
+    per-source rounding drifts by ±|sources| tokens, which breaks
+    shard-count contracts downstream). Every quantity is exact int64
+    (quotas as cross-multiplications, never a float share), so the
+    allocation is reproducible and engine-identical by construction.
+
+    Scale shape: one scan-stage token count + partial-combined groupBy
+    to the |sources|-row relation; the total, leftover count, and
+    remainder ranking all run on that bounded relation (broadcast
+    1-row scalars ride cross joins, the repo's no-collect rule)."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import tokens_col
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = docs.groupBy("source").agg(
+        F.sum(F.size(tokens_col())).cast("bigint").alias("n_tokens")
+    )
+    tot = t.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    quota = t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr(f"({BUDGET_TOKENS} * n_tokens) div total").alias("base"),
+        ((F.lit(BUDGET_TOKENS) * F.col("n_tokens")) % F.col("total")).alias(
+            "rem"
+        ),
+    )
+    leftover = quota.agg(
+        (F.lit(BUDGET_TOKENS) - F.sum("base")).cast("bigint").alias("k")
+    )
+    rn = F.row_number().over(W.orderBy(F.desc("rem"), F.asc("source")))
+    ranked = quota.crossJoin(F.broadcast(leftover)).select(
+        "source", "n_tokens", "base", "rem", "k", rn.alias("rn")
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        F.col("base").cast("bigint").alias("base_alloc"),
+        (F.col("rn") <= F.col("k")).alias("got_bonus"),
+        (
+            F.col("base")
+            + F.when(F.col("rn") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("allocated_tokens"),
+    )

@@ -381,3 +381,95 @@ def window_pattern_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("v_peak"),
         F.round("v_p1", 6).alias("v_p1"),
     )
+
+
+#: Trailing window width (rows) for the rolling trend slope.
+TREND_N = 24
+
+
+@query(
+    "window_rolling_trend_slope",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS y,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS i
+  FROM events
+),
+frames AS (
+  SELECT user_id, event_id, ts_us, y, i,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(i) OVER w AS BIGINT) AS si,
+         CAST(SUM(i * i) OVER w AS BIGINT) AS sii,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(i * y) OVER w AS BIGINT) AS siy
+  FROM seq
+  WINDOW w AS (PARTITION BY user_id ORDER BY i
+               ROWS BETWEEN {TREND_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, ts_us,
+       round(CAST(n * siy - si * sy AS DOUBLE)
+             / CAST(n * sii - si * si AS DOUBLE) / 100, 6) + 0.0
+         AS slope_per_event
+FROM frames WHERE n = {TREND_N}
+""",
+)
+def window_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS trend slope: for each event, the least-squares slope
+    of the user's last TREND_N values against their sequence position
+    — the online trend detector behind "usage accelerating/decaying"
+    features, strictly stronger than a moving-average delta (it weighs
+    every point, not just the endpoints). The closed form
+    (n·Σiy − Σi·Σy)/(n·Σi² − (Σi)²) runs on EXACT int64 window sums
+    (positions are row numbers, values are cents; the shift-invariance
+    of the slope lets absolute positions stand in for frame-relative
+    ones — no per-frame re-centering), so both engines agree
+    bit-for-bit up to the single final division. Partial frames are
+    excluded (n = TREND_N) rather than emitting noisy short-window
+    slopes.
+
+    Scale shape: ONE exchange keyed on user_id computes the row
+    numbers and all four trailing sums in the same sorted pass (shared
+    window spec, O(frame) state); no self-joins, no per-row UDF."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+        F.row_number().over(order).cast("bigint").alias("i"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("i")
+        .rowsBetween(-(TREND_N - 1), W.currentRow)
+    )
+    frames = seq.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("i").over(w).cast("bigint").alias("si"),
+        F.sum(F.col("i") * F.col("i")).over(w).cast("bigint").alias("sii"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("i") * F.col("y")).over(w).cast("bigint").alias("siy"),
+    )
+    n, si, sii, sy, siy = (
+        F.col(c) for c in ("n", "si", "sii", "sy", "siy")
+    )
+    return frames.filter(n == TREND_N).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        (
+            F.round(
+                (n * siy - si * sy).cast("double")
+                / (n * sii - si * si).cast("double")
+                / 100,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("slope_per_event"),
+    )
