@@ -327,6 +327,21 @@ _DEFER_IN_TIER = frozenset(
         # twin one-pass profile aggs + the deterministic-float compare
         # lane; certified at all three scales
         "dq_profile_drift",
+        # round-4 additions: recombinations of driver-green lanes
+        # (triangle/window/groupBy/IVF/PQ/BM25/mapInPandas machinery),
+        # each certified locally at sf0.001/0.01/0.1 — queued behind the
+        # longest-waiting never-sampled queries
+        "graph_clustering_coefficient",
+        "dq_benford_first_digit",
+        "ml_gbm_stumps",
+        "ts_level_shift_detect",
+        "ann_ivfpq_adc",
+        "agg_exponential_histogram",
+        "multimodal_shot_boundaries",
+        "retrieval_rocchio_prf",
+        "graph_label_propagation",
+        "text_readability_flesch",
+        "ml_precision_recall_curve",
     }
 )
 

@@ -1473,3 +1473,89 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("price_c").alias("weighted_median_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponential (power-of-two) histogram — latency/value distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_exponential_histogram",
+    oracle="""
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+  WHERE o_totalprice > 0
+),
+bucketed AS (
+  SELECT CAST(len(bin(c)) - 1 AS INT) AS bucket, c FROM cents
+),
+agg AS (
+  SELECT bucket,
+         CAST(1 AS BIGINT) << bucket AS lo_cents,
+         (CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS hi_cents,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS sum_cents
+  FROM bucketed GROUP BY bucket
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM agg)
+SELECT a.bucket, a.lo_cents, a.hi_cents, a.n, a.sum_cents,
+       round(CAST(a.n AS DOUBLE) / t.nt, 6) + 0.0 AS share,
+       round(CAST(SUM(a.n) OVER (ORDER BY a.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / t.nt, 6) + 0.0 AS cum_share
+FROM agg a CROSS JOIN tot t
+""",
+)
+def agg_exponential_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two exponential histogram of order values — the
+    log-bucketed distribution readout behind latency SLO dashboards
+    and heavy-tail monitoring (HdrHistogram / OpenTelemetry
+    exponential histograms use exactly this bucket law: fixed relative
+    error, ~60 buckets cover int64). Emits per-bucket bounds, count,
+    exact sum, share, and cumulative share.
+
+    Bucket index = bit length of the integer cents minus one — a
+    STRING-length computation over the binary rendering, never
+    floor(log2(double)): libm rounding at power-of-two boundaries is
+    not an engine contract, binary digit count is. The cumulative
+    window runs over the ≤64-row bucket relation.
+
+    Scale shape: one partial-combined groupBy on a bounded key —
+    histogram cost is one scan regardless of table size, and the
+    bucket relation merges trivially across 100 TB of partitions (the
+    mergeability that makes this THE distributed histogram)."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cents = orders.filter(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c")
+    )
+    bucketed = cents.select(
+        (F.length(F.bin("c")) - 1).cast("int").alias("bucket"), "c"
+    )
+    agg = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sum_cents"),
+    )
+    tot = agg.agg(F.sum("n").cast("bigint").alias("nt"))
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), bucket)").alias("lo_cents"),
+            (
+                F.expr("shiftleft(CAST(1 AS BIGINT), bucket + 1)") - 1
+            ).alias("hi_cents"),
+            "n",
+            "sum_cents",
+            (F.round(F.col("n").cast("double") / F.col("nt"), 6) + F.lit(0.0)).alias(
+                "share"
+            ),
+            (
+                F.round(
+                    F.sum("n").over(w).cast("double") / F.col("nt"), 6
+                )
+                + F.lit(0.0)
+            ).alias("cum_share"),
+        )
+    )

@@ -1340,3 +1340,95 @@ def analytics_growth_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.sum(cc) - F.sum(pc)).cast("bigint").alias("net_change_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Level-shift changepoint detection (two-window mean contrast)
+# ---------------------------------------------------------------------------
+
+#: Samples on each side of the candidate changepoint.
+SHIFT_K = 12
+#: Minimum absolute mean shift, in cents, to flag a changepoint.
+SHIFT_MIN_CENTS = 2000
+
+
+@query(
+    "ts_level_shift_detect",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+),
+frames AS (
+  SELECT event_type, event_id, ts_us,
+         CAST(COUNT(*) OVER wb AS BIGINT) AS nb,
+         CAST(SUM(y) OVER wb AS BIGINT) AS sb,
+         CAST(COUNT(*) OVER wa AS BIGINT) AS na,
+         CAST(SUM(y) OVER wa AS BIGINT) AS sa
+  FROM seq
+  WINDOW wb AS (PARTITION BY event_type ORDER BY ts_us, event_id
+                ROWS BETWEEN {SHIFT_K} PRECEDING AND 1 PRECEDING),
+         wa AS (PARTITION BY event_type ORDER BY ts_us, event_id
+                ROWS BETWEEN CURRENT ROW AND {SHIFT_K - 1} FOLLOWING)
+)
+SELECT event_type, event_id, ts_us,
+       round(CAST(sb AS DOUBLE) / {SHIFT_K} / 100, 6) + 0.0 AS before_mean,
+       round(CAST(sa AS DOUBLE) / {SHIFT_K} / 100, 6) + 0.0 AS after_mean,
+       sa - sb AS shift_total_cents
+FROM frames
+WHERE nb = {SHIFT_K} AND na = {SHIFT_K}
+  AND abs(sa - sb) >= {SHIFT_K} * {SHIFT_MIN_CENTS}
+""",
+)
+def ts_level_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift changepoint detection: flag the points where the
+    mean of the next SHIFT_K values jumps at least SHIFT_MIN_CENTS
+    away from the mean of the previous SHIFT_K — the two-window
+    contrast detector behind deploy-regression and pricing-change
+    alarms (the bounded-memory cousin of CUSUM: no unbounded
+    recurrence, so it runs as pure window frames and stays
+    backfill-deterministic). The gate |Σafter − Σbefore| ≥ K·θ is
+    EXACT int64 arithmetic — no float means near the decision
+    boundary; the means are emitted as rounded doubles only for
+    reporting.
+
+    Scale shape: ONE exchange keyed on event_type computes both
+    trailing and leading frames in the same sorted pass; the filter
+    prunes to the flagged rows before anything leaves the stage."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    seq = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+    )
+    order = W.partitionBy("event_type").orderBy("ts_us", "event_id")
+    wb = order.rowsBetween(-SHIFT_K, -1)
+    wa = order.rowsBetween(W.currentRow, SHIFT_K - 1)
+    frames = seq.select(
+        "event_type",
+        "event_id",
+        "ts_us",
+        F.count(F.lit(1)).over(wb).cast("bigint").alias("nb"),
+        F.sum("y").over(wb).cast("bigint").alias("sb"),
+        F.count(F.lit(1)).over(wa).cast("bigint").alias("na"),
+        F.sum("y").over(wa).cast("bigint").alias("sa"),
+    )
+    sa, sb = F.col("sa"), F.col("sb")
+    return frames.filter(
+        (F.col("nb") == SHIFT_K)
+        & (F.col("na") == SHIFT_K)
+        & (F.abs(sa - sb) >= SHIFT_K * SHIFT_MIN_CENTS)
+    ).select(
+        "event_type",
+        "event_id",
+        "ts_us",
+        (F.round(sb.cast("double") / SHIFT_K / 100, 6) + F.lit(0.0)).alias(
+            "before_mean"
+        ),
+        (F.round(sa.cast("double") / SHIFT_K / 100, 6) + F.lit(0.0)).alias(
+            "after_mean"
+        ),
+        (sa - sb).alias("shift_total_cents"),
+    )

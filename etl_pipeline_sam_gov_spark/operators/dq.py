@@ -699,3 +699,113 @@ def dq_reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recon_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fabricated-data / anomaly screening)
+# ---------------------------------------------------------------------------
+
+#: Benford's-law expected first-digit shares, as FIXED literals (not
+#: engine-computed log10) so both engines start from bit-identical
+#: doubles; 6-decimal precision matches the output rounding.
+_BENFORD_P = {
+    1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+#: Chi-square critical value at df=8, alpha=0.05.
+_BENFORD_CHI2_CRIT = 15.507
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle=f"""
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+  WHERE o_totalprice > 0
+),
+digits AS (
+  SELECT c // CAST(power(10, len(CAST(c AS VARCHAR)) - 1) AS BIGINT) AS d
+  FROM cents
+),
+obs AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY d),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM digits),
+bp(d, p) AS (VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD_P.items())}),
+contrib AS (
+  SELECT bp.d AS digit, COALESCE(o.n_obs, 0) AS n_obs, t.n,
+         CAST(bp.p AS DOUBLE) AS p,
+         (COALESCE(o.n_obs, 0) - t.n * CAST(bp.p AS DOUBLE))
+           * (COALESCE(o.n_obs, 0) - t.n * CAST(bp.p AS DOUBLE))
+           / (t.n * CAST(bp.p AS DOUBLE)) AS x2
+  FROM bp LEFT JOIN obs o ON bp.d = o.d CROSS JOIN tot t
+),
+x2tot AS (SELECT SUM(x2) AS chi2 FROM contrib)
+SELECT CAST(c.digit AS INT) AS digit, c.n_obs,
+       round(CAST(c.n_obs AS DOUBLE) / c.n, 6) + 0.0 AS obs_share,
+       c.p AS benford_p,
+       round(c.x2, 6) + 0.0 AS chi2_contrib,
+       round(t.chi2, 6) + 0.0 AS chi2_total,
+       t.chi2 > {_BENFORD_CHI2_CRIT} AS reject_benford
+FROM contrib c CROSS JOIN x2tot t
+""",
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the forensic
+    data-quality screen for fabricated or truncated numeric columns
+    (synthetic uniform generators, price floors, unit mix-ups all bend
+    the first-digit curve). Emits per-digit observed vs Benford share,
+    each digit's chi-square contribution, and the global chi-square
+    with an alpha=0.05 verdict riding along. (The synthetic uniform
+    price generator here SHOULD reject — the audit certifies the
+    detector fires, not that the data is Benford.)
+
+    First digits come from INTEGER cents (leading digit of the decimal
+    string length), never from log10 on doubles — libm rounding at
+    power-of-10 boundaries is not an engine contract; expected shares
+    are fixed literals for the same reason. One scan collapses to the
+    9-row digit relation; scalars ride broadcast cross joins.
+
+    Scale shape: partial-combined count per digit — the audit costs
+    one scan regardless of table size."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    c = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    digits = orders.filter(F.col("o_totalprice") > 0).select(
+        F.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT) div "
+            "CAST(power(10, length(CAST(CAST(round(o_totalprice * 100) "
+            "AS BIGINT) AS STRING)) - 1) AS BIGINT)"
+        ).alias("d")
+    )
+    obs = digits.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    tot = digits.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    bp = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_P.items()], "d INT, p DOUBLE"
+    )
+    nob = F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint")
+    dev = nob - F.col("n") * F.col("p")
+    contrib = (
+        F.broadcast(bp)
+        .join(obs, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            nob.alias("n_obs"),
+            "n",
+            "p",
+            (dev * dev / (F.col("n") * F.col("p"))).alias("x2"),
+        )
+    )
+    x2tot = contrib.agg(F.sum("x2").alias("chi2"))
+    return contrib.crossJoin(F.broadcast(x2tot)).select(
+        F.col("digit").cast("int").alias("digit"),
+        "n_obs",
+        (F.round(F.col("n_obs").cast("double") / F.col("n"), 6) + F.lit(0.0)).alias(
+            "obs_share"
+        ),
+        F.col("p").alias("benford_p"),
+        (F.round("x2", 6) + F.lit(0.0)).alias("chi2_contrib"),
+        (F.round("chi2", 6) + F.lit(0.0)).alias("chi2_total"),
+        (F.col("chi2") > _BENFORD_CHI2_CRIT).alias("reject_benford"),
+    )

@@ -730,6 +730,10 @@ RW_STEPS = 3
 #: invocation (PageRank cache discipline).
 _RW_CACHE: dict[int, tuple[DataFrame, ...]] = {}
 
+#: session id → persisted (edges, tri) of the latest clustering-
+#: coefficient invocation (same one-slot release-then-replace rule).
+_CC_CACHE: dict[int, tuple[DataFrame, ...]] = {}
+
 
 def _rw_oracle() -> str:
     """Unrolled RW_STEPS-step deterministic random walks as chained
@@ -1000,4 +1004,273 @@ def graph_modularity_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_c",
         (F.round("q_c", 6) + F.lit(0.0)).alias("q_contrib"),
         (F.round("q", 6) + F.lit(0.0)).alias("modularity"),
+    )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+WITH {_TRI_EDGES_SQL.strip()},
+tri AS (
+  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.s2 = e2.s1
+  JOIN edges e3 ON e1.s1 = e3.s1 AND e2.s2 = e3.s2
+),
+und AS (
+  SELECT s1 AS node FROM edges UNION ALL SELECT s2 FROM edges
+),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY node),
+tric AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+    SELECT a AS node FROM tri UNION ALL
+    SELECT b FROM tri UNION ALL
+    SELECT c FROM tri
+  ) corners GROUP BY node
+),
+pern AS (
+  SELECT d.node, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+         CASE WHEN d.deg < 2 THEN 0.0
+              ELSE round(2.0 * COALESCE(t.n_tri, 0)
+                         / (d.deg * (d.deg - 1)), 6) END AS local_cc
+  FROM deg d LEFT JOIN tric t ON d.node = t.node
+),
+gstats AS (
+  SELECT CASE WHEN SUM(deg * (deg - 1)) = 0 THEN 0.0
+              ELSE round(3.0 * (SELECT COUNT(*) FROM tri)
+                         / (SUM(deg * (deg - 1)) / 2.0), 6) END AS transitivity
+  FROM deg
+)
+SELECT p.node AS suppkey, p.deg, p.n_tri, p.local_cc + 0.0 AS local_cc,
+       g.transitivity + 0.0 AS transitivity
+FROM pern p CROSS JOIN gstats g
+""",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per supplier over the co-supply
+    graph (same thresholded edge set as graph_triangle_count):
+    cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — the cohesion readout that
+    separates hub-of-a-clique from hub-of-a-star, feeding ego-network
+    features and fraud-ring triage; the graph-level transitivity
+    (3·triangles / wedges) rides along so one scan yields both the
+    per-node and whole-graph signal.
+
+    Scale shape: triangles come from the ordered a<b<c two-join
+    enumeration (linear in wedges, cf. graph_triangle_count); degrees
+    are one partial-combined count over the symmetrized edge ends;
+    the division happens on exact int64 counts so both engines emit
+    identical doubles, rounded once at the end. The 1-row transitivity
+    scalar rides a broadcast cross join — never a collect."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_orderkey", "l_suppkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("s1"),
+            F.col("b.l_suppkey").alias("s2"),
+            F.col("a.l_orderkey").alias("okey"),
+        )
+        .groupBy("s1", "s2")
+        .agg(F.count_distinct("okey").alias("n_shared"))
+        .filter(F.col("n_shared") >= TRI_MIN_SHARED)
+        .select("s1", "s2")
+        # Referenced by three self-join aliases, the degree count, AND
+        # the triangle total — persist so the lineitem self-join +
+        # distinct-count edge derivation runs once, not five times.
+        .persist()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.s2") == F.col("e2.s1"))
+        .join(
+            e3,
+            (F.col("e1.s1") == F.col("e3.s1"))
+            & (F.col("e2.s2") == F.col("e3.s2")),
+        )
+        .select(
+            F.col("e1.s1").alias("a"),
+            F.col("e1.s2").alias("b"),
+            F.col("e2.s2").alias("c"),
+        )
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("s1").alias("node"))
+        .unionAll(edges.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    tric = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    d, t = F.col("deg"), F.col("n_tri")
+    pern = deg.join(tric, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(t, F.lit(0)).cast("bigint").alias("n_tri"),
+        F.when(d < 2, F.lit(0.0))
+        .otherwise(
+            F.round(2.0 * F.coalesce(t, F.lit(0)) / (d * (d - 1)), 6)
+        )
+        .alias("local_cc"),
+    )
+    n_tri_total = tri.agg(F.count(F.lit(1)).alias("nt3"))
+    wedges = deg.agg(F.sum(d * (d - 1)).alias("w2"))
+    glob = (
+        n_tri_total.crossJoin(wedges)
+        .select(
+            F.when(F.col("w2") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(3.0 * F.col("nt3") / (F.col("w2") / 2.0), 6)
+            )
+            .alias("transitivity")
+        )
+    )
+    slot = id(spark)
+    prev = _CC_CACHE.pop(slot, None)
+    if prev is not None:
+        for df in prev:
+            df.unpersist()
+    _CC_CACHE[slot] = (edges, tri)
+    return pern.crossJoin(F.broadcast(glob)).select(
+        F.col("node").alias("suppkey"),
+        "deg",
+        "n_tri",
+        (F.col("local_cc") + F.lit(0.0)).alias("local_cc"),
+        (F.col("transitivity") + F.lit(0.0)).alias("transitivity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation community detection (fixed synchronous rounds)
+# ---------------------------------------------------------------------------
+
+#: Synchronous label-propagation rounds (fixed, oracle-unrollable).
+LP_ROUNDS = 2
+
+#: session id → persisted relations of the latest LP invocation.
+_LP_CACHE: dict[int, tuple[DataFrame, ...]] = {}
+
+
+def _lp_oracle() -> str:
+    """LP_ROUNDS rounds of synchronous majority-label propagation over
+    the symmetrized co-supply edge set, unrolled as chained CTEs.
+    Update rule: new label = most frequent neighbor label, ties to the
+    SMALLEST label — fully deterministic, no random tie-breaking."""
+    head = f"""
+WITH {_TRI_EDGES_SQL.strip()},
+sym AS (
+  SELECT s1 AS src, s2 AS dst FROM edges
+  UNION ALL
+  SELECT s2 AS src, s1 AS dst FROM edges
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lab FROM sym)"""
+    steps = []
+    for r in range(1, LP_ROUNDS + 1):
+        steps.append(f""",
+m{r} AS (
+  SELECT e.dst AS node, l.lab, COUNT(*) AS cnt
+  FROM sym e JOIN l{r - 1} l ON e.src = l.node
+  GROUP BY e.dst, l.lab
+),
+p{r} AS (
+  SELECT node, lab,
+         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+  FROM m{r}
+),
+l{r} AS (SELECT node, lab FROM p{r} WHERE rn = 1)""")
+    tail = f"""
+SELECT l.node AS suppkey, l.lab AS community,
+       CAST(COUNT(*) OVER (PARTITION BY l.lab) AS BIGINT) AS community_size
+FROM l{LP_ROUNDS} l
+"""
+    return head + "".join(steps) + tail
+
+
+@query("graph_label_propagation", oracle=_lp_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (Raghavan et al. 2007) over the supplier co-supply graph: every
+    node starts as its own community and repeatedly adopts its
+    neighborhood's majority label (ties to the smallest label id) —
+    the near-linear-time community algorithm warehouses actually run
+    when Louvain's sequential modularity sweeps don't parallelize.
+    Fixed LP_ROUNDS keeps the cost bounded and the semantics
+    deterministic (run-to-convergence LPA is order-sensitive; the
+    synchronous fixed-round variant is reproducible by construction).
+
+    Scale shape: the thresholded edge relation is derived once and
+    persisted; each round is one equi-join of the edge list with the
+    |V|-row label vector (labels broadcast — the edges never
+    re-shuffle) plus a partial-combined (node, lab) count and a
+    per-node argmax window keyed on the same exchange. Per-round label
+    vectors persist to stop lineage blowup (the PageRank rank-vector
+    rule)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_orderkey", "l_suppkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    slot = id(spark)
+    prev = _LP_CACHE.pop(slot, None)
+    if prev is not None:
+        for df in prev:
+            df.unpersist()
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("s1"),
+            F.col("b.l_suppkey").alias("s2"),
+            F.col("a.l_orderkey").alias("okey"),
+        )
+        .groupBy("s1", "s2")
+        .agg(F.count_distinct("okey").alias("n_shared"))
+        .filter(F.col("n_shared") >= TRI_MIN_SHARED)
+        .select("s1", "s2")
+    )
+    sym = (
+        edges.select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+        .unionAll(edges.select(F.col("s2").alias("src"), F.col("s1").alias("dst")))
+        .persist()
+    )
+    cached: list[DataFrame] = [sym]
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(LP_ROUNDS):
+        msgs = (
+            sym.join(
+                F.broadcast(labels.select(F.col("node").alias("src"), "lab")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        rn = F.row_number().over(
+            W.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lab"))
+        )
+        labels = (
+            msgs.withColumn("rn", rn).filter(F.col("rn") == 1).select("node", "lab")
+        ).persist()
+        cached.append(labels)
+    _LP_CACHE[slot] = tuple(cached)
+    return labels.select(
+        F.col("node").alias("suppkey"),
+        F.col("lab").alias("community"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("lab"))
+        .cast("bigint")
+        .alias("community_size"),
     )

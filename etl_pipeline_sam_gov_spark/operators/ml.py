@@ -1129,3 +1129,225 @@ def ml_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("v", 6) + F.lit(0.0)).alias("factor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gradient-boosted regression stumps (2 additive rounds, exact cents)
+# ---------------------------------------------------------------------------
+
+#: Boosting rounds; each fits one regression stump to the residuals.
+GBM_ROUNDS = 2
+
+
+def _gbm_round_sql(r: int) -> str:
+    """CTE block for boosting round ``r`` (1-based): per-feature
+    split-candidate scan over base{r-1}(id, f1, f2, y{r-1}), best
+    split by SSE-reduction surrogate, residual relation base{r}."""
+    y = f"y{r - 1}"
+    feats = []
+    for fi in (1, 2):
+        feats.append(f"""
+pv{r}_{fi} AS (
+  SELECT f{fi} AS v, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM({y}) AS BIGINT) AS s
+  FROM base{r - 1} GROUP BY f{fi}
+),
+cum{r}_{fi} AS (
+  SELECT v, CAST(SUM(n) OVER w AS BIGINT) AS nl,
+         CAST(SUM(s) OVER w AS BIGINT) AS sl
+  FROM pv{r}_{fi}
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)""")
+    return f"""{",".join(feats)},
+tot{r} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nt, CAST(SUM({y}) AS BIGINT) AS st
+  FROM base{r - 1}
+),
+cand{r} AS (
+  SELECT 1 AS feat, c.v, c.nl, c.sl, t.nt, t.st,
+         CAST(c.sl AS DOUBLE) * c.sl / c.nl
+           + CAST(t.st - c.sl AS DOUBLE) * (t.st - c.sl) / (t.nt - c.nl)
+           AS score
+  FROM cum{r}_1 c CROSS JOIN tot{r} t WHERE c.nl < t.nt
+  UNION ALL
+  SELECT 2 AS feat, c.v, c.nl, c.sl, t.nt, t.st,
+         CAST(c.sl AS DOUBLE) * c.sl / c.nl
+           + CAST(t.st - c.sl AS DOUBLE) * (t.st - c.sl) / (t.nt - c.nl)
+           AS score
+  FROM cum{r}_2 c CROSS JOIN tot{r} t WHERE c.nl < t.nt
+),
+best{r} AS (
+  SELECT feat, v AS thr, nl, nt - nl AS nr,
+         CAST(round(CAST(sl AS DOUBLE) / nl) AS BIGINT) AS pl,
+         CAST(round(CAST(st - sl AS DOUBLE) / (nt - nl)) AS BIGINT) AS pr
+  FROM (SELECT *, row_number() OVER (ORDER BY score DESC, feat, v) AS rn
+        FROM cand{r})
+  WHERE rn = 1
+),
+base{r} AS (
+  SELECT b.id, b.f1, b.f2,
+         b.{y} - (CASE WHEN (s.feat = 1 AND b.f1 <= s.thr)
+                         OR (s.feat = 2 AND b.f2 <= s.thr)
+                  THEN s.pl ELSE s.pr END) AS y{r}
+  FROM base{r - 1} b CROSS JOIN best{r} s
+),
+mae{r} AS (
+  SELECT round(CAST(SUM(abs(y{r})) AS DOUBLE) / COUNT(*), 6) AS mae
+  FROM base{r}
+)"""
+
+
+def _gbm_oracle() -> str:
+    head = """
+WITH base0 AS (
+  SELECT o_orderkey AS id,
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS f1,
+         CAST(o_custkey % 97 AS BIGINT) AS f2,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y0
+  FROM orders
+)"""
+    rounds = "".join("," + _gbm_round_sql(r) for r in range(1, GBM_ROUNDS + 1))
+    selects = " UNION ALL ".join(
+        f"""SELECT {r} AS round, b.feat, b.thr AS threshold,
+       b.nl AS n_left, b.nr AS n_right,
+       b.pl AS pred_left_cents, b.pr AS pred_right_cents,
+       m.mae + 0.0 AS mae_after_cents
+FROM best{r} b CROSS JOIN mae{r} m"""
+        for r in range(1, GBM_ROUNDS + 1)
+    )
+    return head + rounds + "\n" + selects
+
+
+def _stump_fit(base: DataFrame, ycol: str) -> DataFrame:
+    """1-row best-split relation (feat, thr, nl, nr, pl, pr) for the
+    residual column ``ycol`` of base(id, f1, f2, ycol)."""
+    y = F.col(ycol)
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+        F.sum(ycol).cast("bigint").alias("st"),
+    )
+    cands = []
+    for fi in (1, 2):
+        pv = base.groupBy(F.col(f"f{fi}").alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(ycol).cast("bigint").alias("s"),
+        )
+        w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+        cum = pv.select(
+            "v",
+            F.sum("n").over(w).cast("bigint").alias("nl"),
+            F.sum("s").over(w).cast("bigint").alias("sl"),
+        )
+        nl, sl, nt, st = (F.col(c) for c in ("nl", "sl", "nt", "st"))
+        cands.append(
+            cum.crossJoin(F.broadcast(tot))
+            .filter(nl < nt)
+            .select(
+                F.lit(fi).alias("feat"),
+                "v",
+                "nl",
+                "sl",
+                "nt",
+                "st",
+                (
+                    sl.cast("double") * sl / nl
+                    + (st - sl).cast("double") * (st - sl) / (nt - nl)
+                ).alias("score"),
+            )
+        )
+    nl, sl, nt, st = (F.col(c) for c in ("nl", "sl", "nt", "st"))
+    rw = W.orderBy(F.desc("score"), "feat", "v")
+    return (
+        cands[0]
+        .unionAll(cands[1])
+        .withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "feat",
+            F.col("v").alias("thr"),
+            "nl",
+            (nt - nl).alias("nr"),
+            F.round(sl.cast("double") / nl, 0).cast("bigint").alias("pl"),
+            F.round((st - sl).cast("double") / (nt - nl), 0)
+            .cast("bigint")
+            .alias("pr"),
+        )
+    )
+
+
+@query("ml_gbm_stumps", oracle=_gbm_oracle())
+def ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted regression stumps (GBM_ROUNDS additive rounds,
+    squared loss) predicting order value from order date and a
+    customer bucket — the in-warehouse boosting loop (XGBoost's outer
+    iteration with depth-1 trees): fit a stump to the residuals, emit
+    the model row, subtract its predictions, repeat. Emits each
+    round's (feature, threshold, leaf means, split sizes) plus the
+    post-round mean absolute error so the output certifies BOTH the
+    argmax split choice and the residual update.
+
+    Determinism: targets and residuals live in exact int64 cents
+    (leaf means round back to cents before subtracting), so split
+    sums are order-independent; the SSE-reduction score
+    sl²/nl + sr²/nr is a double computed from exact ints — identical
+    operand order both engines — and ties break (feat, threshold).
+
+    Scale shape: each round is one partial-combined groupBy per
+    feature onto the bounded feature-value domain, a window over that
+    bounded relation (never the fact table), and a broadcast 1-row
+    model join for the residual update — the fact table is scanned
+    once per round with zero extra shuffles."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("f1"),
+        (F.col("o_custkey") % 97).cast("bigint").alias("f2"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("y0"),
+    )
+    out = None
+    for r in range(1, GBM_ROUNDS + 1):
+        best = _stump_fit(base, f"y{r - 1}")
+        applied = base.crossJoin(F.broadcast(best)).select(
+            "id",
+            "f1",
+            "f2",
+            "feat",
+            "thr",
+            "nl",
+            "nr",
+            "pl",
+            "pr",
+            (
+                F.col(f"y{r - 1}")
+                - F.when(
+                    ((F.col("feat") == 1) & (F.col("f1") <= F.col("thr")))
+                    | ((F.col("feat") == 2) & (F.col("f2") <= F.col("thr"))),
+                    F.col("pl"),
+                ).otherwise(F.col("pr"))
+            ).alias(f"y{r}"),
+        )
+        mae = applied.agg(
+            F.round(
+                F.sum(F.abs(F.col(f"y{r}"))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mae")
+        )
+        row = best.crossJoin(F.broadcast(mae)).select(
+            F.lit(r).alias("round"),
+            "feat",
+            F.col("thr").alias("threshold"),
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            F.col("pl").alias("pred_left_cents"),
+            F.col("pr").alias("pred_right_cents"),
+            (F.col("mae") + F.lit(0.0)).alias("mae_after_cents"),
+        )
+        out = row if out is None else out.unionAll(row)
+        base = applied.select("id", "f1", "f2", f"y{r}")
+    return out

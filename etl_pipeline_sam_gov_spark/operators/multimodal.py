@@ -23,7 +23,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_pipeline_sam_gov_spark.registry import query
@@ -862,4 +862,94 @@ def multimodal_audio_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFra
             "doc_id long, channel int, n_samples long,"
             " zero_crossings long, zcr double, quiet_ratio double"
         ),
+    )
+
+
+# --- shot-boundary detection over frame signatures -------------------------
+
+#: Minimum absolute jump between consecutive frame byte-sums to call a
+#: shot boundary.
+SHOT_JUMP_MIN = 300
+
+
+def frame_signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: slice the payload into FULL FRAME_BYTES-sized
+    frames and emit each frame's byte sum — the 1-D stand-in for a real
+    per-frame visual signature (color histogram / perceptual hash; a
+    real decoder swaps into this exact batch shape). Partial tail
+    frames are dropped: their sums are length artifacts, not content."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "sig": []}
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            for idx in range(len(content) // FRAME_BYTES):
+                frame = content[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["sig"].append(int(sum(frame)))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_shot_boundaries",
+    oracle=f"""
+WITH frames AS (
+  SELECT doc_id, f,
+         CAST(list_aggregate(
+           list_transform(range({FRAME_BYTES}),
+                          i -> ascii(substr(text, f * {FRAME_BYTES} + i + 1, 1))),
+           'sum') AS BIGINT) AS sig
+  FROM (
+    SELECT doc_id, text, unnest(range(strlen(text) // {FRAME_BYTES})) AS f
+    FROM documents
+  ) t
+),
+lagged AS (
+  SELECT doc_id, f AS frame_idx, sig,
+         lag(sig) OVER (PARTITION BY doc_id ORDER BY f) AS prev_sig
+  FROM frames
+)
+SELECT doc_id, frame_idx, prev_sig, sig AS cur_sig,
+       sig - prev_sig AS jump
+FROM lagged
+WHERE prev_sig IS NOT NULL AND abs(sig - prev_sig) >= {SHOT_JUMP_MIN}
+""",
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over a frame stream: adjacent-frame
+    signature jump — the cut detector every video curation pipeline
+    runs before keyframe selection (sample one frame per shot, not per
+    second, to dedupe training imagery). The decode stage is the
+    repo's standard Arrow-batched mapInPandas lane (real byte-slicing
+    over the binary payload; a production decoder emits a histogram
+    where this emits a byte sum); boundary detection itself is pure
+    relational window algebra over the (doc, frame, signature) stream
+    — EXACT int64 sums, so the threshold gate never sits on a float.
+
+    Scale shape: signatures are map-side one-to-many expansion
+    (partition-parallel, no shuffle); the lag window is ONE exchange
+    keyed on doc_id; the boundary filter prunes in-stage. The oracle
+    recomputes every signature character-by-character from the source
+    text — certifying the Python kernel's byte math against an
+    independent engine."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    payload = attach_binary_payload(docs)
+    frames = payload.mapInPandas(
+        frame_signatures, schema="doc_id long, frame_idx long, sig long"
+    )
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    lagged = frames.select(
+        "doc_id",
+        "frame_idx",
+        "sig",
+        F.lag("sig").over(w).alias("prev_sig"),
+    )
+    return lagged.filter(
+        F.col("prev_sig").isNotNull()
+        & (F.abs(F.col("sig") - F.col("prev_sig")) >= SHOT_JUMP_MIN)
+    ).select(
+        "doc_id",
+        "frame_idx",
+        "prev_sig",
+        F.col("sig").alias("cur_sig"),
+        (F.col("sig") - F.col("prev_sig")).alias("jump"),
     )

@@ -657,3 +657,162 @@ def retrieval_phrase_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_gap",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback (Rocchio-style query expansion)
+# ---------------------------------------------------------------------------
+
+FB_DOCS = 3  #: top BM25 docs assumed relevant per query
+FB_TERMS = 2  #: expansion terms appended per query
+
+
+@query(
+    "retrieval_rocchio_prf",
+    oracle=f"""
+WITH {_BM25_CTES},
+fb AS (SELECT query_id, doc_id FROM ranked WHERE rnk <= {FB_DOCS}),
+dfall AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM c GROUP BY tok),
+cand AS (
+  SELECT f.query_id, c.tok, CAST(SUM(c.c) AS BIGINT) AS fb_tf
+  FROM fb f
+  JOIN c ON c.doc_id = f.doc_id
+  LEFT JOIN q ON q.query_id = f.query_id AND q.tok = c.tok
+  WHERE q.tok IS NULL
+  GROUP BY f.query_id, c.tok
+),
+wght AS (
+  SELECT cand.query_id, cand.tok,
+         cand.fb_tf * ln((stats.n_docs - d.df + 0.5) / (d.df + 0.5) + 1) AS w
+  FROM cand JOIN dfall d USING (tok) CROSS JOIN stats
+),
+pick AS (
+  SELECT query_id, tok FROM (
+    SELECT query_id, tok,
+           row_number() OVER (PARTITION BY query_id ORDER BY w DESC, tok) AS rn
+    FROM wght) t
+  WHERE rn <= {FB_TERMS}
+),
+q2 AS (SELECT query_id, tok FROM q UNION ALL SELECT query_id, tok FROM pick),
+df2 AS (
+  SELECT tok, COUNT(*) AS df FROM c
+  WHERE tok IN (SELECT DISTINCT tok FROM q2) GROUP BY tok
+),
+scored2 AS (
+  SELECT q2.query_id, c.doc_id,
+         round(SUM(
+           ln((stats.n_docs - df2.df + 0.5) / (df2.df + 0.5) + 1)
+           * (c.c * ({BM25_K1} + 1))
+           / (c.c + {BM25_K1} * (1 - {BM25_B}
+              + {BM25_B} * dl.dl / (stats.total_toks::DOUBLE / stats.n_docs)))
+         ), 6) AS bm25_prf
+  FROM c
+  JOIN q2 USING (tok)
+  JOIN df2 USING (tok)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q2.query_id, c.doc_id
+),
+ranked2 AS (
+  SELECT query_id, doc_id, bm25_prf,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY bm25_prf DESC, doc_id) AS rnk
+  FROM scored2
+)
+SELECT query_id, doc_id, CAST(rnk AS INT) AS rnk, bm25_prf
+FROM ranked2 WHERE rnk <= {BM25_TOP_K}
+""",
+)
+def retrieval_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio): run BM25, assume the top
+    FB_DOCS hits are relevant, mine their FB_TERMS highest
+    tf×idf terms NOT already in the query, append them, and re-rank —
+    the classic recall-recovery loop of sparse retrieval (vocabulary
+    mismatch: a query says "customer", the relevant docs also say
+    "account"). Expansion-term weight = feedback term frequency ×
+    corpus idf, ties to the lexicographically smaller token; the
+    second-pass scoring is the SAME BM25 algebra over the expanded
+    term set.
+
+    Scale shape: the first pass is the shared BM25 plan (one corpus
+    exchange on (doc_id, tok)); candidate mining touches only the
+    |queries|×FB_DOCS feedback postings; the expanded query relation
+    stays query-sized and broadcasts into the second scoring pass —
+    the corpus is never rescanned beyond the shared term-count
+    relation. df for expansion terms comes from the vocabulary-sized
+    rollup, joined on tok (never collected)."""
+    counts = _doc_term_counts(spark, sf_dir)
+    ranked = _bm25_ranked(spark, sf_dir)
+    fb = ranked.filter(F.col("rnk") <= FB_DOCS).select("query_id", "doc_id")
+    qterms = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).cast("int").alias("query_id"),
+                        F.lit(t).alias("tok"),
+                    )
+                    for qid, terms in BM25_QUERY_TERMS
+                    for t in terms
+                ]
+            )
+        ).alias("q")
+    ).select("q.query_id", "q.tok")
+    dfall = counts.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    stats = counts.agg(
+        F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        F.sum("c").cast("bigint").alias("total_toks"),
+    )
+    cand = (
+        fb.join(counts, "doc_id")
+        .join(F.broadcast(qterms), ["query_id", "tok"], "left_anti")
+        .groupBy("query_id", "tok")
+        .agg(F.sum("c").cast("bigint").alias("fb_tf"))
+    )
+    idf_of = lambda df_col: F.log(  # noqa: E731
+        (F.col("n_docs") - df_col + 0.5) / (df_col + 0.5) + 1
+    )
+    wght = (
+        cand.join(dfall, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", "tok", (F.col("fb_tf") * idf_of(F.col("df"))).alias("w")
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("w"), F.asc("tok"))
+    )
+    pick = (
+        wght.withColumn("rn", rn)
+        .filter(F.col("rn") <= FB_TERMS)
+        .select("query_id", "tok")
+    )
+    q2 = qterms.unionAll(pick)
+    df2 = (
+        counts.join(F.broadcast(q2.select("tok").distinct()), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    dl = F.sum("c").over(W.partitionBy("doc_id")).cast("bigint")
+    with_dl = counts.withColumn("dl", dl)
+    avgdl = F.col("total_toks").cast("double") / F.col("n_docs")
+    tf_norm = (F.col("c") * (BM25_K1 + 1)) / (
+        F.col("c") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
+    )
+    scored2 = (
+        with_dl.join(F.broadcast(q2), "tok")
+        .join(F.broadcast(df2), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf_of(F.col("df")) * tf_norm), 6).alias("bm25_prf"))
+    )
+    rnk2 = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("bm25_prf"), F.asc("doc_id"))
+    )
+    return (
+        scored2.withColumn("rnk", rnk2.cast("int"))
+        .filter(F.col("rnk") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "rnk", "bm25_prf")
+    )

@@ -1015,3 +1015,160 @@ def similarity_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "maxsim",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ with asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_ivfpq_adc",
+    oracle=f"""
+WITH {_SQL_IVF_PROBES},
+ss AS (SELECT unnest(range({PQ_M})) AS s),
+pqcents AS (
+  SELECT ss.s, vec_id AS cent_id,
+         v[ss.s*{PQ_SUB_DIM}+1 : ss.s*{PQ_SUB_DIM}+{PQ_SUB_DIM}] AS cv
+  FROM norms CROSS JOIN ss
+  WHERE vec_id % {IVF_CENTROID_STRIDE} = 0 AND vec_id < {IVF_MAX_CENTROID_ID}
+),
+sub AS (
+  SELECT a.vec_id, ss.s,
+         a.v[ss.s*{PQ_SUB_DIM}+1 : ss.s*{PQ_SUB_DIM}+{PQ_SUB_DIM}] AS sv
+  FROM assign a CROSS JOIN ss
+),
+dist AS (
+  SELECT sub.vec_id, sub.s, c.cent_id, c.cv,
+         list_aggregate(
+           list_transform(range({PQ_SUB_DIM}),
+                          i -> (sub.sv[i+1] - c.cv[i+1]) * (sub.sv[i+1] - c.cv[i+1])),
+           'sum') AS d
+  FROM sub JOIN pqcents c ON c.s = sub.s
+),
+bestc AS (
+  SELECT vec_id, s, cv,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cent_id) AS rn
+  FROM dist
+),
+recon AS (
+  SELECT vec_id, flatten(list(cv ORDER BY s)) AS r
+  FROM bestc WHERE rn = 1 GROUP BY vec_id
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, p.qv, r.r
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN recon r ON r.vec_id = a.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_aggregate(
+           list_transform(range(len(qv)),
+                          i -> (qv[i+1] - r[i+1]) * (qv[i+1] - r[i+1])),
+           'sum') AS adc
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(adc, 6) AS adc_dist
+FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search with asymmetric distance computation (Jégou et
+    al.): probe IVF cells for candidates, but score each candidate by
+    the exact query against the candidate's PQ RECONSTRUCTION (the
+    concatenation of its assigned sub-centroids) — the FAISS IVFPQ
+    serving kernel, where the index stores only 1-byte-per-subspace
+    codes and the query-side math stays full precision ("asymmetric"
+    because only the database side is quantized).
+
+    Scale shape: the PQ sub-codebook is the same broadcast one-row
+    array as ann_pq_encode, so reconstruction is a per-row map over
+    the corpus — computed ONCE per vector, not per candidate pair;
+    candidates come from the shared IVF probe plan (broadcast probes,
+    cell equi-join); the ADC fold is the same sequential double
+    arithmetic as the oracle's list_aggregate, so distances — and the
+    (adc, neighbor_id) ranking — are bit-identical cross-engine."""
+    assign, probes = _ivf_assign_probes(spark, sf_dir)
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    vd = _parallelize(emb.select("vec_id", _as_double().alias("v")))
+    cent_arr = (
+        vd.filter(
+            (F.col("vec_id") % IVF_CENTROID_STRIDE == 0)
+            & (F.col("vec_id") < IVF_MAX_CENTROID_ID)
+        )
+        .select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+            "v",
+        )
+        .select(
+            F.struct(
+                F.col("s").cast("bigint").alias("s"),
+                F.col("vec_id").alias("cent_id"),
+                F.slice(
+                    F.col("v"), F.col("s") * PQ_SUB_DIM + 1, F.lit(PQ_SUB_DIM)
+                ).alias("cv"),
+            ).alias("c")
+        )
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda s: F.slice(F.col("v"), s * PQ_SUB_DIM + 1, F.lit(PQ_SUB_DIM)),
+    )
+    # Per-subspace argmin returns (d, cent_id, cv): struct sort is
+    # field-lexicographic, and (d, cent_id) is unique per subspace, so
+    # the trailing cv never participates in the comparison.
+    recon = F.flatten(
+        F.transform(
+            subs,
+            lambda sub, s: F.element_at(
+                F.array_sort(
+                    F.transform(
+                        F.filter(F.col("cents"), lambda c: c["s"] == s),
+                        lambda c: F.struct(
+                            F.aggregate(
+                                F.zip_with(
+                                    sub, c["cv"], lambda x, y: (x - y) * (x - y)
+                                ),
+                                F.lit(0.0),
+                                lambda acc, e: acc + e,
+                            ).alias("d"),
+                            c["cent_id"].alias("cent_id"),
+                            c["cv"].alias("cv"),
+                        ),
+                    )
+                ),
+                1,
+            )["cv"],
+        )
+    )
+    reconned = assign.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "cell", recon.alias("r")
+    )
+    adc = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("r"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    scored = reconned.join(
+        F.broadcast(probes.select("query_id", "qv", F.col("cell").alias("qcell"))),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
+    )
+    w = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("adc", 6).alias("adc_dist")
+        )
+    )

@@ -19,6 +19,7 @@ from etl_pipeline_sam_gov_spark.operators.dedup import (
     _SQL_SHINGLES,
     _sql_hash60,
     doc_shingles,
+    spread_docs,
     tokens_col,
 )
 from etl_pipeline_sam_gov_spark.registry import query
@@ -1946,4 +1947,166 @@ def text_rake_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", rn)
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("phrase").alias("top_phrase"), "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease readability scoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_readability_flesch",
+    oracle="""
+WITH counts AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS n_sentences,
+         CAST(list_aggregate(
+           list_transform(string_split_regex(text, '\\s+'),
+             w -> greatest(len(regexp_extract_all(w, '[aeiouAEIOU]+')), 1)),
+           'sum') AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) + 0.0
+         AS flesch,
+       CASE
+         WHEN 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+              - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) >= 70 THEN 'easy'
+         WHEN 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+              - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) >= 50
+           THEN 'standard'
+         ELSE 'difficult'
+       END AS band
+FROM counts
+""",
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the readability signal
+    quality-curation stacks use alongside the C4/Gopher rules (very
+    low readability correlates with boilerplate/gibberish; very high
+    with trivial listicles). Words are the corpus-standard whitespace
+    tokens; sentences count terminal-punctuation runs (floored at 1);
+    syllables use the standard vowel-group heuristic (floored at 1 per
+    word) — all THREE counts are exact integers from the same regex
+    algebra on both engines, so the 206.835 − 1.015·(W/S) −
+    84.6·(SY/W) formula computes on bit-identical operands and the
+    banding thresholds compare identical doubles.
+
+    Scale shape: pure scan-stage expression work (one higher-order
+    fold per doc, JVM-side, no UDF, no shuffle)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = tokens_col()
+    counts = spread_docs(docs).select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+        )
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.aggregate(
+            F.transform(
+                toks,
+                lambda w: F.greatest(
+                    F.size(F.regexp_extract_all(w, F.lit("[aeiouAEIOU]+"), F.lit(0))),
+                    F.lit(1),
+                ).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_syllables"),
+    )
+    flesch_raw = (
+        F.lit(206.835)
+        - 1.015 * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - 84.6 * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return counts.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.round(flesch_raw, 6) + F.lit(0.0)).alias("flesch"),
+        F.when(flesch_raw >= 70, "easy")
+        .when(flesch_raw >= 50, "standard")
+        .otherwise("difficult")
+        .alias("band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Precision-recall curve over the quality classifier's score domain
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_precision_recall_curve",
+    oracle=f"""
+WITH {_SQL_PER_SCORE},
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(np_s) AS BIGINT) AS pt
+  FROM per_score
+),
+cum AS (
+  SELECT logit,
+         CAST(SUM(n) OVER w AS BIGINT) AS n_ge,
+         CAST(SUM(np_s) OVER w AS BIGINT) AS tp
+  FROM per_score
+  WINDOW w AS (ORDER BY logit DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT c.logit AS threshold, c.tp,
+       c.n_ge - c.tp AS fp,
+       t.pt - c.tp AS fn,
+       round(CAST(c.tp AS DOUBLE) / c.n_ge, 6) + 0.0 AS precision_at,
+       round(CAST(c.tp AS DOUBLE) / t.pt, 6) + 0.0 AS recall_at,
+       CASE WHEN c.tp = 0 THEN 0.0
+            ELSE round(2.0 * c.tp / (c.n_ge + t.pt), 6) + 0.0 END AS f1_at
+FROM cum c CROSS JOIN tot t
+""",
+)
+def ml_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full precision-recall curve of the quality classifier
+    against the C4/Gopher rule-bank truth: one point per distinct
+    score threshold (predict keep when logit ≥ t), with TP/FP/FN
+    counts and precision/recall/F1 — the curve the operating-point
+    choice (ml_decision_stump) and the aggregate ranking quality
+    (ml_auc_quality_classifier) both project down from. F1 uses the
+    identity 2TP/(predicted_pos + actual_pos), so every emitted
+    metric is ONE division of exact int64 counts — no compounded
+    float error, no -0.0 risk (all operands non-negative).
+
+    Scale shape: documents collapse to the bounded score-domain
+    relation first (shared _per_score_truth groupBy); the descending
+    cumulative window and every ratio run over that bounded relation;
+    corpus totals ride a broadcast 1-row cross join."""
+    per_score = _per_score_truth(spark, sf_dir)
+    tot = per_score.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("np_s").cast("bigint").alias("pt"),
+    )
+    w = W.orderBy(F.desc("logit")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = per_score.select(
+        F.col("logit").alias("threshold"),
+        F.sum("n").over(w).cast("bigint").alias("n_ge"),
+        F.sum("np_s").over(w).cast("bigint").alias("tp"),
+    )
+    tp, nge, pt = F.col("tp"), F.col("n_ge"), F.col("pt")
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        "tp",
+        (nge - tp).alias("fp"),
+        (pt - tp).alias("fn"),
+        (F.round(tp.cast("double") / nge, 6) + F.lit(0.0)).alias("precision_at"),
+        (F.round(tp.cast("double") / pt, 6) + F.lit(0.0)).alias("recall_at"),
+        F.when(tp == 0, F.lit(0.0))
+        .otherwise(F.round(2.0 * tp / (nge + pt), 6) + F.lit(0.0))
+        .alias("f1_at"),
     )
