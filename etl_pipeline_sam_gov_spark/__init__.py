@@ -342,6 +342,9 @@ _DEFER_IN_TIER = frozenset(
         "graph_label_propagation",
         "text_readability_flesch",
         "ml_precision_recall_curve",
+        "ts_seasonal_naive_forecast_eval",
+        "curate_length_bucket_batches",
+        "stream_value_histogram",
     }
 )
 

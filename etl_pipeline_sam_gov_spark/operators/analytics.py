@@ -1432,3 +1432,81 @@ def ts_level_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (sa - sb).alias("shift_total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast evaluation (daily seasonality, hourly grain)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_seasonal_naive_forecast_eval",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+joined AS (
+  SELECT a.event_type, a.h, a.c AS actual_c, f.c AS forecast_c
+  FROM hourly a
+  JOIN hourly f ON f.event_type = a.event_type
+                AND f.h = a.h - INTERVAL 24 HOUR
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_hours,
+       CAST(SUM(abs(actual_c - forecast_c)) AS BIGINT) AS abs_err_cents,
+       round(CAST(SUM(abs(actual_c - forecast_c)) AS DOUBLE) / COUNT(*) / 100,
+             6) + 0.0 AS mae,
+       round(CAST(SUM(abs(actual_c - forecast_c)) AS DOUBLE)
+             / SUM(abs(actual_c)), 6) + 0.0 AS wape
+FROM joined GROUP BY event_type
+""",
+)
+def ts_seasonal_naive_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour's revenue
+    with the value from the SAME hour yesterday and score MAE and
+    WAPE per event type — the baseline every demand-forecasting model
+    must beat (and the honest way to report it: WAPE =
+    Σ|err|/Σ|actual| is a ratio of exact integer sums, immune to the
+    divide-by-small-actual explosions that make per-row MAPE lie).
+    Hours align by TIMESTAMP equi-join (h = h − 24h), not row offset,
+    so gaps in the series never misalign the season.
+
+    Scale shape: the corpus collapses to (type, hour) cells in one
+    partial-combined groupBy; the seasonal join is a self-equi-join of
+    that bounded cell relation on (type, shifted hour); the scorecard
+    is a per-type rollup. All error sums are exact int64 cents."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("h"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    f = hourly.select(
+        F.col("event_type").alias("f_type"),
+        F.col("h").alias("f_h"),
+        F.col("c").alias("forecast_c"),
+    )
+    joined = hourly.join(
+        f,
+        (F.col("f_type") == F.col("event_type"))
+        & (F.col("f_h") == F.col("h") - F.expr("INTERVAL 24 HOURS")),
+    )
+    err = F.abs(F.col("c") - F.col("forecast_c"))
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_hours"),
+        F.sum(err).cast("bigint").alias("abs_err_cents"),
+        (
+            F.round(F.sum(err).cast("double") / F.count(F.lit(1)) / 100, 6)
+            + F.lit(0.0)
+        ).alias("mae"),
+        (
+            F.round(F.sum(err).cast("double") / F.sum(F.abs(F.col("c"))), 6)
+            + F.lit(0.0)
+        ).alias("wape"),
+    )

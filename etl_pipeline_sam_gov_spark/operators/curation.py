@@ -1097,3 +1097,82 @@ def curate_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("allocated_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batch assembly (sequence-length bucketing)
+# ---------------------------------------------------------------------------
+
+LB_BATCH_SIZE = 16  #: documents per training batch
+LB_SHARDS = 8  #: md5-hash shards per bucket (bounds every ranking window)
+
+
+@query(
+    "curate_length_bucket_batches",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_toks,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, n_toks,
+         CAST(len(bin(n_toks)) - 1 AS INT) AS bucket,
+         CAST(k % {LB_SHARDS} AS INT) AS shard
+  FROM toks WHERE n_toks > 0
+),
+ranked AS (
+  SELECT doc_id, n_toks, bucket, shard,
+         row_number() OVER (PARTITION BY bucket, shard
+                            ORDER BY n_toks DESC, doc_id) - 1 AS pos
+  FROM keyed
+)
+SELECT doc_id, n_toks, bucket, shard,
+       CAST(pos // {LB_BATCH_SIZE} AS BIGINT) AS batch_id,
+       CAST(pos % {LB_BATCH_SIZE} AS INT) AS pos_in_batch
+FROM ranked
+""",
+)
+def curate_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length-bucketed batch assembly: group documents into
+    power-of-two token-length buckets, then pack fixed-size training
+    batches of similar-length docs (longest-first within a bucket) —
+    the batching strategy that cuts padding waste in LLM training
+    (a batch mixing 30-token and 4000-token docs pads ~99% of its
+    matrix; bucketing bounds padding at <2x by construction).
+
+    Determinism: bucket = bit length of the exact token count (string
+    length of the binary rendering); within a bucket the order is
+    (n_toks DESC, doc_id). Each bucket sub-shards by the module's
+    md5-hash coin so no ranking window ever spans more than
+    1/LB_SHARDS of a bucket — the bounded-window rule that keeps this
+    runnable when one length bucket holds half the corpus (shards
+    scale with cluster size at 100 TB; batches stay shard-local, which
+    is exactly how multi-worker training shards its data loader)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    keyed = (
+        spread_docs(docs)
+        .select(
+            "doc_id",
+            F.size(tokens_col()).cast("bigint").alias("n_toks"),
+            _spark_hash60(F.col("doc_id").cast("string")).alias("k"),
+        )
+        .filter(F.col("n_toks") > 0)
+        .select(
+            "doc_id",
+            "n_toks",
+            (F.length(F.bin("n_toks")) - 1).cast("int").alias("bucket"),
+            (F.col("k") % LB_SHARDS).cast("int").alias("shard"),
+        )
+    )
+    w = W.partitionBy("bucket", "shard").orderBy(F.desc("n_toks"), "doc_id")
+    pos = F.row_number().over(w) - 1
+    return keyed.select(
+        "doc_id",
+        "n_toks",
+        "bucket",
+        "shard",
+        F.floor(pos / LB_BATCH_SIZE).cast("bigint").alias("batch_id"),
+        (pos % LB_BATCH_SIZE).cast("int").alias("pos_in_batch"),
+    )

@@ -925,8 +925,10 @@ def graph_modularity_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, degree mass, and modularity contribution plus the global Q
     riding along (broadcast 1-row cross join).
 
-    Scale shape: edges label by two broadcast-joinable dims (customer
-    and supplier nations); e_c and d_c are partial-combined counts on
+    Scale shape: edges label by two key-projected dims (customer and
+    supplier nation maps — no pinned hint: AQE broadcasts them when
+    they fit, shuffles when they don't, per the hint policy for
+    scale-class tables); e_c and d_c are partial-combined counts on
     the |nations|-bounded relation; every emitted double is one or two
     divisions of exact int64 counts (identical operand order both
     engines) rounded at the end. Nothing iterates — evaluating Q is
@@ -947,20 +949,16 @@ def graph_modularity_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lab = (
         pairs.join(
-            F.broadcast(
-                t["customer"].select(
-                    F.col("c_custkey").alias("c"),
-                    F.col("c_nationkey").alias("nc"),
-                )
+            t["customer"].select(
+                F.col("c_custkey").alias("c"),
+                F.col("c_nationkey").alias("nc"),
             ),
             "c",
         )
         .join(
-            F.broadcast(
-                t["supplier"].select(
-                    F.col("s_suppkey").alias("s"),
-                    F.col("s_nationkey").alias("ns"),
-                )
+            t["supplier"].select(
+                F.col("s_suppkey").alias("s"),
+                F.col("s_nationkey").alias("ns"),
             ),
             "s",
         )

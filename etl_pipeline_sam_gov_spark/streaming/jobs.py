@@ -1309,3 +1309,63 @@ def stream_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-maintained exponential (power-of-two) value histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_value_histogram",
+    oracle="""
+WITH cents AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events WHERE value > 0
+),
+agg AS (
+  SELECT CAST(len(bin(c)) - 1 AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS sum_cents
+  FROM cents GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM agg)
+SELECT a.bucket,
+       CAST(1 AS BIGINT) << a.bucket AS lo_cents,
+       a.n, a.sum_cents,
+       round(CAST(a.n AS DOUBLE) / t.nt, 6) + 0.0 AS share
+FROM agg a CROSS JOIN tot t
+""",
+)
+def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential histogram maintained BY THE STREAM: the power-of-two
+    bucket counts/sums (the agg_exponential_histogram law over event
+    values) are a streaming groupBy whose per-bucket state the runtime
+    updates incrementally each micro-batch — the pattern behind live
+    latency-SLO dashboards (bounded state: ≤64 buckets regardless of
+    stream volume, the extreme case of mergeable-rollup state). The
+    share column is a batch post-step over the final ≤64-row table.
+
+    Bucket index is the bit length of integer cents (string length of
+    the binary rendering — no libm on bucket boundaries, the
+    agg_exponential_histogram contract)."""
+    events = read_events_stream(spark, sf_dir)
+    cents = events.filter(F.col("value") > 0).select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c")
+    )
+    agg = cents.select(
+        (F.length(F.bin("c")) - 1).cast("int").alias("bucket"), "c"
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sum_cents"),
+    )
+    out = run_to_memory(agg, mode="complete", shuffle_partitions=4)
+    tot = out.agg(F.sum("n").cast("bigint").alias("nt"))
+    return out.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket)").alias("lo_cents"),
+        "n",
+        "sum_cents",
+        (F.round(F.col("n").cast("double") / F.col("nt"), 6) + F.lit(0.0)).alias(
+            "share"
+        ),
+    )
