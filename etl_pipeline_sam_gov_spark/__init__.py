@@ -345,6 +345,7 @@ _DEFER_IN_TIER = frozenset(
         "ts_seasonal_naive_forecast_eval",
         "curate_length_bucket_batches",
         "stream_value_histogram",
+        "agg_gini_customer_spend",
     }
 )
 

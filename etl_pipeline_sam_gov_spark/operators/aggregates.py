@@ -1559,3 +1559,88 @@ def agg_exponential_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-nation Gini coefficient of customer spend (inequality profile)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_gini_customer_spend",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey AS ck,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT c.c_nationkey AS nation, rev.r,
+         row_number() OVER (PARTITION BY c.c_nationkey
+                            ORDER BY rev.r, rev.ck) AS rk
+  FROM rev JOIN customer c ON c.c_custkey = rev.ck
+)
+SELECT nation,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(r) AS BIGINT) AS spend_cents,
+       round(CAST(2 * SUM(rk * r) - (COUNT(*) + 1) * SUM(r) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * SUM(r)), 6) + 0.0 AS gini
+FROM ranked GROUP BY nation
+""",
+)
+def agg_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer spend within each nation — the
+    standard inequality summary a marketplace-health dashboard tracks
+    (0 = every customer spends alike, →1 = one whale is the market).
+    Uses the rank formulation G = (2·Σᵢ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)
+    over spend sorted ascending, which needs one ordered pass instead
+    of the all-pairs |xᵢ−xⱼ| definition.
+
+    Determinism: spend is exact int64 cents; the rank's tie order is
+    fixed by (r, custkey); numerator is exact int64 arithmetic (2·S₁
+    and (n+1)·S₀ stay well inside int64 at any registered scale) and
+    only the final division is floating point, with identical operand
+    order in both engines (+0.0 normalizes a zero-inequality nation's
+    −0.0). Scale shape: one partial-combined groupBy collapses orders
+    to per-customer cents, one equi-join attaches the nation label,
+    and the ranking window partitions by nation — bounded shards of
+    the customer relation, never a global sort; the scorecard is a
+    |nations|-row rollup."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    rev = (
+        t["orders"]
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("r"),
+        )
+        .groupBy("ck")
+        .agg(F.sum("r").cast("bigint").alias("r"))
+    )
+    ranked = rev.join(
+        t["customer"].select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_nationkey").alias("nation"),
+        ),
+        "ck",
+    ).select(
+        "nation",
+        "r",
+        F.row_number()
+        .over(W.partitionBy("nation").orderBy("r", "ck"))
+        .alias("rk"),
+    )
+    n = F.count(F.lit(1))
+    s0 = F.sum("r")
+    s1 = F.sum(F.col("rk") * F.col("r"))
+    return ranked.groupBy("nation").agg(
+        n.cast("bigint").alias("n_customers"),
+        s0.cast("bigint").alias("spend_cents"),
+        (
+            F.round(
+                (2 * s1 - (n + 1) * s0).cast("double")
+                / (n.cast("double") * s0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("gini"),
+    )
