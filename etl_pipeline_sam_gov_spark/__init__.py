@@ -346,6 +346,7 @@ _DEFER_IN_TIER = frozenset(
         "curate_length_bucket_batches",
         "stream_value_histogram",
         "agg_gini_customer_spend",
+        "dq_referential_orphans",
     }
 )
 

@@ -809,3 +809,82 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("chi2", 6) + F.lit(0.0)).alias("chi2_total"),
         (F.col("chi2") > _BENFORD_CHI2_CRIT).alias("reject_benford"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit over every FK edge of the schema
+# ---------------------------------------------------------------------------
+
+#: (edge label, child table, fk column, parent table, pk column)
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _fk_edge_sql(label: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+SELECT '{label}' AS fk_edge,
+       CAST(COUNT(*) AS BIGINT) AS n_child,
+       CAST(COUNT(DISTINCT c.{fk}) AS BIGINT) AS n_fk_values,
+       CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       round(CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) + 0.0 AS orphan_ratio
+FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}"""
+
+
+@query(
+    "dq_referential_orphans",
+    oracle="\nUNION ALL\n".join(_fk_edge_sql(*e) for e in _FK_EDGES),
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: for every FK edge of the schema,
+    count child rows, distinct FK values, and orphans (child rows whose
+    parent key is absent) — the first report a warehouse loader runs
+    after ingest, because silent orphans turn every downstream inner
+    join into row loss that no single query can see. A clean TPC-H
+    derivation audits all-zero orphans; the value is the law itself
+    (and a loader that drops a parent partition flips the row red).
+
+    Scale shape: each edge is ONE left equi-join followed by a
+    partial-combined scalar aggregate — parents are PK relations so
+    the join never multiplies rows; the nation/region/part/supplier
+    parents broadcast under AQE, the orders parent shuffles on its
+    natural key. The 7 one-row scorecards union into a constant-size
+    report; nothing ever collects to the driver."""
+    names = {n for _, child, _, parent, _ in _FK_EDGES for n in (child, parent)}
+    t = load_tables(spark, sf_dir, tuple(sorted(names)))
+    parts = []
+    for label, child, fk, parent, pk in _FK_EDGES:
+        joined = t[child].select(F.col(fk).alias("fk")).join(
+            t[parent].select(F.col(pk).alias("pk")),
+            F.col("fk") == F.col("pk"),
+            "left",
+        )
+        orphan = F.sum(
+            F.when(F.col("pk").isNull(), F.lit(1)).otherwise(F.lit(0))
+        )
+        parts.append(
+            joined.agg(
+                F.lit(label).alias("fk_edge"),
+                F.count(F.lit(1)).cast("bigint").alias("n_child"),
+                F.countDistinct("fk").cast("bigint").alias("n_fk_values"),
+                orphan.cast("bigint").alias("n_orphans"),
+                (
+                    F.round(
+                        orphan.cast("double") / F.count(F.lit(1)), 6
+                    )
+                    + F.lit(0.0)
+                ).alias("orphan_ratio"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
