@@ -347,6 +347,7 @@ _DEFER_IN_TIER = frozenset(
         "stream_value_histogram",
         "agg_gini_customer_spend",
         "dq_referential_orphans",
+        "udtf_installment_schedule",
     }
 )
 

@@ -299,3 +299,61 @@ def udf_arrow_batch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priced.select(
         "l_orderkey", "l_linenumber", F.round("net_raw", 6).alias("net_price")
     )
+
+
+@query(
+    "udtf_installment_schedule",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         1 + o_orderkey % 4 AS n
+  FROM orders WHERE o_totalprice > 400000
+),
+ex AS (
+  SELECT o_orderkey, cents, n,
+         unnest(generate_series(1, n)) AS i
+  FROM o
+)
+SELECT o_orderkey,
+       CAST(i AS INT) AS installment_no,
+       CAST(CASE WHEN i = 1 THEN cents // n + cents % n
+            ELSE cents // n END AS BIGINT) AS amount_cents
+FROM ex
+""",
+)
+def udtf_installment_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF #2 — variable-arity row expansion: split each large
+    order into 1–4 equal installments (count keyed off the order key),
+    remainder cents folded into the first installment so the schedule
+    always sums exactly to the order total. The financial-amortization
+    shape: imperative per-row loop with data-dependent fan-out, which
+    is what separates a true table function from a constant-arity
+    explode.
+
+    Float-hazard-free by construction: the cents conversion happens in
+    Spark expression space BEFORE the UDTF (the certified
+    round(x*100)→bigint lane), so the Python kernel sees only int64 —
+    the DuckDB generate_series oracle replays identical integer
+    division. Same lane economics as udtf_quantity_milestones: per-row
+    Python on the >400k slice only."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="okey bigint, installment_no int, amount_cents bigint")
+    class Installments:
+        def eval(self, orderkey: int, cents: int):
+            n = 1 + orderkey % 4
+            base, rem = divmod(cents, n)
+            for i in range(1, n + 1):
+                yield orderkey, i, base + (rem if i == 1 else 0)
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    big = orders.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return big.lateralJoin(
+        Installments(F.col("o_orderkey").outer(), F.col("cents").outer())
+    ).select(
+        F.col("okey").alias("o_orderkey"), "installment_no", "amount_cents"
+    )
