@@ -1603,9 +1603,14 @@ def agg_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     order in both engines (+0.0 normalizes a zero-inequality nation's
     −0.0). Scale shape: one partial-combined groupBy collapses orders
     to per-customer cents, one equi-join attaches the nation label,
-    and the ranking window partitions by nation — bounded shards of
-    the customer relation, never a global sort; the scorecard is a
-    |nations|-row rollup."""
+    and the ranking window partitions by nation. Honest limit: nation
+    cardinality is fixed (25), so each window task sorts ~|customers|/25
+    rows — fine at any bench scale and parallel across nations, but at
+    100 TB a per-nation sort is the bottleneck; the mitigation is the
+    curation shard-packer's two-phase rank (range-partition spend
+    within nation, local row_number, broadcast per-shard offsets),
+    which trades one window for a rangepartition + map-side offset
+    add. The scorecard is a |nations|-row rollup."""
     t = load_tables(spark, sf_dir, ("orders", "customer"))
     rev = (
         t["orders"]

@@ -103,6 +103,11 @@ STRESS_QUERIES = (
     "graph_hits_scores",         # |V|-row score vectors, edges never reshuffled
     "graph_bfs_hops",            # frontier joins + visited anti-joins
     "graph_random_walks",        # |V|-row frontier ⋈ ranked neighbors per step
+    # round-4 final batch:
+    "curate_length_bucket_batches",  # token scan + (bucket, shard)-bounded windows
+    "ts_seasonal_naive_forecast_eval",  # hour-grain collapse + cell self-join
+    "agg_gini_customer_spend",   # customer collapse + per-nation rank windows
+    "dq_referential_orphans",    # 7 left joins, PK parents, scalar rollups
 )
 
 
