@@ -190,6 +190,19 @@ def amplify(spark, base_dir: str, amp: int, out_dir: str) -> None:
         amped_t.drop("rep").write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{table}.parquet")
         )
+    # Fixed-cardinality dims (nation/region/supplier) copy through
+    # unamplified: they are the bounded side of every join that uses
+    # them, and growing them would change the queries' semantics
+    # (amplification grows entity populations, not the world's
+    # geography). Replica entities keyed past the original supplier
+    # range simply read as unmatched — fine for timing runs, which
+    # never consult an oracle.
+    for table in ("nation", "region", "supplier"):
+        src = os.path.join(base_dir, f"{table}.parquet")
+        if os.path.exists(src):
+            spark.read.parquet(src).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"{table}.parquet")
+            )
 
 
 def main() -> None:
