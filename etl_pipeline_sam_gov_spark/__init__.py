@@ -348,6 +348,7 @@ _DEFER_IN_TIER = frozenset(
         "agg_gini_customer_spend",
         "dq_referential_orphans",
         "udtf_installment_schedule",
+        "ts_peak_concurrency_minutes",
     }
 )
 
