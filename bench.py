@@ -60,6 +60,9 @@ HEADLINE = [
     "join_spatial_grid_radius",  # 9-cell grid-blocked radius join
     "similarity_maxsim_topk",  # late-interaction MaxSim over sub-vectors
     "graph_random_walks",  # frontier ⋈ ranked-neighbor walk steps
+    "agg_gini_customer_spend",  # customer collapse + per-nation rank windows
+    "ts_peak_concurrency_minutes",  # day-partitioned sweep line + carry join
+    "dq_referential_orphans",  # 7 FK-edge left joins, scalar rollups
 ]
 
 
