@@ -349,6 +349,8 @@ _DEFER_IN_TIER = frozenset(
         "dq_referential_orphans",
         "udtf_installment_schedule",
         "ts_peak_concurrency_minutes",
+        "ts_ks_test_pairwise",
+        "text_kneser_ney_bigram",
     }
 )
 

@@ -1645,3 +1645,149 @@ def ts_peak_concurrency_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_peak_minute",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise two-sample Kolmogorov-Smirnov tests across event types
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_ks_test_pairwise",
+    oracle="""
+WITH cnt AS (
+  SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT g.c, ty.t FROM (SELECT DISTINCT c FROM cnt) g
+  CROSS JOIN (SELECT DISTINCT t FROM cnt) ty
+),
+cum AS (
+  SELECT g.t, g.c,
+         CAST(SUM(COALESCE(cnt.n, 0)) OVER (PARTITION BY g.t ORDER BY g.c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM grid g LEFT JOIN cnt ON cnt.t = g.t AND cnt.c = g.c
+),
+tot AS (SELECT t, CAST(SUM(n) AS BIGINT) AS nt FROM cnt GROUP BY 1),
+diffs AS (
+  SELECT a.t AS type_a, b.t AS type_b, a.c,
+         ta.nt AS n_a, tb.nt AS n_b,
+         abs(a.cum * tb.nt - b.cum * ta.nt) AS d_scaled
+  FROM cum a
+  JOIN cum b ON b.c = a.c AND a.t < b.t
+  JOIN tot ta ON ta.t = a.t
+  JOIN tot tb ON tb.t = b.t
+),
+ranked AS (
+  SELECT *, MAX(d_scaled) OVER (PARTITION BY type_a, type_b) AS mx
+  FROM diffs
+)
+SELECT type_a, type_b, n_a, n_b,
+       CAST(mx AS BIGINT) AS ks_scaled,
+       round(CAST(mx AS DOUBLE) / (n_a * n_b), 6) + 0.0 AS ks_d,
+       CAST(MIN(c) AS BIGINT) AS at_cents
+FROM ranked WHERE d_scaled = mx
+GROUP BY type_a, type_b, n_a, n_b, mx
+""",
+)
+def ts_ks_test_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D for EVERY pair of event types —
+    "do clicks and purchases draw their amounts from the same
+    distribution?" answered with the supremum ECDF gap, plus the value
+    where the distributions diverge most (the natural split point for
+    a segmentation rule). The drift twin of dq_profile_drift: KS reads
+    the whole CDF, not summary moments.
+
+    Exactness: ECDFs are evaluated on the shared grid of distinct
+    integer cents; the gap is kept SCALED — |cum_a·n_b − cum_b·n_a| —
+    so the per-pair max and its argmax are pure int64 comparisons
+    (ties broken by smallest cents), and only the final D = max/(n_a·n_b)
+    is one float division (int64 is ample at any registered scale;
+    population-scale counts would promote the cross products to
+    DECIMAL(38,0)). Scale shape: the corpus collapses to (type, cents)
+    cells first — the grid is bounded by the VALUE DOMAIN (≤ max cents)
+    times a handful of types, not by corpus size; cumulative windows
+    partition by type over that bounded axis; the pair stage is an
+    equi-join on grid point over |grid|·|type pairs| rows."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cnt = (
+        ev.select(
+            F.col("event_type").alias("t"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("t", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    grid = cnt.select("c").distinct().crossJoin(
+        F.broadcast(cnt.select("t").distinct())
+    )
+    cum = (
+        grid.join(cnt, ["t", "c"], "left")
+        .select("t", "c", F.coalesce("n", F.lit(0)).alias("n"))
+        .select(
+            "t",
+            "c",
+            F.sum("n")
+            .over(
+                W.partitionBy("t")
+                .orderBy("c")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            .cast("bigint")
+            .alias("cum"),
+        )
+    )
+    tot = cnt.groupBy("t").agg(F.sum("n").cast("bigint").alias("nt"))
+    a = cum.select(
+        F.col("t").alias("type_a"), "c", F.col("cum").alias("cum_a")
+    )
+    b = cum.select(
+        F.col("t").alias("type_b"),
+        F.col("c").alias("cb"),
+        F.col("cum").alias("cum_b"),
+    )
+    ta = F.broadcast(tot.select(F.col("t").alias("type_a"), F.col("nt").alias("n_a")))
+    tb = F.broadcast(tot.select(F.col("t").alias("type_b"), F.col("nt").alias("n_b")))
+    diffs = (
+        a.join(b, (F.col("cb") == F.col("c")) & (F.col("type_a") < F.col("type_b")))
+        .join(ta, "type_a")
+        .join(tb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "c",
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+            ).alias("d_scaled"),
+        )
+    )
+    ranked = diffs.select(
+        "*",
+        F.max("d_scaled")
+        .over(W.partitionBy("type_a", "type_b"))
+        .alias("mx"),
+    )
+    return (
+        ranked.filter(F.col("d_scaled") == F.col("mx"))
+        .groupBy("type_a", "type_b", "n_a", "n_b", "mx")
+        .agg(F.min("c").cast("bigint").alias("at_cents"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.col("mx").cast("bigint").alias("ks_scaled"),
+            (
+                F.round(
+                    F.col("mx").cast("double") / (F.col("n_a") * F.col("n_b")), 6
+                )
+                + F.lit(0.0)
+            ).alias("ks_d"),
+            "at_cents",
+        )
+    )

@@ -2110,3 +2110,106 @@ def ml_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(2.0 * tp / (nge + pt), 6) + F.lit(0.0))
         .alias("f1_at"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram language model (top bigrams scorecard)
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT = 0.75  #: absolute discount D (the standard KN default)
+KN_TOP = 50  #: emitted rows: top bigrams by raw count
+
+
+@query(
+    "text_kneser_ney_bigram",
+    oracle=f"""
+WITH toks AS (SELECT string_split_regex(text, '\\s+') AS t FROM documents),
+idx AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+big AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM idx GROUP BY 1, 2
+),
+ctx AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS nf
+  FROM big GROUP BY 1
+),
+cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS nb FROM big GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM big)
+SELECT b.w1, b.w2, b.c12, x.c1, x.nf, n.nb,
+       round((CAST(b.c12 AS DOUBLE) - {KN_DISCOUNT}) / x.c1
+             + {KN_DISCOUNT} * x.nf / x.c1
+               * (CAST(n.nb AS DOUBLE) / t.bt), 6) + 0.0 AS p_kn
+FROM big b
+JOIN ctx x ON x.w1 = b.w1
+JOIN cont n ON n.w2 = b.w2
+CROSS JOIN tot t
+ORDER BY b.c12 DESC, b.w1, b.w2
+LIMIT {KN_TOP}
+""",
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram probabilities — THE n-gram smoothing
+    that mattered (every pre-neural LM benchmark, and still the
+    perplexity-filter backbone in data curation): discount every seen
+    bigram by D and redistribute the held-out mass through the
+    CONTINUATION probability (how many distinct contexts a word
+    follows — "Francisco" is frequent but only ever follows "San", so
+    its continuation mass is tiny). p_KN(w2|w1) = (c12 − D)/c1 +
+    (D·N1+(w1,·)/c1) · (N1+(·,w2)/|bigrams|). Emits the top-KN_TOP
+    bigrams with every ingredient count, so the oracle certifies the
+    full decomposition, not just the blended number.
+
+    Determinism: all inputs are exact int64 counts; the float
+    expression is written with the IDENTICAL operation order in both
+    engines (sub, div, mul-chain, add — left-to-right), so the doubles
+    are bit-identical before the 6-decimal round (no max(c12−D, 0)
+    branch needed: a counted bigram has c12 ≥ 1 > D). Scale shape:
+    one (w1,w2) partial-combined count, two vocabulary-sized rollups
+    equi-joined back, the 1-row bigram total riding a broadcast cross
+    join, and TakeOrderedAndProject for the scorecard — the bigram
+    space never globally sorts."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import (
+        spread_docs,
+        tokens_col,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = tokens_col()
+    pairs = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        spread_docs(docs)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    )
+    ctx = big.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("nf"),
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    tot = big.agg(F.count(F.lit(1)).cast("bigint").alias("bt"))
+    d = F.lit(KN_DISCOUNT)
+    p_kn = (
+        (F.col("c12").cast("double") - d) / F.col("c1")
+        + d * F.col("nf") / F.col("c1")
+        * (F.col("nb").cast("double") / F.col("bt"))
+    )
+    return (
+        big.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "c12", "c1", "nf", "nb",
+            (F.round(p_kn, 6) + F.lit(0.0)).alias("p_kn"),
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(KN_TOP)
+    )
