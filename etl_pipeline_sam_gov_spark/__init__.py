@@ -351,6 +351,7 @@ _DEFER_IN_TIER = frozenset(
         "ts_peak_concurrency_minutes",
         "ts_ks_test_pairwise",
         "text_kneser_ney_bigram",
+        "graph_conductance_nations",
     }
 )
 

@@ -1272,3 +1272,117 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("community_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conductance of each nation community over the transaction graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_conductance_nations",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+lab AS (
+  SELECT p.c, p.s, cu.c_nationkey AS nc, su.s_nationkey AS ns
+  FROM pairs p
+  JOIN customer cu ON cu.c_custkey = p.c
+  JOIN supplier su ON su.s_suppkey = p.s
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM lab),
+cuts AS (
+  SELECT nation, CAST(SUM(cut) AS BIGINT) AS cut_c,
+         CAST(COUNT(*) AS BIGINT) AS vol_touch
+  FROM (
+    SELECT nc AS nation, CASE WHEN ns <> nc THEN 1 ELSE 0 END AS cut FROM lab
+    UNION ALL
+    SELECT ns AS nation, CASE WHEN nc <> ns THEN 1 ELSE 0 END AS cut FROM lab
+  ) u GROUP BY nation
+)
+SELECT CAST(nation AS INT) AS nation,
+       cut_c AS cut_edges,
+       vol_touch AS volume,
+       CAST(2 * m.m - vol_touch AS BIGINT) AS volume_rest,
+       round(CAST(cut_c AS DOUBLE)
+             / least(vol_touch, 2 * m.m - vol_touch), 6) + 0.0
+         AS conductance
+FROM cuts CROSS JOIN m
+""",
+)
+def graph_conductance_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance φ(c) = cut(c) / min(vol(c), vol(rest)) of each
+    nation community over the customer–supplier transaction graph —
+    the bottleneck measure partition evaluators report next to
+    modularity (graph_modularity_nations): low conductance means a
+    community's trade stays internal; high means the "community" is
+    mostly a thoroughfare. A cross-nation edge touches exactly two
+    DIFFERENT nations (its customer's and its supplier's), so summing
+    each nation's cross-edge endpoint touches counts every cut edge
+    exactly once per community — the touch sum IS the cut, no halving
+    (halving would be right only for touches pooled across all
+    communities, where each cut edge appears twice).
+
+    Scale shape: identical to the modularity readout — one distinct
+    edge projection, two unpinned dim joins (AQE picks broadcast),
+    endpoint-touch counts partial-combine onto the |nations|-bounded
+    relation, the global volume rides a broadcast 1-row cross join,
+    and the only float op is the final division of two int64s."""
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "customer", "supplier")
+    )
+    pairs = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    lab = (
+        pairs.join(
+            t["customer"].select(
+                F.col("c_custkey").alias("c"), F.col("c_nationkey").alias("nc")
+            ),
+            "c",
+        )
+        .join(
+            t["supplier"].select(
+                F.col("s_suppkey").alias("s"), F.col("s_nationkey").alias("ns")
+            ),
+            "s",
+        )
+    )
+    m = lab.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    touches = lab.select(
+        F.col("nc").alias("nation"),
+        F.when(F.col("ns") != F.col("nc"), 1).otherwise(0).alias("cut"),
+    ).unionAll(
+        lab.select(
+            F.col("ns").alias("nation"),
+            F.when(F.col("nc") != F.col("ns"), 1).otherwise(0).alias("cut"),
+        )
+    )
+    cuts = touches.groupBy("nation").agg(
+        F.sum("cut").cast("bigint").alias("cut_c"),
+        F.count(F.lit(1)).cast("bigint").alias("vol_touch"),
+    )
+    rest = 2 * F.col("m") - F.col("vol_touch")
+    return cuts.crossJoin(F.broadcast(m)).select(
+        F.col("nation").cast("int").alias("nation"),
+        F.col("cut_c").alias("cut_edges"),
+        F.col("vol_touch").alias("volume"),
+        rest.cast("bigint").alias("volume_rest"),
+        (
+            F.round(
+                F.col("cut_c").cast("double")
+                / F.least(F.col("vol_touch"), rest),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("conductance"),
+    )
