@@ -352,6 +352,7 @@ _DEFER_IN_TIER = frozenset(
         "ts_ks_test_pairwise",
         "text_kneser_ney_bigram",
         "graph_conductance_nations",
+        "behavior_funnel_timebound",
     }
 )
 

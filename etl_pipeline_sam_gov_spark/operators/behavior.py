@@ -894,3 +894,107 @@ def behavior_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(decay(DECAY_HL_SHORT), 6) + F.lit(0.0)).alias("score_fast"),
         (F.round(decay(DECAY_HL_LONG), 6) + F.lit(0.0)).alias("score_slow"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-bound ordered funnel: view → click → purchase within a window
+# ---------------------------------------------------------------------------
+
+FUNNEL_WINDOW_US = 86_400_000_000  #: max gap between consecutive steps (24 h)
+
+
+@query(
+    "behavior_funnel_timebound",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+v0 AS (
+  SELECT user_id, MIN(us) AS view_us FROM ev
+  WHERE event_type = 'view' GROUP BY 1
+),
+c0 AS (
+  SELECT v.user_id, MIN(e.us) AS click_us
+  FROM v0 v JOIN ev e ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND e.us > v.view_us AND e.us <= v.view_us + {FUNNEL_WINDOW_US}
+  GROUP BY 1
+),
+p0 AS (
+  SELECT c.user_id, MIN(e.us) AS purchase_us
+  FROM c0 c JOIN ev e ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.us > c.click_us AND e.us <= c.click_us + {FUNNEL_WINDOW_US}
+  GROUP BY 1
+)
+SELECT v.user_id,
+       CAST(v.view_us AS BIGINT) AS view_us,
+       CAST(c.click_us AS BIGINT) AS click_us,
+       CAST(p.purchase_us AS BIGINT) AS purchase_us,
+       CAST(1 + CASE WHEN c.click_us IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.purchase_us IS NULL THEN 0 ELSE 1 END
+            AS INT) AS steps_completed
+FROM v0 v
+LEFT JOIN c0 c ON c.user_id = v.user_id
+LEFT JOIN p0 p ON p.user_id = v.user_id
+""",
+)
+def behavior_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel with a per-step time bound: a user's
+    FIRST view, then the earliest click within 24 h AFTER it, then the
+    earliest purchase within 24 h after THAT — the strict-sequence,
+    time-bounded funnel every growth dashboard reports (and the
+    anchored semantics that make the number reproducible: each step
+    anchors to the earliest qualifying prior step, so there is exactly
+    one chain per user, not a per-pair explosion). Cross-session by
+    design — the complement of sessionize_funnel's within-session
+    conversion.
+
+    Scale shape: three user-keyed partial-combined MIN aggregations,
+    each narrowing (views → clicked-after-view → purchased-after-
+    click), chained by equi-joins on user_id and stitched with two
+    left joins — every shuffle is on the user key, no windows, no
+    timeline materialization. All timestamps are exact epoch-micros
+    int64; the step count is integer CASE arithmetic."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v0 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("view_us"))
+    )
+    c0 = (
+        v0.join(ev.filter(F.col("event_type") == "click"), "user_id")
+        .filter(
+            (F.col("us") > F.col("view_us"))
+            & (F.col("us") <= F.col("view_us") + FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("click_us"))
+    )
+    p0 = (
+        c0.join(ev.filter(F.col("event_type") == "purchase"), "user_id")
+        .filter(
+            (F.col("us") > F.col("click_us"))
+            & (F.col("us") <= F.col("click_us") + FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("purchase_us"))
+    )
+    steps = (
+        F.lit(1)
+        + F.when(F.col("click_us").isNull(), 0).otherwise(1)
+        + F.when(F.col("purchase_us").isNull(), 0).otherwise(1)
+    )
+    return (
+        v0.join(c0, "user_id", "left")
+        .join(p0, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("view_us").cast("bigint").alias("view_us"),
+            F.col("click_us").cast("bigint").alias("click_us"),
+            F.col("purchase_us").cast("bigint").alias("purchase_us"),
+            steps.cast("int").alias("steps_completed"),
+        )
+    )
