@@ -353,6 +353,7 @@ _DEFER_IN_TIER = frozenset(
         "text_kneser_ney_bigram",
         "graph_conductance_nations",
         "behavior_funnel_timebound",
+        "graph_degree_assortativity",
     }
 )
 

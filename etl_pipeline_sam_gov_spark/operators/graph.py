@@ -1386,3 +1386,109 @@ def graph_conductance_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("conductance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the transaction graph (Newman's r)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+je AS (
+  SELECT ds.d AS j, dd.d AS k
+  FROM edges e JOIN deg ds ON ds.node = e.src JOIN deg dd ON dd.node = e.dst
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(j * k) AS BIGINT) AS s_jk,
+         CAST(SUM(j + k) AS BIGINT) AS s_sum,
+         CAST(SUM(j * j + k * k) AS BIGINT) AS s_sq
+  FROM je
+)
+SELECT m, s_jk, s_sum, s_sq,
+       round((CAST(s_jk AS DOUBLE) / m
+              - (CAST(s_sum AS DOUBLE) / (2 * m))
+                * (CAST(s_sum AS DOUBLE) / (2 * m)))
+             / (CAST(s_sq AS DOUBLE) / (2 * m)
+                - (CAST(s_sum AS DOUBLE) / (2 * m))
+                  * (CAST(s_sum AS DOUBLE) / (2 * m))), 6) + 0.0
+         AS assortativity
+FROM sums
+""",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman's degree assortativity r of the symmetric customer–
+    supplier transaction graph: the Pearson correlation of the degrees
+    at the two ends of every edge — negative r (hubs attach to leaves)
+    is the disassortative signature of real commerce/web graphs, and
+    the single number that says whether load concentrates on
+    hub-to-hub backbones or fans out. Uses the moments identity over
+    the directed double-counted edge list (each undirected edge
+    contributes both orientations, the standard convention, so no
+    edge-order term appears).
+
+    Exactness: the three moment sums (Σjk, Σ(j+k), Σ(j²+k²)) and the
+    edge count are exact int64 (degrees are counts; products stay well
+    inside int64 at any registered scale); the final r is a fixed
+    shape of four divisions written in the IDENTICAL order in both
+    engines, rounded at the end. Scale shape: one degree groupBy, two
+    hash joins to label edge ends (the |V|-sized degree relation
+    broadcasts under AQE), one partial-combined scalar aggregate —
+    nothing iterates and nothing is corpus-quadratic."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    pairs = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    je = (
+        edges.join(deg.select(F.col("src"), F.col("d").alias("j")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("d").alias("k")),
+            "dst",
+        )
+        .select("j", "k")
+    )
+    sums = je.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.col("j") * F.col("k")).cast("bigint").alias("s_jk"),
+        F.sum(F.col("j") + F.col("k")).cast("bigint").alias("s_sum"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k"))
+        .cast("bigint")
+        .alias("s_sq"),
+    )
+    mean = F.col("s_sum").cast("double") / (2 * F.col("m"))
+    r = (F.col("s_jk").cast("double") / F.col("m") - mean * mean) / (
+        F.col("s_sq").cast("double") / (2 * F.col("m")) - mean * mean
+    )
+    return sums.select(
+        "m",
+        "s_jk",
+        "s_sum",
+        "s_sq",
+        (F.round(r, 6) + F.lit(0.0)).alias("assortativity"),
+    )
