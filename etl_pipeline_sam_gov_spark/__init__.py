@@ -354,6 +354,7 @@ _DEFER_IN_TIER = frozenset(
         "graph_conductance_nations",
         "behavior_funnel_timebound",
         "graph_degree_assortativity",
+        "ts_autocorrelation_hourly",
     }
 )
 

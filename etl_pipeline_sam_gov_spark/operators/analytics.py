@@ -1791,3 +1791,102 @@ def ts_ks_test_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             "at_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of hourly revenue (lags 1..24)
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 24  #: lags evaluated (one diurnal cycle at hourly grain)
+
+
+@query(
+    "ts_autocorrelation_hourly",
+    oracle=f"""
+WITH hourly AS (
+  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+lags AS (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS k),
+pairs AS (
+  SELECT l.k, a.c AS x, b.c AS y
+  FROM lags l
+  JOIN hourly a ON TRUE
+  JOIN hourly b ON b.h = a.h - l.k
+),
+sums AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY k
+)
+SELECT CAST(k AS INT) AS lag_hours, n AS n_pairs,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             / sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 6)
+         + 0.0 AS acf
+FROM sums
+""",
+)
+def ts_autocorrelation_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of hourly revenue at lags 1–24 — the
+    seasonality fingerprint read before any forecasting model is
+    chosen (a diurnal series spikes at lag 24; the seasonal-naive
+    baseline ts_seasonal_naive_forecast_eval is justified exactly when
+    that spike is high). Each lag's ACF is the Pearson correlation of
+    the series against itself shifted k hours, pairs aligned by
+    TIMESTAMP arithmetic (h = h − k), never row offset.
+
+    Determinism: per-lag moment sums (n, Σx, Σy, Σxy, Σx², Σy²) are
+    exact int64 over integer cents; the correlation combines them in
+    doubles with the IDENTICAL operation order in both engines, and
+    sqrt — unlike ln/exp — is IEEE-754 correctly rounded, so it is
+    bit-identical cross-engine before the 6-decimal round (at
+    population scale the cross products promote to DECIMAL(38,0), the
+    KS-test note). Scale shape: the corpus collapses to the hour-grain
+    relation ONCE; the 24 lags ride a broadcast lag list joined
+    against the bounded hourly series; per-lag sums partial-combine.
+    No window at all — the shifted join IS the lag operator here,
+    because 24 shifted copies of a bounded series beat 24 window
+    passes over corpus-sized data."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    hourly = (
+        ev.select(
+            F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000").alias(
+                "h"
+            ),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("h")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("k"))
+    a = hourly.select("h", F.col("c").alias("x"))
+    b = hourly.select(F.col("h").alias("hb"), F.col("c").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("hb") == F.col("h") - F.col("k"))
+        .select("k", "x", "y")
+    )
+    sums = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    acf = (
+        (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        / F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        / F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return sums.select(
+        F.col("k").cast("int").alias("lag_hours"),
+        F.col("n").alias("n_pairs"),
+        (F.round(acf, 6) + F.lit(0.0)).alias("acf"),
+    )
