@@ -355,6 +355,7 @@ _DEFER_IN_TIER = frozenset(
         "behavior_funnel_timebound",
         "graph_degree_assortativity",
         "ts_autocorrelation_hourly",
+        "ml_kaplan_meier_repeat_purchase",
     }
 )
 

@@ -1351,3 +1351,150 @@ def ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row if out is None else out.unionAll(row)
         base = applied.select("id", "f1", "f2", f"y{r}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve: time to repeat purchase
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_kaplan_meier_repeat_purchase",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+subj AS (
+  SELECT r1.o_custkey,
+         CASE WHEN r2.o_orderdate IS NOT NULL
+              THEN datediff('day', r1.o_orderdate, r2.o_orderdate)
+              ELSE datediff('day', r1.o_orderdate,
+                            (SELECT MAX(o_orderdate) FROM orders)) END AS dur,
+         CASE WHEN r2.o_orderdate IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM ranked r1
+  LEFT JOIN ranked r2 ON r2.o_custkey = r1.o_custkey AND r2.rn = 2
+  WHERE r1.rn = 1
+),
+cnt AS (
+  SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(ev) AS BIGINT) AS d
+  FROM subj GROUP BY 1
+),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj),
+axis AS (
+  SELECT c.dur, c.d,
+         t.n - CAST(COALESCE(SUM(c.n_all) OVER (ORDER BY c.dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+  FROM cnt c CROSS JOIN nt t
+),
+curve AS (
+  SELECT dur, d, n_risk,
+         exp(SUM(CASE WHEN d > 0 AND n_risk > d
+                 THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+                 ELSE 0.0 END)
+             OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS s,
+         SUM(CASE WHEN d > 0 AND n_risk = d THEN 1 ELSE 0 END)
+             OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS hit_zero
+  FROM axis
+)
+SELECT CAST(dur AS BIGINT) AS t_days, n_risk, d AS d_events,
+       CASE WHEN hit_zero > 0 THEN 0.0
+            ELSE round(s, 6) + 0.0 END AS survival
+FROM curve WHERE d > 0
+""",
+)
+def ml_kaplan_meier_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier estimate of "time to second order": the survival
+    curve S(t) = Π(1 − dᵢ/nᵢ) over customers' first→second order gaps,
+    with single-order customers RIGHT-CENSORED at the corpus horizon —
+    the estimator that makes retention math honest (dropping censored
+    customers biases repeat-purchase time low; KM keeps them in the
+    risk set until their censor date). Emits each event time with its
+    risk-set size, event count, and survival probability.
+
+    Determinism: durations are exact day diffs; risk sets and event
+    counts are exact int64 via the cumulative-before window over the
+    BOUNDED distinct-duration axis (≤ the calendar span in days —
+    the days-axis window precedent); each factor is one division of
+    int64s and the running product is exp∘Σ∘ln with identical term
+    order both engines, absorbed by round(6) per the transcendental
+    convention. Scale shape: one per-customer window finds the first
+    two orders (customer-keyed), the curve then lives entirely on the
+    duration axis; the horizon and subject total ride broadcast 1-row
+    cross joins."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    )
+    horizon = orders.agg(F.max("o_orderdate").alias("hz"))
+    r1 = ranked.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("o_orderdate").alias("d1")
+    )
+    r2 = ranked.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("o_orderdate").alias("d2")
+    )
+    subj = (
+        r1.join(r2, "o_custkey", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("d2").isNotNull(), F.datediff("d2", "d1")
+            )
+            .otherwise(F.datediff("hz", "d1"))
+            .alias("dur"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    cnt = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum("ev").cast("bigint").alias("d"),
+    )
+    nt = subj.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wb = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    axis = cnt.crossJoin(F.broadcast(nt)).select(
+        "dur",
+        "d",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("n_all").over(wb), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    wc = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # Spark log(0) is NULL and DuckDB ln(0) raises, so the risk-set-
+    # exhausted step (n_risk = d → survival exactly 0 from here on) is
+    # tracked as an explicit absorbing flag instead of a −inf factor.
+    factor = F.when(
+        (F.col("d") > 0) & (F.col("n_risk") > F.col("d")),
+        F.log((F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.sum(
+        F.when((F.col("d") > 0) & (F.col("n_risk") == F.col("d")), 1).otherwise(
+            0
+        )
+    ).over(wc)
+    curve = axis.select(
+        "dur",
+        "d",
+        "n_risk",
+        F.exp(F.sum(factor).over(wc)).alias("s"),
+        hit_zero.alias("hit_zero"),
+    )
+    return curve.filter(F.col("d") > 0).select(
+        F.col("dur").cast("bigint").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.when(F.col("hit_zero") > 0, F.lit(0.0))
+        .otherwise(F.round("s", 6) + F.lit(0.0))
+        .alias("survival"),
+    )
