@@ -356,6 +356,8 @@ _DEFER_IN_TIER = frozenset(
         "graph_degree_assortativity",
         "ts_autocorrelation_hourly",
         "ml_kaplan_meier_repeat_purchase",
+        "text_zipf_slope",
+        "text_source_vocab_jaccard",
     }
 )
 

@@ -2213,3 +2213,198 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c12"), "w1", "w2")
         .limit(KN_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law slope of the token frequency-rank curve
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP = 200  #: ranks fitted (the head where Zipf behavior lives)
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents
+),
+freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY 1),
+top AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r
+  FROM freq ORDER BY f DESC, tok LIMIT {ZIPF_TOP}
+),
+pts AS (
+  SELECT CAST(round(ln(CAST(r AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
+         CAST(round(ln(CAST(f AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y
+  FROM top
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT n AS n_top,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         + 0.0 AS intercept
+FROM s
+""",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus: OLS slope of ln(frequency) on
+    ln(rank) over the top-ZIPF_TOP (200) tokens — natural language sits
+    near −1, and a corpus whose slope drifts far from it is
+    boilerplate-heavy (too flat: templated repetition) or
+    gibberish-heavy (too steep) — the corpus-level twin of the per-doc
+    entropy gate, and Heaps-law's (text_heaps_vocab_growth) frequency-
+    domain complement.
+
+    Determinism: ranks and frequencies are exact ints ordered by
+    (f DESC, token); each ln is snapped to 8 decimals and summed as
+    exact DECIMAL(18,8) — the logistic-GD snap-then-exact-sum move —
+    so the moment sums are order-free and the closed-form slope /
+    intercept are fixed-shape double expressions rounded at the end.
+    Scale shape: one token count (partial-combined), a
+    TakeOrderedAndProject head, and the fit runs on a ZIPF_TOP-row
+    relation; the corpus is touched once."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import (
+        spread_docs,
+        tokens_col,
+    )
+    from pyspark.sql.types import DecimalType
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    freq = (
+        spread_docs(docs)
+        .select(F.explode(tokens_col()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    top = (
+        freq.orderBy(F.desc("f"), "tok")
+        .limit(ZIPF_TOP)
+        .select(
+            "f",
+            F.row_number()
+            .over(W.orderBy(F.desc("f"), "tok"))
+            .alias("r"),
+        )
+    )
+    dec = DecimalType(18, 8)
+    pts = top.select(
+        F.round(F.log(F.col("r").cast("double")), 8).cast(dec).alias("x"),
+        F.round(F.log(F.col("f").cast("double")), 8).cast(dec).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_top"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
+        (
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+            + F.lit(0.0)
+        ).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise vocabulary Jaccard between document sources
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_source_vocab_jaccard",
+    oracle=r"""
+WITH tok AS (
+  SELECT DISTINCT source,
+         unnest(string_split_regex(text, '\s+')) AS tok
+  FROM documents
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nv FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM tok a JOIN tok b ON b.tok = a.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, sa.nv AS vocab_a, sb.nv AS vocab_b, i.n_shared,
+       round(CAST(i.n_shared AS DOUBLE)
+             / (sa.nv + sb.nv - i.n_shared), 6) + 0.0 AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.src_a
+JOIN sizes sb ON sb.source = i.src_b
+""",
+)
+def text_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between document SOURCES — the
+    corpus-diagnostics matrix that tells a data-mixing pipeline which
+    feeds are near-clones (merge or down-weight them in
+    curate_sample_source_mixture) and which bring genuinely new
+    vocabulary. Jaccard over each source's distinct token set, exact.
+
+    Scale shape: the corpus collapses to the (source, token) distinct
+    relation once; pair intersections come from a shared-token
+    equi-join of that relation with itself (the dedup_crossdoc
+    pattern — only tokens present in ≥2 sources produce join rows,
+    never an all-pairs document comparison); sizes join back on the
+    |sources|-bounded relation and the output is |sources|²/2 rows.
+    All counts exact int64, one division per pair."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import (
+        spread_docs,
+        tokens_col,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = (
+        spread_docs(docs)
+        .select("source", F.explode(tokens_col()).alias("tok"))
+        .distinct()
+    )
+    sizes = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nv")
+    )
+    a = tok.select(F.col("source").alias("src_a"), "tok")
+    b = tok.select(F.col("source").alias("src_b"), F.col("tok").alias("tkb"))
+    inter = (
+        a.join(
+            b,
+            (F.col("tkb") == F.col("tok"))
+            & (F.col("src_a") < F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = F.broadcast(
+        sizes.select(F.col("source").alias("src_a"), F.col("nv").alias("vocab_a"))
+    )
+    sb = F.broadcast(
+        sizes.select(F.col("source").alias("src_b"), F.col("nv").alias("vocab_b"))
+    )
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "vocab_a",
+            "vocab_b",
+            "n_shared",
+            (
+                F.round(
+                    F.col("n_shared").cast("double")
+                    / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("jaccard"),
+        )
+    )
