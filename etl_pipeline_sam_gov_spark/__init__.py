@@ -358,6 +358,8 @@ _DEFER_IN_TIER = frozenset(
         "ml_kaplan_meier_repeat_purchase",
         "text_zipf_slope",
         "text_source_vocab_jaccard",
+        "analytics_spend_band_migration",
+        "ts_chi2_type_weekday",
     }
 )
 

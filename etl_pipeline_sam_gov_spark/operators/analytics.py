@@ -1890,3 +1890,205 @@ def ts_autocorrelation_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         (F.round(acf, 6) + F.lit(0.0)).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer spend-band migration matrix between two halves of the history
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "analytics_spend_band_migration",
+    oracle="""
+WITH bounds AS (
+  SELECT MIN(o_orderdate) AS lo,
+         MIN(o_orderdate)
+           + CAST(datediff('day', MIN(o_orderdate), MAX(o_orderdate)) // 2
+                  AS INT) * INTERVAL 1 DAY AS mid
+  FROM orders
+),
+spend AS (
+  SELECT o.o_custkey AS ck,
+         CASE WHEN o.o_orderdate <= b.mid THEN 1 ELSE 2 END AS half,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders o CROSS JOIN bounds b
+  GROUP BY 1, 2
+),
+banded AS (
+  SELECT ck, half, CAST(len(bin(c)) - 1 AS INT) AS band FROM spend
+),
+paired AS (
+  SELECT COALESCE(h1.ck, h2.ck) AS ck,
+         COALESCE(CAST(h1.band AS VARCHAR), 'new') AS band_from,
+         COALESCE(CAST(h2.band AS VARCHAR), 'churned') AS band_to
+  FROM (SELECT ck, band FROM banded WHERE half = 1) h1
+  FULL OUTER JOIN (SELECT ck, band FROM banded WHERE half = 2) h2
+    ON h2.ck = h1.ck
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM paired)
+SELECT p.band_from, p.band_to,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       round(CAST(COUNT(*) AS DOUBLE) / t.n, 6) + 0.0 AS share
+FROM paired p CROSS JOIN tot t
+GROUP BY p.band_from, p.band_to, t.n
+""",
+)
+def analytics_spend_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer migration matrix: band each customer's spend into
+    power-of-two bands separately for the FIRST and SECOND half of the
+    order history, then count every (band_from → band_to) transition —
+    plus 'new' (absent in H1) and 'churned' (absent in H2) rows — the
+    movement table behind every retention/upsell dashboard (the
+    growth-accounting waterfall's per-customer-band refinement).
+
+    Determinism: the half boundary is exact date arithmetic on the
+    corpus min/max (broadcast 1-row); spend is exact int64 cents; the
+    band is the bit length of cents (the exponential-histogram
+    convention — no percentile edges to disagree on); matrix cells and
+    shares are exact counts with one final division. Scale shape: one
+    customer-half rollup (partial-combined), a self full-outer join on
+    the customer key, and a |bands|²-bounded matrix aggregate; the
+    corpus-wide date bounds and the customer total ride broadcast
+    1-row cross joins."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("lo"),
+        F.expr(
+            "date_add(MIN(o_orderdate), "
+            "CAST(datediff(MAX(o_orderdate), MIN(o_orderdate)) div 2 AS INT))"
+        ).alias("mid"),
+    )
+    spend = (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.when(F.col("o_orderdate") <= F.col("mid"), 1)
+            .otherwise(2)
+            .alias("half"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("ck", "half")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    banded = spend.select(
+        "ck", "half", (F.length(F.bin("c")) - 1).cast("int").alias("band")
+    )
+    h1 = banded.filter(F.col("half") == 1).select(
+        F.col("ck").alias("ck1"), F.col("band").alias("b1")
+    )
+    h2 = banded.filter(F.col("half") == 2).select(
+        F.col("ck").alias("ck2"), F.col("band").alias("b2")
+    )
+    paired = h1.join(h2, F.col("ck2") == F.col("ck1"), "full_outer").select(
+        F.coalesce(F.col("b1").cast("string"), F.lit("new")).alias("band_from"),
+        F.coalesce(F.col("b2").cast("string"), F.lit("churned")).alias(
+            "band_to"
+        ),
+    )
+    tot = paired.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        paired.groupBy("band_from", "band_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band_from",
+            "band_to",
+            "n_customers",
+            (
+                F.round(F.col("n_customers").cast("double") / F.col("n"), 6)
+                + F.lit(0.0)
+            ).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test: event type × weekday
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_chi2_type_weekday",
+    oracle="""
+WITH obs AS (
+  SELECT event_type AS t, CAST(isodow(ts) AS INT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+rows_ AS (SELECT t, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+cols_ AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT r.t, c.dow,
+         COALESCE(o.o, 0) AS o,
+         CAST(r.rt AS DOUBLE) * c.ct / n.n AS e
+  FROM rows_ r CROSS JOIN cols_ c CROSS JOIN nt n
+  LEFT JOIN obs o ON o.t = r.t AND o.dow = c.dow
+),
+stat AS (
+  SELECT SUM((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e) AS chi2,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM cells
+)
+SELECT s.n_cells,
+       CAST((SELECT COUNT(*) FROM rows_) - 1 AS BIGINT)
+         * ((SELECT COUNT(*) FROM cols_) - 1) AS dof,
+       round(s.chi2, 4) + 0.0 AS chi2
+FROM stat s
+""",
+)
+def ts_chi2_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    ISO weekday — "does behavior depend on the day of week?" as a
+    single test statistic with its degrees of freedom (the categorical
+    complement of the KS test's continuous-distribution comparison;
+    dq_benford_first_digit runs the same statistic against a fixed
+    law, this one against the data's own margins).
+
+    Determinism: observed counts and margins are exact int64; each
+    cell's (O−E)²/E is a fixed shape of double ops (E = row·col/n with
+    identical operand order), and the statistic is a sum over the
+    BOUNDED cell relation (|types|×7 ≈ 35 terms), so cross-engine
+    addition-order noise is a few ulps — absorbed by round(4) (the
+    dq_benford_first_digit convention, same statistic, 9 cells).
+    Scale shape: the corpus collapses to the contingency relation in
+    one partial-combined pass; margins, expecteds, and the statistic
+    all live on that bounded relation."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    obs = (
+        ev.select(
+            F.col("event_type").alias("t"),
+            F.expr("CAST(extract(DAYOFWEEK_ISO FROM ts) AS INT)").alias("dow"),
+        )
+        .groupBy("t", "dow")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    rows_ = obs.groupBy("t").agg(F.sum("o").cast("bigint").alias("rt"))
+    cols_ = obs.groupBy("dow").agg(F.sum("o").cast("bigint").alias("ct"))
+    nt = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    cells = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .crossJoin(F.broadcast(nt))
+        .join(obs, ["t", "dow"], "left")
+        .select(
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            (F.col("rt").cast("double") * F.col("ct") / F.col("n")).alias("e"),
+        )
+    )
+    od = F.col("o").cast("double")
+    stat = cells.agg(
+        F.sum((od - F.col("e")) * (od - F.col("e")) / F.col("e")).alias(
+            "chi2"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    dof = (
+        rows_.agg(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(cols_.agg(F.count(F.lit(1)).alias("nc")))
+        .select(((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"))
+    )
+    return stat.crossJoin(F.broadcast(dof)).select(
+        "n_cells",
+        "dof",
+        (F.round(F.col("chi2"), 4) + F.lit(0.0)).alias("chi2"),
+    )
