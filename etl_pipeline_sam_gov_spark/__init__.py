@@ -360,6 +360,8 @@ _DEFER_IN_TIER = frozenset(
         "text_source_vocab_jaccard",
         "analytics_spend_band_migration",
         "ts_chi2_type_weekday",
+        "curate_leakage_free_split",
+        "stream_funnel_timebound",
     }
 )
 

@@ -1176,3 +1176,64 @@ def curate_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(pos / LB_BATCH_SIZE).cast("bigint").alias("batch_id"),
         (pos % LB_BATCH_SIZE).cast("int").alias("pos_in_batch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free train/holdout split: duplicates stay on one side
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curate_leakage_free_split",
+    oracle=f"""
+WITH groups AS (
+  SELECT doc_id, md5(text) AS text_hash,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+  FROM documents
+)
+SELECT doc_id, text_hash, rep AS group_rep,
+       CASE WHEN {_sql_hash60("CAST(rep AS VARCHAR)")} % 100 < {SPLIT_TRAIN}
+            THEN 'train'
+            WHEN {_sql_hash60("CAST(rep AS VARCHAR)")} % 100 < {SPLIT_VAL}
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM groups
+""",
+)
+def curate_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split: the hash coin is thrown on
+    each document's DUPLICATE-GROUP representative (min doc_id of its
+    exact-content group), not the document itself — so copies of one
+    document can never straddle the split boundary. This is the
+    leakage guard naive per-doc splitting (curate_split_train_holdout)
+    lacks: with duplicates split independently, the holdout contains
+    verbatim copies of training documents and every eval number is
+    inflated — the same failure class text_decontaminate_eval_overlap
+    detects after the fact; this prevents it by construction.
+
+    Determinism: the group is the md5 of content (the dedup_exact
+    lane); the representative is min doc_id per group; the coin is the
+    module's md5-hash60 on the representative — same thresholds as the
+    naive split, so the expected mixture matches. Scale shape: one
+    window (or groupBy-join) keyed on the 128-bit content hash — the
+    exact-dedup shuffle — then scan-stage labeling; group sizes are
+    duplicate multiplicities (bounded in practice; a pathological
+    mega-group is one hot key, AQE-skew-splittable)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    groups = spread_docs(docs).select(
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        F.min("doc_id")
+        .over(W.partitionBy(F.md5("text")))
+        .alias("rep"),
+    )
+    bucket = _spark_hash60(F.col("rep").cast("string")) % 100
+    return groups.select(
+        "doc_id",
+        "text_hash",
+        F.col("rep").alias("group_rep"),
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

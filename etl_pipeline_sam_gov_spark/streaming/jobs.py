@@ -1369,3 +1369,122 @@ def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming time-bound funnel: per-user GroupState chain progression
+# ---------------------------------------------------------------------------
+
+
+def _funnel_oracle() -> str:
+    """The batch funnel's oracle, verbatim — online/offline consistency
+    pinned the stream_pit_enrichment way. Imports the defining module
+    first so a standalone import of this module still resolves."""
+    import etl_pipeline_sam_gov_spark.operators.behavior  # noqa: F401
+
+    from etl_pipeline_sam_gov_spark.registry import ORACLES
+
+    return ORACLES["behavior_funnel_timebound"]
+
+
+@query("stream_funnel_timebound", oracle=_funnel_oracle())
+def stream_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of behavior_funnel_timebound: each user's funnel
+    progress (first view → earliest qualifying click → earliest
+    qualifying purchase, each within 24 h of its anchor) lives in
+    GroupState and advances as events arrive — the real-time
+    conversion tracker, state bounded at three timestamps per user no
+    matter how long the stream runs. The greedy in-order fold takes
+    the FIRST qualifying event per step, which IS the batch semantics'
+    MIN over the qualifying window, so the final state hash-matches
+    the batch oracle verbatim (order-sensitive like the EWMA
+    recurrence: batch boundaries must respect per-user event time,
+    which the availableNow replay guarantees).
+
+    Scale shape: one shuffle on user_id into the state store; per
+    micro-batch work is O(batch) with three-long state rows; output in
+    update mode re-emits only users whose chain advanced."""
+    from etl_pipeline_sam_gov_spark.operators.behavior import FUNNEL_WINDOW_US
+
+    events = read_events_stream(spark, sf_dir)
+
+    def update_funnel(key, pdfs, state):
+        import pandas as pd
+
+        v, c, p = state.get if state.exists else (None, None, None)
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        us = (pdf["ts"].astype("int64") // 1000).tolist()
+        for et, u in zip(pdf["event_type"].tolist(), us):
+            if et == "view" and v is None:
+                v = u
+            elif (
+                et == "click"
+                and v is not None
+                and c is None
+                and v < u <= v + FUNNEL_WINDOW_US
+            ):
+                c = u
+            elif (
+                et == "purchase"
+                and c is not None
+                and p is None
+                and c < u <= c + FUNNEL_WINDOW_US
+            ):
+                p = u
+        state.update((v, c, p))
+        if v is None:
+            return iter(())
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "view_us": [v],
+                        "click_us": [c],
+                        "purchase_us": [p],
+                    }
+                )
+            ]
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("view_us", T.LongType()),
+            T.StructField("click_us", T.LongType()),
+            T.StructField("purchase_us", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("v", T.LongType()),
+            T.StructField("c", T.LongType()),
+            T.StructField("p", T.LongType()),
+        ]
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    chains = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_funnel,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_to_memory(chains, mode="update", shuffle_partitions=8)
+    steps = (
+        F.lit(1)
+        + F.when(F.col("click_us").isNull(), 0).otherwise(1)
+        + F.when(F.col("purchase_us").isNull(), 0).otherwise(1)
+    )
+    return out.select(
+        "user_id",
+        "view_us",
+        "click_us",
+        "purchase_us",
+        steps.cast("int").alias("steps_completed"),
+    )
