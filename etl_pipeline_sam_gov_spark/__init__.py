@@ -362,6 +362,8 @@ _DEFER_IN_TIER = frozenset(
         "ts_chi2_type_weekday",
         "curate_leakage_free_split",
         "stream_funnel_timebound",
+        "multimodal_image_entropy",
+        "ts_welch_ttest_pairwise",
     }
 )
 

@@ -2092,3 +2092,100 @@ def ts_chi2_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dof",
         (F.round(F.col("chi2"), 4) + F.lit(0.0)).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test between every pair of event types
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_welch_ttest_pairwise",
+    oracle="""
+WITH cents AS (
+  SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS c FROM events
+),
+mom AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS sx,
+         CAST(SUM(c * c) AS BIGINT) AS sxx
+  FROM cents GROUP BY 1
+)
+SELECT a.t AS type_a, b.t AS type_b, a.n AS n_a, b.n AS n_b,
+       round((CAST(a.sx AS DOUBLE) / a.n - CAST(b.sx AS DOUBLE) / b.n)
+             / sqrt((CAST(a.sxx AS DOUBLE) / a.n
+                     - (CAST(a.sx AS DOUBLE) / a.n)
+                       * (CAST(a.sx AS DOUBLE) / a.n))
+                    * a.n / (a.n - 1) / a.n
+                    + (CAST(b.sxx AS DOUBLE) / b.n
+                       - (CAST(b.sx AS DOUBLE) / b.n)
+                         * (CAST(b.sx AS DOUBLE) / b.n))
+                      * b.n / (b.n - 1) / b.n), 4) + 0.0 AS t_stat
+FROM mom a JOIN mom b ON a.t < b.t
+""",
+)
+def ts_welch_ttest_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic for every pair of event
+    types' value distributions — the mean-difference test a metrics
+    platform runs beside the KS test (ts_ks_test_pairwise reads the
+    whole CDF; Welch asks only "do the MEANS differ relative to their
+    variability?", and unlike Student's t it never assumes the two
+    types share a variance).
+
+    Determinism: per-type moments (n, Σx, Σx²) are exact int64 over
+    integer cents; t = (m_a − m_b)/√(v_a/n_a + v_b/n_b) is a fixed
+    shape of double ops written identically in both engines (sample
+    variance via the n/(n−1) Bessel factor on the raw-moment form),
+    and sqrt is IEEE-754 correctly rounded — no libm hazard at all,
+    rounded to 4 decimals. Scale shape: one partial-combined per-type
+    moment pass; the pair stage is a |types|²-bounded self-join of a
+    |types|-row relation."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    mom = (
+        ev.select(
+            F.col("event_type").alias("t"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("sx"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sxx"),
+        )
+    )
+    a = mom.select(
+        F.col("t").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("sx").alias("sx_a"),
+        F.col("sxx").alias("sxx_a"),
+    )
+    b = mom.select(
+        F.col("t").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("sx").alias("sx_b"),
+        F.col("sxx").alias("sxx_b"),
+    )
+
+    def mean(sx, n):
+        return sx.cast("double") / n
+
+    def se2(sxx, sx, n):
+        m = mean(sx, n)
+        return (sxx.cast("double") / n - m * m) * n / (n - 1) / n
+
+    t_stat = (
+        mean(F.col("sx_a"), F.col("n_a")) - mean(F.col("sx_b"), F.col("n_b"))
+    ) / F.sqrt(
+        se2(F.col("sxx_a"), F.col("sx_a"), F.col("n_a"))
+        + se2(F.col("sxx_b"), F.col("sx_b"), F.col("n_b"))
+    )
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            (F.round(t_stat, 4) + F.lit(0.0)).alias("t_stat"),
+        )
+    )

@@ -953,3 +953,99 @@ def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sig").alias("cur_sig"),
         (F.col("sig") - F.col("prev_sig")).alias("jump"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-image pixel-value entropy (the image twin of text_token_entropy)
+# ---------------------------------------------------------------------------
+
+
+def pixel_entropy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: byte-value entropy of each BMP's pixel array
+    (padding excluded). Counting and totals are exact ints inside the
+    kernel; the entropy identity H = ln(n) − Σc·ln(c)/n runs over the
+    ≤256-bucket histogram, so nothing pixel-sized ever leaves the
+    scan stage."""
+    import math
+
+    for pdf in batches:
+        doc, npx, ndv, ent = [], [], [], []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            b = bytes(content)
+            if b[:2] != b"BM":
+                continue
+            width = int.from_bytes(b[18:22], "little", signed=True)
+            height = int.from_bytes(b[22:26], "little", signed=True)
+            off = int.from_bytes(b[10:14], "little")
+            stride = (width * 3 + 3) // 4 * 4
+            counts: dict[int, int] = {}
+            for f in range(height):
+                line = b[off + f * stride : off + f * stride + width * 3]
+                for v in line:
+                    counts[v] = counts.get(v, 0) + 1
+            n = width * 3 * height
+            s = sum(c * math.log(c) for c in counts.values())
+            doc.append(int(doc_id))
+            npx.append(n)
+            ndv.append(len(counts))
+            ent.append(round(math.log(n) - s / n, 6) + 0.0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(doc, dtype="int64"),
+                "n_bytes": pd.array(npx, dtype="int64"),
+                "n_distinct": pd.array(ndv, dtype="int64"),
+                "byte_entropy": pd.array(ent, dtype="float64"),
+            }
+        )
+
+
+@query(
+    "multimodal_image_entropy",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         doc_id % 32 + 1 AS w,
+         (doc_id // 3) % 32 + 1 AS h,
+         ((doc_id % 32 + 1) * 3 + 3) // 4 * 4 AS stride
+  FROM documents WHERE doc_id % 2 = 0
+),
+lines_ AS (SELECT doc_id, w, h, stride, unnest(range(h)) AS f FROM dims),
+px AS (
+  SELECT doc_id, (doc_id + f * stride + u.b) % 256 AS v
+  FROM lines_, unnest(range(w * 3)) AS u(b)
+),
+cnt AS (SELECT doc_id, v, CAST(COUNT(*) AS BIGINT) AS c FROM px GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       round(ln(CAST(SUM(c) AS DOUBLE))
+             - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c), 6) + 0.0
+         AS byte_entropy
+FROM cnt GROUP BY doc_id
+""",
+)
+def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-value entropy per image — the image-curation twin of
+    text_token_entropy: near-zero entropy flags flat/synthetic/corrupt
+    frames (a single-color banner is not training signal), saturated
+    entropy flags noise — the first visual-quality gate a multimodal
+    pipeline applies before any expensive model-based scoring. Decodes
+    the REAL pixel bytes (bottom-up rows, stride, padding exclusions
+    — the scanline_stats walk) and reduces to the 256-bucket byte
+    histogram INSIDE the kernel, so the output is one row per image
+    and no pixel-sized relation ever crosses an exchange; the oracle
+    predicts every pixel from the generator law and recomputes the
+    same identity in SQL (ln noise absorbed by round(6), the
+    transcendental convention).
+
+    Scale shape: synthesize → score is a two-stage Arrow-batched
+    mapInPandas chain, zero shuffles; a JPEG/PNG decoder drops into
+    the same kernel signature."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select("doc_id").mapInPandas(
+        synthesize_media, schema="doc_id long, content binary"
+    )
+    return media.mapInPandas(
+        pixel_entropy,
+        schema="doc_id long, n_bytes long, n_distinct long, byte_entropy double",
+    )
