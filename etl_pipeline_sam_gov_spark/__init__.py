@@ -364,6 +364,7 @@ _DEFER_IN_TIER = frozenset(
         "stream_funnel_timebound",
         "multimodal_image_entropy",
         "ts_welch_ttest_pairwise",
+        "analytics_lorenz_deciles",
     }
 )
 

@@ -2189,3 +2189,106 @@ def ts_welch_ttest_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(t_stat, 4) + F.lit(0.0)).alias("t_stat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve by spend decile (the Gini coefficient's full readout)
+# ---------------------------------------------------------------------------
+
+LORENZ_QS = tuple(i / 10 for i in range(1, 10))  #: decile cut points
+
+
+@query(
+    "analytics_lorenz_deciles",
+    oracle=f"""
+WITH rev AS (
+  SELECT o_custkey AS ck,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM orders GROUP BY 1
+),
+cuts AS (
+  SELECT {", ".join(f"round(quantile_cont(r, {q}), 6) AS q{i}" for i, q in enumerate(LORENZ_QS))}
+  FROM rev
+),
+banded AS (
+  SELECT r.r,
+         1 {" ".join(f"+ CASE WHEN r.r > c.q{i} THEN 1 ELSE 0 END" for i in range(9))}
+           AS decile
+  FROM rev r CROSS JOIN cuts c
+),
+agg AS (
+  SELECT CAST(decile AS INT) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(r) AS BIGINT) AS spend_cents
+  FROM banded GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(spend_cents) AS BIGINT) AS st FROM agg)
+SELECT a.decile, a.n_customers, a.spend_cents,
+       round(CAST(a.spend_cents AS DOUBLE) / t.st, 6) + 0.0 AS spend_share,
+       round(CAST(SUM(a.spend_cents) OVER (ORDER BY a.decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / t.st, 6) + 0.0 AS cum_spend_share
+FROM agg a CROSS JOIN tot t
+""",
+)
+def analytics_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend by decile — the full distribution
+    readout the Gini coefficient (agg_gini_customer_spend) summarizes
+    to one number: what share of revenue the bottom 10%, 20%, …
+    actually contribute, which is the table a "whale concentration"
+    dashboard shows and the input to any revenue-at-risk analysis.
+
+    Banding is the RFM move, not ntile: 9 interpolated decile cuts
+    (rounded to 6 decimals — the engine-stable boundary contract)
+    computed in ONE tiny percentile aggregation and broadcast back;
+    each customer's decile is 1 + the number of cuts their exact
+    int64 cents beat — no total order, no unpartitioned corpus-sized
+    window. Shares are exact integer sums with one division each; the
+    cumulative share runs over the bounded 10-row decile relation.
+    Scale shape: one customer rollup shuffle, one broadcast, one
+    10-row scorecard."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    rev = (
+        orders.select(
+            F.col("o_custkey").alias("ck"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("r"),
+        )
+        .groupBy("ck")
+        .agg(F.sum("r").cast("bigint").alias("r"))
+    )
+    cuts = rev.agg(
+        *[
+            F.round(F.expr(f"percentile(r, {q})"), 6).alias(f"q{i}")
+            for i, q in enumerate(LORENZ_QS)
+        ]
+    )
+    decile = F.lit(1)
+    for i in range(9):
+        decile = decile + (F.col("r") > F.col(f"q{i}")).cast("int")
+    agg = (
+        rev.crossJoin(F.broadcast(cuts))
+        .select(F.col("r"), decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("r").cast("bigint").alias("spend_cents"),
+        )
+        .select(F.col("decile").cast("int").alias("decile"), "n_customers", "spend_cents")
+    )
+    tot = agg.agg(F.sum("spend_cents").cast("bigint").alias("st"))
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_customers",
+        "spend_cents",
+        (
+            F.round(F.col("spend_cents").cast("double") / F.col("st"), 6)
+            + F.lit(0.0)
+        ).alias("spend_share"),
+        (
+            F.round(
+                F.sum("spend_cents").over(wc).cast("double") / F.col("st"), 6
+            )
+            + F.lit(0.0)
+        ).alias("cum_spend_share"),
+    )
