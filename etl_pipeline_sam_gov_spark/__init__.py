@@ -365,6 +365,7 @@ _DEFER_IN_TIER = frozenset(
         "multimodal_image_entropy",
         "ts_welch_ttest_pairwise",
         "analytics_lorenz_deciles",
+        "agg_grouping_id_rollup",
     }
 )
 

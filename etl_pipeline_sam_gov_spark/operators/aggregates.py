@@ -1649,3 +1649,57 @@ def agg_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP with GROUPING_ID: machine-readable subtotal levels
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_grouping_id_rollup",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       CAST(GROUPING(r.r_name, n.n_name) AS INT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acct_cents
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+""",
+)
+def agg_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with an explicit GROUPING_ID — the machine-readable
+    subtotal discriminator: a NULL region in plain rollup output is
+    ambiguous (real NULL key vs subtotal row); the grouping bitmask
+    (first rollup column = most significant bit, identical convention
+    in Spark and DuckDB, verified: detail=0, per-region=1, grand=3)
+    lets a report consumer route each row without guessing — the
+    contract OLAP cubes and BI tools actually depend on, completing
+    the rollup/cube/grouping-sets family (agg_rollup, agg_cube,
+    agg_grouping_sets emit the levels; this emits their identity).
+
+    Scale shape: two broadcastable dim joins under AQE, one
+    partial-combined rollup (Spark expands grouping sets map-side);
+    money sums are exact int64 cents."""
+    t = load_tables(spark, sf_dir, ("customer", "nation", "region"))
+    joined = (
+        t["customer"]
+        .join(
+            t["nation"],
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .join(
+            t["region"],
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("acct_cents"),
+    )

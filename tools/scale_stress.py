@@ -108,6 +108,20 @@ STRESS_QUERIES = (
     "ts_seasonal_naive_forecast_eval",  # hour-grain collapse + cell self-join
     "agg_gini_customer_spend",   # customer collapse + per-nation rank windows
     "dq_referential_orphans",    # 7 left joins, PK parents, scalar rollups
+    "text_kneser_ney_bigram",    # one bigram count + vocab-sized rollup joins
+    "ts_peak_concurrency_minutes",  # minute-grain deltas + day-partitioned walk
+    "ts_ks_test_pairwise",       # cents-grid ECDFs + bounded pair join
+    "ts_autocorrelation_hourly", # hour collapse + broadcast lag join
+    "ts_welch_ttest_pairwise",   # per-type moments, |types|² pair stage
+    "behavior_funnel_timebound", # three narrowing user-keyed MIN aggs
+    "curate_leakage_free_split", # content-hash window + scan labeling
+    "multimodal_image_entropy",  # two-stage mapInPandas, kernel-local reduce
+    "text_source_vocab_jaccard", # (source, token) distinct + shared-token join
+    "text_zipf_slope",           # token count + top-k head fit
+    "analytics_lorenz_deciles",  # customer rollup + broadcast decile cuts
+    "analytics_spend_band_migration",  # half-spend rollup + key full-outer
+    "ml_kaplan_meier_repeat_purchase",  # customer-keyed window + day-axis curve
+    "graph_degree_assortativity",  # degree joins + one scalar moment agg
 )
 
 
