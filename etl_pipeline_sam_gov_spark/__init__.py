@@ -366,6 +366,7 @@ _DEFER_IN_TIER = frozenset(
         "ts_welch_ttest_pairwise",
         "analytics_lorenz_deciles",
         "agg_grouping_id_rollup",
+        "reco_user_user_cosine",
     }
 )
 

@@ -998,3 +998,128 @@ def behavior_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
             steps.cast("int").alias("steps_completed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# User-user collaborative-filtering cosine similarity (top-k neighbors)
+# ---------------------------------------------------------------------------
+
+UU_HUB_CAP = 64  #: parts bought by more than this many customers are dropped
+UU_TOP_K = 5  #: neighbors kept per customer
+
+
+@query(
+    "reco_user_user_cosine",
+    oracle=f"""
+WITH bought AS (
+  SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+pop AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS np FROM bought GROUP BY 1),
+capped AS (
+  SELECT b.ck, b.pk FROM bought b JOIN pop p ON p.pk = b.pk
+  WHERE p.np <= {UU_HUB_CAP}
+),
+sizes AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS nb FROM capped GROUP BY 1),
+shared AS (
+  SELECT a.ck AS u, b.ck AS v, CAST(COUNT(*) AS BIGINT) AS nshared
+  FROM capped a JOIN capped b ON b.pk = a.pk AND a.ck <> b.ck
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT s.u, s.v, s.nshared,
+         round(CAST(s.nshared AS DOUBLE)
+               / (sqrt(CAST(su.nb AS DOUBLE)) * sqrt(CAST(sv.nb AS DOUBLE))),
+               6) + 0.0 AS cosine
+  FROM shared s
+  JOIN sizes su ON su.ck = s.u
+  JOIN sizes sv ON sv.ck = s.v
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY u
+                               ORDER BY cosine DESC, nshared DESC, v) AS rk
+  FROM scored
+)
+SELECT u AS custkey, v AS neighbor, nshared, cosine, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {UU_TOP_K}
+""",
+)
+def reco_user_user_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-based collaborative filtering: top-K most-similar customers
+    by cosine over binary bought-part incidence vectors — the
+    "customers like you" neighbor list that user-based recommenders
+    serve from (the complement of reco_item_lift's item-item rules:
+    lift finds co-bought ITEMS, this finds look-alike USERS).
+
+    Scale shape — the candidate generator is the shared-item equi-join
+    of the incidence relation with itself, NEVER an all-pairs user
+    comparison, and items above the UU_HUB_CAP popularity cap are
+    dropped first (a part half the userbase bought creates quadratic
+    candidate pairs while carrying ~zero similarity signal — the
+    graph_jaccard_neighbors hub-cap move, which bounds per-item join
+    fan-out at cap²); ranking is per-user WindowGroupLimit, never a
+    global sort. Exactness: shared counts and basket sizes are exact
+    int64; cosine is one division by a product of two correctly-
+    rounded sqrts (no libm hazard), tie-broken (cosine, nshared, v)
+    so the top-K frontier is deterministic."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    bought = (
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    pop = bought.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("np"))
+    capped = (
+        bought.join(pop, "pk").filter(F.col("np") <= UU_HUB_CAP).select("ck", "pk")
+    )
+    sizes = capped.groupBy("ck").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
+    )
+    a = capped.select(F.col("ck").alias("u"), "pk")
+    b = capped.select(F.col("ck").alias("v"), F.col("pk").alias("pkb"))
+    shared = (
+        a.join(b, (F.col("pkb") == F.col("pk")) & (F.col("u") != F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nshared"))
+    )
+    su = sizes.select(F.col("ck").alias("u"), F.col("nb").alias("nb_u"))
+    sv = sizes.select(F.col("ck").alias("v"), F.col("nb").alias("nb_v"))
+    scored = (
+        shared.join(su, "u")
+        .join(sv, "v")
+        .select(
+            "u",
+            "v",
+            "nshared",
+            (
+                F.round(
+                    F.col("nshared").cast("double")
+                    / (
+                        F.sqrt(F.col("nb_u").cast("double"))
+                        * F.sqrt(F.col("nb_v").cast("double"))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("u").orderBy(
+        F.desc("cosine"), F.desc("nshared"), F.asc("v")
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= UU_TOP_K)
+        .select(
+            F.col("u").alias("custkey"),
+            F.col("v").alias("neighbor"),
+            "nshared",
+            "cosine",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
