@@ -122,6 +122,11 @@ STRESS_QUERIES = (
     "analytics_spend_band_migration",  # half-spend rollup + key full-outer
     "ml_kaplan_meier_repeat_purchase",  # customer-keyed window + day-axis curve
     "graph_degree_assortativity",  # degree joins + one scalar moment agg
+    # (reco_user_user_cosine is deliberately NOT stressed: amplified key
+    # populations multiply BOTH sides of its shared-item join, so
+    # candidate volume grows ~quadratically under this tool's replica
+    # scheme — measuring the fixture, not the operator; its hub cap is
+    # the production knob that bounds per-item fan-out at cap².)
 )
 
 
