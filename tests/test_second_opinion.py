@@ -1,0 +1,225 @@
+"""Independent numpy recomputation of the statistical queries.
+
+The oracle-parity suite proves Spark and DuckDB agree; it cannot prove
+both are RIGHT — a semantic mistake mirrored into the oracle passes the
+hash check (the agg_table_profile lexicographic-min/max lesson). These
+tests recompute each statistic from the raw parquet with numpy/pandas,
+a third implementation sharing no code or SQL with either engine, and
+check the engine's answer to the emitted precision.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import etl_pipeline_sam_gov_spark as eng
+
+TOL = 2e-6  # emitted values are round(6); allow one ulp of that grid
+
+
+def _events(sf_dir):
+    df = pd.read_parquet(f"{sf_dir}/events.parquet")
+    if df["ts"].dtype == "int64":  # nanos-as-long layout
+        df["ts"] = pd.to_datetime(df["ts"])
+    return df
+
+
+def _orders(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/orders.parquet")
+
+
+def test_gini_matches_numpy(spark, sf_dir):
+    out = (
+        eng.QUERIES["agg_gini_customer_spend"](spark, sf_dir)
+        .toPandas()
+        .set_index("nation")
+    )
+    od = _orders(sf_dir)
+    od["cents"] = (od["o_totalprice"] * 100).round().astype("int64")
+    spend = od.groupby("o_custkey")["cents"].sum()
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet").set_index("c_custkey")
+    nation = cust.loc[spend.index, "c_nationkey"]
+    for nat, grp in spend.groupby(nation):
+        x = np.sort(grp.to_numpy())
+        n = len(x)
+        i = np.arange(1, n + 1)
+        gini = (2 * (i * x).sum() - (n + 1) * x.sum()) / (n * x.sum())
+        assert abs(out.loc[nat, "gini"] - gini) < TOL, nat
+        assert out.loc[nat, "n_customers"] == n
+
+
+def test_acf_matches_numpy(spark, sf_dir):
+    out = (
+        eng.QUERIES["ts_autocorrelation_hourly"](spark, sf_dir)
+        .toPandas()
+        .set_index("lag_hours")
+    )
+    ev = _events(sf_dir)
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    hourly = (
+        ev.set_index(ev["ts"].dt.floor("h"))["cents"].groupby(level=0).sum()
+    )
+    # align by timestamp (hour index), not row offset
+    for k in (1, 2, 12, 24):
+        shifted = hourly.copy()
+        shifted.index = shifted.index + pd.Timedelta(hours=k)
+        both = pd.concat([hourly, shifted], axis=1, join="inner")
+        r = np.corrcoef(both.iloc[:, 0], both.iloc[:, 1])[0, 1]
+        assert abs(out.loc[k, "acf"] - r) < TOL, k
+        assert out.loc[k, "n_pairs"] == len(both)
+
+
+def test_welch_t_matches_scipy_formula(spark, sf_dir):
+    out = eng.QUERIES["ts_welch_ttest_pairwise"](spark, sf_dir).toPandas()
+    ev = _events(sf_dir)
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    groups = {t: g["cents"].to_numpy() for t, g in ev.groupby("event_type")}
+    for _, row in out.iterrows():
+        a, b = groups[row["type_a"]], groups[row["type_b"]]
+        t = (a.mean() - b.mean()) / np.sqrt(
+            a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+        )
+        assert abs(row["t_stat"] - t) < 2e-4  # emitted at round(4)
+
+
+def test_chi2_matches_numpy(spark, sf_dir):
+    out = eng.QUERIES["ts_chi2_type_weekday"](spark, sf_dir).toPandas()
+    ev = _events(sf_dir)
+    tab = pd.crosstab(ev["event_type"], ev["ts"].dt.isocalendar().day)
+    obs = tab.to_numpy().astype(float)
+    exp = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / obs.sum()
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    assert abs(out.loc[0, "chi2"] - chi2) < 2e-3  # round(4), ~35 cells
+    assert out.loc[0, "dof"] == (obs.shape[0] - 1) * (obs.shape[1] - 1)
+
+
+def test_ks_matches_numpy(spark, sf_dir):
+    out = eng.QUERIES["ts_ks_test_pairwise"](spark, sf_dir).toPandas()
+    ev = _events(sf_dir)
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    groups = {t: np.sort(g["cents"].to_numpy()) for t, g in ev.groupby("event_type")}
+    for _, row in out.iterrows():
+        a, b = groups[row["type_a"]], groups[row["type_b"]]
+        grid = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(a, grid, side="right") / len(a)
+        fb = np.searchsorted(b, grid, side="right") / len(b)
+        d = np.abs(fa - fb).max()
+        assert abs(row["ks_d"] - d) < TOL, (row["type_a"], row["type_b"])
+
+
+def test_lorenz_shares_sum_and_match(spark, sf_dir):
+    out = (
+        eng.QUERIES["analytics_lorenz_deciles"](spark, sf_dir)
+        .toPandas()
+        .sort_values("decile")
+    )
+    od = _orders(sf_dir)
+    od["cents"] = (od["o_totalprice"] * 100).round().astype("int64")
+    spend = od.groupby("o_custkey")["cents"].sum().to_numpy()
+    assert out["n_customers"].sum() == len(spend)
+    assert out["spend_cents"].sum() == spend.sum()
+    # Lorenz monotonicity + top-decile dominance
+    cum = out["cum_spend_share"].to_numpy()
+    assert (np.diff(cum) > 0).all() and abs(cum[-1] - 1.0) < TOL
+    shares = out["spend_share"].to_numpy()
+    assert shares[-1] == shares.max()
+
+
+def test_kaplan_meier_matches_numpy(spark, sf_dir):
+    out = (
+        eng.QUERIES["ml_kaplan_meier_repeat_purchase"](spark, sf_dir)
+        .toPandas()
+        .sort_values("t_days")
+    )
+    od = _orders(sf_dir).sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    horizon = od["o_orderdate"].max()
+    durs, evs = [], []
+    for _, g in od.groupby("o_custkey"):
+        d = g["o_orderdate"].tolist()
+        if len(d) >= 2:
+            durs.append((d[1] - d[0]).days)
+            evs.append(1)
+        else:
+            durs.append((horizon - d[0]).days)
+            evs.append(0)
+    durs, evs = np.array(durs), np.array(evs)
+    s = 1.0
+    for _, row in out.iterrows():
+        t = row["t_days"]
+        n_risk = int((durs >= t).sum())
+        d_ev = int(((durs == t) & (evs == 1)).sum())
+        assert row["n_risk"] == n_risk, t
+        assert row["d_events"] == d_ev, t
+        s *= (n_risk - d_ev) / n_risk
+        assert abs(row["survival"] - s) < TOL, t
+
+
+def test_assortativity_matches_numpy(spark, sf_dir):
+    out = eng.QUERIES["graph_degree_assortativity"](spark, sf_dir).toPandas()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_orderkey", "l_suppkey"]
+    ]
+    od = _orders(sf_dir)[["o_orderkey", "o_custkey"]]
+    pairs = li.merge(
+        od, left_on="l_orderkey", right_on="o_orderkey"
+    )[["o_custkey", "l_suppkey"]].drop_duplicates()
+    src = np.concatenate(
+        [pairs["o_custkey"] * 2, pairs["l_suppkey"] * 2 + 1]
+    )
+    dst = np.concatenate(
+        [pairs["l_suppkey"] * 2 + 1, pairs["o_custkey"] * 2]
+    )
+    deg = pd.Series(src).value_counts()
+    j = deg.loc[src].to_numpy().astype(float)
+    k = deg.loc[dst].to_numpy().astype(float)
+    num = (j * k).mean() - ((j + k) / 2).mean() ** 2
+    den = ((j**2 + k**2) / 2).mean() - ((j + k) / 2).mean() ** 2
+    assert abs(out.loc[0, "assortativity"] - num / den) < TOL
+
+
+def test_peak_concurrency_brute_force(spark, sf_dir):
+    out = (
+        eng.QUERIES["ts_peak_concurrency_minutes"](spark, sf_dir)
+        .toPandas()
+        .set_index("day_index")
+    )
+    ev = _events(sf_dir).sort_values(["user_id", "ts", "event_id"])
+    ev["us"] = ev["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    gap = 1800 * 1_000_000
+    # brute-force sessionize then per-minute concurrency
+    deltas: dict[int, int] = {}
+    for _, g in ev.groupby("user_id"):
+        us = g["us"].tolist()
+        start = us[0]
+        prev = us[0]
+        for u in us[1:]:
+            if u - prev > gap:
+                deltas[start // 60_000_000] = deltas.get(start // 60_000_000, 0) + 1
+                deltas[prev // 60_000_000 + 1] = (
+                    deltas.get(prev // 60_000_000 + 1, 0) - 1
+                )
+                start = u
+            prev = u
+        deltas[start // 60_000_000] = deltas.get(start // 60_000_000, 0) + 1
+        deltas[prev // 60_000_000 + 1] = deltas.get(prev // 60_000_000 + 1, 0) - 1
+    minutes = sorted(deltas)
+    conc = 0
+    best: dict[int, tuple[int, int]] = {}
+    for m in minutes:
+        conc += deltas[m]
+        day = m // 1440
+        if day not in best or conc > best[day][0]:
+            best[day] = (conc, m)
+    for day, (peak, first_m) in best.items():
+        assert out.loc[day, "peak_concurrency"] == peak, day
+        assert out.loc[day, "first_peak_minute"] == first_m, day
+
+
+@pytest.mark.parametrize("name", ["ts_seasonal_naive_forecast_eval"])
+def test_wape_bounds(spark, sf_dir, name):
+    out = eng.QUERIES[name](spark, sf_dir).toPandas()
+    assert (out["mae"] >= 0).all()
+    assert (out["wape"] >= 0).all()
+    assert (out["abs_err_cents"] >= 0).all()
