@@ -223,3 +223,135 @@ def test_wape_bounds(spark, sf_dir, name):
     assert (out["mae"] >= 0).all()
     assert (out["wape"] >= 0).all()
     assert (out["abs_err_cents"] >= 0).all()
+
+
+def test_modularity_matches_numpy(spark, sf_dir):
+    out = (
+        eng.QUERIES["graph_modularity_nations"](spark, sf_dir)
+        .toPandas()
+        .set_index("nation")
+    )
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[["l_orderkey", "l_suppkey"]]
+    od = _orders(sf_dir)[["o_orderkey", "o_custkey"]]
+    pairs = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")[
+        ["o_custkey", "l_suppkey"]
+    ].drop_duplicates()
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet").set_index("c_custkey")
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet").set_index("s_suppkey")
+    nc = cust.loc[pairs["o_custkey"], "c_nationkey"].to_numpy()
+    ns = supp.loc[pairs["l_suppkey"], "s_nationkey"].to_numpy()
+    m = len(pairs)
+    q_total = 0.0
+    for nat in out.index:
+        e_c = int(((nc == nat) & (ns == nat)).sum())
+        d_c = int((nc == nat).sum() + (ns == nat).sum())
+        q_c = e_c / m - (d_c / (2 * m)) ** 2
+        assert out.loc[nat, "e_c"] == e_c, nat
+        assert out.loc[nat, "d_c"] == d_c, nat
+        assert abs(out.loc[nat, "q_contrib"] - q_c) < TOL, nat
+        q_total += q_c
+    assert abs(out["modularity"].iloc[0] - q_total) < 1e-5
+
+
+def test_conductance_matches_numpy(spark, sf_dir):
+    out = (
+        eng.QUERIES["graph_conductance_nations"](spark, sf_dir)
+        .toPandas()
+        .set_index("nation")
+    )
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[["l_orderkey", "l_suppkey"]]
+    od = _orders(sf_dir)[["o_orderkey", "o_custkey"]]
+    pairs = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")[
+        ["o_custkey", "l_suppkey"]
+    ].drop_duplicates()
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet").set_index("c_custkey")
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet").set_index("s_suppkey")
+    nc = cust.loc[pairs["o_custkey"], "c_nationkey"].to_numpy()
+    ns = supp.loc[pairs["l_suppkey"], "s_nationkey"].to_numpy()
+    m = len(pairs)
+    for nat in out.index:
+        cut = int(((nc == nat) & (ns != nat)).sum() + ((ns == nat) & (nc != nat)).sum())
+        vol = int((nc == nat).sum() + (ns == nat).sum())
+        phi = cut / min(vol, 2 * m - vol)
+        assert out.loc[nat, "cut_edges"] == cut, nat
+        assert out.loc[nat, "volume"] == vol, nat
+        assert abs(out.loc[nat, "conductance"] - phi) < TOL, nat
+
+
+def test_benford_matches_numpy(spark, sf_dir):
+    out = (
+        eng.QUERIES["dq_benford_first_digit"](spark, sf_dir)
+        .toPandas()
+        .set_index("digit")
+    )
+    od = _orders(sf_dir)
+    cents = (od.loc[od["o_totalprice"] > 0, "o_totalprice"] * 100).round().astype(
+        "int64"
+    )
+    first = cents.astype(str).str[0].astype(int)
+    n = len(first)
+    from etl_pipeline_sam_gov_spark.operators.dq import _BENFORD_P
+
+    chi2 = 0.0
+    for d in range(1, 10):
+        n_obs = int((first == d).sum())
+        # the engine pins 6-decimal Benford constants (cross-engine
+        # determinism); verify the pinned table IS Benford's law...
+        assert abs(_BENFORD_P[d] - np.log10(1 + 1 / d)) < 5e-7, d
+        p = _BENFORD_P[d]
+        assert out.loc[d, "n_obs"] == n_obs, d
+        assert abs(out.loc[d, "obs_share"] - n_obs / n) < TOL, d
+        chi2 += (n_obs - n * p) ** 2 / (n * p)
+    # ...then check the statistic's arithmetic against the pinned table
+    assert abs(out["chi2_total"].iloc[0] - chi2) < 1e-4
+
+
+def test_kneser_ney_matches_python(spark, sf_dir):
+    out = eng.QUERIES["text_kneser_ney_bigram"](spark, sf_dir).toPandas()
+    import collections
+    import re
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    c12: collections.Counter = collections.Counter()
+    for text in docs["text"]:
+        toks = re.split(r"\s+", text)
+        c12.update(zip(toks, toks[1:]))
+    c1: collections.Counter = collections.Counter()
+    nf: collections.Counter = collections.Counter()
+    nb: collections.Counter = collections.Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        nf[w1] += 1
+        nb[w2] += 1
+    bt = len(c12)
+    for _, row in out.iterrows():
+        key = (row["w1"], row["w2"])
+        assert c12[key] == row["c12"], key
+        assert c1[row["w1"]] == row["c1"], key
+        assert nf[row["w1"]] == row["nf"], key
+        assert nb[row["w2"]] == row["nb"], key
+        p = (row["c12"] - 0.75) / row["c1"] + 0.75 * row["nf"] / row["c1"] * (
+            row["nb"] / bt
+        )
+        assert abs(row["p_kn"] - p) < TOL, key
+
+
+def test_weighted_median_matches_numpy(spark, sf_dir):
+    out = (
+        eng.QUERIES["agg_weighted_median"](spark, sf_dir)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li["cents"] = (li["l_extendedprice"] * 100).round().astype("int64")
+    for flag, g in li.groupby("l_returnflag"):
+        vals = g.sort_values("cents")
+        w = vals["l_quantity"].to_numpy().astype(float)
+        cw = np.cumsum(w)
+        half = w.sum() / 2
+        idx = int(np.searchsorted(cw, half, side="left"))
+        med = vals["cents"].to_numpy()[idx]
+        row = out.loc[flag]
+        # lower weighted median convention: smallest value whose
+        # cumulative weight reaches half the total
+        assert row["weighted_median_cents"] == med, flag
