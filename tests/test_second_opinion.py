@@ -355,3 +355,58 @@ def test_weighted_median_matches_numpy(spark, sf_dir):
         # lower weighted median convention: smallest value whose
         # cumulative weight reaches half the total
         assert row["weighted_median_cents"] == med, flag
+
+
+def _cs_pairs(sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[["l_orderkey", "l_suppkey"]]
+    od = _orders(sf_dir)[["o_orderkey", "o_custkey"]]
+    return li.merge(od, left_on="l_orderkey", right_on="o_orderkey")[
+        ["o_custkey", "l_suppkey"]
+    ].drop_duplicates()
+
+
+def test_pagerank_matches_numpy(spark, sf_dir):
+    out = eng.QUERIES["graph_pagerank_bipartite"](spark, sf_dir).toPandas()
+    pairs = _cs_pairs(sf_dir)
+    src = np.concatenate([pairs["o_custkey"] * 2, pairs["l_suppkey"] * 2 + 1])
+    dst = np.concatenate([pairs["l_suppkey"] * 2 + 1, pairs["o_custkey"] * 2])
+    nodes = np.unique(src)
+    idx = {n: i for i, n in enumerate(nodes)}
+    si = np.array([idx[s] for s in src])
+    di = np.array([idx[d] for d in dst])
+    deg = np.bincount(si, minlength=len(nodes)).astype(float)
+    r = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(3):
+        msg = r[si] / deg[si]
+        contrib = np.bincount(di, weights=msg, minlength=len(nodes))
+        r = 0.15 / len(nodes) + 0.85 * contrib
+    expect = dict(zip(nodes, r))
+    for _, row in out.iterrows():
+        node = row["entity_id"] * 2 + (0 if row["kind"] == "customer" else 1)
+        assert abs(row["pagerank"] - expect[node]) < 1e-7, node
+
+
+def test_hits_matches_numpy(spark, sf_dir):
+    out = eng.QUERIES["graph_hits_scores"](spark, sf_dir).toPandas()
+    pairs = _cs_pairs(sf_dir)
+    cs = pairs["o_custkey"].to_numpy()
+    ss = pairs["l_suppkey"].to_numpy()
+    custs = np.unique(cs)
+    supps = np.unique(ss)
+    ci = {c: i for i, c in enumerate(custs)}
+    si = {s: i for i, s in enumerate(supps)}
+    e_c = np.array([ci[c] for c in cs])
+    e_s = np.array([si[s] for s in ss])
+    hub = np.ones(len(custs))
+    for _ in range(2):
+        auth = np.bincount(e_s, weights=hub[e_c], minlength=len(supps))
+        auth = auth / auth.sum()
+        hub = np.bincount(e_c, weights=auth[e_s], minlength=len(custs))
+        hub = hub / hub.sum()
+    expect_h = dict(zip(custs, hub))
+    expect_a = dict(zip(supps, auth))
+    for _, row in out.iterrows():
+        if row["kind"] == "customer":
+            assert abs(row["score"] - expect_h[row["entity_id"]]) < 1e-7
+        else:
+            assert abs(row["score"] - expect_a[row["entity_id"]]) < 1e-7
