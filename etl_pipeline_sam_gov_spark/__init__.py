@@ -367,6 +367,7 @@ _DEFER_IN_TIER = frozenset(
         "analytics_lorenz_deciles",
         "agg_grouping_id_rollup",
         "reco_user_user_cosine",
+        "ts_seasonality_strength",
     }
 )
 

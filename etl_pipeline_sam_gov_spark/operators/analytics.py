@@ -2292,3 +2292,137 @@ def analytics_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("cum_spend_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality / trend strength from the STL decomposition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_seasonality_strength",
+    oracle=f"""
+WITH hv AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS h_us,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+tw AS (
+  SELECT h_us, cents,
+         CAST(SUM(cents) OVER w AS BIGINT) AS s25,
+         COUNT(*) OVER w AS n25
+  FROM hv
+  WINDOW w AS (ORDER BY h_us ROWS BETWEEN {STL_HALF} PRECEDING AND {STL_HALF} FOLLOWING)
+),
+interior AS (
+  SELECT h_us, cents, s25,
+         (2 * {STL_HALF} + 1) * cents - s25 AS det_c,
+         (h_us // 3600000000) % 24 AS hod
+  FROM tw WHERE n25 = 2 * {STL_HALF} + 1
+),
+seas AS (
+  SELECT hod, CAST(SUM(det_c) AS BIGINT) AS sdc, COUNT(*) AS cnt
+  FROM interior GROUP BY hod
+),
+comp AS (
+  SELECT i.h_us,
+         CAST(i.det_c AS DOUBLE) / {_STL_DEN} AS det,
+         CAST(i.det_c AS DOUBLE) / {_STL_DEN}
+           - CAST(s.sdc AS DOUBLE) / CAST({_STL_DEN} * s.cnt AS DOUBLE) AS r,
+         CAST(i.cents AS DOUBLE) / 100
+           - CAST(s.sdc AS DOUBLE) / CAST({_STL_DEN} * s.cnt AS DOUBLE) AS ds
+  FROM interior i JOIN seas s USING (hod)
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(r) AS sr, SUM(r * r) AS srr,
+         SUM(det) AS sd, SUM(det * det) AS sdd,
+         SUM(ds) AS ss, SUM(ds * ds) AS sss
+  FROM comp
+)
+SELECT n AS n_hours,
+       round(greatest(0.0, 1.0 - (srr - sr * sr / n) / (sdd - sd * sd / n)),
+             4) + 0.0 AS seasonal_strength,
+       round(greatest(0.0, 1.0 - (srr - sr * sr / n) / (sss - ss * ss / n)),
+             4) + 0.0 AS trend_strength
+FROM mom
+""",
+)
+def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality and trend strength of the hourly revenue series —
+    Hyndman's FPP decomposition summary: F_seasonal = max(0, 1 −
+    Var(R)/Var(S+R)) and F_trend = max(0, 1 − Var(R)/Var(T+R)), the two
+    numbers that justify (or veto) the seasonal-naive baseline
+    (ts_seasonal_naive_forecast_eval) and the diurnal ACF spike
+    (ts_autocorrelation_hourly) in one model-selection readout.
+
+    Built on the STL-lite components (ts_stl_decompose_hourly's exact
+    scaled-integer detrending): S+R is the detrended series, T+R is
+    the deseasonalized series, and the three variances come from raw
+    double moments over the calendar-BOUNDED interior relation (~a few
+    hundred terms — addition-order ulp noise absorbed by round(4), the
+    chi2 convention; the variance differences share the same fixed
+    operand order in both engines). Scale shape: identical to the STL
+    query — hour-grain collapse first, bounded-series windows after,
+    one 1-row scorecard out."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    width = 2 * STL_HALF + 1
+    hv = (
+        ev.select(
+            F.expr("(unix_micros(ts) div 3600000000) * 3600000000").alias(
+                "h_us"
+            ),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("h_us")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    w = W.orderBy("h_us").rowsBetween(-STL_HALF, STL_HALF)
+    tw = hv.select(
+        "h_us",
+        "cents",
+        F.sum("cents").over(w).cast("bigint").alias("s25"),
+        F.count(F.lit(1)).over(w).alias("n25"),
+    )
+    interior = tw.filter(F.col("n25") == width).select(
+        "h_us",
+        "cents",
+        (F.lit(width) * F.col("cents") - F.col("s25")).alias("det_c"),
+        F.expr("(h_us div 3600000000) % 24").alias("hod"),
+    )
+    seas = interior.groupBy("hod").agg(
+        F.sum("det_c").cast("bigint").alias("sdc"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    seasonal = F.col("sdc").cast("double") / (
+        F.lit(_STL_DEN) * F.col("cnt")
+    ).cast("double")
+    det = F.col("det_c").cast("double") / _STL_DEN
+    comp = interior.join(F.broadcast(seas), "hod").select(
+        det.alias("det"),
+        (det - seasonal).alias("r"),
+        (F.col("cents").cast("double") / 100 - seasonal).alias("ds"),
+    )
+    mom = comp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).alias("srr"),
+        F.sum("det").alias("sd"),
+        F.sum(F.col("det") * F.col("det")).alias("sdd"),
+        F.sum("ds").alias("ss"),
+        F.sum(F.col("ds") * F.col("ds")).alias("sss"),
+    )
+    var_r = F.col("srr") - F.col("sr") * F.col("sr") / F.col("n")
+    var_d = F.col("sdd") - F.col("sd") * F.col("sd") / F.col("n")
+    var_s = F.col("sss") - F.col("ss") * F.col("ss") / F.col("n")
+    return mom.select(
+        F.col("n").alias("n_hours"),
+        (
+            F.round(F.greatest(F.lit(0.0), 1.0 - var_r / var_d), 4)
+            + F.lit(0.0)
+        ).alias("seasonal_strength"),
+        (
+            F.round(F.greatest(F.lit(0.0), 1.0 - var_r / var_s), 4)
+            + F.lit(0.0)
+        ).alias("trend_strength"),
+    )
