@@ -368,6 +368,7 @@ _DEFER_IN_TIER = frozenset(
         "agg_grouping_id_rollup",
         "reco_user_user_cosine",
         "ts_seasonality_strength",
+        "ts_max_drawdown_hourly",
     }
 )
 

@@ -2426,3 +2426,105 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("trend_strength"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown of cumulative net value per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_max_drawdown_hourly",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type AS t, (epoch_us(ts) // 3600000000) AS h,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                  * CASE WHEN user_id % 3 = 0 THEN -1 ELSE 1 END)
+              AS BIGINT) AS net
+  FROM events GROUP BY 1, 2
+),
+cums AS (
+  SELECT t, h,
+         CAST(SUM(net) OVER (PARTITION BY t ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM hourly
+),
+walk AS (
+  SELECT t, h, cum,
+         CAST(MAX(cum) OVER (PARTITION BY t ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS peak
+  FROM cums
+),
+dd AS (
+  SELECT t, h, peak - cum AS draw,
+         row_number() OVER (PARTITION BY t ORDER BY peak - cum DESC, h)
+           AS rk
+  FROM walk
+)
+SELECT t AS event_type,
+       CAST(draw AS BIGINT) AS max_drawdown_cents,
+       CAST(h AS BIGINT) AS trough_hour
+FROM dd WHERE rk = 1
+""",
+)
+def ts_max_drawdown_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each event type's cumulative net value —
+    the risk metric finance monitors on P&L curves, applied to a
+    revenue stream with a deterministic refund population (users with
+    id % 3 = 0 count negative): the deepest peak-to-trough drop and
+    the hour it bottomed. Computed as max over t of (running-max −
+    running-sum), the one-pass sweep formulation, with the earliest
+    trough hour as the deterministic tie-break.
+
+    Exactness: everything is int64 cents — the running sum, the
+    running max OVER the running sum (a nested window on the same
+    frame, one pass in both engines), and the drawdown subtraction;
+    no float appears anywhere. Scale shape: the corpus collapses to
+    the (type, hour) grain first (partial-combined), so the cumulative
+    windows partition by type over the calendar-BOUNDED hour axis —
+    the STL/hypertable serving shape; ranking the trough is a per-type
+    WindowGroupLimit."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    hourly = (
+        ev.select(
+            F.col("event_type").alias("t"),
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+            (
+                F.round(F.col("value") * 100, 0).cast("bigint")
+                * F.when(F.col("user_id") % 3 == 0, -1).otherwise(1)
+            ).alias("net"),
+        )
+        .groupBy("t", "h")
+        .agg(F.sum("net").cast("bigint").alias("net"))
+    )
+    w = (
+        W.partitionBy("t")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    walk = hourly.select(
+        "t",
+        "h",
+        F.sum("net").over(w).cast("bigint").alias("cum"),
+    ).select(
+        "t", "h", "cum", F.max("cum").over(w).cast("bigint").alias("peak")
+    )
+    dd = walk.select(
+        "t",
+        "h",
+        (F.col("peak") - F.col("cum")).alias("draw"),
+    ).select(
+        "t",
+        "h",
+        "draw",
+        F.row_number()
+        .over(W.partitionBy("t").orderBy(F.desc("draw"), "h"))
+        .alias("rk"),
+    )
+    return dd.filter(F.col("rk") == 1).select(
+        F.col("t").alias("event_type"),
+        F.col("draw").cast("bigint").alias("max_drawdown_cents"),
+        F.col("h").cast("bigint").alias("trough_hour"),
+    )
