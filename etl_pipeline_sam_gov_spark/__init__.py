@@ -369,6 +369,7 @@ _DEFER_IN_TIER = frozenset(
         "reco_user_user_cosine",
         "ts_seasonality_strength",
         "ts_max_drawdown_hourly",
+        "stream_max_drawdown_hourly",
     }
 )
 

@@ -1488,3 +1488,69 @@ def stream_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_us",
         steps.cast("int").alias("steps_completed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-maintained hourly drawdown rollup
+# ---------------------------------------------------------------------------
+
+
+def _drawdown_oracle() -> str:
+    """The batch drawdown oracle, verbatim (online/offline pinning)."""
+    import etl_pipeline_sam_gov_spark.operators.analytics  # noqa: F401
+
+    from etl_pipeline_sam_gov_spark.registry import ORACLES
+
+    return ORACLES["ts_max_drawdown_hourly"]
+
+
+@query("stream_max_drawdown_hourly", oracle=_drawdown_oracle())
+def stream_max_drawdown_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ts_max_drawdown_hourly: the (type, hour) net
+    cents cells are a streaming groupBy whose per-cell state the
+    runtime maintains incrementally (mergeable-rollup state, bounded
+    by the calendar × type grid, never by stream volume); the
+    peak-to-trough sweep then runs batch-side on the final bounded
+    grid — the same maintain-cells-online / sweep-on-serve split as
+    stream_value_histogram and stream_hypertable_rollup, here feeding
+    a risk metric instead of a histogram. Oracle shared verbatim with
+    the batch twin."""
+    events = read_events_stream(spark, sf_dir)
+    cells = (
+        events.select(
+            F.col("event_type").alias("t"),
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+            (
+                F.round(F.col("value") * 100, 0).cast("bigint")
+                * F.when(F.col("user_id") % 3 == 0, -1).otherwise(1)
+            ).alias("net"),
+        )
+        .groupBy("t", "h")
+        .agg(F.sum("net").cast("bigint").alias("net"))
+    )
+    grid = run_to_memory(cells, mode="complete", shuffle_partitions=4)
+    w = (
+        W.partitionBy("t")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    walk = grid.select(
+        "t", "h", F.sum("net").over(w).cast("bigint").alias("cum")
+    ).select(
+        "t", "h", "cum", F.max("cum").over(w).cast("bigint").alias("peak")
+    )
+    dd = walk.select(
+        "t", "h", (F.col("peak") - F.col("cum")).alias("draw")
+    ).select(
+        "t",
+        "h",
+        "draw",
+        F.row_number()
+        .over(W.partitionBy("t").orderBy(F.desc("draw"), "h"))
+        .alias("rk"),
+    )
+    return dd.filter(F.col("rk") == 1).select(
+        F.col("t").alias("event_type"),
+        F.col("draw").cast("bigint").alias("max_drawdown_cents"),
+        F.col("h").cast("bigint").alias("trough_hour"),
+    )
