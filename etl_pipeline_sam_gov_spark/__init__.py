@@ -370,6 +370,7 @@ _DEFER_IN_TIER = frozenset(
         "ts_seasonality_strength",
         "ts_max_drawdown_hourly",
         "stream_max_drawdown_hourly",
+        "retrieval_ndcg_eval",
     }
 )
 

@@ -816,3 +816,112 @@ def retrieval_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= BM25_TOP_K)
         .select("query_id", "doc_id", "rnk", "bm25_prf")
     )
+
+
+# ---------------------------------------------------------------------------
+# nDCG@k ranking-quality evaluation of the BM25 retrieval lane
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "retrieval_ndcg_eval",
+    oracle=f"""
+WITH {_BM25_CTES},
+rel AS (
+  SELECT q.query_id, c.doc_id, CAST(COUNT(DISTINCT c.tok) AS BIGINT) AS rel
+  FROM c JOIN q USING (tok) GROUP BY 1, 2
+),
+dcg AS (
+  SELECT r.query_id,
+         SUM(CAST(rel.rel AS DOUBLE) / ln(r.rnk + 1.0)) AS dcg
+  FROM ranked r
+  JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+  WHERE r.rnk <= {BM25_TOP_K}
+  GROUP BY 1
+),
+ideal AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id) AS rk
+  FROM rel
+),
+idcg AS (
+  SELECT query_id, SUM(CAST(rel AS DOUBLE) / ln(rk + 1.0)) AS idcg
+  FROM ideal WHERE rk <= {BM25_TOP_K} GROUP BY 1
+),
+nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel_docs FROM rel GROUP BY 1)
+SELECT d.query_id, n.n_rel_docs,
+       round(d.dcg / i.idcg, 6) + 0.0 AS ndcg
+FROM dcg d JOIN idcg i USING (query_id) JOIN nrel n USING (query_id)
+""",
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@k of the BM25 ranking against a term-coverage relevance
+    truth (rel = number of distinct query terms a document contains) —
+    the ranking-quality metric that closes the retrieval lane's eval
+    loop the way ann_recall_at_k closes ANN's: BM25's score order is
+    certified by its own oracle; THIS certifies how well that order
+    agrees with an independent graded-relevance ideal. Uses ln for the
+    position discount — nDCG is a DCG/IDCG ratio, so the log base
+    cancels and the standard log2 definition is preserved exactly.
+
+    Determinism: relevance grades are exact distinct-term counts; DCG
+    and IDCG are ≤k-term sums of one-division doubles with identical
+    term order (rank order) in both engines, absorbed by round(6).
+    Scale shape: rides the shared (doc_id, tok) count relation — one
+    corpus shuffle; relevance and the ideal ranking live on the
+    docs-matching-any-term subset, ranked per query by
+    WindowGroupLimit."""
+    from etl_pipeline_sam_gov_spark.registry import QUERIES as _Q
+
+    ranked = _Q["text_bm25_retrieval"](spark, sf_dir)
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERY_TERMS for t in terms],
+        "query_id int, tok string",
+    )
+    rel = (
+        _doc_term_counts(spark, sf_dir)
+        .join(F.broadcast(q), "tok")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("tok").cast("bigint").alias("rel"))
+    )
+    dcg = (
+        ranked.filter(F.col("rnk") <= BM25_TOP_K)
+        .join(rel, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.col("rel").cast("double") / F.log(F.col("rnk") + 1.0)
+            ).alias("dcg")
+        )
+    )
+    ideal = rel.select(
+        "query_id",
+        "rel",
+        F.row_number()
+        .over(W.partitionBy("query_id").orderBy(F.desc("rel"), "doc_id"))
+        .alias("rk"),
+    )
+    idcg = (
+        ideal.filter(F.col("rk") <= BM25_TOP_K)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.col("rel").cast("double") / F.log(F.col("rk") + 1.0)
+            ).alias("idcg")
+        )
+    )
+    nrel = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel_docs")
+    )
+    return (
+        dcg.join(idcg, "query_id")
+        .join(nrel, "query_id")
+        .select(
+            "query_id",
+            "n_rel_docs",
+            (F.round(F.col("dcg") / F.col("idcg"), 6) + F.lit(0.0)).alias(
+                "ndcg"
+            ),
+        )
+    )
