@@ -371,6 +371,7 @@ _DEFER_IN_TIER = frozenset(
         "ts_max_drawdown_hourly",
         "stream_max_drawdown_hourly",
         "retrieval_ndcg_eval",
+        "ab_test_cuped",
     }
 )
 
