@@ -410,3 +410,61 @@ def test_hits_matches_numpy(spark, sf_dir):
             assert abs(row["score"] - expect_h[row["entity_id"]]) < 1e-7
         else:
             assert abs(row["score"] - expect_a[row["entity_id"]]) < 1e-7
+
+
+def test_cuped_matches_numpy(spark, sf_dir):
+    out = eng.QUERIES["ab_test_cuped"](spark, sf_dir).toPandas().set_index("arm")
+    ev = _events(sf_dir)
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    ns = ev["ts"].astype("datetime64[ns]").astype("int64")
+    mid = ns.min() + (ns.max() - ns.min()) // 2_000_000_000 * 1_000_000_000
+    ev["pre"] = np.where(ns <= mid, ev["cents"], 0)
+    ev["post"] = np.where(ns > mid, ev["cents"], 0)
+    per = ev.groupby("user_id")[["pre", "post"]].sum()
+    x, y = per["pre"].to_numpy().astype(float), per["post"].to_numpy().astype(float)
+    th = np.cov(x, y, ddof=0)[0, 1] / x.var()
+    rho2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert abs(out["variance_reduction"].iloc[0] - rho2) < TOL
+    import hashlib
+
+    arm = np.array(
+        [
+            int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+            for u in per.index
+        ]
+    )
+    for a in (0, 1):
+        m = arm == a
+        adj = (y[m].mean() - th * (x[m].mean() - x.mean())) / 100
+        assert out.loc[a, "n_arm"] == int(m.sum())
+        assert abs(out.loc[a, "mean_post"] - y[m].mean() / 100) < TOL
+        assert abs(out.loc[a, "mean_post_cuped"] - adj) < TOL
+
+
+def test_drawdown_matches_numpy(spark, sf_dir):
+    out = (
+        eng.QUERIES["ts_max_drawdown_hourly"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = _events(sf_dir)
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    ev["net"] = np.where(ev["user_id"] % 3 == 0, -ev["cents"], ev["cents"])
+    ev["h"] = ev["ts"].astype("datetime64[ns]").astype("int64") // 3_600_000_000_000
+    for t, g in ev.groupby("event_type"):
+        hourly = g.groupby("h")["net"].sum().sort_index()
+        cum = hourly.cumsum().to_numpy()
+        peak = np.maximum.accumulate(cum)
+        draw = peak - cum
+        assert out.loc[t, "max_drawdown_cents"] == draw.max(), t
+        first = hourly.index.to_numpy()[np.argmax(draw)]  # argmax = first max
+        assert out.loc[t, "trough_hour"] == first, t
+
+
+def test_seasonality_strength_in_bounds(spark, sf_dir):
+    out = eng.QUERIES["ts_seasonality_strength"](spark, sf_dir).toPandas()
+    assert 0.0 <= out["seasonal_strength"].iloc[0] <= 1.0
+    assert 0.0 <= out["trend_strength"].iloc[0] <= 1.0
+    # hourly revenue with a diurnal generator should show clear
+    # seasonality relative to residual noise
+    assert out["n_hours"].iloc[0] > 0
