@@ -372,6 +372,7 @@ _DEFER_IN_TIER = frozenset(
         "stream_max_drawdown_hourly",
         "retrieval_ndcg_eval",
         "ab_test_cuped",
+        "asof_join_forward",
     }
 )
 

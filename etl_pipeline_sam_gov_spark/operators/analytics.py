@@ -2528,3 +2528,65 @@ def ts_max_drawdown_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("draw").cast("bigint").alias("max_drawdown_cents"),
         F.col("h").cast("bigint").alias("trough_hour"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join: earliest click at-or-after each purchase
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_forward",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       epoch_us(c.ts) AS next_click_us,
+       epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+""",
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the direction the backward join can't
+    serve: for each purchase, the EARLIEST click at-or-after it per
+    user ("what did the buyer do next?"), completing the as-of
+    direction set (backward: asof_join_purchase_click, nearest:
+    asof_join_nearest, banded: asof_join_with_tolerance). Same
+    joinless merged-timeline plan, mirrored: one union with a side
+    marker, one user-keyed sort, and first(ignorenulls) over the
+    CURRENT-ROW-TO-FOLLOWING frame — purchases sort before same-
+    timestamp clicks so the ≤ equality case matches, exactly DuckDB's
+    native forward ASOF semantics (the oracle)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ts_us = F.unix_micros("ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.lit(0).alias("side"),  # purchases sort before same-ts clicks (<= asof)
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("click_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        ts_us.alias("click_us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "side")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    merged = purchases.unionByName(clicks).withColumn(
+        "next_click_us", F.first("click_us", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("side") == 0).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_us"),
+        "next_click_us",
+        (F.col("next_click_us") - F.col("ts_us")).alias("gap_us"),
+    )
