@@ -468,3 +468,54 @@ def test_seasonality_strength_in_bounds(spark, sf_dir):
     # hourly revenue with a diurnal generator should show clear
     # seasonality relative to residual noise
     assert out["n_hours"].iloc[0] > 0
+
+
+@pytest.fixture(scope="module")
+def doubled_dir(spark, sf_dir, tmp_path_factory):
+    """A corpus copy with every monetary value doubled — scale-free
+    statistics must be bit-identical on it (doubling cents is exact in
+    IEEE, so the integer-cents pipeline sees exactly 2x)."""
+    out = tmp_path_factory.mktemp("doubled")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["value"] = ev["value"] * 2
+    ev.to_parquet(out / "events.parquet")
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    od["o_totalprice"] = od["o_totalprice"] * 2
+    od.to_parquet(out / "orders.parquet")
+    for t in ("customer", "nation", "region", "supplier", "lineitem"):
+        pd.read_parquet(f"{sf_dir}/{t}.parquet").to_parquet(out / f"{t}.parquet")
+    return str(out)
+
+
+def _pdf(spark, name, d, sort_cols):
+    return (
+        eng.QUERIES[name](spark, d).toPandas().sort_values(sort_cols).reset_index(drop=True)
+    )
+
+
+def test_gini_scale_invariant(spark, sf_dir, doubled_dir):
+    a = _pdf(spark, "agg_gini_customer_spend", sf_dir, ["nation"])
+    b = _pdf(spark, "agg_gini_customer_spend", doubled_dir, ["nation"])
+    assert (a["gini"] == b["gini"]).all()
+    assert (a["spend_cents"] * 2 == b["spend_cents"]).all()
+
+
+def test_ks_scale_invariant(spark, sf_dir, doubled_dir):
+    a = _pdf(spark, "ts_ks_test_pairwise", sf_dir, ["type_a", "type_b"])
+    b = _pdf(spark, "ts_ks_test_pairwise", doubled_dir, ["type_a", "type_b"])
+    assert (a["ks_d"] == b["ks_d"]).all()
+    assert (a["ks_scaled"] == b["ks_scaled"]).all()
+
+
+def test_welch_scale_invariant(spark, sf_dir, doubled_dir):
+    a = _pdf(spark, "ts_welch_ttest_pairwise", sf_dir, ["type_a", "type_b"])
+    b = _pdf(spark, "ts_welch_ttest_pairwise", doubled_dir, ["type_a", "type_b"])
+    # t is scale-free; rounding happens after an exact-2x-cancelling ratio
+    assert np.allclose(a["t_stat"], b["t_stat"], atol=2e-4)
+
+
+def test_lorenz_scale_invariant(spark, sf_dir, doubled_dir):
+    a = _pdf(spark, "analytics_lorenz_deciles", sf_dir, ["decile"])
+    b = _pdf(spark, "analytics_lorenz_deciles", doubled_dir, ["decile"])
+    assert (a["n_customers"] == b["n_customers"]).all()
+    assert np.allclose(a["cum_spend_share"], b["cum_spend_share"], atol=2e-6)
