@@ -373,6 +373,7 @@ _DEFER_IN_TIER = frozenset(
         "retrieval_ndcg_eval",
         "ab_test_cuped",
         "asof_join_forward",
+        "dq_missing_hours_report",
     }
 )
 

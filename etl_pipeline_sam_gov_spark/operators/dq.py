@@ -21,7 +21,7 @@ demonstrates the zero-exchange layout on this very shape).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_pipeline_sam_gov_spark.registry import query
@@ -888,3 +888,51 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Missing-hour gap report over the event stream's hourly grid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_missing_hours_report",
+    oracle="""
+WITH hours AS (
+  SELECT DISTINCT epoch_us(ts) // 3600000000 AS h FROM events
+),
+flagged AS (
+  SELECT h, lead(h) OVER (ORDER BY h) AS nxt FROM hours
+)
+SELECT CAST(h + 1 AS BIGINT) AS gap_start_hour,
+       CAST(nxt - 1 AS BIGINT) AS gap_end_hour,
+       CAST(nxt - h - 1 AS BIGINT) AS n_missing_hours
+FROM flagged WHERE nxt - h > 1
+""",
+)
+def dq_missing_hours_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-gap report: every run of consecutive MISSING hours in
+    the event stream's hourly grid, as (start, end, length) spans —
+    the first thing an on-call engineer asks when a dashboard flatlines
+    ("did traffic stop, or did the pipeline?"), and the data-arrival
+    complement of resample_interpolate_hourly (which papers over gaps;
+    this one reports them for alerting). Gaps-and-islands via one
+    lead() over the distinct-hour relation.
+
+    Exactness: hours are exact integer epoch-hour indices; spans are
+    integer arithmetic. Scale shape: the corpus collapses to distinct
+    hours in one partial-combined pass; the lead window runs on the
+    calendar-BOUNDED hour axis (the STL-family convention), and the
+    output is at most one row per gap."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    hours = ev.select(
+        F.expr("unix_micros(ts) div 3600000000").alias("h")
+    ).distinct()
+    flagged = hours.select(
+        "h", F.lead("h").over(W.orderBy("h")).alias("nxt")
+    )
+    return flagged.filter(F.col("nxt") - F.col("h") > 1).select(
+        (F.col("h") + 1).cast("bigint").alias("gap_start_hour"),
+        (F.col("nxt") - 1).cast("bigint").alias("gap_end_hour"),
+        (F.col("nxt") - F.col("h") - 1).cast("bigint").alias("n_missing_hours"),
+    )
