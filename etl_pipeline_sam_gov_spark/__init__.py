@@ -374,6 +374,7 @@ _DEFER_IN_TIER = frozenset(
         "ab_test_cuped",
         "asof_join_forward",
         "dq_missing_hours_report",
+        "dq_psi_value_drift",
     }
 )
 

@@ -936,3 +936,115 @@ def dq_missing_hours_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nxt") - 1).cast("bigint").alias("gap_end_hour"),
         (F.col("nxt") - F.col("h") - 1).cast("bigint").alias("n_missing_hours"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index between the two halves of the stream
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_psi_value_drift",
+    oracle="""
+WITH bounds AS (
+  SELECT MIN(ts) + CAST(datediff('second', MIN(ts), MAX(ts)) // 2 AS INT)
+           * INTERVAL 1 SECOND AS mid
+  FROM events
+),
+banded AS (
+  SELECT CASE WHEN e.ts <= b.mid THEN 0 ELSE 1 END AS half,
+         CAST(len(bin(CAST(round(e.value * 100) AS BIGINT))) - 1 AS INT)
+           AS band
+  FROM events e CROSS JOIN bounds b
+  WHERE e.value > 0
+),
+cells AS (
+  SELECT band,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM banded GROUP BY band
+),
+tot AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS tr, CAST(SUM(n_cur) AS BIGINT) AS tc
+  FROM cells
+),
+contrib AS (
+  SELECT c.band, c.n_ref, c.n_cur,
+         ((c.n_cur + 1)::DOUBLE / (t.tc + 1) - (c.n_ref + 1)::DOUBLE / (t.tr + 1))
+           * ln(((c.n_cur + 1)::DOUBLE / (t.tc + 1))
+                / ((c.n_ref + 1)::DOUBLE / (t.tr + 1))) AS psi_c
+  FROM cells c CROSS JOIN tot t
+),
+psum AS (SELECT SUM(psi_c) AS psi FROM contrib)
+SELECT c.band, c.n_ref, c.n_cur,
+       round(c.psi_c, 6) + 0.0 AS psi_contrib,
+       round(p.psi, 6) + 0.0 AS psi_total,
+       p.psi > 0.2 AS drifted
+FROM contrib c CROSS JOIN psum p
+""",
+)
+def dq_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream's value distribution — the model-monitoring
+    drift metric (credit-risk lineage: PSI < 0.1 stable, > 0.2 act)
+    that complements the KS test (ts_ks_test_pairwise compares two
+    TYPES; PSI compares the SAME population across time) and the
+    moment-based dq_profile_drift (PSI reads the whole banded shape).
+    Bands are power-of-two cents buckets (the exponential-histogram
+    convention — data-independent edges, so the banding itself cannot
+    drift); both margins get add-one smoothing so an empty band
+    contributes a finite, deterministic penalty instead of ±inf.
+
+    Determinism: band counts are exact int64; each band's PSI term is
+    a fixed shape of two smoothed-share divisions, one subtraction,
+    one ln (round(6) absorbs libm ulps — the transcendental
+    convention), and the total sums ≤64 such terms. Scale shape: one
+    scan collapses to (half, band) cells; everything else lives on the
+    ≤64-row band relation with 1-row totals riding broadcast cross
+    joins."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    bounds = ev.agg(
+        F.expr(
+            "min(ts) + make_dt_interval(0, 0, 0, "
+            "CAST((unix_micros(max(ts)) - unix_micros(min(ts))) div 2000000 "
+            "AS INT))"
+        ).alias("mid")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    banded = (
+        ev.filter(F.col("value") > 0)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(F.col("ts") <= F.col("mid"), 0).otherwise(1).alias("half"),
+            (F.length(F.bin(cents)) - 1).cast("int").alias("band"),
+        )
+    )
+    cells = banded.groupBy("band").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    tot = cells.agg(
+        F.sum("n_ref").cast("bigint").alias("tr"),
+        F.sum("n_cur").cast("bigint").alias("tc"),
+    )
+    p_cur = (F.col("n_cur") + 1).cast("double") / (F.col("tc") + 1)
+    p_ref = (F.col("n_ref") + 1).cast("double") / (F.col("tr") + 1)
+    contrib = cells.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "n_ref",
+        "n_cur",
+        ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_c"),
+    )
+    psum = contrib.agg(F.sum("psi_c").alias("psi"))
+    return contrib.crossJoin(F.broadcast(psum)).select(
+        "band",
+        "n_ref",
+        "n_cur",
+        (F.round("psi_c", 6) + F.lit(0.0)).alias("psi_contrib"),
+        (F.round("psi", 6) + F.lit(0.0)).alias("psi_total"),
+        (F.col("psi") > 0.2).alias("drifted"),
+    )
