@@ -375,6 +375,7 @@ _DEFER_IN_TIER = frozenset(
         "asof_join_forward",
         "dq_missing_hours_report",
         "dq_psi_value_drift",
+        "seq_session_trigrams",
     }
 )
 

@@ -1274,3 +1274,87 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_post_cuped"),
         (F.round(F.col("rho2"), 6) + F.lit(0.0)).alias("variance_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top within-session event-type trigrams (behavioral n-grams)
+# ---------------------------------------------------------------------------
+
+SEQ_TRIGRAM_TOP = 20  #: trigram rows emitted
+
+
+@query(
+    "seq_session_trigrams",
+    oracle=f"""
+WITH numbered AS (
+  SELECT user_id, event_type, ts_us, event_id,
+         CAST(SUM(CASE WHEN prev_us IS NULL
+                  OR ts_us - prev_us > 1800 * 1000000
+                  THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq
+  FROM (
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev_us
+    FROM events
+  )
+),
+tri AS (
+  SELECT event_type
+           || '>' || lead(event_type, 1) OVER w
+           || '>' || lead(event_type, 2) OVER w AS trigram,
+         lead(session_seq, 2) OVER w = session_seq AS same_session
+  FROM numbered
+  WINDOW w AS (PARTITION BY user_id, session_seq
+               ORDER BY ts_us, event_id)
+)
+SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM tri WHERE trigram IS NOT NULL AND same_session
+GROUP BY trigram
+ORDER BY n DESC, trigram
+LIMIT {SEQ_TRIGRAM_TOP}
+""",
+)
+def seq_session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral n-grams: the most frequent 3-step event-type
+    sequences WITHIN a session (the shared gap rule) — the pattern
+    vocabulary funnel designers and anomaly hunters read before
+    hand-authoring any funnel (behavior_funnel_timebound checks ONE
+    hypothesized path; this surfaces which paths actually dominate).
+    Windows partition by (user, session) so a trigram can never span a
+    session boundary — the lead() pair stays NULL at the tail, and the
+    same-session guard makes the boundary rule explicit.
+
+    Scale shape: sessionization is the shared one-shuffle timeline
+    walk; the trigram projection is two lead()s on the SAME
+    (user, session) exchange; counting is partial-combined and the
+    scorecard is TakeOrderedAndProject. Everything is exact integer
+    counts over deterministic string keys."""
+    from etl_pipeline_sam_gov_spark.operators.analytics import (
+        numbered_sessions,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    numbered = numbered_sessions(ev)
+    w = W.partitionBy("user_id", "session_seq").orderBy("ts_us", "event_id")
+    tri = numbered.select(
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("trigram"),
+        (F.lead("session_seq", 2).over(w) == F.col("session_seq")).alias(
+            "same_session"
+        ),
+        F.lead("event_type", 2).over(w).alias("third"),
+    )
+    return (
+        tri.filter(F.col("third").isNotNull() & F.col("same_session"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(SEQ_TRIGRAM_TOP)
+    )
