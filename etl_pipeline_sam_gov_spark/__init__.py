@@ -376,6 +376,7 @@ _DEFER_IN_TIER = frozenset(
         "dq_missing_hours_report",
         "dq_psi_value_drift",
         "seq_session_trigrams",
+        "ml_information_value_spend",
     }
 )
 

@@ -1358,3 +1358,110 @@ def seq_session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "trigram")
         .limit(SEQ_TRIGRAM_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Information Value / Weight of Evidence of the spend-band feature
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_information_value_spend",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS good
+  FROM events GROUP BY 1
+),
+banded AS (
+  SELECT CAST(len(bin(cents)) - 1 AS INT) AS band, good
+  FROM per_user WHERE cents > 0
+),
+cells AS (
+  SELECT band,
+         CAST(SUM(good) AS BIGINT) AS n_good,
+         CAST(SUM(1 - good) AS BIGINT) AS n_bad
+  FROM banded GROUP BY band
+),
+tot AS (
+  SELECT CAST(SUM(n_good) AS BIGINT) AS tg, CAST(SUM(n_bad) AS BIGINT) AS tb
+  FROM cells
+),
+contrib AS (
+  SELECT c.band, c.n_good, c.n_bad,
+         ln(((c.n_good + 1)::DOUBLE / (t.tg + 1))
+            / ((c.n_bad + 1)::DOUBLE / (t.tb + 1))) AS woe,
+         ((c.n_good + 1)::DOUBLE / (t.tg + 1)
+          - (c.n_bad + 1)::DOUBLE / (t.tb + 1))
+           * ln(((c.n_good + 1)::DOUBLE / (t.tg + 1))
+                / ((c.n_bad + 1)::DOUBLE / (t.tb + 1))) AS iv_c
+  FROM cells c CROSS JOIN tot t
+),
+ivsum AS (SELECT SUM(iv_c) AS iv FROM contrib)
+SELECT c.band, c.n_good, c.n_bad,
+       round(c.woe, 6) + 0.0 AS woe,
+       round(c.iv_c, 6) + 0.0 AS iv_contrib,
+       round(s.iv, 6) + 0.0 AS iv_total
+FROM contrib c CROSS JOIN ivsum s
+""",
+)
+def ml_information_value_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information Value / Weight of Evidence of the spend-band feature
+    against the purchaser label — credit-scoring's feature-screening
+    staple (IV < 0.02 useless, > 0.3 strong) and PSI's SUPERVISED
+    sibling: PSI (dq_psi_value_drift) asks "did the banded shape move
+    over time?"; IV asks "does the banded shape separate good from
+    bad?" — both over the same data-independent power-of-two bands,
+    both with add-one smoothing so empty cells stay finite.
+
+    Determinism: per-user totals and labels are exact int64; each
+    band's WOE is one ln of a ratio of smoothed shares (round(6)
+    absorbs libm ulps) and IV sums ≤64 such terms with identical order
+    sensitivity to the PSI/Benford convention. Scale shape: one
+    user-keyed rollup, one ≤64-row band relation, 1-row totals riding
+    broadcast cross joins."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("good"),
+        )
+        .filter(F.col("cents") > 0)
+    )
+    cells = per_user.select(
+        (F.length(F.bin("cents")) - 1).cast("int").alias("band"), "good"
+    ).groupBy("band").agg(
+        F.sum("good").cast("bigint").alias("n_good"),
+        F.sum(1 - F.col("good")).cast("bigint").alias("n_bad"),
+    )
+    tot = cells.agg(
+        F.sum("n_good").cast("bigint").alias("tg"),
+        F.sum("n_bad").cast("bigint").alias("tb"),
+    )
+    pg = (F.col("n_good") + 1).cast("double") / (F.col("tg") + 1)
+    pb = (F.col("n_bad") + 1).cast("double") / (F.col("tb") + 1)
+    contrib = cells.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "n_good",
+        "n_bad",
+        F.log(pg / pb).alias("woe"),
+        ((pg - pb) * F.log(pg / pb)).alias("iv_c"),
+    )
+    ivsum = contrib.agg(F.sum("iv_c").alias("iv"))
+    return contrib.crossJoin(F.broadcast(ivsum)).select(
+        "band",
+        "n_good",
+        "n_bad",
+        (F.round("woe", 6) + F.lit(0.0)).alias("woe"),
+        (F.round("iv_c", 6) + F.lit(0.0)).alias("iv_contrib"),
+        (F.round("iv", 6) + F.lit(0.0)).alias("iv_total"),
+    )
