@@ -377,6 +377,7 @@ _DEFER_IN_TIER = frozenset(
         "dq_psi_value_drift",
         "seq_session_trigrams",
         "ml_information_value_spend",
+        "agg_modern_surface",
     }
 )
 

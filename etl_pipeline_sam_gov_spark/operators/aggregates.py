@@ -1703,3 +1703,60 @@ def agg_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("acct_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Modern aggregate surface: count_if / bool_and / bool_or / max_by / min_by
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_modern_surface",
+    oracle="""
+WITH base AS (
+  SELECT event_type, event_id, user_id, value,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT) AS n_big,
+       bool_and(value > 0) AS all_positive,
+       bool_or(user_id % 3 = 0) AS any_refund_user,
+       CAST(arg_max(event_id, cents * 1000000000 + event_id) AS BIGINT)
+         AS top_value_event,
+       CAST(arg_min(event_id, cents * 1000000000 + event_id) AS BIGINT)
+         AS bottom_value_event
+FROM base GROUP BY event_type
+""",
+)
+def agg_modern_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern SQL aggregate surface in one scorecard: conditional
+    counting without CASE scaffolding (count_if / FILTER), boolean
+    quantifiers (bool_and/bool_or — "EVERY row" / "ANY row" as
+    aggregates), and argmax/argmin row selection (max_by/min_by ↔
+    DuckDB arg_max/arg_min) — the functions that replaced the
+    sum(CASE…) idiom and the self-join-for-argmax anti-pattern
+    (agg_argmax_orders shows the window formulation; this is the
+    aggregate-function one, both certified).
+
+    Determinism: the max_by/min_by ordering key is made UNIQUE by
+    construction (cents·10⁹ + event_id — cents bounded far below 10⁹,
+    event_id unique), so tie-breaking semantics — the classic
+    cross-engine argmax trap — never engage. All outputs are exact
+    ints/booleans from one partial-combined pass."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    key = cents * F.lit(1_000_000_000) + F.col("event_id")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("value") > 100).cast("bigint").alias("n_big"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("user_id") % 3 == 0).alias("any_refund_user"),
+        F.max_by(F.col("event_id"), key).cast("bigint").alias(
+            "top_value_event"
+        ),
+        F.min_by(F.col("event_id"), key).cast("bigint").alias(
+            "bottom_value_event"
+        ),
+    )

@@ -122,6 +122,17 @@ STRESS_QUERIES = (
     "analytics_spend_band_migration",  # half-spend rollup + key full-outer
     "ml_kaplan_meier_repeat_purchase",  # customer-keyed window + day-axis curve
     "graph_degree_assortativity",  # degree joins + one scalar moment agg
+    # round-4 closing batch:
+    "ts_seasonality_strength",   # STL components + 1-row moment scorecard
+    "ts_max_drawdown_hourly",    # hour-grain collapse + bounded-axis sweep
+    "asof_join_forward",         # merged-timeline walk, mirrored frame
+    "ab_test_cuped",             # user rollup + pooled moments
+    "stream_funnel_timebound",   # GroupState chain, one user-keyed shuffle
+    "dq_psi_value_drift",        # scan → ≤64 band cells
+    "ml_information_value_spend",  # user rollup → ≤64 band cells
+    "seq_session_trigrams",      # session exchange + two leads + top-k
+    "dq_missing_hours_report",   # distinct hours + bounded lead walk
+    "retrieval_ndcg_eval",       # shared tf pass + per-query bounded ranking
     # (reco_user_user_cosine is deliberately NOT stressed: amplified key
     # populations multiply BOTH sides of its shared-item join, so
     # candidate volume grows ~quadratically under this tool's replica
