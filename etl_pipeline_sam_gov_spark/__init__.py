@@ -378,6 +378,7 @@ _DEFER_IN_TIER = frozenset(
         "seq_session_trigrams",
         "ml_information_value_spend",
         "agg_modern_surface",
+        "pipeline_health_report",
     }
 )
 

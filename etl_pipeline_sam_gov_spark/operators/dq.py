@@ -1048,3 +1048,92 @@ def dq_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("psi", 6) + F.lit(0.0)).alias("psi_total"),
         (F.col("psi") > 0.2).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed daily health report: constraints + drift + gaps + RI in one plan
+# ---------------------------------------------------------------------------
+
+
+def _health_oracle() -> str:
+    """Composes the four component oracles VERBATIM as subqueries — the
+    pipeline_* composition rule: the health report is certified to be
+    exactly the union of the individually-certified checks."""
+    from etl_pipeline_sam_gov_spark.registry import ORACLES
+
+    suite = ORACLES["dq_constraint_suite"]
+    psi = ORACLES["dq_psi_value_drift"]
+    gaps = ORACLES["dq_missing_hours_report"]
+    orphans = ORACLES["dq_referential_orphans"]
+    return f"""
+SELECT check_name, target, metric, passed FROM ({suite})
+UNION ALL
+SELECT 'psi_value_drift' AS check_name, 'events' AS target,
+       ANY_VALUE(psi_total) AS metric, NOT bool_or(drifted) AS passed
+FROM ({psi})
+UNION ALL
+SELECT 'missing_hours' AS check_name, 'events' AS target,
+       CAST(COALESCE(SUM(n_missing_hours), 0) AS DOUBLE) AS metric,
+       COALESCE(SUM(n_missing_hours), 0) = 0 AS passed
+FROM ({gaps})
+UNION ALL
+SELECT 'orphans_' || fk_edge AS check_name, fk_edge AS target,
+       orphan_ratio AS metric, n_orphans = 0 AS passed
+FROM ({orphans})
+"""
+
+
+@query("pipeline_health_report", oracle=_health_oracle())
+def pipeline_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed daily health run: Deequ-style constraints, PSI
+    value drift, ingestion gaps, and all seven FK-edge orphan audits
+    unioned into ONE (check_name, target, metric, passed) report —
+    what a warehouse's morning on-call page actually renders, and the
+    DQ counterpart of pipeline_training_corpus_v2's composition rule:
+    each component is individually driver-certified, the composition's
+    oracle embeds those oracles verbatim, so the report is provably
+    the sum of its certified parts. Catalyst plans the whole union
+    lazily — shared scans dedupe via exchange reuse where shapes
+    align, and nothing materializes between components.
+
+    Scale shape: inherits each component's (one aggregation per table,
+    bounded band/gap/edge relations); the union adds no shuffle."""
+    from etl_pipeline_sam_gov_spark.registry import QUERIES as _Q
+
+    suite = _Q["dq_constraint_suite"](spark, sf_dir).select(
+        "check_name", "target", "metric", "passed"
+    )
+    psi = (
+        _Q["dq_psi_value_drift"](spark, sf_dir)
+        .agg(
+            F.any_value("psi_total").alias("metric"),
+            (~F.bool_or("drifted")).alias("passed"),
+        )
+        .select(
+            F.lit("psi_value_drift").alias("check_name"),
+            F.lit("events").alias("target"),
+            "metric",
+            "passed",
+        )
+    )
+    gaps = (
+        _Q["dq_missing_hours_report"](spark, sf_dir)
+        .agg(
+            F.coalesce(F.sum("n_missing_hours"), F.lit(0))
+            .cast("double")
+            .alias("metric")
+        )
+        .select(
+            F.lit("missing_hours").alias("check_name"),
+            F.lit("events").alias("target"),
+            "metric",
+            (F.col("metric") == 0).alias("passed"),
+        )
+    )
+    orphans = _Q["dq_referential_orphans"](spark, sf_dir).select(
+        F.concat(F.lit("orphans_"), F.col("fk_edge")).alias("check_name"),
+        F.col("fk_edge").alias("target"),
+        F.col("orphan_ratio").alias("metric"),
+        (F.col("n_orphans") == 0).alias("passed"),
+    )
+    return suite.unionByName(psi).unionByName(gaps).unionByName(orphans)
