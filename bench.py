@@ -63,6 +63,9 @@ HEADLINE = [
     "agg_gini_customer_spend",  # customer collapse + per-nation rank windows
     "ts_peak_concurrency_minutes",  # day-partitioned sweep line + carry join
     "dq_referential_orphans",  # 7 FK-edge left joins, scalar rollups
+    "pipeline_health_report",  # composed DQ DAG: constraints+PSI+gaps+RI
+    "ab_test_cuped",  # user rollup + pooled covariate moments
+    "seq_session_trigrams",  # session exchange + two leads + top-k
 ]
 
 
