@@ -519,3 +519,47 @@ def test_lorenz_scale_invariant(spark, sf_dir, doubled_dir):
     b = _pdf(spark, "analytics_lorenz_deciles", doubled_dir, ["decile"])
     assert (a["n_customers"] == b["n_customers"]).all()
     assert np.allclose(a["cum_spend_share"], b["cum_spend_share"], atol=2e-6)
+
+
+def test_psi_matches_numpy(spark, sf_dir):
+    out = eng.QUERIES["dq_psi_value_drift"](spark, sf_dir).toPandas()
+    ev = _events(sf_dir)
+    ev = ev[ev["value"] > 0].copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    ns = ev["ts"].astype("datetime64[ns]").astype("int64")
+    mid = ns.min() + (ns.max() - ns.min()) // 2_000_000_000 * 1_000_000_000
+    ev["half"] = np.where(ns <= mid, 0, 1)
+    ev["band"] = np.floor(np.log2(ev["cents"])).astype(int)
+    cells = ev.pivot_table(
+        index="band", columns="half", values="cents", aggfunc="count"
+    ).fillna(0)
+    nr, nc = cells[0].to_numpy(), cells[1].to_numpy()
+    tr, tc = nr.sum(), nc.sum()
+    pr, pc = (nr + 1) / (tr + 1), (nc + 1) / (tc + 1)
+    psi = ((pc - pr) * np.log(pc / pr)).sum()
+    assert abs(out["psi_total"].iloc[0] - psi) < 1e-5
+    got = out.set_index("band")
+    for b, r, c in zip(cells.index, nr, nc):
+        assert got.loc[b, "n_ref"] == r and got.loc[b, "n_cur"] == c, b
+
+
+def test_information_value_matches_numpy(spark, sf_dir):
+    out = eng.QUERIES["ml_information_value_spend"](spark, sf_dir).toPandas()
+    ev = _events(sf_dir)
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    per = ev.groupby("user_id").agg(
+        cents=("cents", "sum"),
+        good=("event_type", lambda s: int((s == "purchase").any())),
+    )
+    per = per[per["cents"] > 0]
+    per["band"] = np.floor(np.log2(per["cents"])).astype(int)
+    cells = per.groupby("band")["good"].agg(["sum", "count"])
+    g = cells["sum"].to_numpy()
+    b = (cells["count"] - cells["sum"]).to_numpy()
+    tg, tb = g.sum(), b.sum()
+    pg, pb = (g + 1) / (tg + 1), (b + 1) / (tb + 1)
+    iv = ((pg - pb) * np.log(pg / pb)).sum()
+    assert abs(out["iv_total"].iloc[0] - iv) < 1e-5
+    got = out.set_index("band")
+    for band, gg, bb in zip(cells.index, g, b):
+        assert got.loc[band, "n_good"] == gg and got.loc[band, "n_bad"] == bb
