@@ -379,6 +379,8 @@ _DEFER_IN_TIER = frozenset(
         "ml_information_value_spend",
         "agg_modern_surface",
         "pipeline_health_report",
+        "window_ratio_to_report",
+        "graph_adamic_adar_links",
     }
 )
 

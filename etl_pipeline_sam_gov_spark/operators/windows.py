@@ -473,3 +473,61 @@ def window_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("slope_per_event"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report: each order's share of its priority group's revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_ratio_to_report",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice > 400000
+),
+tot AS (
+  SELECT o_orderkey, o_orderpriority, cents,
+         CAST(SUM(cents) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+           AS group_cents
+  FROM base
+)
+SELECT o_orderkey, o_orderpriority, cents, group_cents,
+       round(CAST(cents AS DOUBLE) / group_cents, 6) + 0.0 AS share
+FROM tot
+""",
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report — the classic reporting window (Oracle's
+    RATIO_TO_REPORT, BigQuery's safe share-of-total): each large
+    order's fraction of its priority group's revenue, computed as one
+    unordered SUM OVER (PARTITION BY) with no self-join and no
+    two-pass group total — the window formulation that replaced the
+    groupBy-then-rejoin anti-pattern for share-of-total reports.
+
+    Determinism: cents and group totals are exact int64; the share is
+    one division rounded at the end. Scale shape: one shuffle on the
+    partition key; the frame is unordered (whole-partition aggregate,
+    no sort inside the window) and the >400k predicate pushes to the
+    scan so the window only sees the filtered slice."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = orders.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = W.partitionBy("o_orderpriority")
+    return base.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "cents",
+        F.sum("cents").over(w).cast("bigint").alias("group_cents"),
+    ).select(
+        "*",
+        (
+            F.round(F.col("cents").cast("double") / F.col("group_cents"), 6)
+            + F.lit(0.0)
+        ).alias("share"),
+    )
