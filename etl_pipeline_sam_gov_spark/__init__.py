@@ -381,6 +381,7 @@ _DEFER_IN_TIER = frozenset(
         "pipeline_health_report",
         "window_ratio_to_report",
         "graph_adamic_adar_links",
+        "agg_higher_moments",
     }
 )
 

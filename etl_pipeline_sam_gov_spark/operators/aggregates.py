@@ -1760,3 +1760,91 @@ def agg_modern_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bottom_value_event"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher central moments: skewness and excess kurtosis per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_higher_moments",
+    oracle="""
+WITH cents AS (
+  SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS c FROM events
+),
+mu AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sc
+  FROM cents GROUP BY 1
+),
+centered AS (
+  SELECT c.t, m.n,
+         CAST(c.c AS DOUBLE) - CAST(m.sc AS DOUBLE) / m.n AS d
+  FROM cents c JOIN mu m ON m.t = c.t
+),
+mom AS (
+  SELECT t, n,
+         SUM(d * d) / n AS m2,
+         SUM(d * d * d) / n AS m3,
+         SUM(d * d * d * d) / n AS m4
+  FROM centered GROUP BY t, n
+)
+SELECT t AS event_type, n,
+       round(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 4) + 0.0 AS skewness,
+       round(m4 / (m2 * m2) - 3.0, 4) + 0.0 AS excess_kurtosis
+FROM mom
+""",
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of each event type's
+    value distribution — the shape diagnostics (asymmetry, tail
+    weight) that mean/variance summaries miss and that decide whether
+    a z-score control band (ts_anomaly_rolling_z) is even meaningful.
+    Deliberately NOT the engines' built-in skewness()/kurtosis() —
+    their bias-correction conventions differ between engines, the
+    classic silent cross-engine trap — but the explicit population
+    moments m_k = Σ(x−μ)^k/n computed in a TWO-PASS plan: exact
+    integer mean per group first (broadcast back), then centered
+    power sums, so the catastrophic cancellation of the raw-moment
+    one-pass formula (Σx⁴ − …) never happens.
+
+    Determinism: μ is a ratio of exact int64s; centered deviations
+    and their powers are doubles with identical operand order,
+    summed per group (partial-combined; addition-order ulps absorbed
+    by round(4) on O(1)-magnitude standardized ratios); sqrt is
+    correctly rounded. Scale shape: two partial-combined passes over
+    the scan, one broadcastable |types|-row mean relation between
+    them."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cents = ev.select(
+        F.col("event_type").alias("t"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    mu = cents.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+    )
+    d = F.col("c").cast("double") - F.col("sc").cast("double") / F.col("n")
+    centered = cents.join(F.broadcast(mu), "t").select(
+        "t", "n", d.alias("d")
+    )
+    mom = centered.groupBy("t", "n").agg(
+        (F.sum(F.col("d") * F.col("d")) / F.col("n")).alias("m2"),
+        (F.sum(F.col("d") * F.col("d") * F.col("d")) / F.col("n")).alias("m3"),
+        (
+            F.sum(F.col("d") * F.col("d") * F.col("d") * F.col("d"))
+            / F.col("n")
+        ).alias("m4"),
+    )
+    s2 = F.sqrt(F.col("m2"))
+    return mom.select(
+        F.col("t").alias("event_type"),
+        "n",
+        (F.round(F.col("m3") / (s2 * s2 * s2), 4) + F.lit(0.0)).alias(
+            "skewness"
+        ),
+        (
+            F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0, 4)
+            + F.lit(0.0)
+        ).alias("excess_kurtosis"),
+    )

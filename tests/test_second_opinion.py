@@ -563,3 +563,20 @@ def test_information_value_matches_numpy(spark, sf_dir):
     got = out.set_index("band")
     for band, gg, bb in zip(cells.index, g, b):
         assert got.loc[band, "n_good"] == gg and got.loc[band, "n_bad"] == bb
+
+
+def test_higher_moments_match_scipy_definitions(spark, sf_dir):
+    out = (
+        eng.QUERIES["agg_higher_moments"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = _events(sf_dir)
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    for t, g in ev.groupby("event_type"):
+        x = g["cents"].to_numpy().astype(float)
+        d = x - x.mean()
+        m2, m3, m4 = (d**2).mean(), (d**3).mean(), (d**4).mean()
+        assert abs(out.loc[t, "skewness"] - m3 / m2**1.5) < 2e-4, t
+        assert abs(out.loc[t, "excess_kurtosis"] - (m4 / m2**2 - 3)) < 2e-4, t
+        assert out.loc[t, "n"] == len(x)
