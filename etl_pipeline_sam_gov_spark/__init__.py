@@ -382,6 +382,7 @@ _DEFER_IN_TIER = frozenset(
         "window_ratio_to_report",
         "graph_adamic_adar_links",
         "agg_higher_moments",
+        "dq_embedding_norm_outliers",
     }
 )
 

@@ -1172,3 +1172,66 @@ def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", "rank", F.round("adc", 6).alias("adc_dist")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-norm MAD outlier gate (embedding-table data quality)
+# ---------------------------------------------------------------------------
+
+NORM_MAD_K = 3.0  #: robust threshold (the agg_mad_outliers convention)
+
+
+@query(
+    "dq_embedding_norm_outliers",
+    oracle=f"""
+WITH {_SQL_NORMS.strip()},
+r AS (SELECT vec_id, round(nrm, 6) AS nrm6 FROM norms),
+med AS (SELECT median(nrm6) AS med FROM r),
+dev AS (SELECT r.vec_id, r.nrm6, abs(r.nrm6 - m.med) AS adev
+        FROM r CROSS JOIN med m),
+mad AS (SELECT median(adev) AS mad FROM dev)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       round(MIN(m2.med), 6) + 0.0 AS median_norm,
+       round(MIN(md.mad), 6) + 0.0 AS mad_norm,
+       CAST(SUM(CASE WHEN round(d.adev - {NORM_MAD_K} * md.mad, 6) > 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(MIN(CASE WHEN round(d.adev - {NORM_MAD_K} * md.mad, 6) > 0
+            THEN d.vec_id END) AS BIGINT) AS first_outlier_vec
+FROM dev d CROSS JOIN mad md CROSS JOIN med m2
+""",
+)
+def dq_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table quality gate: flag vectors whose L2 norm is a
+    MAD outlier — the cheap screen that catches broken embedding rows
+    (zero vectors from a failed encoder call, exploded norms from a
+    bad batch) BEFORE they poison every cosine in the ANN lane (an
+    unnormalized outlier dominates any dot-product ranking it enters).
+    The robust-statistics twin of agg_mad_outliers, applied to the
+    vector table: median and MAD over the 6-rounded norms (rounding
+    first pins the median's input domain bit-identically cross-engine),
+    flags via the round(6) comparison convention.
+
+    Scale shape: norms are the shared with_norms scan (one fold per
+    row, no shuffle); the two medians are scalar aggregates riding
+    broadcast cross joins; the verdict is one more partial-combined
+    pass. Output is a single summary row — the gate a pipeline
+    branches on, not a row dump."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    r = with_norms(emb).select(
+        "vec_id", F.round("nrm", 6).alias("nrm6")
+    )
+    med = r.agg(F.median("nrm6").alias("med"))
+    dev = r.crossJoin(F.broadcast(med)).select(
+        "vec_id", F.abs(F.col("nrm6") - F.col("med")).alias("adev"), "med"
+    )
+    mad = dev.agg(F.median("adev").alias("mad"))
+    flag = F.round(F.col("adev") - NORM_MAD_K * F.col("mad"), 6) > 0
+    return dev.crossJoin(F.broadcast(mad)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        (F.round(F.min("med"), 6) + F.lit(0.0)).alias("median_norm"),
+        (F.round(F.min("mad"), 6) + F.lit(0.0)).alias("mad_norm"),
+        F.sum(F.when(flag, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        F.min(F.when(flag, F.col("vec_id"))).cast("bigint").alias(
+            "first_outlier_vec"
+        ),
+    )
