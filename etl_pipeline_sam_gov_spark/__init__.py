@@ -383,6 +383,7 @@ _DEFER_IN_TIER = frozenset(
         "graph_adamic_adar_links",
         "agg_higher_moments",
         "dq_embedding_norm_outliers",
+        "curate_oversample_replicate",
     }
 )
 

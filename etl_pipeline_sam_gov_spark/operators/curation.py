@@ -1237,3 +1237,79 @@ def curate_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Minority-language oversampling by deterministic replication
+# ---------------------------------------------------------------------------
+
+OVERSAMPLE_CAP = 4  #: max replication factor (bounds output amplification)
+
+
+@query(
+    "curate_oversample_replicate",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+),
+target AS (SELECT CAST(MAX(n) AS BIGINT) AS tn FROM counts),
+factors AS (
+  SELECT c.lang,
+         CAST(LEAST({OVERSAMPLE_CAP}, GREATEST(1, t.tn // c.n)) AS BIGINT)
+           AS factor
+  FROM counts c CROSS JOIN target t
+),
+ex AS (
+  SELECT d.doc_id, d.lang, f.factor,
+         unnest(generate_series(1, f.factor)) AS replica_id
+  FROM documents d JOIN factors f ON f.lang = d.lang
+)
+SELECT doc_id, lang, factor, CAST(replica_id AS INT) AS replica_id
+FROM ex
+""",
+)
+def curate_oversample_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minority-class oversampling by replication: languages with
+    fewer documents than the largest class get each document emitted
+    floor(max_count / n_lang) times (capped at OVERSAMPLE_CAP) — the
+    UP-sampling counterpart of curate_temperature_resample's
+    down-weighting, used when the minority data is too precious to
+    achieve balance by discarding majority rows (the standard
+    low-resource-language recipe; the cap bounds both output
+    amplification and the overfitting risk of seeing one document
+    4+ times per epoch). replica_id makes each copy addressable so a
+    downstream shuffle (curate_epoch_order) spreads replicas across
+    shards instead of packing them adjacently.
+
+    Determinism: factors are exact integer arithmetic on exact class
+    counts — no sampling coin at all. Scale shape: one |langs|-row
+    count relation, factors broadcast back onto the scan, and the
+    replication is a narrow explode(sequence(1, factor)) — output
+    size is bounded at CAP× the corpus by construction."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    target = counts.agg(F.max("n").cast("bigint").alias("tn"))
+    factors = counts.crossJoin(F.broadcast(target)).select(
+        "lang",
+        F.least(
+            F.lit(OVERSAMPLE_CAP),
+            F.greatest(F.lit(1), F.expr("tn div n")),
+        )
+        .cast("bigint")
+        .alias("factor"),
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(factors), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "factor",
+            F.explode(F.sequence(F.lit(1), F.col("factor"))).alias(
+                "replica_id"
+            ),
+        )
+        .select("doc_id", "lang", "factor", F.col("replica_id").cast("int").alias("replica_id"))
+    )
