@@ -384,6 +384,7 @@ _DEFER_IN_TIER = frozenset(
         "agg_higher_moments",
         "dq_embedding_norm_outliers",
         "curate_oversample_replicate",
+        "window_value_navigation",
     }
 )
 

@@ -531,3 +531,75 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Value-navigation window surface: first/last/nth_value with full frames
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_value_navigation",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(first_c) AS BIGINT) AS first_cents,
+       CAST(MIN(last_c) AS BIGINT) AS last_cents,
+       CAST(MIN(third_c) AS BIGINT) AS third_cents
+FROM (
+  SELECT user_id,
+         first_value(cents) OVER w AS first_c,
+         last_value(cents) OVER w AS last_c,
+         nth_value(cents, 3) OVER w AS third_c
+  FROM seq
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+GROUP BY user_id
+""",
+)
+def window_value_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-navigation window surface — first_value, last_value,
+    nth_value over an explicit UNBOUNDED-to-UNBOUNDED frame: each
+    user's first, most recent, and third-ever transaction amount in
+    one windowed pass (the "how did this account start vs where is it
+    now" projection). The full-frame spec matters and is the point:
+    last_value over the DEFAULT frame (unbounded-to-CURRENT) is the
+    row's own value — the most common window-function bug in review —
+    so the frame is spelled out and the oracle would catch the
+    default-frame mistake on every user with >1 event.
+
+    Determinism: navigation picks concrete row values (exact cents)
+    under a total per-user order (ts, event_id); the per-user collapse
+    via MIN is over identical-per-row window results. Scale shape: one
+    user-keyed shuffle, one sort, one pass — then a partial-combined
+    rollup on the same key."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    nav = seq.select(
+        "user_id",
+        F.first("cents").over(w).alias("first_c"),
+        F.last("cents").over(w).alias("last_c"),
+        F.nth_value("cents", 3).over(w).alias("third_c"),
+    )
+    return nav.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("first_c").cast("bigint").alias("first_cents"),
+        F.min("last_c").cast("bigint").alias("last_cents"),
+        F.min("third_c").cast("bigint").alias("third_cents"),
+    )
