@@ -385,6 +385,7 @@ _DEFER_IN_TIER = frozenset(
         "dq_embedding_norm_outliers",
         "curate_oversample_replicate",
         "window_value_navigation",
+        "udf_holt_linear_users",
     }
 )
 

@@ -357,3 +357,103 @@ def udtf_installment_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("okey").alias("o_orderkey"), "installment_no", "amount_cents"
     )
+
+
+#: Holt's linear-trend smoothing parameters (level / trend gains).
+HOLT_ALPHA = 0.5
+HOLT_GAMMA = 0.3
+
+
+def _holt_oracle() -> str:
+    """Recursive-CTE replay of Holt's TWO coupled recurrences with the
+    identical IEEE op order as the Python loop (the EWMA oracle's move,
+    doubled): l' = a·x + (1−a)·(l + b); b' = g·(l' − l) + (1−g)·b."""
+    a, g = HOLT_ALPHA, HOLT_GAMMA
+    return f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+rec AS (
+  SELECT user_id, rn, n, value AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.n,
+         {a} * s.value + {1 - a} * (r.l + r.b),
+         {g} * (({a} * s.value + {1 - a} * (r.l + r.b)) - r.l)
+           + {1 - g} * r.b
+  FROM seq s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       round(l, 6) + 0.0 AS level,
+       round(b, 6) + 0.0 AS trend,
+       round(l + b, 6) + 0.0 AS forecast_next
+FROM rec WHERE rn = n
+"""
+
+
+@query("udf_holt_linear_users", oracle=_holt_oracle())
+def udf_holt_linear_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per user — the
+    level+trend upgrade of the EWMA recurrence (udf_ewma_user_values):
+    TWO coupled state variables advance together each event, which is
+    strictly beyond any window frame AND beyond a single-accumulator
+    fold — the canonical case for the grouped-map escape hatch. Emits
+    each user's final level, trend, and one-step-ahead forecast
+    (level + trend), i.e. "where is this account heading".
+
+    Cross-engine exactness is the EWMA contract doubled: the Python
+    loop and the recursive-CTE oracle perform the IDENTICAL IEEE op
+    sequence per step (the l' expression is repeated verbatim inside
+    b' rather than referencing a temporary, so both engines compute it
+    the same way), making every intermediate bit-identical before
+    round(6). Scale: one user-keyed shuffle; per-task state is two
+    doubles; the recursion depth is each user's history length."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        a, g = HOLT_ALPHA, HOLT_GAMMA
+        pdf = pdf.sort_values(["ts", "event_id"])
+        l = b = None
+        for x in pdf["value"].tolist():
+            if l is None:
+                l, b = x, 0.0
+            else:
+                l_new = a * x + (1 - a) * (l + b)
+                b = g * ((a * x + (1 - a) * (l + b)) - l) + (1 - g) * b
+                l = l_new
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "level_raw": [l],
+                "trend_raw": [b],
+            }
+        )
+
+    out = (
+        ev.select("event_id", "user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            smooth,
+            T.StructType(
+                [
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("n_events", T.LongType()),
+                    T.StructField("level_raw", T.DoubleType()),
+                    T.StructField("trend_raw", T.DoubleType()),
+                ]
+            ),
+        )
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        (F.round("level_raw", 6) + F.lit(0.0)).alias("level"),
+        (F.round("trend_raw", 6) + F.lit(0.0)).alias("trend"),
+        (F.round(F.col("level_raw") + F.col("trend_raw"), 6) + F.lit(0.0)).alias(
+            "forecast_next"
+        ),
+    )
