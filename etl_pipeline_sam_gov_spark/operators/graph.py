@@ -1576,3 +1576,166 @@ def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("aa_score"), "s1", "s2").limit(AA_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (seeded restart)
+# ---------------------------------------------------------------------------
+
+#: Seed predicate: customer nodes with c_custkey % PPR_SEED_MOD == 0.
+PPR_SEED_MOD = 10
+
+#: session id → persisted relations of the latest PPR invocation
+#: (PageRank cache discipline).
+_PPR_CACHE: dict[int, tuple[DataFrame, ...]] = {}
+
+
+def _ppr_oracle() -> str:
+    """Unrolled PR_ITERS-iteration personalized PageRank. Same graph
+    encoding as _pagerank_oracle; the teleport vector is uniform over
+    the SEED SET only (customer nodes whose custkey is a multiple of
+    PPR_SEED_MOD), so rank mass concentrates in the seeds'
+    neighborhoods — the "related entities" primitive."""
+    head = f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM deg),
+seeds AS (SELECT node FROM nodes WHERE node % 2 = 0 AND (node // 2) % {PPR_SEED_MOD} = 0),
+ns AS (SELECT COUNT(*) AS n FROM seeds),
+r0 AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS rank
+  FROM nodes n CROSS JOIN ns LEFT JOIN seeds s ON n.node = s.node
+)"""
+    steps = []
+    for i in range(1, PR_ITERS + 1):
+        steps.append(f""",
+c{i} AS (
+  SELECT e.dst AS node, SUM(r.rank / d.deg) AS m
+  FROM edges e
+  JOIN r{i - 1} r ON e.src = r.node
+  JOIN deg d ON e.src = d.src
+  WHERE r.rank > 0
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         {1 - PR_DAMPING} * (CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END)
+         + {PR_DAMPING} * COALESCE(c{i}.m, 0) AS rank
+  FROM nodes n CROSS JOIN ns
+  LEFT JOIN seeds s ON n.node = s.node
+  LEFT JOIN c{i} ON n.node = c{i}.node
+)"""
+        )
+    tail = f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       node // 2 AS entity_id,
+       round(rank, 8) AS ppr
+FROM r{PR_ITERS}
+WHERE rank > 0
+"""
+    return head + "".join(steps) + tail
+
+
+@query("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (damping 0.85, 3 fixed iterations) from a
+    deterministic customer seed set — the "entities related to THIS
+    cohort" ranking primitive (audience expansion, fraud-neighborhood
+    scoring, similar-account retrieval). Differs from the global
+    variant in the teleport vector only: restart mass returns to the
+    seeds, so unreached nodes stay at exactly 0 and are filtered out —
+    at scale the frontier relation stays sparse for low iteration
+    counts rather than instantly dense like global PR.
+
+    Scale shape mirrors graph_pagerank_bipartite: edges + degrees
+    persisted once, each round = the |active|-row rank vector joined to
+    degrees (broadcast), one edge-list map-side join, one
+    partial-combined contribution sum keyed on dst. The rank>0 filter
+    keeps the per-round message relation frontier-sized."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    pairs = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    slot = id(spark)
+    prev = _PPR_CACHE.pop(slot, None)
+    if prev is not None:
+        for df in prev:
+            df.unpersist()
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    cached: list[DataFrame] = [edges, deg]
+
+    nodes = deg.select(F.col("src").alias("node"))
+    seed = (F.col("node") % 2 == 0) & (
+        F.expr("node div 2") % PPR_SEED_MOD == 0
+    )
+    ns = nodes.filter(seed).agg(F.count(F.lit(1)).alias("n_seeds"))
+    ranks = nodes.crossJoin(F.broadcast(ns)).select(
+        "node",
+        "n_seeds",
+        F.when(seed, F.lit(1.0) / F.col("n_seeds"))
+        .otherwise(F.lit(0.0))
+        .alias("rank"),
+    )
+    for _ in range(PR_ITERS):
+        msg = (
+            deg.join(
+                ranks.filter(F.col("rank") > 0).select(
+                    F.col("node").alias("src"), "rank"
+                ),
+                "src",
+            ).select("src", (F.col("rank") / F.col("deg")).alias("rd"))
+        )
+        contrib = (
+            edges.join(F.broadcast(msg), "src")
+            .groupBy("dst")
+            .agg(F.sum("rd").alias("m"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(ns))
+            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                "n_seeds",
+                (
+                    F.lit(1 - PR_DAMPING)
+                    * F.when(seed, F.lit(1.0) / F.col("n_seeds")).otherwise(
+                        F.lit(0.0)
+                    )
+                    + F.lit(PR_DAMPING) * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        cached.append(ranks)
+    _PPR_CACHE[slot] = tuple(cached)
+    return ranks.filter(F.col("rank") > 0).select(
+        F.when(F.col("node") % 2 == 0, "customer")
+        .otherwise("supplier")
+        .alias("kind"),
+        F.expr("node div 2").alias("entity_id"),
+        F.round("rank", 8).alias("ppr"),
+    )

@@ -1498,3 +1498,108 @@ def ml_kaplan_meier_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         .otherwise(F.round("s", 6) + F.lit(0.0))
         .alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding whitening (per-dimension standardization)
+# ---------------------------------------------------------------------------
+
+#: Fixed-point scale for whitening sums: values are quantized to 1e-3
+#: before summing so every moment is an exact BIGINT in both engines.
+#: Bound: |x| < 1 in the fixture corpus, so qi <= 1000 and the largest
+#: intermediate (qi*n - s)^2 stays ~1e14 even at n = 10^7 vectors —
+#: five orders of magnitude inside int64.
+WHITEN_SCALE = 1000
+#: A coordinate is "extreme" when |z| > WHITEN_Z after standardization.
+WHITEN_Z = 2
+
+
+@query(
+    "ml_embedding_whitening",
+    oracle=f"""
+WITH vals AS (
+  SELECT u.dim::INT AS dim,
+         CAST(round(u.x * {WHITEN_SCALE}) AS BIGINT) AS qi
+  FROM (
+    SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+  ) u
+),
+mom AS (
+  SELECT dim, COUNT(*)::BIGINT AS n, SUM(qi)::BIGINT AS s,
+         SUM(qi * qi)::BIGINT AS s2
+  FROM vals GROUP BY dim
+)
+SELECT m.dim,
+       m.n,
+       round(m.s / (m.n * {WHITEN_SCALE}.0), 6) AS mu,
+       round(sqrt(CAST(m.s2 * m.n - m.s * m.s AS DOUBLE)) / (m.n * {WHITEN_SCALE}.0), 6) AS sigma,
+       SUM(CASE WHEN (v.qi * m.n - m.s) * (v.qi * m.n - m.s)
+                   > {WHITEN_Z * WHITEN_Z} * (m.s2 * m.n - m.s * m.s)
+                THEN 1 ELSE 0 END)::BIGINT AS n_extreme
+FROM mom m JOIN vals v ON m.dim = v.dim
+GROUP BY m.dim, m.n, m.s, m.s2
+""",
+)
+def ml_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension whitening statistics for the embedding corpus —
+    the standardization pre-step of PCA/linear probes/ANN quantization
+    (centroids and codebooks train badly on unnormalized axes), plus a
+    per-dimension extreme-coordinate count (|z| > 2) that doubles as a
+    feature-quality audit. Every moment is an exact int64 of 1e-3
+    fixed-point values, so mean/sigma/outlier decisions are
+    bit-identical across engines — the z-test is evaluated in the
+    cross-multiplied integer form (qi*n - s)^2 > z^2*(s2*n - s^2),
+    never via a float division.
+
+    Scale shape: one posexplode scan (narrow: dim + int), ONE
+    partial-combined groupBy(dim) for the moments (64 rows out), then
+    the tiny moment relation broadcasts back onto the value stream for
+    the outlier count — second aggregation keyed on dim again, so a
+    cluster reuses the same hash partitioning. No windows, no driver
+    math, no per-row Python."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    from etl_pipeline_sam_gov_spark.operators.similarity import _parallelize
+
+    vals = _parallelize(emb).select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim0", "x"
+        )
+    ).select(
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.round(F.col("x") * WHITEN_SCALE, 0).cast("bigint").alias("qi"),
+    )
+    mom = vals.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qi").cast("bigint").alias("s"),
+        F.sum(F.col("qi") * F.col("qi")).cast("bigint").alias("s2"),
+    )
+    dev = F.col("qi") * F.col("n") - F.col("s")
+    var_num = F.col("s2") * F.col("n") - F.col("s") * F.col("s")
+    return (
+        vals.join(F.broadcast(mom), "dim")
+        .groupBy("dim", "n", "s", "s2")
+        .agg(
+            F.sum(
+                F.when(
+                    dev * dev > F.lit(WHITEN_Z * WHITEN_Z) * var_num, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_extreme")
+        )
+        .select(
+            "dim",
+            "n",
+            F.round(
+                F.col("s") / (F.col("n") * F.lit(float(WHITEN_SCALE))), 6
+            ).alias("mu"),
+            F.round(
+                F.sqrt(var_num.cast("double"))
+                / (F.col("n") * F.lit(float(WHITEN_SCALE))),
+                6,
+            ).alias("sigma"),
+            "n_extreme",
+        )
+    )

@@ -1235,3 +1235,74 @@ def dq_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_outlier_vec"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Radius (range) search: all pairs within a cosine threshold, LSH-blocked
+# ---------------------------------------------------------------------------
+
+RADIUS_COS = 0.2  #: cosine similarity threshold for a "neighbor" pair
+
+
+@query(
+    "ann_radius_search_lsh",
+    oracle=f"""
+WITH {_SQL_NORMS},
+bucketed AS (SELECT vec_id, v, nrm, {_sign_bucket_sql()} AS bucket FROM norms),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 6) AS cosine
+FROM pairs WHERE cos >= {RADIUS_COS}
+""",
+)
+def ann_radius_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search — ALL vector pairs with cosine >= RADIUS_COS —
+    blocked by the sign-LSH cell. Top-k retrieval answers "the k most
+    similar"; range search answers "everything within a similarity
+    radius" (duplicate candidate generation, near-match audit, graph
+    edge construction), and its output size is data-dependent, so the
+    all-pairs form is unshippable at scale. The sign-bucket equi-join
+    bounds candidates to same-cell pairs — identical recall contract
+    to ann_lsh_bucketed_topk (the oracle replicates the cells, so both
+    engines see the same candidate set and the certification is
+    exact). Multi-probe (flip one sign bit) recovers cross-cell
+    neighbors at 7x candidate cost without changing the plan shape —
+    ann_lsh_multiprobe_topk demonstrates that path for top-k.
+
+    Scale shape: one narrow norm projection, one equi-join keyed on
+    the 2^LSH_SIGN_DIMS-cell bucket id (skew-bounded: cells of random
+    signs are balanced; AQE skew-join splits stragglers), per-pair
+    O(dim) JVM-side fold, filter before any further movement."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    n = with_norms(emb).select(
+        "vec_id", "v", "nrm", sign_bucket(F.col("v")).alias("bucket")
+    )
+    a = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= RADIUS_COS)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+    )

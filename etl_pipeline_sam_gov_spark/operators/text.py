@@ -2408,3 +2408,95 @@ def text_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level boilerplate removal (C4-style repeated-line dedup)
+# ---------------------------------------------------------------------------
+
+BOILER_B = 4  #: tokens per non-overlapping segment ("line" stand-in)
+BOILER_MIN_DOCS = 3  #: a segment in >= this many distinct docs is boilerplate
+
+
+@query(
+    "text_boilerplate_removal",
+    oracle=rf"""
+WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+st AS (SELECT doc_id, t, unnest(range(1, len(t)+1, {BOILER_B})) AS s FROM toks),
+ch AS (
+  SELECT doc_id, ((s-1)//{BOILER_B})::BIGINT AS idx,
+         array_to_string(t[s:s+{BOILER_B - 1}], ' ') AS chunk
+  FROM st
+),
+boiler AS (
+  SELECT chunk FROM ch GROUP BY chunk
+  HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+),
+flagged AS (
+  SELECT c.doc_id, c.idx, c.chunk, b.chunk IS NOT NULL AS is_boiler
+  FROM ch c LEFT JOIN boiler b ON c.chunk = b.chunk
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_chunks,
+       COUNT(*) FILTER (is_boiler)::BIGINT AS n_removed,
+       md5(COALESCE(string_agg(chunk, ' ' ORDER BY idx) FILTER (NOT is_boiler), '')) AS kept_md5
+FROM flagged
+GROUP BY doc_id
+""",
+)
+def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level boilerplate dedup: segment every document
+    into non-overlapping B-token chunks (the fixture corpus has no
+    newlines, so fixed-width segments stand in for lines), mark any
+    chunk whose exact text occurs in >= BOILER_MIN_DOCS distinct
+    documents as boilerplate, and rebuild each document from its
+    retained chunks (emitted as an md5 so the output stays narrow).
+    This is the "discard any line that appears verbatim across the
+    corpus" cleaning step of C4/RefinedWeb-class pipelines — the
+    cross-document counterpart of the within-doc repetition filters.
+
+    Scale shape: one narrow tokenize+posexplode pass (chunk rows carry
+    B tokens, never the whole doc), ONE shuffle keyed on chunk text for
+    the distinct-doc count (partial-combined), and the boilerplate set
+    — tiny by construction, frequency >= 3 — joins back onto the chunk
+    stream where a real cluster would broadcast it. Document
+    reassembly sorts each doc's surviving chunks by position inside a
+    single per-doc aggregate (array_sort of (idx, chunk) structs), so
+    the final shuffle is keyed on doc_id — no window, no driver work."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tokd = spread_docs(docs).select("doc_id", tokens_col().alias("_t"))
+    t = F.col("_t")
+    starts = F.sequence(F.lit(1), F.size(t), F.lit(BOILER_B))
+    chunks = tokd.select(
+        "doc_id", F.posexplode(starts).alias("idx", "s"), t
+    ).select(
+        "doc_id",
+        F.col("idx").cast("bigint").alias("idx"),
+        F.concat_ws(" ", F.slice(t, F.col("s"), BOILER_B)).alias("chunk"),
+    )
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BOILER_MIN_DOCS)
+        .select("chunk", F.lit(True).alias("is_boiler"))
+    )
+    flagged = chunks.join(F.broadcast(boiler), "chunk", "left").select(
+        "doc_id",
+        "idx",
+        "chunk",
+        F.coalesce(F.col("is_boiler"), F.lit(False)).alias("is_boiler"),
+    )
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(
+                ~F.col("is_boiler"), F.struct(F.col("idx"), F.col("chunk"))
+            )
+        )
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.col("is_boiler").cast("bigint")).alias("n_removed"),
+        F.md5(
+            F.concat_ws(" ", F.transform(kept, lambda st: st["chunk"]))
+        ).alias("kept_md5"),
+    )
