@@ -1603,3 +1603,209 @@ def ml_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_extreme",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-fold target encoding (leakage-free categorical feature)
+# ---------------------------------------------------------------------------
+
+TE_FOLDS = 5  #: fold id = o_orderkey % TE_FOLDS
+TE_SMOOTH = 10  #: pseudo-count weight of the global mean in the smoothed encoding
+
+
+@query(
+    "ml_target_encoding",
+    oracle=f"""
+WITH cells AS (
+  SELECT o_orderpriority AS category,
+         o_orderkey % {TE_FOLDS} AS fold,
+         COUNT(*)::BIGINT AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+  FROM orders GROUP BY 1, 2
+),
+tot AS (
+  SELECT category, SUM(n) AS cat_n, SUM(s) AS cat_s FROM cells GROUP BY category
+),
+gall AS (SELECT SUM(n) AS g_n, SUM(s) AS g_s FROM cells)
+SELECT c.category,
+       c.fold::BIGINT AS fold,
+       c.n AS n_in_fold,
+       (t.cat_n - c.n)::BIGINT AS n_out_of_fold,
+       round(CAST(t.cat_s - c.s AS DOUBLE) / (t.cat_n - c.n), 6) AS encoding,
+       round(CAST((t.cat_s - c.s) + {TE_SMOOTH} * (g.g_s / g.g_n) AS DOUBLE)
+             / ((t.cat_n - c.n) + {TE_SMOOTH}), 6) AS encoding_smoothed
+FROM cells c JOIN tot t ON c.category = t.category CROSS JOIN gall g
+""",
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-free way to turn a
+    categorical column into a numeric feature: each (category, fold)
+    cell's encoding is the target mean over the category's rows in the
+    OTHER folds, so no row's own target leaks into its feature (the
+    K-fold scheme CatBoost/feature-engineering pipelines use). A
+    smoothed variant shrinks toward the global mean with TE_SMOOTH
+    pseudo-counts, taming rare categories. Sums are exact DECIMAL, so
+    the out-of-fold subtraction (cat_total - fold_sum) is exact in
+    both engines; only the final ratios divide as doubles.
+
+    Scale shape: ONE partial-combined groupBy over (category, fold) —
+    K×|categories| cells out — then all remaining arithmetic happens
+    on that tiny relation (category totals via a second agg on it,
+    global scalar as a broadcast 1-row cross join). The encode-join
+    back onto the 100 TB fact is a broadcast map-side join a real
+    pipeline appends; the certified output is the encoding table
+    itself, keyed for exactly that join."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cells = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("category"),
+            (F.col("o_orderkey") % TE_FOLDS).alias("fold"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        )
+    )
+    tot = cells.groupBy("category").agg(
+        F.sum("n").alias("cat_n"), F.sum("s").alias("cat_s")
+    )
+    glob = cells.agg(
+        F.sum("n").alias("g_n"), F.sum("s").alias("g_s")
+    )
+    out_s = F.col("cat_s") - F.col("s")
+    out_n = F.col("cat_n") - F.col("n")
+    return (
+        cells.join(F.broadcast(tot), "category")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "category",
+            F.col("fold").cast("bigint").alias("fold"),
+            F.col("n").alias("n_in_fold"),
+            out_n.cast("bigint").alias("n_out_of_fold"),
+            F.round(out_s.cast("double") / out_n, 6).alias("encoding"),
+            F.round(
+                (out_s + F.lit(TE_SMOOTH) * (F.col("g_s") / F.col("g_n"))).cast(
+                    "double"
+                )
+                / (out_n + F.lit(TE_SMOOTH)),
+                6,
+            ).alias("encoding_smoothed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (pool-adjacent-violators via grouped-map)
+# ---------------------------------------------------------------------------
+
+
+def _isotonic_oracle() -> str:
+    from etl_pipeline_sam_gov_spark.operators.text import SQL_QUALITY_LOGIT
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, {SQL_QUALITY_LOGIT} AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+idx AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS i
+  FROM scored
+),
+pre AS (
+  SELECT *, SUM(y) OVER (PARTITION BY source ORDER BY i) AS p
+  FROM idx
+),
+pairs AS (
+  SELECT j.source, j.i AS j, k.i AS k,
+         (k.p - j.p + j.y) AS s, (k.i - j.i + 1) AS c
+  FROM pre j JOIN pre k ON j.source = k.source AND k.i >= j.i
+),
+sufmin AS (
+  SELECT source, j, k AS i,
+         MIN(CAST(s AS DOUBLE) / c)
+           OVER (PARTITION BY source, j ORDER BY k DESC) AS m
+  FROM pairs
+),
+iso AS (SELECT source, i, MAX(m) AS fitted FROM sufmin GROUP BY source, i)
+SELECT d.doc_id, d.source, d.score, d.y::BIGINT AS label,
+       round(iso.fitted, 6) AS fitted
+FROM pre d JOIN iso ON d.source = iso.source AND d.i = iso.i
+"""
+
+
+@query("ml_isotonic_calibration", oracle=_isotonic_oracle())
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression calibration: fit the best monotone
+    nondecreasing map from the quality-classifier logit to the binary
+    is-English label, per source — the nonparametric calibrator
+    (sklearn's ``IsotonicRegression``, the standard upgrade over Platt
+    scaling when data is plentiful; ml_reliability_bins_quality is the
+    binned diagnostic this fixes). Spark side runs pool-adjacent-
+    violators per group in an ``applyInPandas`` grouped-map — PAV is a
+    stack recursion over the score-ordered sequence, genuinely beyond
+    window frames. The oracle avoids replaying the sequential
+    algorithm: it evaluates the minimax characterization
+    ``fit[i] = max_{{j<=i}} min_{{k>=i}} mean(y[j..k])`` — an O(n^2)
+    windowed form whose every candidate mean is an exact small-
+    denominator rational, and IEEE division is correctly rounded, so
+    both engines' doubles agree bit-for-bit before round(6). The PAV
+    stack itself pools integer (sum, count) pairs and compares means
+    cross-multiplied, so block boundaries are exact too.
+
+    Scale shape: one narrow scan for the logit, ONE shuffle keyed on
+    the calibration group, per-group O(n) PAV in Arrow batches. (The
+    O(n^2) minimax form is the ORACLE's job only — the engine path is
+    linear per group.) Group cardinality bounds state: PAV's stack
+    never exceeds the group's distinct-block count."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from etl_pipeline_sam_gov_spark.operators.dedup import spread_docs
+    from etl_pipeline_sam_gov_spark.operators.text import quality_logit
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = spread_docs(docs).select(
+        "doc_id",
+        "source",
+        quality_logit().alias("score"),
+        (F.col("lang") == "en").cast("bigint").alias("label"),
+    )
+
+    def pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["score", "doc_id"]).reset_index(drop=True)
+        blocks: list[list[int]] = []  # [sum, count] stack, exact ints
+        for y in pdf["label"].astype(int).tolist():
+            blocks.append([y, 1])
+            # merge while the last block's mean < the previous block's
+            # mean (cross-multiplied integer compare: no float error)
+            while (
+                len(blocks) >= 2
+                and blocks[-1][0] * blocks[-2][1]
+                < blocks[-2][0] * blocks[-1][1]
+            ):
+                s2, c2 = blocks.pop()
+                blocks[-1][0] += s2
+                blocks[-1][1] += c2
+        fitted: list[float] = []
+        for s, c in blocks:
+            # raw IEEE ratio only — rounding happens in F.round on the
+            # Spark side so the half-case rule (HALF_UP) matches the
+            # oracle's; Python round() is banker's and would flip
+            # exact-half ratios like 1/128 at large block sizes
+            fitted.extend([s / c] * c)
+        out = pdf[["doc_id", "source", "score", "label"]].copy()
+        out["fitted"] = fitted
+        return out
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("score", T.LongType()),
+            T.StructField("label", T.LongType()),
+            T.StructField("fitted", T.DoubleType()),
+        ]
+    )
+    out = scored.groupBy("source").applyInPandas(pav, schema)
+    return out.withColumn("fitted", F.round("fitted", 6))

@@ -580,3 +580,94 @@ def test_higher_moments_match_scipy_definitions(spark, sf_dir):
         assert abs(out.loc[t, "skewness"] - m3 / m2**1.5) < 2e-4, t
         assert abs(out.loc[t, "excess_kurtosis"] - (m4 / m2**2 - 3)) < 2e-4, t
         assert out.loc[t, "n"] == len(x)
+
+
+def test_embedding_whitening_matches_numpy(spark, sf_dir):
+    out = (
+        eng.QUERIES["ml_embedding_whitening"](spark, sf_dir)
+        .toPandas()
+        .set_index("dim")
+        .sort_index()
+    )
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = np.round(mat * 1000).astype(np.int64)  # WHITEN_SCALE fixed point
+    n = q.shape[0]
+    for d in range(q.shape[1]):
+        col = q[:, d]
+        mu = col.sum() / (n * 1000.0)
+        var_num = (col * col).sum() * n - col.sum() ** 2
+        sigma = np.sqrt(float(var_num)) / (n * 1000.0)
+        row = out.loc[d + 1]
+        assert row["n"] == n
+        assert abs(row["mu"] - mu) < TOL, d
+        assert abs(row["sigma"] - sigma) < TOL, d
+        dev = col * n - col.sum()
+        extreme = int((dev * dev > 4 * var_num).sum())
+        assert row["n_extreme"] == extreme, d
+
+
+def test_isotonic_calibration_is_valid_pav(spark, sf_dir):
+    """Third opinion without sklearn: the fit must (a) be nondecreasing
+    in score order per group, (b) preserve each group's label mass
+    (sum fitted == sum label), and (c) equal the block mean on every
+    constant run — together with monotonicity these pin PAV's output
+    (the fit is the unique L2 projection onto the monotone cone)."""
+    out = eng.QUERIES["ml_isotonic_calibration"](spark, sf_dir).toPandas()
+    for src, g in out.groupby("source"):
+        g = g.sort_values(["score", "doc_id"]).reset_index(drop=True)
+        f = g["fitted"].to_numpy()
+        assert (np.diff(f) >= -1e-9).all(), src  # monotone
+        assert abs(f.sum() - g["label"].sum()) < 1e-3 * len(g), src
+        # every maximal constant block's value == mean(label) over it
+        edges = np.flatnonzero(np.abs(np.diff(f)) > 1e-9) + 1
+        for blk in np.split(np.arange(len(f)), edges):
+            assert (
+                abs(f[blk[0]] - g["label"].to_numpy()[blk].mean()) < TOL
+            ), src
+
+
+def test_target_encoding_matches_pandas(spark, sf_dir):
+    out = eng.QUERIES["ml_target_encoding"](spark, sf_dir).toPandas()
+    od = _orders(sf_dir)
+    od["fold"] = od["o_orderkey"] % 5
+    od["cents"] = (od["o_totalprice"] * 100).round().astype("int64")
+    g_mean = od["cents"].sum() / len(od) / 100.0
+    for _, row in out.iterrows():
+        cat = od[od["o_orderpriority"] == row["category"]]
+        outf = cat[cat["fold"] != row["fold"]]
+        assert row["n_out_of_fold"] == len(outf)
+        enc = outf["cents"].sum() / len(outf) / 100.0
+        assert abs(row["encoding"] - enc) < TOL
+        sm = (outf["cents"].sum() / 100.0 + 10 * g_mean) / (len(outf) + 10)
+        assert abs(row["encoding_smoothed"] - sm) < TOL
+
+
+def test_boilerplate_removal_matches_pandas(spark, sf_dir):
+    out = (
+        eng.QUERIES["text_boilerplate_removal"](spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    import hashlib
+    import re
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    chunks = {}
+    by_doc = {}
+    for _, r in docs.iterrows():
+        toks = re.split(r"\s+", r["text"])
+        segs = [
+            " ".join(toks[s : s + 4]) for s in range(0, len(toks), 4)
+        ]
+        by_doc[r["doc_id"]] = segs
+        for c in set(segs):
+            chunks.setdefault(c, set()).add(r["doc_id"])
+    boiler = {c for c, d in chunks.items() if len(d) >= 3}
+    for doc_id, segs in by_doc.items():
+        kept = [c for c in segs if c not in boiler]
+        row = out.loc[doc_id]
+        assert row["n_chunks"] == len(segs), doc_id
+        assert row["n_removed"] == sum(c in boiler for c in segs), doc_id
+        md5 = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert row["kept_md5"] == md5, doc_id

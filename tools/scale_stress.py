@@ -133,6 +133,13 @@ STRESS_QUERIES = (
     "seq_session_trigrams",      # session exchange + two leads + top-k
     "dq_missing_hours_report",   # distinct hours + bounded lead walk
     "retrieval_ndcg_eval",       # shared tf pass + per-query bounded ranking
+    # round-5 batch:
+    "text_boilerplate_removal",  # chunk-text exchange + broadcast boiler set
+    "graph_personalized_pagerank",  # frontier-sparse rank vectors per round
+    "ann_radius_search_lsh",     # sign-cell equi-join, per-pair O(dim) fold
+    "ml_embedding_whitening",    # dim-keyed int64 moments + broadcast-back
+    "ml_isotonic_calibration",   # one group shuffle + O(n) PAV per group
+    "ml_target_encoding",        # one (category, fold) agg; tiny tail math
     # (reco_user_user_cosine is deliberately NOT stressed: amplified key
     # populations multiply BOTH sides of its shared-item join, so
     # candidate volume grows ~quadratically under this tool's replica
