@@ -722,3 +722,52 @@ def fn_ipv4_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         routable.alias("is_public_routable"),
         subnet.alias("subnet24"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Column encryption round-trip (data-protection surface)
+# ---------------------------------------------------------------------------
+
+#: Fixed demo key (16 bytes = AES-128). Real deployments pull this from
+#: a KMS via a credential provider; the engine surface is the same.
+_AES_KEY = "0123456789abcdef"
+
+
+@query(
+    "fn_aes_roundtrip",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS plain_md5,
+       md5(text) AS roundtrip_md5,
+       TRUE AS roundtrip_ok
+FROM documents
+""",
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: ``aes_encrypt`` →
+    ``aes_decrypt`` round-trip over the document text (AES-128-ECB —
+    the deterministic mode, chosen HERE so the query is re-runnable
+    and certifiable; production encryption wants GCM, whose random IV
+    is exactly what makes it non-deterministic). The oracle cannot run
+    AES, so it certifies the contract instead: the decrypted text's
+    md5 must equal the plaintext's md5 row-for-row — a failed
+    decryption or any ciphertext corruption breaks the hash match.
+    Both the padding path (plaintext not block-aligned) and unicode
+    round-tripping ride along for free.
+
+    Scale shape: pure scan-stage expression work, JVM-side codegen'd
+    cipher per row, no shuffle."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    key = F.lit(_AES_KEY)
+    mode = F.lit("ECB")
+    ct = F.aes_encrypt(F.col("text").cast("binary"), key, mode)
+    rt = F.aes_decrypt(F.col("ct"), key, mode).cast("string")
+    return (
+        docs.select("doc_id", "text", ct.alias("ct"))
+        .select(
+            "doc_id",
+            F.md5("text").alias("plain_md5"),
+            F.md5(rt).alias("roundtrip_md5"),
+            (F.md5(rt) == F.md5("text")).alias("roundtrip_ok"),
+        )
+    )

@@ -1465,3 +1465,169 @@ def ml_information_value_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("iv_c", 6) + F.lit(0.0)).alias("iv_contrib"),
         (F.round("iv", 6) + F.lit(0.0)).alias("iv_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified adjustment / IPW average treatment effect
+# ---------------------------------------------------------------------------
+
+#: Activity-band stratum edges (total events per user).
+IPW_LO, IPW_HI = 60, 70
+
+
+@query(
+    "ab_ipw_stratified_ate",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS spend
+  FROM events GROUP BY user_id
+),
+lab AS (
+  SELECT CASE WHEN n < {IPW_LO} THEN 'lo'
+              WHEN n < {IPW_HI} THEN 'mid' ELSE 'hi' END AS stratum,
+         CASE WHEN e * 5 > n THEN 1 ELSE 0 END AS t,
+         spend
+  FROM u
+),
+cells AS (
+  SELECT stratum, t, COUNT(*)::BIGINT AS nu, SUM(spend)::BIGINT AS s
+  FROM lab GROUP BY stratum, t
+),
+wide AS (
+  SELECT stratum,
+         MAX(CASE WHEN t = 1 THEN nu END) AS nt,
+         MAX(CASE WHEN t = 1 THEN s END) AS st,
+         MAX(CASE WHEN t = 0 THEN nu END) AS nc,
+         MAX(CASE WHEN t = 0 THEN s END) AS sc
+  FROM cells GROUP BY stratum
+  HAVING MAX(CASE WHEN t = 1 THEN nu END) > 0
+     AND MAX(CASE WHEN t = 0 THEN nu END) > 0
+),
+tot AS (SELECT SUM(nt + nc) AS bign FROM wide),
+term AS (
+  SELECT w.stratum, w.nt, w.nc, w.st, w.sc,
+         (w.nt + w.nc)::DOUBLE / t.bign AS wgt,
+         (w.st::DOUBLE / w.nt / 100 - w.sc::DOUBLE / w.nc / 100) AS diff
+  FROM wide w CROSS JOIN tot t
+),
+run AS (
+  SELECT *, SUM(wgt * diff) OVER (ORDER BY stratum
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ate_run,
+         row_number() OVER (ORDER BY stratum DESC) AS rid
+  FROM term
+)
+SELECT stratum, nt AS n_treated, nc AS n_control,
+       round(st::DOUBLE / nt / 100, 6) AS mean_treated,
+       round(sc::DOUBLE / nc / 100, 6) AS mean_control,
+       round(diff, 6) AS diff,
+       round(wgt, 6) AS weight
+FROM run
+UNION ALL
+SELECT 'ALL', SUM(nt)::BIGINT, SUM(nc)::BIGINT, NULL, NULL,
+       round(MAX(CASE WHEN rid = 1 THEN ate_run END), 6),
+       CAST(1.0 AS DOUBLE)
+FROM run
+""",
+)
+def ab_ipw_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified-adjustment average treatment effect — IPW with a
+    discrete propensity: users stratify by activity band, "treatment"
+    is an observed behavior (error share > 20%, deliberately
+    correlated with the activity stratum), and the ATE is the
+    stratum-size-weighted mean outcome difference over strata where
+    BOTH arms are populated (off-support strata drop out, the
+    positivity rule). This is the causal-inference readout pipelines
+    run when assignment was NOT randomized — the observational
+    counterpart of ab_test_proportions/ab_test_cuped.
+
+    Exactness: outcomes are cents-quantized int64 sums, every mean is
+    one IEEE division, and the cross-stratum ATE accumulates through
+    an ORDERED running-sum window (both engines add the per-stratum
+    terms in the same sequence — an unordered SUM over doubles would
+    be shuffle-order-dependent).
+
+    Scale shape: one user-keyed partial-combined rollup (the only
+    shuffle), then all arithmetic on the |strata|×2-cell relation;
+    the ALL row rides the same tiny relation. No driver math."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "error").cast("int")).alias("e"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100, 0).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("spend"),
+    )
+    lab = u.select(
+        F.when(F.col("n") < IPW_LO, "lo")
+        .when(F.col("n") < IPW_HI, "mid")
+        .otherwise("hi")
+        .alias("stratum"),
+        (F.col("e") * 5 > F.col("n")).cast("int").alias("t"),
+        "spend",
+    )
+    cells = lab.groupBy("stratum", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nu"),
+        F.sum("spend").cast("bigint").alias("s"),
+    )
+    wide = (
+        cells.groupBy("stratum")
+        .agg(
+            F.max(F.when(F.col("t") == 1, F.col("nu"))).alias("nt"),
+            F.max(F.when(F.col("t") == 1, F.col("s"))).alias("st"),
+            F.max(F.when(F.col("t") == 0, F.col("nu"))).alias("nc"),
+            F.max(F.when(F.col("t") == 0, F.col("s"))).alias("sc"),
+        )
+        .filter((F.col("nt") > 0) & (F.col("nc") > 0))
+    )
+    tot = wide.agg(F.sum(F.col("nt") + F.col("nc")).alias("bign"))
+    term = wide.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "nt",
+        "nc",
+        "st",
+        "sc",
+        ((F.col("nt") + F.col("nc")).cast("double") / F.col("bign")).alias(
+            "wgt"
+        ),
+        (
+            F.col("st").cast("double") / F.col("nt") / 100
+            - F.col("sc").cast("double") / F.col("nc") / 100
+        ).alias("diff"),
+    )
+    w_run = W.orderBy("stratum").rowsBetween(W.unboundedPreceding, W.currentRow)
+    run = term.select(
+        "*",
+        F.sum(F.col("wgt") * F.col("diff")).over(w_run).alias("ate_run"),
+        F.row_number().over(W.orderBy(F.desc("stratum"))).alias("rid"),
+    )
+    per_stratum = run.select(
+        "stratum",
+        F.col("nt").alias("n_treated"),
+        F.col("nc").alias("n_control"),
+        F.round(F.col("st").cast("double") / F.col("nt") / 100, 6).alias(
+            "mean_treated"
+        ),
+        F.round(F.col("sc").cast("double") / F.col("nc") / 100, 6).alias(
+            "mean_control"
+        ),
+        F.round("diff", 6).alias("diff"),
+        F.round("wgt", 6).alias("weight"),
+    )
+    all_row = run.agg(
+        F.lit("ALL").alias("stratum"),
+        F.sum("nt").cast("bigint").alias("n_treated"),
+        F.sum("nc").cast("bigint").alias("n_control"),
+        F.lit(None).cast("double").alias("mean_treated"),
+        F.lit(None).cast("double").alias("mean_control"),
+        F.round(
+            F.max(F.when(F.col("rid") == 1, F.col("ate_run"))), 6
+        ).alias("diff"),
+        F.lit(1.0).alias("weight"),
+    )
+    return per_stratum.unionByName(all_row)

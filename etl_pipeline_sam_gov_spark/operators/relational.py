@@ -912,6 +912,40 @@ GROUP BY o_orderstatus, price_floor
     )
 
 
+@query(
+    "sql_execute_immediate",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+FROM orders
+WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0
+GROUP BY o_orderpriority
+""",
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic SQL via Spark 4's ``EXECUTE IMMEDIATE ... USING``: the
+    statement text arrives as a session-variable string and positional
+    parameters bind as typed literals — the stored-procedure-style
+    surface SQL-only orchestration layers use to build statements at
+    runtime without client-side string interpolation (and without the
+    injection risk of interpolating values). The parameters land as
+    analyzer-substituted literals, so the optimized plan is identical
+    to the static oracle: both predicates reach the parquet scan."""
+    load_tables(spark, sf_dir, ("orders",))
+    spark.sql("DECLARE OR REPLACE VARIABLE stmt STRING")
+    spark.sql(
+        """SET VAR stmt =
+ 'SELECT o_orderpriority,
+         COUNT(*) AS n_orders,
+         CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+  FROM orders
+  WHERE o_orderstatus = ? AND o_orderkey % ? = 0
+  GROUP BY o_orderpriority'"""
+    )
+    return spark.sql("EXECUTE IMMEDIATE stmt USING 'F', 3")
+
+
 # ---------------------------------------------------------------------------
 # Skyline (Pareto frontier) query
 # ---------------------------------------------------------------------------

@@ -1306,3 +1306,191 @@ def ann_radius_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= RADIUS_COS)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking (Maximal Marginal Relevance)
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7  #: relevance weight; 1-λ penalizes similarity to picks
+MMR_CANDS = 20  #: candidate pool per query (same-cell cosine top-20)
+MMR_K = 5  #: final picks per query
+
+
+def _mmr_oracle() -> str:
+    """Greedy MMR unrolled to MMR_K selection steps. Every score is a
+    double built from the same exact-rational cosine ratios both
+    engines produce (IEEE division is correctly rounded), the marginal
+    score is the literal expression ``0.7*rel - 0.3*maxsim`` on both
+    sides, and every argmax breaks ties on candidate id — so the
+    greedy trajectory is engine-independent."""
+    head = f"""
+WITH {_SQL_NORMS},
+bucketed AS (SELECT vec_id, v, nrm, {_sign_bucket_sql()} AS bucket FROM norms),
+qv AS (SELECT * FROM bucketed WHERE vec_id % {QUERY_STRIDE} = 0),
+cand0 AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS rel,
+         row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+                     c.vec_id) AS rnk
+  FROM qv q JOIN bucketed c
+    ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+),
+cand AS (SELECT qid, cid, rel FROM cand0 WHERE rnk <= {MMR_CANDS}),
+psim AS (
+  SELECT x.qid, x.cid AS ca, y.cid AS cb,
+         list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS sim
+  FROM cand x
+  JOIN cand y ON x.qid = y.qid AND x.cid <> y.cid
+  JOIN norms na ON na.vec_id = x.cid
+  JOIN norms nb ON nb.vec_id = y.cid
+),
+sel1 AS (
+  SELECT qid, cid, rel, 1 AS step
+  FROM (SELECT qid, cid, rel,
+               row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+        FROM cand)
+  WHERE rn = 1
+)"""
+    steps = []
+    for k in range(2, MMR_K + 1):
+        prev = f"sel{k - 1}"
+        steps.append(f""",
+pick{k} AS (
+  SELECT qid, cid, rel, {k} AS step
+  FROM (
+    SELECT c.qid, c.cid, c.rel,
+           row_number() OVER (PARTITION BY c.qid
+              ORDER BY {MMR_LAMBDA} * c.rel - {round(1 - MMR_LAMBDA, 10)} * m.maxsim DESC,
+                       c.cid) AS rn
+    FROM cand c
+    JOIN (SELECT p.qid, p.ca AS cid, MAX(p.sim) AS maxsim
+          FROM psim p JOIN {prev} s ON p.qid = s.qid AND p.cb = s.cid
+          GROUP BY p.qid, p.ca) m
+      ON c.qid = m.qid AND c.cid = m.cid
+    WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                      WHERE s.qid = c.qid AND s.cid = c.cid)
+  ) WHERE rn = 1
+),
+sel{k} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{k})"""
+        )
+    tail = f"""
+SELECT qid AS query_id, cid AS neighbor_id, step::BIGINT AS step,
+       round(rel, 6) AS relevance
+FROM sel{MMR_K}
+"""
+    return head + "".join(steps) + tail
+
+
+@query("ann_mmr_rerank", oracle=_mmr_oracle())
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): from each query's cosine top-MMR_CANDS candidate pool
+    (same sign-LSH cell), greedily pick MMR_K results maximizing
+    ``λ·relevance − (1−λ)·max-similarity-to-already-picked`` — the
+    diversity re-rank every RAG retrieval stack runs so the k context
+    passages aren't five copies of the same document.
+
+    Engine path: candidate generation is the bucketed equi-join +
+    rank window (the ann_lsh_bucketed_topk plan); the greedy selection
+    is a per-query ``applyInPandas`` over the ≤MMR_CANDS-row group —
+    O(K·C·dim) per query with pure sequential-float arithmetic that
+    replays the oracle's fold order exactly (numpy's SIMD/pairwise
+    dot would differ in final ulps and flip near-tie argmaxes; see
+    the in-function loop). The O(C²) pair-similarity work happens
+    per group, bounded by the candidate cap, never corpus-wide.
+
+    Scale: candidates shuffle once keyed on query id; groups are
+    ≤MMR_CANDS rows; selection state is K ids per group."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    n = with_norms(emb).select(
+        "vec_id", "v", "nrm", sign_bucket(F.col("v")).alias("bucket")
+    )
+    q = n.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    rel = cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"))
+    cand = (
+        q.join(n, "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            rel.alias("rel"),
+            "v",
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("rel"), "cid")
+            ),
+        )
+        .filter(F.col("rnk") <= MMR_CANDS)
+        .drop("rnk")
+    )
+
+    lam, one_m = MMR_LAMBDA, round(1 - MMR_LAMBDA, 10)
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("cid").reset_index(drop=True)
+        vecs = {int(r.cid): list(r.v) for r in pdf.itertuples()}
+        rels = {int(r.cid): float(r.rel) for r in pdf.itertuples()}
+        norms = {}
+        for cid, v in vecs.items():
+            s = 0.0
+            for x in v:
+                s += x * x
+            norms[cid] = s ** 0.5
+
+        def sim(a: int, b: int) -> float:
+            # sequential fold — IEEE-identical to list_dot_product
+            s = 0.0
+            for x, y in zip(vecs[a], vecs[b]):
+                s += x * y
+            return s / (norms[a] * norms[b])
+
+        picked: list[tuple[int, int, float]] = []  # (cid, step, rel)
+        chosen: set[int] = set()
+        for step in range(1, MMR_K + 1):
+            best_cid, best_score = None, None
+            for cid in sorted(vecs):  # ascending id = tiebreak winner first
+                if cid in chosen:
+                    continue
+                if step == 1:
+                    score = rels[cid]
+                else:
+                    maxsim = max(sim(cid, s) for s in chosen)
+                    score = lam * rels[cid] - one_m * maxsim
+                if best_score is None or score > best_score:
+                    best_cid, best_score = cid, score
+            if best_cid is None:
+                break
+            chosen.add(best_cid)
+            picked.append((best_cid, step, rels[best_cid]))
+        qid = int(pdf["qid"].iloc[0])
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(picked),
+                "neighbor_id": [p[0] for p in picked],
+                "step": [p[1] for p in picked],
+                "relevance": [p[2] for p in picked],
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("step", T.LongType()),
+            T.StructField("relevance", T.DoubleType()),
+        ]
+    )
+    out = cand.groupBy("qid").applyInPandas(mmr, schema)
+    return out.withColumn("relevance", F.round("relevance", 6))

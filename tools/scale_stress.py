@@ -140,6 +140,11 @@ STRESS_QUERIES = (
     "ml_embedding_whitening",    # dim-keyed int64 moments + broadcast-back
     "ml_isotonic_calibration",   # one group shuffle + O(n) PAV per group
     "ml_target_encoding",        # one (category, fold) agg; tiny tail math
+    "ab_ipw_stratified_ate",     # one user rollup, then |strata|-cell math
+    "fn_aes_roundtrip",          # scan-stage cipher expressions, no shuffle
+    # (ann_mmr_rerank inherits the ann_* exclusion: its query set grows
+    # with the corpus by fixture rule, so amplification measures the
+    # candidate-pool count, not the per-query O(K·C·dim) selection.)
     # (reco_user_user_cosine is deliberately NOT stressed: amplified key
     # populations multiply BOTH sides of its shared-item join, so
     # candidate volume grows ~quadratically under this tool's replica
