@@ -66,6 +66,9 @@ HEADLINE = [
     "pipeline_health_report",  # composed DQ DAG: constraints+PSI+gaps+RI
     "ab_test_cuped",  # user rollup + pooled covariate moments
     "seq_session_trigrams",  # session exchange + two leads + top-k
+    "text_boilerplate_removal",  # chunk exchange + broadcast boiler set + reassembly
+    "ml_isotonic_calibration",  # grouped-map PAV: one group shuffle, O(n) per group
+    "ann_mmr_rerank",  # bucketed candidates + per-query greedy selection
 ]
 
 
