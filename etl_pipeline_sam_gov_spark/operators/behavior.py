@@ -1631,3 +1631,165 @@ def ab_ipw_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0).alias("weight"),
     )
     return per_stratum.unionByName(all_row)
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval (deterministic resampling)
+# ---------------------------------------------------------------------------
+
+BOOT_B = 32  #: bootstrap replicas
+
+#: Poisson(1) CDF cut points: a 60-bit md5 uniform maps through the
+#: inverse CDF to the per-user replica weight — the Poisson bootstrap
+#: (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+#: Google 2012), which needs NO shared state across rows and is the
+#: only bootstrap that runs in one scan at 100 TB.
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+)
+_U_DEN = float(1 << 60)
+
+
+def _pois_w_sql(u: str) -> str:
+    branches = "".join(
+        f" WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE{branches} ELSE 7 END"
+
+
+def _boot_u_sql() -> str:
+    from etl_pipeline_sam_gov_spark.operators.dedup import _sql_hash60
+
+    h = _sql_hash60("CAST(user_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)")
+    return f"({h})::DOUBLE / {_U_DEN!r}"
+
+
+@query(
+    "ab_bootstrap_ci_poisson",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS spend
+  FROM events GROUP BY user_id
+),
+reps AS (
+  SELECT u.user_id, u.spend, b.b,
+         {_pois_w_sql(_boot_u_sql())} AS w
+  FROM u CROSS JOIN (SELECT unnest(range({BOOT_B})) AS b) b
+),
+boot AS (
+  SELECT b, SUM(w * spend)::BIGINT AS sw, SUM(w)::BIGINT AS ww
+  FROM reps GROUP BY b
+),
+ranked AS (
+  SELECT b, sw::DOUBLE / ww / 100 AS m,
+         row_number() OVER (ORDER BY sw::DOUBLE / ww / 100, b) AS r
+  FROM boot
+),
+tot AS (SELECT COUNT(*)::BIGINT AS n_users, SUM(spend)::BIGINT AS s FROM u)
+SELECT t.n_users,
+       round(t.s::DOUBLE / t.n_users / 100, 6) AS point_mean,
+       round(MAX(CASE WHEN r.r = 2 THEN r.m END), 6) AS boot_lo,
+       round((MAX(CASE WHEN r.r = {BOOT_B // 2} THEN r.m END)
+            + MAX(CASE WHEN r.r = {BOOT_B // 2 + 1} THEN r.m END)) / 2, 6)
+         AS boot_median,
+       round(MAX(CASE WHEN r.r = {BOOT_B - 1} THEN r.m END), 6) AS boot_hi
+FROM ranked r CROSS JOIN tot t
+GROUP BY t.n_users, t.s
+""",
+)
+def ab_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean user spend via the
+    POISSON bootstrap: each (user, replica) pair draws a Poisson(1)
+    weight from a deterministic md5 uniform, so resampling is a pure
+    per-row map — no sampling with replacement across a 100 TB
+    corpus, no shared state, reproducible across engines AND across
+    reruns (append-stable like every sampling decision in the
+    curation family). The replica means' order statistics give the
+    interval (ranks 2 and B-1 of B=32 ≈ a 94% interval; the
+    percentile-rank convention is pinned, not interpolated).
+
+    Exactness: weights are small ints from exact 60-bit-hash uniform
+    cut-point compares; each replica's weighted sum/count are int64;
+    each replica mean is one IEEE division; the median of two middle
+    ranks is one addition + one halving. Scale shape: one user rollup
+    (the only corpus shuffle), a ×B generate (narrow: two ints per
+    row), one B-group partial-combined agg, then all math on B rows."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
+
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100, 0).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("spend")
+    )
+    reps = u.select(
+        "user_id",
+        "spend",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    uu = (
+        _spark_hash60(
+            F.concat_ws(":", F.col("user_id").cast("string"), F.col("b").cast("string"))
+        ).cast("double")
+        / F.lit(_U_DEN)
+    )
+    w = F.lit(7)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(uu < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    boot = (
+        reps.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("spend")).cast("bigint").alias("sw"),
+            F.sum("w").cast("bigint").alias("ww"),
+        )
+    )
+    m = F.col("sw").cast("double") / F.col("ww") / 100
+    ranked = boot.select("b", m.alias("m")).withColumn(
+        "r", F.row_number().over(W.orderBy("m", "b"))
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("spend").cast("bigint").alias("s"),
+    )
+    mid1, mid2 = BOOT_B // 2, BOOT_B // 2 + 1
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n_users", "s")
+        .agg(
+            F.round(F.max(F.when(F.col("r") == 2, F.col("m"))), 6).alias(
+                "boot_lo"
+            ),
+            F.round(
+                (
+                    F.max(F.when(F.col("r") == mid1, F.col("m")))
+                    + F.max(F.when(F.col("r") == mid2, F.col("m")))
+                )
+                / 2,
+                6,
+            ).alias("boot_median"),
+            F.round(
+                F.max(F.when(F.col("r") == BOOT_B - 1, F.col("m"))), 6
+            ).alias("boot_hi"),
+        )
+        .select(
+            "n_users",
+            F.round(F.col("s").cast("double") / F.col("n_users") / 100, 6).alias(
+                "point_mean"
+            ),
+            "boot_lo",
+            "boot_median",
+            "boot_hi",
+        )
+    )

@@ -1417,3 +1417,59 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         "logit_spread",
     )
+
+
+# ---------------------------------------------------------------------------
+# Suffix/prefix overlap pairs (document-stitching detection)
+# ---------------------------------------------------------------------------
+
+STITCH_M = 3  #: overlap length in tokens
+
+
+@query(
+    "dedup_suffix_prefix_overlap",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+),
+k AS (
+  SELECT doc_id,
+         array_to_string(tk[1:{STITCH_M}], ' ') AS pre,
+         array_to_string(tk[-{STITCH_M}:], ' ') AS suf
+  FROM t WHERE len(tk) >= {STITCH_M}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.suf AS overlap_text
+FROM k a JOIN k b ON a.suf = b.pre AND a.doc_id <> b.doc_id
+""",
+)
+def dedup_suffix_prefix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix→prefix overlap pairs: document A's last STITCH_M tokens
+    equal document B's first STITCH_M tokens — the detection primitive
+    for SPLIT documents (a crawler that sharded one page into two
+    records, a log rotation mid-document) whose halves an LLM corpus
+    wants stitched back together or deduplicated as partial copies.
+    Boundary-only comparison is what distinguishes this from the
+    containment/Jaccard family: interior content never joins.
+
+    Scale shape: one narrow per-doc projection to TWO fixed-width
+    boundary keys (never the token array), then an equi-join keyed on
+    the boundary text. Key frequency is bounded by boilerplate
+    repetition; a hot boundary phrase is exactly the skew AQE's
+    skew-join splits. Output is pair-listed for the CC clustering
+    stage (dedup_cluster_components) to consume."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tokd = spread_docs(docs).select("doc_id", tokens_col().alias("tk"))
+    k = tokd.filter(F.size("tk") >= STITCH_M).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("tk", 1, STITCH_M)).alias("pre"),
+        F.concat_ws(" ", F.slice(F.col("tk"), -STITCH_M, STITCH_M)).alias(
+            "suf"
+        ),
+    )
+    a = k.select(F.col("doc_id").alias("doc_a"), F.col("suf"))
+    b = k.select(F.col("doc_id").alias("doc_b"), F.col("pre"))
+    return (
+        a.join(b, a["suf"] == b["pre"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", F.col("suf").alias("overlap_text"))
+    )

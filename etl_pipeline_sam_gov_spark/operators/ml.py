@@ -1809,3 +1809,101 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = scored.groupBy("source").applyInPandas(pav, schema)
     return out.withColumn("fitted", F.round("fitted", 6))
+
+
+# ---------------------------------------------------------------------------
+# Lift / gain table (decile model evaluation)
+# ---------------------------------------------------------------------------
+
+LIFT_BUCKETS = 10
+
+
+def _lift_oracle() -> str:
+    from etl_pipeline_sam_gov_spark.operators.text import SQL_QUALITY_LOGIT
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {SQL_QUALITY_LOGIT} AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+binned AS (
+  SELECT *, ntile({LIFT_BUCKETS}) OVER (ORDER BY score DESC, doc_id) AS decile
+  FROM scored
+),
+cells AS (
+  SELECT decile, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS pos
+  FROM binned GROUP BY decile
+),
+tot AS (SELECT SUM(n) AS bn, SUM(pos) AS bpos FROM cells)
+SELECT c.decile::BIGINT AS decile, c.n, c.pos,
+       round(c.pos::DOUBLE / c.n, 6) AS rate,
+       round((c.pos::DOUBLE / c.n) / (t.bpos::DOUBLE / t.bn), 6) AS lift,
+       round(SUM(c.pos) OVER (ORDER BY c.decile)::DOUBLE / t.bpos, 6)
+         AS cum_gain,
+       round(SUM(c.n) OVER (ORDER BY c.decile)::DOUBLE / t.bn, 6)
+         AS cum_population
+FROM cells c CROSS JOIN tot t
+"""
+
+
+@query("ml_lift_gain_table", oracle=_lift_oracle())
+def ml_lift_gain_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gain table — THE business-facing model-eval artifact
+    (campaign targeting, quality-classifier thresholding): rank the
+    corpus by classifier score, cut into ntile deciles, and report
+    each decile's positive rate, lift over the base rate, and the
+    cumulative gain curve ("the top 30% of scores capture X% of all
+    positives"). Complements ml_auc_quality_classifier (threshold-free
+    ranking quality) and ml_reliability_bins_quality (calibration).
+
+    Exactness: decile boundaries come from ntile over a total order
+    (score DESC, doc_id) — the SQL-standard first-(n mod k)-buckets-
+    get-one-extra rule in both engines; counts are ints, every emitted
+    ratio is a single IEEE division (the lift divides two such
+    divisions, still deterministic), cumulative sums are integer
+    window sums before their one division.
+
+    Scale shape: scoring is scan-stage; the ntile needs a total sort —
+    at 100 TB replace with pre-computed score-histogram cuts (the
+    agg_histogram_prices pattern) and a range join; the decile cells
+    relation is K rows and all ratio math happens there."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import spread_docs
+    from etl_pipeline_sam_gov_spark.operators.text import quality_logit
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = spread_docs(docs).select(
+        "doc_id",
+        quality_logit().alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    binned = scored.withColumn(
+        "decile",
+        F.ntile(LIFT_BUCKETS).over(W.orderBy(F.desc("score"), "doc_id")),
+    )
+    cells = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    tot = cells.agg(F.sum("n").alias("bn"), F.sum("pos").alias("bpos"))
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n",
+            "pos",
+            F.round(F.col("pos").cast("double") / F.col("n"), 6).alias("rate"),
+            F.round(
+                (F.col("pos").cast("double") / F.col("n"))
+                / (F.col("bpos").cast("double") / F.col("bn")),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.sum("pos").over(w_cum).cast("double") / F.col("bpos"), 6
+            ).alias("cum_gain"),
+            F.round(
+                F.sum("n").over(w_cum).cast("double") / F.col("bn"), 6
+            ).alias("cum_population"),
+        )
+    )

@@ -1136,3 +1136,49 @@ def join_spatial_grid_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(d2 <= GEO_RADIUS_C * GEO_RADIUS_C)
         .select("s_suppkey", "c_custkey", d2.alias("dist_sq_c"))
     )
+
+
+@query(
+    "sql_join_hints",
+    oracle="""
+SELECT n.n_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+GROUP BY n.n_name
+""",
+)
+def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hint surface: ``/*+ MERGE(c), BROADCAST(r) */`` —
+    the escape hatch when statistics mislead the planner (a "small"
+    dim that blew past the broadcast threshold after a filter
+    changed, or a fact-fact join where AQE's estimate picks the
+    wrong side). Values are identical with or without hints by
+    construction — what the oracle certifies — while
+    tests/test_plans.py pins the STRATEGY: region must appear on the
+    build side of a BroadcastHashJoin and every join touching
+    customer must plan as SortMergeJoin despite customer being
+    broadcast-eligible at this scale (MERGE outranks the size
+    estimate; two hints on one join would resolve by Spark's
+    broadcast-first priority, so each hint here names a DIFFERENT
+    join). Strategy hints are the one planner control a migrating
+    Trino/Presto user expects verbatim (same syntax there)."""
+    t = load_tables(spark, sf_dir, ("customer", "nation", "region"))
+    for name, df in t.items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(
+        """
+SELECT /*+ MERGE(c), BROADCAST(r) */
+       n.n_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+GROUP BY n.n_name
+"""
+    )

@@ -196,6 +196,12 @@ def _pinned_hint_violations(df):
     for i, line in enumerate(lines):
         if "ResolvedHint" not in line:
             continue
+        # Only BROADCAST pins are the memory hazard this gate exists
+        # for; MERGE/SHUFFLE_HASH hints over a scale table are safe
+        # (they force the SHUFFLE direction — sql_join_hints does this
+        # deliberately to outrank broadcast-eligibility).
+        if "broadcast" not in line.lower():
+            continue
         indent = len(re.match(r"^[ :+|-]*", line).group(0))
         subtree = []
         for nxt in lines[i + 1:]:
@@ -740,3 +746,13 @@ def test_audio_stats_is_shuffle_free(spark, sf_dir):
     would mean raw samples crossed the network."""
     s = plan(eng.QUERIES["multimodal_audio_channel_stats"](spark, sf_dir))
     assert "Exchange" not in s
+
+
+def test_join_hints_pin_strategies(spark, sf_dir):
+    """sql_join_hints must plan the customer joins as SortMergeJoin
+    (MERGE hint outranks broadcast-eligibility) while the region dim
+    still builds a BroadcastHashJoin — proving strategy hints reach
+    the physical planner rather than being parsed and dropped."""
+    s = plan(eng.QUERIES["sql_join_hints"](spark, sf_dir))
+    assert "SortMergeJoin" in s
+    assert "BroadcastHashJoin" in s

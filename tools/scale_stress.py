@@ -142,6 +142,9 @@ STRESS_QUERIES = (
     "ml_target_encoding",        # one (category, fold) agg; tiny tail math
     "ab_ipw_stratified_ate",     # one user rollup, then |strata|-cell math
     "fn_aes_roundtrip",          # scan-stage cipher expressions, no shuffle
+    "ab_bootstrap_ci_poisson",   # user rollup + xB narrow generate + B cells
+    "ml_lift_gain_table",        # scoring scan + ntile sort + K-cell math
+    "dedup_suffix_prefix_overlap",  # two boundary keys/doc, one equi-join
     # (ann_mmr_rerank inherits the ann_* exclusion: its query set grows
     # with the corpus by fixture rule, so amplification measures the
     # candidate-pool count, not the per-query O(K·C·dim) selection.)
