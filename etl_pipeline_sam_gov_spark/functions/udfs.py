@@ -457,3 +457,107 @@ def udf_holt_linear_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection (clamped two-sided recursion)
+# ---------------------------------------------------------------------------
+
+#: CUSUM reference: target mean 50 (the fixture's corpus mean), slack
+#: K=25 (~half a standard deviation), alarm threshold H=250. The
+#: recurrences use the PRE-FOLDED literals 75.0 (=MU+K) and 25.0
+#: (=MU-K) so both engines execute the identical IEEE op sequence —
+#: writing ``value - 50.0 - 25.0`` would leave association to chance.
+CUSUM_UP = 75.0
+CUSUM_DN = 25.0
+CUSUM_H = 250.0
+
+
+def _cusum_oracle() -> str:
+    """Recursive-CTE replay of the clamped two-sided CUSUM recursion —
+    the EWMA oracle's move: same op order, bit-identical doubles."""
+    return f"""
+WITH RECURSIVE seq AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+rec AS (
+  SELECT event_id, user_id, value, rn,
+         GREATEST(0.0, value - {CUSUM_UP}) AS cp,
+         GREATEST(0.0, {CUSUM_DN} - value) AS cn
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_id, s.user_id, s.value, s.rn,
+         GREATEST(0.0, r.cp + (s.value - {CUSUM_UP})),
+         GREATEST(0.0, r.cn + ({CUSUM_DN} - s.value))
+  FROM seq s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT event_id, user_id, value,
+       round(cp, 6) AS cusum_pos,
+       round(cn, 6) AS cusum_neg,
+       (cp > {CUSUM_H} OR cn > {CUSUM_H}) AS alarm
+FROM rec
+"""
+
+
+@query("udf_cusum_drift_alarm", oracle=_cusum_oracle())
+def udf_cusum_drift_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detector per user (Page 1954): the
+    clamped recursions ``c+ = max(0, c+ + (x - (μ+k)))`` and
+    ``c- = max(0, c- + ((μ-k) - x))`` accumulate evidence of a
+    sustained mean shift and alarm past H — the sequential
+    change-detection primitive behind metric-regression monitors and
+    data-drift alerts (dq_psi_value_drift is its batch distributional
+    cousin; this one is ORDER-sensitive and so beyond window frames:
+    the clamp makes it a non-linear recurrence, the grouped-map lane's
+    textbook case alongside EWMA and Holt).
+
+    Cross-engine exactness is the EWMA contract: the Python loop and
+    the recursive CTE perform the identical IEEE sequence per step
+    (pre-folded μ±k literals, clamp via max/GREATEST), so every state
+    is bit-identical before round(6). Scale: one user-keyed shuffle;
+    per-task state is two doubles; non-resetting variant (alarms mark
+    every sample past threshold, the audit-trail convention)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        cp = cn = 0.0
+        cps, cns = [], []
+        for x in pdf["value"].tolist():
+            cp = max(0.0, cp + (x - CUSUM_UP))
+            cn = max(0.0, cn + (CUSUM_DN - x))
+            cps.append(cp)
+            cns.append(cn)
+        out = pdf[["event_id", "user_id", "value"]].copy()
+        out["cusum_pos"] = cps
+        out["cusum_neg"] = cns
+        return out
+
+    walked = (
+        ev.select("event_id", "user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            cusum,
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("value", T.DoubleType()),
+                    T.StructField("cusum_pos", T.DoubleType()),
+                    T.StructField("cusum_neg", T.DoubleType()),
+                ]
+            ),
+        )
+    )
+    return walked.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round("cusum_pos", 6).alias("cusum_pos"),
+        F.round("cusum_neg", 6).alias("cusum_neg"),
+        (
+            (F.col("cusum_pos") > CUSUM_H) | (F.col("cusum_neg") > CUSUM_H)
+        ).alias("alarm"),
+    )

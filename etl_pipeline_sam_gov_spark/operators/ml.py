@@ -1907,3 +1907,259 @@ def ml_lift_gain_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_population"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chatterjee's xi correlation (rank-based dependence)
+# ---------------------------------------------------------------------------
+
+#: (X, Y) pairs screened for dependence, over the orders table —
+#: o_orderkey is the fixture's one guaranteed-unique key, and rank
+#: determinism REQUIRES a unique total order (lineitem rows duplicate).
+XICOR_PAIRS = (
+    ("o_custkey", "o_totalprice"),
+    ("o_totalprice", "o_custkey"),
+    ("o_shippriority_days", "o_totalprice"),
+)
+
+#: Derived X: days between orderdate and a fixed epoch, mod 30 — a
+#: synthetic periodic feature so one screened pair has structure.
+_XI_DERIVED = "CAST(datediff('day', TIMESTAMP '1992-01-01', o_orderdate) % 30 AS BIGINT)"
+
+
+def _xicor_one_sql(x: str, y: str) -> str:
+    xe = _XI_DERIVED if x == "o_shippriority_days" else x
+    return f"""
+SELECT '{x}' AS x_col, '{y}' AS y_col, o_orderstatus,
+       COUNT(*)::BIGINT AS n,
+       round(1 - 3.0 * SUM(dj) / (COUNT(*) * CAST(COUNT(*) AS BIGINT) - 1), 6)
+         AS xi
+FROM (
+  SELECT o_orderstatus,
+         abs(r - lag(r) OVER (PARTITION BY o_orderstatus
+             ORDER BY xv, o_orderkey))::BIGINT AS dj
+  FROM (
+    SELECT o_orderstatus, {xe} AS xv, o_orderkey,
+           row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY {y}, o_orderkey) AS r
+    FROM orders
+  )
+)
+GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "ml_xicor_correlation",
+    oracle=" UNION ALL ".join(_xicor_one_sql(x, y) for x, y in XICOR_PAIRS),
+)
+def ml_xicor_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chatterjee's ξ correlation (JASA 2021) per order-status segment
+    — the modern rank statistic that detects ANY functional dependence
+    (not just monotone like Spearman or linear like Pearson):
+    ξ = 1 − 3·Σ|r_{i+1} − r_i|/(n²−1) with the data ordered by X and
+    r the Y-ranks. Feature screening uses it to find nonlinear
+    feature→target relationships Pearson scores ~0; note ξ is
+    asymmetric — the (custkey, totalprice) pair runs both directions.
+    Ranks are the tie-broken permutation variant (row_number with the
+    unique o_orderkey appended — rank determinism REQUIRES a unique
+    total order, which is also why this runs on orders, not the
+    duplicate-bearing lineitem), so every rank and every |Δrank| is an
+    exact integer in both engines; ξ's one division is the only float
+    op. agg_corr_matrix is the Pearson counterpart.
+
+    Scale shape: two rank windows per pair, both partitioned on the
+    segment key (no global sort; partition-local sorts are the same
+    cost class as any ranking query). At 100 TB compute ξ on a
+    per-segment hash sample — the statistic converges at ~1e6 rows —
+    or band Y through the agg_histogram_prices cuts first."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = orders.withColumn(
+        "o_shippriority_days",
+        (
+            F.datediff(
+                F.col("o_orderdate"),
+                F.lit("1992-01-01 00:00:00").cast("timestamp"),
+            )
+            % 30
+        ).cast("bigint"),
+    )
+    outs = []
+    for x, y in XICOR_PAIRS:
+        w_y = W.partitionBy("o_orderstatus").orderBy(y, "o_orderkey")
+        w_x = W.partitionBy("o_orderstatus").orderBy(x, "o_orderkey")
+        ranked = base.select(
+            "o_orderstatus",
+            x,
+            "o_orderkey",
+            F.row_number().over(w_y).alias("r"),
+        )
+        dj = ranked.select(
+            "o_orderstatus",
+            F.abs(F.col("r") - F.lag("r").over(w_x)).cast("bigint").alias(
+                "dj"
+            ),
+        )
+        n = F.count(F.lit(1))
+        outs.append(
+            dj.groupBy("o_orderstatus").agg(
+                F.lit(x).alias("x_col"),
+                F.lit(y).alias("y_col"),
+                n.cast("bigint").alias("n"),
+                F.round(
+                    1 - 3.0 * F.sum("dj") / (n * n.cast("bigint") - 1), 6
+                ).alias("xi"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select("x_col", "y_col", "o_orderstatus", "n", "xi")
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals
+# ---------------------------------------------------------------------------
+
+CONF_ALPHA = 0.1  #: nominal miscoverage (90% intervals)
+
+
+def _conformal_sql(hash60, str_t: str, rnd) -> str:
+    """One SQL text for both engines, parameterized by the engine's
+    hash60 spelling, string type name, and rounding spelling. The
+    3-way split hashes the integer key columns only (numeric→string
+    rendering differs across engines; integers render identically).
+    The fit is the closed-form Cramer solve over exact-decimal TRAIN
+    moments; the calibration quantile is the ceil((n+1)(1−α))-th order
+    statistic of |residual| (order-statistic VALUES are tie-proof —
+    no unique key needed, unlike ranks; see ml_xicor_correlation)."""
+    key = (
+        "concat_ws(':', CAST(l_orderkey AS {t}), CAST(l_linenumber AS {t}), "
+        "CAST(l_partkey AS {t}), CAST(l_suppkey AS {t}))"
+    ).format(t=str_t)
+    split = f"({hash60(key)}) % 3"
+    b0 = ("(sy_d*(s11_d*s22_d - s12_d*s12_d)"
+          " - s1y_d*(s1_d*s22_d - s12_d*s2_d)"
+          " + s2y_d*(s1_d*s12_d - s11_d*s2_d)) / det")
+    b1 = ("(n_d*(s1y_d*s22_d - s12_d*s2y_d)"
+          " - s1_d*(sy_d*s22_d - s2_d*s2y_d)"
+          " + s2_d*(sy_d*s12_d - s2_d*s1y_d)) / det")
+    b2 = ("(n_d*(s11_d*s2y_d - s1y_d*s12_d)"
+          " - s1_d*(s1_d*s2y_d - sy_d*s12_d)"
+          " + s2_d*(s1_d*s1y_d - sy_d*s11_d)) / det")
+    return f"""
+WITH tagged AS (
+  SELECT l_returnflag, l_quantity, l_discount, l_extendedprice,
+         {split} AS split
+  FROM lineitem
+),
+moments AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s1,
+         SUM(CAST(l_discount AS DECIMAL(18,2))) AS s2,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS s11,
+         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS s12,
+         SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS s22,
+         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS s1y,
+         SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS s2y
+  FROM tagged WHERE split = 0
+  GROUP BY l_returnflag
+),
+beta AS (
+  SELECT l_returnflag, n AS n_train, {b0} AS b0, {b1} AS b1, {b2} AS b2
+  FROM (
+    SELECT l_returnflag, n,
+           CAST(n AS DOUBLE) AS n_d, CAST(s1 AS DOUBLE) AS s1_d,
+           CAST(s2 AS DOUBLE) AS s2_d, CAST(sy AS DOUBLE) AS sy_d,
+           CAST(s11 AS DOUBLE) AS s11_d, CAST(s12 AS DOUBLE) AS s12_d,
+           CAST(s22 AS DOUBLE) AS s22_d, CAST(s1y AS DOUBLE) AS s1y_d,
+           CAST(s2y AS DOUBLE) AS s2y_d,
+           CAST(n AS DOUBLE)*(CAST(s11 AS DOUBLE)*CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE)*CAST(s12 AS DOUBLE))
+           - CAST(s1 AS DOUBLE)*(CAST(s1 AS DOUBLE)*CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE)*CAST(s2 AS DOUBLE))
+           + CAST(s2 AS DOUBLE)*(CAST(s1 AS DOUBLE)*CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE)*CAST(s2 AS DOUBLE)) AS det
+    FROM moments
+  ) m
+),
+scored AS (
+  SELECT t.l_returnflag, t.split,
+         abs(CAST(t.l_extendedprice AS DOUBLE)
+             - (b.b0 + b.b1 * CAST(t.l_quantity AS DOUBLE)
+                     + b.b2 * CAST(t.l_discount AS DOUBLE))) AS absres
+  FROM tagged t JOIN beta b ON t.l_returnflag = b.l_returnflag
+  WHERE t.split IN (1, 2)
+),
+cal AS (
+  SELECT l_returnflag, absres,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY absres) AS r,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n_cal
+  FROM scored WHERE split = 1
+),
+q AS (
+  SELECT l_returnflag, n_cal, absres AS q_alpha
+  FROM cal
+  WHERE r = LEAST(n_cal, CAST(ceil((n_cal + 1) * {1 - CONF_ALPHA}) AS BIGINT))
+),
+test AS (
+  SELECT s.l_returnflag,
+         COUNT(*) AS n_test,
+         SUM(CASE WHEN s.absres <= q.q_alpha THEN 1 ELSE 0 END) AS covered
+  FROM scored s JOIN q ON s.l_returnflag = q.l_returnflag
+  WHERE s.split = 2
+  GROUP BY s.l_returnflag
+)
+SELECT b.l_returnflag,
+       CAST(b.n_train AS BIGINT) AS n_train,
+       CAST(q.n_cal AS BIGINT) AS n_cal,
+       CAST(t.n_test AS BIGINT) AS n_test,
+       {rnd('q.q_alpha')} AS q_alpha,
+       {rnd('CAST(t.covered AS DOUBLE) / t.n_test')} AS coverage
+FROM beta b
+JOIN q ON b.l_returnflag = q.l_returnflag
+JOIN test t ON b.l_returnflag = t.l_returnflag
+"""
+
+
+def _conformal_oracle() -> str:
+    from etl_pipeline_sam_gov_spark.operators.dedup import _sql_hash60
+
+    return _conformal_sql(
+        lambda e: _sql_hash60(e),
+        "VARCHAR",
+        lambda e: f"CAST(CAST(CAST({e} AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE)",
+    )
+
+
+@query("ml_conformal_interval", oracle=_conformal_oracle())
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei et al. 2018) for
+    the price ~ quantity + discount OLS model: hash-split the corpus
+    train/calibrate/test, fit closed-form on train, take the
+    ceil((n+1)(1−α))-th smallest calibration |residual| as the
+    interval half-width q, and report empirical test coverage — the
+    DISTRIBUTION-FREE uncertainty quantification every "model with
+    error bars" serving pipeline bolts onto a point predictor
+    (finite-sample guarantee: coverage ≥ 1−α in expectation,
+    regardless of the model being wrong).
+
+    One SQL text parameterizes both engines (hash/rounding spellings
+    only), so every arithmetic step — exact-decimal train moments,
+    the Cramer solve's double tree, residuals, the order-statistic
+    lookup — is structurally identical. The quantile reads the k-th
+    order statistic VALUE, which is tie-proof without a unique key.
+
+    Scale shape: one tagged scan feeding (a) the train moment
+    aggregation, (b) the broadcast-beta residual map; the calibration
+    quantile is one per-flag rank window; coverage one more partial
+    agg. At 100 TB the quantile window would switch to
+    approx_percentile on the calibration split only."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import _sql_hash60  # noqa: F401
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    sql = _conformal_sql(
+        lambda e: f"CAST(conv(substring(md5({e}), 1, 15), 16, 10) AS BIGINT)",
+        "STRING",
+        lambda e: f"round({e}, 6)",
+    )
+    return spark.sql(sql)

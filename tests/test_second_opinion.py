@@ -671,3 +671,22 @@ def test_boilerplate_removal_matches_pandas(spark, sf_dir):
         assert row["n_removed"] == sum(c in boiler for c in segs), doc_id
         md5 = hashlib.md5(" ".join(kept).encode()).hexdigest()
         assert row["kept_md5"] == md5, doc_id
+
+
+def test_xicor_matches_numpy(spark, sf_dir):
+    out = eng.QUERIES["ml_xicor_correlation"](spark, sf_dir).toPandas()
+    od = _orders(sf_dir)
+    od["o_shippriority_days"] = (
+        (pd.to_datetime(od["o_orderdate"]) - pd.Timestamp("1992-01-01")).dt.days
+        % 30
+    ).astype("int64")
+    for _, row in out.iterrows():
+        g = od[od["o_orderstatus"] == row["o_orderstatus"]]
+        g = g.sort_values([row["y_col"], "o_orderkey"]).reset_index(drop=True)
+        g["r"] = np.arange(1, len(g) + 1)
+        g = g.sort_values([row["x_col"], "o_orderkey"]).reset_index(drop=True)
+        s = np.abs(np.diff(g["r"].to_numpy())).sum()
+        n = len(g)
+        xi = 1 - 3.0 * s / (n * n - 1)
+        assert row["n"] == n
+        assert abs(row["xi"] - xi) < TOL, (row["x_col"], row["o_orderstatus"])

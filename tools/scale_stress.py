@@ -145,6 +145,9 @@ STRESS_QUERIES = (
     "ab_bootstrap_ci_poisson",   # user rollup + xB narrow generate + B cells
     "ml_lift_gain_table",        # scoring scan + ntile sort + K-cell math
     "dedup_suffix_prefix_overlap",  # two boundary keys/doc, one equi-join
+    "udf_cusum_drift_alarm",     # user-keyed grouped-map, two-double state
+    "ml_xicor_correlation",      # segment-partitioned rank windows
+    "ml_conformal_interval",     # tagged scan + moments + one rank window
     # (ann_mmr_rerank inherits the ann_* exclusion: its query set grows
     # with the corpus by fixture rule, so amplification measures the
     # candidate-pool count, not the per-query O(K·C·dim) selection.)
