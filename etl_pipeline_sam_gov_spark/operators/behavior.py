@@ -1793,3 +1793,394 @@ def ab_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boot_hi",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) test between hash-assigned arms
+# ---------------------------------------------------------------------------
+
+#: z² threshold for two-sided α=0.05 on the normal approximation.
+MWU_Z2_CRIT = 3.8416
+
+
+@query(
+    "ab_mann_whitney_u",
+    oracle=f"""
+WITH peruser AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY user_id
+),
+byval AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS ceq,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca
+  FROM peruser GROUP BY v
+),
+ranked AS (
+  SELECT ceq, ca,
+         COALESCE(SUM(ceq) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clt
+  FROM byval
+),
+sums AS (
+  SELECT CAST(SUM(ca * (2 * clt + ceq + 1)) AS BIGINT) AS r2a,
+         CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(ceq) - SUM(ca) AS BIGINT) AS n_b,
+         CAST(SUM(ceq * ceq * ceq - ceq) AS BIGINT) AS tie3
+  FROM ranked
+)
+SELECT n_a, n_b,
+       round(CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2, 6) AS u_stat,
+       round(CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) / 2.0
+             / sqrt(CAST(n_a AS DOUBLE) * n_b
+                    * ((n_a + n_b + 1)
+                       - CAST(tie3 AS DOUBLE) / (n_a + n_b)
+                         / (n_a + n_b - 1)) / 12.0), 6) + 0.0 AS z_stat,
+       (CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) / 2.0
+        / sqrt(CAST(n_a AS DOUBLE) * n_b
+               * ((n_a + n_b + 1)
+                  - CAST(tie3 AS DOUBLE) / (n_a + n_b)
+                    / (n_a + n_b - 1)) / 12.0))
+       * (CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) / 2.0
+          / sqrt(CAST(n_a AS DOUBLE) * n_b
+                 * ((n_a + n_b + 1)
+                    - CAST(tie3 AS DOUBLE) / (n_a + n_b)
+                      / (n_a + n_b - 1)) / 12.0)) > {MWU_Z2_CRIT}
+         AS significant
+FROM sums
+""",
+)
+def ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum test on per-user total spend
+    between two hash-assigned experiment arms — the NONPARAMETRIC
+    counterpart of the two-proportion z (ab_test_proportions) and
+    Welch t (ts_welch_ttest_pairwise): it compares whole distributions
+    by rank, so a heavy-tailed metric (revenue!) can't let a few
+    whales fake or mask a shift. The tie-corrected normal
+    approximation z = (U − n_a·n_b/2) / √Var is the standard readout
+    at experiment scale.
+
+    Exactness without a global per-row sort: pool per-user totals,
+    collapse to the DISTINCT-VALUE relation (value → count, per-arm
+    count), take one ordered prefix-sum over that |V|-row relation —
+    average midranks are then clt + (ceq+1)/2, and DOUBLED rank sums
+    (2R = Σ ca·(2·clt + ceq + 1)) keep every rank statistic an exact
+    int64, ties included. The tie correction Σ(t³−t) falls out of the
+    same relation. One double expression (identical op order both
+    engines) produces z; significance compares z² against 1.96².
+
+    Scale shape: one shuffle on user_id, one groupBy(v) partial-
+    combined collapse, then a prefix sum over distinct values — |V| ≪
+    corpus rows; at 100 TB the prefix sum runs as the two-phase
+    (per-partition subtotal, broadcast offsets) pattern of
+    curate_pack_token_shards rather than one window task."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("v")
+        )
+        .select(
+            (_spark_hash60(F.col("user_id").cast("string")) % 2).alias("arm"),
+            "v",
+        )
+    )
+    byval = per_user.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ceq"),
+        F.sum((F.col("arm") == 0).cast("bigint")).alias("ca"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    ranked = byval.select(
+        "ceq",
+        "ca",
+        F.coalesce(F.sum("ceq").over(w), F.lit(0)).alias("clt"),
+    )
+    sums = ranked.agg(
+        F.sum(
+            F.col("ca") * (2 * F.col("clt") + F.col("ceq") + 1)
+        ).cast("bigint").alias("r2a"),
+        F.sum("ca").cast("bigint").alias("n_a"),
+        (F.sum("ceq") - F.sum("ca")).cast("bigint").alias("n_b"),
+        F.sum(
+            F.col("ceq") * F.col("ceq") * F.col("ceq") - F.col("ceq")
+        ).cast("bigint").alias("tie3"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    nn = n_a + n_b
+    a2 = F.col("r2a") - n_a * (n_a + 1) - n_a * n_b  # 2·(U − E[U]), exact
+    z = (
+        a2.cast("double")
+        / 2.0
+        / F.sqrt(
+            n_a.cast("double")
+            * n_b
+            * ((nn + 1) - F.col("tie3").cast("double") / nn / (nn - 1))
+            / 12.0
+        )
+    )
+    return sums.select(
+        "n_a",
+        "n_b",
+        F.round(
+            (F.col("r2a") - n_a * (n_a + 1)).cast("double") / 2, 6
+        ).alias("u_stat"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z_stat"),
+        (z * z > MWU_Z2_CRIT).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) check — chi-square goodness of fit
+# ---------------------------------------------------------------------------
+
+SRM_BUCKETS = 4  #: hash-assignment cells, each expected N/4
+#: χ² threshold at α=0.001 for df=3 — SRM checks alarm STRICT (a real
+#: assignment bug shows up at p ≪ 0.001; looser thresholds false-alarm).
+SRM_CHI2_CRIT = 16.266
+
+
+@query(
+    "ab_srm_check",
+    oracle=f"""
+WITH assigned AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           % {SRM_BUCKETS} AS bucket
+  FROM events GROUP BY user_id
+),
+counts AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM assigned GROUP BY bucket
+),
+tot0 AS (
+  SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM counts
+),
+tot AS (
+  SELECT t0.n,
+         CAST(SUM(({SRM_BUCKETS} * c.n_obs - t0.n)
+                  * ({SRM_BUCKETS} * c.n_obs - t0.n)) AS BIGINT) AS ssq
+  FROM counts c CROSS JOIN tot0 t0
+  GROUP BY t0.n
+)
+SELECT c.bucket, c.n_obs,
+       round(CAST(t.n AS DOUBLE) / {SRM_BUCKETS}, 6) AS expected,
+       round(CAST(({SRM_BUCKETS} * c.n_obs - t.n)
+                  * ({SRM_BUCKETS} * c.n_obs - t.n) AS DOUBLE)
+             / ({SRM_BUCKETS}.0 * t.n), 6) AS chi2_contrib,
+       round(CAST(t.ssq AS DOUBLE) / ({SRM_BUCKETS}.0 * t.n), 6) AS chi2_total,
+       CAST(t.ssq AS DOUBLE) / ({SRM_BUCKETS}.0 * t.n) > {SRM_CHI2_CRIT}
+         AS srm_detected
+FROM counts c CROSS JOIN tot t
+""",
+)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard: chi-square goodness-of-fit of the
+    hash-assignment cell counts against the designed uniform split —
+    the FIRST validity check every experimentation platform runs
+    before reading any metric (a biased assignment invalidates the
+    whole experiment; Kohavi's trustworthy-experiments rule). Alarm
+    threshold is the df=3 χ² at α=0.001, the industry-standard strict
+    cut for SRM.
+
+    Exactness: with E = N/k, Σ(O−E)²/E ≡ Σ(k·O − N)² / (k·N) — the
+    numerator is a sum of exact int64 squares, so the χ² total is ONE
+    double division; per-cell contributions use the same int-square
+    form. No float accumulation anywhere.
+
+    Scale: one groupBy(user_id) to dedupe assignment, one k-row count
+    relation, one 1-row total cross-joined (broadcast) back."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    counts = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            (_spark_hash60(F.col("user_id").cast("string")) % SRM_BUCKETS)
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    tot0 = counts.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    d0 = SRM_BUCKETS * F.col("n_obs") - F.col("n")
+    tot = (
+        counts.crossJoin(F.broadcast(tot0))
+        .groupBy("n")
+        .agg(F.sum(d0 * d0).cast("bigint").alias("ssq"))
+    )
+    dev = SRM_BUCKETS * F.col("n_obs") - F.col("n")
+    chi2_total = F.col("ssq").cast("double") / (float(SRM_BUCKETS) * F.col("n"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_obs",
+        F.round(F.col("n").cast("double") / SRM_BUCKETS, 6).alias("expected"),
+        F.round(
+            (dev * dev).cast("double") / (float(SRM_BUCKETS) * F.col("n")), 6
+        ).alias("chi2_contrib"),
+        F.round(chi2_total, 6).alias("chi2_total"),
+        (chi2_total > SRM_CHI2_CRIT).alias("srm_detected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delta-method ratio metric (purchases per event) with arm comparison
+# ---------------------------------------------------------------------------
+
+DELTA_Z2_CRIT = 3.8416  #: 1.96² — two-sided α=0.05
+
+
+def _delta_ratio_sql(hash60) -> str:
+    """ONE SQL text for both engines (the ml_conformal_interval move):
+    only the 60-bit md5 hash spelling differs. Every moment is exact
+    int64; mx/my/R/vx/vy/cxy/var(R) appear once each as named columns
+    so the double op ORDER is structurally identical."""
+    arm = hash60("CAST(user_id AS {s})")
+    return f"""
+WITH peruser AS (
+  SELECT {arm} % 2 AS arm,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+mom AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM peruser GROUP BY arm
+),
+means AS (
+  SELECT arm, n, sx, sy,
+         CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my
+  FROM mom
+),
+stats AS (
+  SELECT m.arm, m.n, m.sx, m.sy, m.mx, m.my,
+         m.mx / m.my AS r,
+         (CAST(o.sxx AS DOUBLE) / m.n - m.mx * m.mx) * m.n / (m.n - 1) AS vx,
+         (CAST(o.syy AS DOUBLE) / m.n - m.my * m.my) * m.n / (m.n - 1) AS vy,
+         (CAST(o.sxy AS DOUBLE) / m.n - m.mx * m.my) * m.n / (m.n - 1) AS cxy
+  FROM means m JOIN mom o ON m.arm = o.arm
+),
+varr AS (
+  SELECT arm, n, sx, sy, r,
+         (vx + r * r * vy - 2 * r * cxy) / (my * my) / n AS var_r
+  FROM stats
+),
+w AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+         MAX(CASE WHEN arm = 0 THEN r END) AS r_a,
+         MAX(CASE WHEN arm = 0 THEN var_r END) AS var_a,
+         MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+         MAX(CASE WHEN arm = 1 THEN r END) AS r_b,
+         MAX(CASE WHEN arm = 1 THEN var_r END) AS var_b
+  FROM varr
+)
+SELECT n_a, n_b,
+       round(r_a, 6) AS ratio_a,
+       round(r_b, 6) AS ratio_b,
+       round(sqrt(var_a), 6) AS se_a,
+       round(sqrt(var_b), 6) AS se_b,
+       round(r_b - r_a, 6) + 0.0 AS diff,
+       round((r_b - r_a) / sqrt(var_a + var_b), 6) + 0.0 AS z_stat,
+       ((r_b - r_a) / sqrt(var_a + var_b))
+         * ((r_b - r_a) / sqrt(var_a + var_b)) > {DELTA_Z2_CRIT}
+         AS significant
+FROM w
+"""
+
+
+@query(
+    "ab_delta_method_ratio",
+    oracle=_delta_ratio_sql(
+        lambda e: f"('0x' || substr(md5({e.format(s='VARCHAR')}), 1, 15))::BIGINT"
+    ),
+)
+def ab_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method inference for a RATIO metric — purchase events per
+    event (session-level CTR analog) compared across two hash arms.
+    Ratio metrics violate the iid-per-user assumption (numerator and
+    denominator are correlated within a user), so naive proportion
+    variance is wrong; the experimentation-platform standard (Deng et
+    al., KDD'18) linearizes R = x̄/ȳ and uses Var(R) ≈ (σx² + R²σy²
+    − 2R·σxy) / (ȳ²·n) with per-USER moments — exactly what this
+    computes, then a two-arm z on the difference.
+
+    ONE SQL text drives both engines (hash spelling aside), so every
+    double op — means, Bessel-corrected (co)variances, the var(R)
+    assembly, z — runs in an identical order; moments underneath are
+    exact int64 counts. Scale: one shuffle on user_id, a 2-row moment
+    relation, a 1-row readout."""
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        _delta_ratio_sql(
+            lambda e: (
+                "CAST(conv(substring(md5("
+                + e.format(s="STRING")
+                + "), 1, 15), 16, 10) AS BIGINT)"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Minimum detectable effect (experiment power analysis)
+# ---------------------------------------------------------------------------
+
+#: z_{α/2} + z_{β} for a two-sided α=0.05 test at 80% power:
+#: 1.959964 + 0.841621 = 2.801585 (both quantiles to 6 dp).
+MDE_Z_SUM = 2.801585
+
+
+def _mde_sql() -> str:
+    """Engine-shared SQL (no hashing at all — fully portable)."""
+    return f"""
+WITH peruser AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY event_type, user_id
+),
+mom AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM peruser GROUP BY event_type
+),
+v AS (
+  SELECT event_type, n_users, s1,
+         (CAST(s2 AS DOUBLE) / n_users
+          - (CAST(s1 AS DOUBLE) / n_users) * (CAST(s1 AS DOUBLE) / n_users))
+           * n_users / (n_users - 1) AS var_c
+  FROM mom
+)
+SELECT event_type, n_users,
+       round(CAST(s1 AS DOUBLE) / n_users / 100, 6) AS mean_value,
+       round(sqrt(var_c) / 100, 6) AS stddev_value,
+       round({MDE_Z_SUM} * sqrt(2 * var_c / (CAST(n_users AS DOUBLE) / 2))
+             / 100, 6) AS mde_abs,
+       round({MDE_Z_SUM} * sqrt(2 * var_c / (CAST(n_users AS DOUBLE) / 2))
+             / (CAST(s1 AS DOUBLE) / n_users), 6) AS mde_rel
+FROM v
+"""
+
+
+@query("ab_minimum_detectable_effect", oracle=_mde_sql())
+def ab_minimum_detectable_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment DESIGN readout: per event-type segment, the minimum
+    detectable effect a 50/50 split of today's population could
+    certify at α=0.05 / 80% power — MDE = (z_{{α/2}}+z_β)·√(2σ²/n̂)
+    with n̂ = n/2 users per arm. This is the pre-registration step of
+    every experimentation platform (pick segments/duration BEFORE
+    launch); it pairs with ab_test_proportions (the post-hoc readout)
+    and ab_srm_check (the validity gate).
+
+    Variance comes from exact int64 centized per-user moments with
+    the Bessel factor; the z-quantile sum is a fixed 6-dp constant,
+    so both engines execute one identical double expression per
+    segment. Scale: one (type,user) shuffle, a |types|-row readout."""
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(_mde_sql())

@@ -690,3 +690,58 @@ def test_xicor_matches_numpy(spark, sf_dir):
         xi = 1 - 3.0 * s / (n * n - 1)
         assert row["n"] == n
         assert abs(row["xi"] - xi) < TOL, (row["x_col"], row["o_orderstatus"])
+
+
+def test_mann_whitney_matches_numpy(spark, sf_dir):
+    import hashlib
+
+    out = eng.QUERIES["ab_mann_whitney_u"](spark, sf_dir).toPandas().iloc[0]
+    ev = _events(sf_dir)
+    per = (
+        (ev["value"] * 100).round().astype("int64")
+        .groupby(ev["user_id"]).sum().reset_index(name="v")
+    )
+    per["arm"] = per["user_id"].map(
+        lambda u: int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+    )
+    pooled = per["v"].rank(method="average")  # midranks, ties averaged
+    ra = pooled[per["arm"] == 0].sum()
+    n_a = int((per["arm"] == 0).sum())
+    n_b = int((per["arm"] == 1).sum())
+    u_a = ra - n_a * (n_a + 1) / 2
+    n = n_a + n_b
+    ties = per["v"].value_counts().to_numpy().astype("float64")
+    var = n_a * n_b / 12 * ((n + 1) - ((ties**3 - ties).sum()) / n / (n - 1))
+    z = (u_a - n_a * n_b / 2) / np.sqrt(var)
+    assert out["n_a"] == n_a and out["n_b"] == n_b
+    assert abs(out["u_stat"] - u_a) < TOL
+    assert abs(out["z_stat"] - z) < 1e-4
+
+
+def test_delta_method_matches_numpy(spark, sf_dir):
+    import hashlib
+
+    out = eng.QUERIES["ab_delta_method_ratio"](spark, sf_dir).toPandas().iloc[0]
+    ev = _events(sf_dir)
+    per = ev.groupby("user_id").agg(
+        x=("event_type", lambda s: int((s == "purchase").sum())),
+        y=("event_type", "size"),
+    ).reset_index()
+    per["arm"] = per["user_id"].map(
+        lambda u: int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+    )
+    stats = {}
+    for arm, g in per.groupby("arm"):
+        x, y = g["x"].to_numpy("float64"), g["y"].to_numpy("float64")
+        n, mx, my = len(g), x.mean(), y.mean()
+        r = mx / my
+        vx, vy = x.var(ddof=1), y.var(ddof=1)
+        cxy = np.cov(x, y, ddof=1)[0, 1]
+        stats[arm] = (n, r, (vx + r * r * vy - 2 * r * cxy) / (my * my) / n)
+    assert out["n_a"] == stats[0][0] and out["n_b"] == stats[1][0]
+    assert abs(out["ratio_a"] - stats[0][1]) < TOL
+    assert abs(out["ratio_b"] - stats[1][1]) < TOL
+    assert abs(out["se_a"] - np.sqrt(stats[0][2])) < TOL
+    assert abs(out["se_b"] - np.sqrt(stats[1][2])) < TOL
+    z = (stats[1][1] - stats[0][1]) / np.sqrt(stats[0][2] + stats[1][2])
+    assert abs(out["z_stat"] - z) < 1e-4
