@@ -561,3 +561,162 @@ def udf_cusum_drift_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cusum_pos") > CUSUM_H) | (F.col("cusum_neg") > CUSUM_H)
         ).alias("alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (level + trend + 24 seasonals)
+# ---------------------------------------------------------------------------
+
+HW_ALPHA = 0.3  #: level gain
+HW_BETA = 0.1   #: trend gain
+HW_DELTA = 0.2  #: seasonal gain
+HW_PERIOD = 24  #: hour-of-day seasonality
+
+
+def _hw_oracle() -> str:
+    """Recursive-CTE replay of the THREE coupled Holt-Winters
+    recurrences, the seasonal state carried as a DOUBLE[24] list
+    column spliced per step (list_slice ‖ [new] ‖ list_slice) — the
+    Holt oracle's move plus vector state. Every l'/b'/s' expression is
+    repeated verbatim (never referenced via a temporary), so both
+    engines execute the identical IEEE op sequence per step."""
+    a, g, d, m = HW_ALPHA, HW_BETA, HW_DELTA, HW_PERIOD
+    zeros = "[" + ", ".join("0.0" for _ in range(m)) + "]"
+    lp = (
+        f"{a} * (CAST(s.c AS DOUBLE) - r.seas[s.slot + 1]) "
+        f"+ {1 - a} * (r.l + r.b)"
+    )
+    return f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, c,
+         CAST(EXTRACT(hour FROM h) AS BIGINT) AS slot,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+rec AS (
+  SELECT event_type, rn, n, slot,
+         CAST(c AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b,
+         CAST({zeros} AS DOUBLE[]) AS seas
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.rn, s.n, s.slot,
+         {lp},
+         {g} * (({lp}) - r.l) + {1 - g} * r.b,
+         list_slice(r.seas, 1, s.slot)
+           || [{d} * (CAST(s.c AS DOUBLE) - ({lp}))
+               + {1 - d} * r.seas[s.slot + 1]]
+           || list_slice(r.seas, s.slot + 2, {m})
+  FROM seq s JOIN rec r
+    ON s.event_type = r.event_type AND s.rn = r.rn + 1
+),
+final AS (
+  SELECT event_type, slot, l, b, seas FROM rec WHERE rn = n
+),
+horizons AS (
+  SELECT CAST(unnest(generate_series(1, {m})) AS BIGINT) AS h
+)
+SELECT f.event_type, z.h AS horizon_h,
+       round(f.l, 6) + 0.0 AS level,
+       round(f.b, 6) + 0.0 AS trend,
+       round(f.seas[CAST((f.slot + z.h) % {m} AS INT) + 1], 6) + 0.0
+         AS seasonal,
+       round(f.l + z.h * f.b
+             + f.seas[CAST((f.slot + z.h) % {m} AS INT) + 1], 6) + 0.0
+         AS forecast
+FROM final f CROSS JOIN horizons z
+"""
+
+
+@query("udf_holt_winters_hourly", oracle=_hw_oracle())
+def udf_holt_winters_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE SEASONAL smoothing of hourly revenue per
+    event type — the triple-exponential upgrade of Holt
+    (udf_holt_linear_users): level, trend, and a 24-slot hour-of-day
+    seasonal vector advance together each observed hour, then the
+    final state emits a 24-hour-ahead forecast fan
+    ŷ(t+h) = l + h·b + s[(slot+h) mod 24]. This is the capacity-
+    planning / anomaly-baseline forecaster every metrics platform
+    runs, and the textbook case where grouped-map state is a VECTOR,
+    not a scalar pair — beyond window frames and beyond the
+    scalar-fold lane.
+
+    Cross-engine exactness: the Python loop and the recursive CTE
+    (seasonal state as a DOUBLE[24] list column, spliced per step)
+    perform the identical IEEE sequence — inputs are exact int64
+    cent sums, the three gain constants are shared literals, and
+    every derived expression is repeated verbatim on both sides.
+
+    Scale: one (type, hour) pre-aggregation collapses the corpus to
+    |types|·|hours| rows; the sequential walk then runs per type with
+    O(period) state per task — the same shape a 1000-executor run
+    wants (series count = parallelism, series length = per-task
+    work)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("c"))
+    )
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        a, g, d, m = HW_ALPHA, HW_BETA, HW_DELTA, HW_PERIOD
+        pdf = pdf.sort_values("h")
+        l = b = None
+        seas = [0.0] * m
+        slot = 0
+        for c, hod in zip(pdf["c"].tolist(), pdf["h"].dt.hour.tolist()):
+            x = float(c)
+            slot = int(hod)
+            if l is None:
+                l, b = x, 0.0
+                continue
+            s_old = seas[slot]
+            l_new = a * (x - s_old) + (1 - a) * (l + b)
+            b = g * (l_new - l) + (1 - g) * b
+            seas[slot] = d * (x - l_new) + (1 - d) * s_old
+            l = l_new
+        rows = []
+        for h in range(1, m + 1):
+            s_h = seas[(slot + h) % m]
+            rows.append(
+                (pdf["event_type"].iloc[0], h, l, b, s_h)
+            )
+        return pd.DataFrame(
+            rows, columns=["event_type", "horizon_h", "l_raw", "b_raw", "s_raw"]
+        )
+
+    out = hourly.groupBy("event_type").applyInPandas(
+        hw,
+        T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("horizon_h", T.LongType()),
+                T.StructField("l_raw", T.DoubleType()),
+                T.StructField("b_raw", T.DoubleType()),
+                T.StructField("s_raw", T.DoubleType()),
+            ]
+        ),
+    )
+    return out.select(
+        "event_type",
+        "horizon_h",
+        (F.round("l_raw", 6) + F.lit(0.0)).alias("level"),
+        (F.round("b_raw", 6) + F.lit(0.0)).alias("trend"),
+        (F.round("s_raw", 6) + F.lit(0.0)).alias("seasonal"),
+        (
+            F.round(
+                F.col("l_raw")
+                + F.col("horizon_h") * F.col("b_raw")
+                + F.col("s_raw"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("forecast"),
+    )

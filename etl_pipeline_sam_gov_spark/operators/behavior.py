@@ -2184,3 +2184,105 @@ def ab_minimum_detectable_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment. Scale: one (type,user) shuffle, a |types|-row readout."""
     load_tables(spark, sf_dir, ("events",))
     return spark.sql(_mde_sql())
+
+
+# ---------------------------------------------------------------------------
+# Sequential probability ratio test (Wald SPRT)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+SPRT_P0 = 0.10  #: H0 conversion rate
+SPRT_P1 = 0.15  #: H1 conversion rate
+#: Per-observation log-likelihood-ratio increments, computed ONCE in
+#: Python and embedded as double literals, so both engines only ever
+#: multiply exact int counts by the same two constants.
+SPRT_C1 = _math.log(SPRT_P1 / SPRT_P0)
+SPRT_C0 = _math.log((1 - SPRT_P1) / (1 - SPRT_P0))
+#: Wald boundaries at α=β=0.05: ln((1−β)/α) and ln(β/(1−α)).
+SPRT_A = _math.log(19.0)
+SPRT_B = -_math.log(19.0)
+
+
+def _sprt_sql(hash60) -> str:
+    """ONE SQL text for both engines — only the md5 hash spelling
+    differs. The LLR after n observations with k successes is
+    k·c1 + (n−k)·c0 (exact ints × fixed literals), so the whole
+    sequential walk is reproducible bit-for-bit."""
+    arm = hash60("CAST(user_id AS {s})")
+    return f"""
+WITH tagged AS (
+  SELECT {arm} % 2 AS arm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ,
+         ts, event_id
+  FROM events
+),
+walk AS (
+  SELECT arm,
+         row_number() OVER (PARTITION BY arm ORDER BY ts, event_id) AS rn,
+         CAST(SUM(succ) OVER (PARTITION BY arm ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS k
+  FROM tagged
+),
+scored AS (
+  SELECT arm, rn, k,
+         CAST(k AS DOUBLE) * {SPRT_C1!r}
+           + CAST(rn - k AS DOUBLE) * {SPRT_C0!r} AS llr
+  FROM walk
+),
+crossed AS (
+  SELECT arm,
+         MIN(CASE WHEN llr >= {SPRT_A!r} OR llr <= {SPRT_B!r}
+                  THEN rn END) AS rn_dec,
+         CAST(MAX(rn) AS BIGINT) AS n_total
+  FROM scored GROUP BY arm
+)
+SELECT c.arm, c.n_total,
+       CAST(COALESCE(c.rn_dec, c.n_total) AS BIGINT) AS n_at_decision,
+       s.k AS k_at_decision,
+       round(s.llr, 6) + 0.0 AS llr_at_decision,
+       CASE WHEN c.rn_dec IS NULL THEN 'continue'
+            WHEN s.llr >= {SPRT_A!r} THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision
+FROM crossed c
+JOIN scored s
+  ON s.arm = c.arm AND s.rn = COALESCE(c.rn_dec, c.n_total)
+"""
+
+
+@query(
+    "ab_sequential_sprt",
+    oracle=_sprt_sql(
+        lambda e: f"('0x' || substr(md5({e.format(s='VARCHAR')}), 1, 15))::BIGINT"
+    ),
+)
+def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test (1945) per experiment
+    arm: walk the event stream in time order accumulating the Bernoulli
+    log-likelihood ratio for conversion rate p1=0.15 vs p0=0.10, and
+    STOP at the first crossing of the ln(19) boundaries — the
+    always-valid sequential monitor that lets an experiment end the
+    moment the evidence suffices (the peeking-problem fix; ~half the
+    fixed-n sample on average). Reports where each arm's walk first
+    decided, or 'continue' if it never did.
+
+    LLR_n = k·ln(p1/p0) + (n−k)·ln(q1/q0): k and n are exact window
+    cumsums, the two log constants are computed once in Python and
+    embedded as literals in ONE shared SQL text both engines execute —
+    the walk is bit-reproducible, no libm call in either engine.
+
+    Scale: a sequential test is an inherently ordered scan; per arm it
+    is one time-ordered cumsum (the two-phase partition-prefix pattern
+    at 100 TB) plus a 2-row first-crossing lookup. The decision row is
+    found by aggregation, not by stopping a driver-side loop."""
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        _sprt_sql(
+            lambda e: (
+                "CAST(conv(substring(md5("
+                + e.format(s="STRING")
+                + "), 1, 15), 16, 10) AS BIGINT)"
+            )
+        )
+    )

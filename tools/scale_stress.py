@@ -148,6 +148,9 @@ STRESS_QUERIES = (
     "udf_cusum_drift_alarm",     # user-keyed grouped-map, two-double state
     "ml_xicor_correlation",      # segment-partitioned rank windows
     "ml_conformal_interval",     # tagged scan + moments + one rank window
+    "ab_mann_whitney_u",         # user rollup + distinct-value prefix sum
+    "ab_sequential_sprt",        # per-arm ordered cumsum + first crossing
+    "udf_holt_winters_hourly",   # (type,hour) collapse + per-type walk
     # (ann_mmr_rerank inherits the ann_* exclusion: its query set grows
     # with the corpus by fixture rule, so amplification measures the
     # candidate-pool count, not the per-query O(K·C·dim) selection.)
