@@ -1137,3 +1137,67 @@ def pipeline_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_orphans") == 0).alias("passed"),
     )
     return suite.unionByName(psi).unionByName(gaps).unionByName(orphans)
+
+
+# ---------------------------------------------------------------------------
+# Differential-privacy-style noisy release (Laplace mechanism)
+# ---------------------------------------------------------------------------
+
+DP_EPSILON = 1.0  #: privacy budget; count sensitivity Δf = 1
+
+
+def _dp_noisy_sql(hash60) -> str:
+    """ONE SQL text, hash spelling aside. Laplace noise via the
+    inverse CDF on a DETERMINISTIC 1e-6-grid uniform derived from the
+    key's md5 (u ∈ [1e-6, 0.999999] so ln never sees 0): reproducible
+    noise makes the mechanism oracle-checkable; production would swap
+    the hash-uniform for a real RNG and release ONLY the noisy
+    column."""
+    u = f"CAST({hash60('n_name')} % 999999 + 1 AS DOUBLE) / 1000000"
+    noise = (
+        f"(CASE WHEN uu >= 0.5 THEN -1.0 ELSE 1.0 END)"
+        f" * ln(1.0 - 2.0 * abs(uu - 0.5)) / {DP_EPSILON!r}"
+    )
+    return f"""
+WITH counts AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+),
+seeded AS (
+  SELECT n_name, n_true, {u} AS uu FROM counts
+)
+SELECT n_name, n_true,
+       round({noise}, 6) + 0.0 AS noise,
+       round(CAST(n_true AS DOUBLE) + {noise}, 6) + 0.0 AS noisy_count,
+       CAST({DP_EPSILON!r} AS DOUBLE) AS epsilon
+FROM seeded
+"""
+
+
+@query(
+    "dq_dp_noisy_release",
+    oracle=_dp_noisy_sql(
+        lambda e: f"('0x' || substr(md5({e}), 1, 15))::BIGINT"
+    ),
+)
+def dq_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy count release per nation (ε=1, Δf=1) —
+    the differential-privacy primitive a data platform applies before
+    publishing per-group statistics from sensitive tables (Dwork et
+    al. 2006): noise ~ Lap(Δf/ε) via the inverse CDF
+    −(1/ε)·sgn(u−½)·ln(1−2|u−½|). The uniform u is a deterministic
+    md5-grid value per key, the repo's reproducible-randomness
+    convention (same as every sampling operator), which is what makes
+    a noise mechanism hash-checkable across engines; the true count
+    rides along here only for the oracle contract — a production
+    release drops it.
+
+    Scale: broadcast dim join + one partial-combined count; the noise
+    map is per-GROUP (25 rows), zero additional shuffle."""
+    load_tables(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(
+        _dp_noisy_sql(
+            lambda e: f"CAST(conv(substring(md5({e}), 1, 15), 16, 10) AS BIGINT)"
+        )
+    )

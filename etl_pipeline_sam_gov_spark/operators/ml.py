@@ -2163,3 +2163,141 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda e: f"round({e}, 6)",
     )
     return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (tie-corrected via exact midranks)
+# ---------------------------------------------------------------------------
+
+SPEARMAN_PAIRS = (
+    ("l_quantity", "l_discount"),
+    ("l_quantity", "l_extendedprice"),
+    ("l_discount", "l_extendedprice"),
+)
+
+
+def _spearman_sql() -> str:
+    """ONE fully portable SQL text for both engines. Midranks are kept
+    DOUBLED (2r = 2·rank + ties − 1) so every rank is an exact int64
+    even under heavy ties; ρ is then Pearson over the doubled ranks
+    (scale-invariant), one fixed-shape double expression."""
+    blocks = []
+    for x, y in SPEARMAN_PAIRS:
+        blocks.append(f"""
+SELECT '{x}' AS x_col, '{y}' AS y_col, g AS l_returnflag, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) + 0.0 AS rho
+FROM (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+         CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+         CAST(SUM(ry * ry) AS BIGINT) AS syy,
+         CAST(SUM(rx * ry) AS BIGINT) AS sxy
+  FROM (
+    SELECT l_returnflag AS g,
+           2 * CAST(rank() OVER (PARTITION BY l_returnflag
+                                 ORDER BY {x}) AS BIGINT)
+             + CAST(COUNT(*) OVER (PARTITION BY l_returnflag, {x})
+                    AS BIGINT) - 1 AS rx,
+           2 * CAST(rank() OVER (PARTITION BY l_returnflag
+                                 ORDER BY {y}) AS BIGINT)
+             + CAST(COUNT(*) OVER (PARTITION BY l_returnflag, {y})
+                    AS BIGINT) - 1 AS ry
+    FROM lineitem
+  ) r GROUP BY g
+) m""")
+    return "\nUNION ALL\n".join(blocks)
+
+
+@query("ml_spearman_rho", oracle=_spearman_sql())
+def ml_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman's ρ per return-flag segment for three lineitem column
+    pairs — the MONOTONE-dependence member of the correlation family
+    (Pearson = linear, agg_corr_matrix; arbitrary functional = ξ,
+    ml_xicor_correlation). Feature screens run all three: Spearman is
+    the robust default when outliers or nonlinearity distort Pearson.
+
+    Tie handling is the statistic's hard part and is EXACT here:
+    average midranks are kept doubled (2r = 2·rank + t − 1, ints even
+    when the midrank is k.5 — l_discount has only ~11 distinct values,
+    the heaviest tie case in the fixture), and ρ is Pearson over the
+    doubled ranks, which is algebraically identical to ρ on midranks.
+    All moments are exact int64; one shared SQL text means both
+    engines execute the same fixed double expression.
+
+    Scale: two rank windows per pair, partitioned on the segment key —
+    no global sort; moments are partial-combined. int64 rank moments
+    hold to ~2M rows/segment; beyond that the sums switch to
+    DECIMAL(38,0) accumulation."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(_spearman_sql())
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa — inter-rater agreement beyond chance
+# ---------------------------------------------------------------------------
+
+#: Tercile cut literals for the two heuristic "raters" (fixture-wide
+#: length terciles; fixed literals keep both engines and future data
+#: banding identically).
+KAPPA_LEN_CUTS = (216, 379)
+KAPPA_SPACE_CUTS = (38, 68)
+
+
+def _kappa_sql() -> str:
+    """Fully portable shared SQL. With D = Σ diagonal, P = Σ row_k·col_k
+    and n the total: κ = (D·n − P)/(n² − P) — every term exact int64,
+    ONE double division."""
+    lc, sc = KAPPA_LEN_CUTS, KAPPA_SPACE_CUTS
+    return f"""
+WITH rated AS (
+  SELECT CASE WHEN length(text) <= {lc[0]} THEN 0
+              WHEN length(text) <= {lc[1]} THEN 1 ELSE 2 END AS r1,
+         CASE WHEN length(text) - length(replace(text, ' ', '')) <= {sc[0]}
+                THEN 0
+              WHEN length(text) - length(replace(text, ' ', '')) <= {sc[1]}
+                THEN 1 ELSE 2 END AS r2
+  FROM documents
+),
+cells AS (
+  SELECT r1, r2, CAST(COUNT(*) AS BIGINT) AS c FROM rated GROUP BY r1, r2
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN r1 = r2 THEN c ELSE 0 END) AS BIGINT) AS d
+  FROM cells
+),
+margins AS (
+  SELECT CAST(SUM(rw.rt * cl.ct) AS BIGINT) AS p
+  FROM (SELECT r1 AS k, SUM(c) AS rt FROM cells GROUP BY r1) rw
+  JOIN (SELECT r2 AS k, SUM(c) AS ct FROM cells GROUP BY r2) cl
+    ON rw.k = cl.k
+)
+SELECT t.n, t.d AS n_agree,
+       round(CAST(t.d AS DOUBLE) / t.n, 6) AS po,
+       round(CAST(m.p AS DOUBLE) / t.n / t.n, 6) AS pe,
+       round(CAST(t.d * t.n - m.p AS DOUBLE) / (t.n * t.n - m.p), 6) + 0.0
+         AS kappa
+FROM tot t CROSS JOIN margins m
+"""
+
+
+@query("ml_cohens_kappa", oracle=_kappa_sql())
+def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between two heuristic document-quality raters (char-
+    length terciles vs whitespace-count terciles) — the chance-
+    corrected agreement measure used to validate LLM-as-judge and
+    human labeling pipelines before trusting their labels (raw
+    agreement po flatters raters that both favor a majority class; κ
+    subtracts the chance agreement pe from the margins).
+
+    Exact algebra: κ = (po−pe)/(1−pe) = (D·n − P)/(n² − P) with D the
+    agreement count, P = Σ_k row_k·col_k the margin product — all
+    int64; ONE double division at the end, shared SQL text both sides.
+
+    Scale: one scan banding both raters (zero-shuffle scoring), a
+    ≤9-cell contingency aggregate, margins on the cell relation."""
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_kappa_sql())

@@ -745,3 +745,50 @@ def test_delta_method_matches_numpy(spark, sf_dir):
     assert abs(out["se_b"] - np.sqrt(stats[1][2])) < TOL
     z = (stats[1][1] - stats[0][1]) / np.sqrt(stats[0][2] + stats[1][2])
     assert abs(out["z_stat"] - z) < 1e-4
+
+
+def test_spearman_matches_pandas(spark, sf_dir):
+    out = eng.QUERIES["ml_spearman_rho"](spark, sf_dir).toPandas()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    for _, row in out.iterrows():
+        g = li[li["l_returnflag"] == row["l_returnflag"]]
+        rx = g[row["x_col"]].astype("float64").rank(method="average")
+        ry = g[row["y_col"]].astype("float64").rank(method="average")
+        rho = float(np.corrcoef(rx.to_numpy(), ry.to_numpy())[0, 1])
+        assert row["n"] == len(g)
+        assert abs(row["rho"] - rho) < 1e-5, (row["x_col"], row["y_col"])
+
+
+def test_cohens_kappa_matches_numpy(spark, sf_dir):
+    out = eng.QUERIES["ml_cohens_kappa"](spark, sf_dir).toPandas().iloc[0]
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    ln = docs["text"].str.len()
+    sp = ln - docs["text"].str.replace(" ", "", regex=False).str.len()
+    r1 = np.where(ln <= 216, 0, np.where(ln <= 379, 1, 2))
+    r2 = np.where(sp <= 38, 0, np.where(sp <= 68, 1, 2))
+    n = len(docs)
+    po = float((r1 == r2).mean())
+    pe = sum(
+        float((r1 == k).sum()) * float((r2 == k).sum()) for k in (0, 1, 2)
+    ) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    assert out["n"] == n
+    assert abs(out["po"] - po) < TOL
+    assert abs(out["pe"] - pe) < TOL
+    assert abs(out["kappa"] - kappa) < TOL
+
+
+def test_dp_noise_is_laplace_shaped(spark, sf_dir):
+    """The hash-uniform is deterministic, so check the mechanism's
+    algebra directly: noise must invert to a uniform via the Laplace
+    CDF, and noisy = true + noise."""
+    out = eng.QUERIES["dq_dp_noisy_release"](spark, sf_dir).toPandas()
+    assert (out["epsilon"] == 1.0).all()
+    assert np.allclose(
+        out["noisy_count"], out["n_true"] + out["noise"], atol=2e-6
+    )
+    # inverse-CDF sanity: |noise| = ln(1/(1-2|u-1/2|)) ⇒ recover u-grid
+    u = 0.5 - np.sign(out["noise"]) * (1 - np.exp(-np.abs(out["noise"]))) / 2
+    grid = np.rint(u * 1_000_000)
+    assert np.allclose(u * 1_000_000, grid, atol=0.5)
+    assert ((grid >= 1) & (grid <= 999_999)).all()
