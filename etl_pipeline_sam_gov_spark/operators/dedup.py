@@ -1473,3 +1473,64 @@ def dedup_suffix_prefix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b", F.col("suf").alias("overlap_text"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance (Levenshtein) near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+LEV_PREFIX = 24   #: blocking key: first 24 chars
+LEV_MAX_DIST = 16  #: absolute edit-distance acceptance threshold
+
+
+def _lev_blocked_sql() -> str:
+    """Fully portable shared SQL — ``levenshtein`` is built into both
+    engines with identical unit-cost semantics."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS ln,
+         substr(text, 1, {LEV_PREFIX}) AS pfx
+  FROM documents
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(a.ln AS BIGINT) AS len_a, CAST(b.ln AS BIGINT) AS len_b,
+         CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+  FROM d a JOIN d b
+    ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+  WHERE abs(a.ln - b.ln) <= {LEV_MAX_DIST}
+)
+SELECT doc_a, doc_b, len_a, len_b, edit_dist,
+       round(CAST(edit_dist AS DOUBLE)
+             / CASE WHEN len_a >= len_b THEN len_a ELSE len_b END, 6)
+         AS rel_dist
+FROM cand
+WHERE edit_dist <= {LEV_MAX_DIST}
+"""
+
+
+@query("dedup_levenshtein_blocked", oracle=_lev_blocked_sql())
+def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE near-duplicate pairs — the character-level member
+    of the dedup family (MinHash/Jaccard see shingle SETS and miss
+    small in-place edits that preserve few shingles; Levenshtein
+    counts the edits themselves, the right notion for OCR noise,
+    template fills, and single-token substitutions).
+
+    The quadratic is tamed by TWO prunes before any distance call:
+    (1) equi-join blocking on the first {24}-char prefix — candidate
+    pairs must share it, turning all-pairs into per-block pairs; (2)
+    the length window |len_a − len_b| ≤ d, sound because edit distance
+    is ≥ the length difference. Within a block the distance is exact.
+    Prefix blocking trades recall for scale exactly like SimHash
+    banding: an edit inside the first 24 chars escapes this blocking
+    key (dedup_minhash_lsh is the recall-safe companion; production
+    runs both keys plus a suffix block). Identical ``levenshtein``
+    built-ins make ONE shared SQL text drive both engines.
+
+    Scale: one narrow scan builds (prefix, length) keys; one
+    partition-local equi-join per block; O(len²) DP only on surviving
+    candidates — the same candidate-then-verify shape as every other
+    dedup scale path here."""
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_lev_blocked_sql())
