@@ -69,6 +69,9 @@ HEADLINE = [
     "text_boilerplate_removal",  # chunk exchange + broadcast boiler set + reassembly
     "ml_isotonic_calibration",  # grouped-map PAV: one group shuffle, O(n) per group
     "ann_mmr_rerank",  # bucketed candidates + per-query greedy selection
+    "udf_holt_winters_hourly",  # grouped-map walk w/ 24-slot vector state
+    "ab_mann_whitney_u",  # user rollup + distinct-value midrank prefix sum
+    "dedup_levenshtein_blocked",  # prefix-blocked edit-distance verify
 ]
 
 
