@@ -2286,3 +2286,167 @@ def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Propensity caliper matching (1-NN with replacement) — ATT estimate
+# ---------------------------------------------------------------------------
+
+MATCH_CALIPER_BP = 500  #: max |propensity gap| in basis points
+
+
+@query(
+    "ab_propensity_caliper_match",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS e,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS spend
+  FROM events GROUP BY user_id
+),
+lab AS (
+  SELECT user_id, (e * 5 > n) AS treated,
+         CAST((e * 10000) // n AS BIGINT) AS bp, spend
+  FROM u
+),
+walk AS (
+  SELECT user_id, treated, bp, spend,
+         last_value(CASE WHEN NOT treated THEN bp END IGNORE NULLS)
+           OVER w_prev AS pbp,
+         last_value(CASE WHEN NOT treated THEN spend END IGNORE NULLS)
+           OVER w_prev AS pspend,
+         first_value(CASE WHEN NOT treated THEN bp END IGNORE NULLS)
+           OVER w_next AS nbp,
+         first_value(CASE WHEN NOT treated THEN spend END IGNORE NULLS)
+           OVER w_next AS nspend
+  FROM lab
+  WINDOW
+    w_prev AS (ORDER BY bp, user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    w_next AS (ORDER BY bp, user_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+),
+chosen AS (
+  SELECT user_id, spend,
+         CASE WHEN pbp IS NULL AND nbp IS NULL THEN NULL
+              WHEN nbp IS NULL THEN bp - pbp
+              WHEN pbp IS NULL THEN nbp - bp
+              WHEN bp - pbp <= nbp - bp THEN bp - pbp
+              ELSE nbp - bp END AS dist,
+         CASE WHEN pbp IS NULL AND nbp IS NULL THEN NULL
+              WHEN nbp IS NULL THEN pspend
+              WHEN pbp IS NULL THEN nspend
+              WHEN bp - pbp <= nbp - bp THEN pspend
+              ELSE nspend END AS cspend
+  FROM walk WHERE treated
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+       CAST(SUM(CASE WHEN dist <= {MATCH_CALIPER_BP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       round(CAST(SUM(CASE WHEN dist <= {MATCH_CALIPER_BP}
+                      THEN spend - cspend END) AS DOUBLE)
+             / SUM(CASE WHEN dist <= {MATCH_CALIPER_BP} THEN 1 ELSE 0 END)
+             / 100, 6) + 0.0 AS att_dollars,
+       round(CAST(SUM(CASE WHEN dist <= {MATCH_CALIPER_BP}
+                      THEN dist END) AS DOUBLE)
+             / SUM(CASE WHEN dist <= {MATCH_CALIPER_BP} THEN 1 ELSE 0 END),
+             6) AS avg_match_dist_bp
+FROM chosen
+""",
+)
+def ab_propensity_caliper_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score CALIPER MATCHING (1-nearest-neighbor with
+    replacement) — the third causal-inference method in the family:
+    ab_test_* assume randomization, ab_ipw_stratified_ate reweights
+    strata; matching instead pairs each treated user with the control
+    whose propensity index is nearest (within a 500-basis-point
+    caliper) and reads the ATT off the matched outcome differences (Rosenbaum
+    & Rubin 1983; Stuart 2010 for the caliper convention).
+
+    The propensity index is the EXACT integer error-share in basis
+    points (e·10000 DIV n — the same observed-treatment driver the
+    IPW query uses, kept integral so nearest/tie decisions are exact),
+    and nearest-control search is a MERGED WALK, not a join: sort the
+    pooled users once by (bp, user_id), take last-control-before and
+    first-control-after via IGNORE-NULLS window frames, pick the
+    closer side (ties → the lower side, documented). Outcomes are
+    int64 cents; the ATT and mean match distance are one double
+    division each.
+
+    Scale: one user rollup shuffle, then ONE global ordered walk over
+    the |users|-row relation — at 100 TB this becomes the two-phase
+    range-partition walk with boundary carry (each partition needs
+    only its neighbors' edge controls), the resample_interpolate
+    pattern; never the treated×control quadratic."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("bigint")).alias("e"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100, 0).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("spend"),
+    )
+    lab = u.select(
+        "user_id",
+        (F.col("e") * 5 > F.col("n")).alias("treated"),
+        F.expr("CAST((e * 10000) DIV n AS BIGINT)").alias("bp"),
+        "spend",
+    )
+    w_prev = W.orderBy("bp", "user_id").rowsBetween(W.unboundedPreceding, -1)
+    w_next = W.orderBy("bp", "user_id").rowsBetween(1, W.unboundedFollowing)
+    cbp = F.when(~F.col("treated"), F.col("bp"))
+    cspend = F.when(~F.col("treated"), F.col("spend"))
+    walk = lab.select(
+        "user_id",
+        "treated",
+        "bp",
+        "spend",
+        F.last(cbp, ignorenulls=True).over(w_prev).alias("pbp"),
+        F.last(cspend, ignorenulls=True).over(w_prev).alias("pspend"),
+        F.first(cbp, ignorenulls=True).over(w_next).alias("nbp"),
+        F.first(cspend, ignorenulls=True).over(w_next).alias("nspend"),
+    )
+    bp, pbp, nbp = F.col("bp"), F.col("pbp"), F.col("nbp")
+    both_null = pbp.isNull() & nbp.isNull()
+    dist = (
+        F.when(both_null, F.lit(None))
+        .when(nbp.isNull(), bp - pbp)
+        .when(pbp.isNull(), nbp - bp)
+        .when(bp - pbp <= nbp - bp, bp - pbp)
+        .otherwise(nbp - bp)
+    )
+    csp = (
+        F.when(both_null, F.lit(None))
+        .when(nbp.isNull(), F.col("pspend"))
+        .when(pbp.isNull(), F.col("nspend"))
+        .when(bp - pbp <= nbp - bp, F.col("pspend"))
+        .otherwise(F.col("nspend"))
+    )
+    chosen = walk.filter("treated").select(
+        "spend", dist.alias("dist"), csp.alias("cspend")
+    )
+    ok = F.col("dist") <= MATCH_CALIPER_BP
+    n_matched = F.sum(ok.cast("bigint"))
+    return chosen.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_treated"),
+        n_matched.cast("bigint").alias("n_matched"),
+        (
+            F.round(
+                F.sum(F.when(ok, F.col("spend") - F.col("cspend")))
+                .cast("double")
+                / n_matched
+                / 100,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("att_dollars"),
+        F.round(
+            F.sum(F.when(ok, F.col("dist"))).cast("double") / n_matched, 6
+        ).alias("avg_match_dist_bp"),
+    )

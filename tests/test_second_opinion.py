@@ -792,3 +792,53 @@ def test_dp_noise_is_laplace_shaped(spark, sf_dir):
     grid = np.rint(u * 1_000_000)
     assert np.allclose(u * 1_000_000, grid, atol=0.5)
     assert ((grid >= 1) & (grid <= 999_999)).all()
+
+
+def test_propensity_match_matches_numpy(spark, sf_dir):
+    out = (
+        eng.QUERIES["ab_propensity_caliper_match"](spark, sf_dir)
+        .toPandas()
+        .iloc[0]
+    )
+    ev = _events(sf_dir)
+    g = ev.groupby("user_id")
+    n = g.size()
+    e = g["event_type"].apply(lambda s: int((s == "error").sum()))
+    spend = (
+        (ev["value"] * 100).round().astype("int64")
+        .where(ev["event_type"] == "purchase", 0)
+        .groupby(ev["user_id"]).sum()
+    )
+    u = pd.DataFrame({"n": n, "e": e, "spend": spend}).reset_index()
+    u["treated"] = u["e"] * 5 > u["n"]
+    u["bp"] = (u["e"] * 10000) // u["n"]
+    ctl = u[~u["treated"]].sort_values(["bp", "user_id"]).reset_index(drop=True)
+    diffs, dists = [], []
+    n_treated = int(u["treated"].sum())
+    for _, row in u[u["treated"]].iterrows():
+        # walk semantics: nearest control in (bp, user_id) order, ties → lower
+        before = ctl[
+            (ctl["bp"] < row["bp"])
+            | ((ctl["bp"] == row["bp"]) & (ctl["user_id"] < row["user_id"]))
+        ]
+        after = ctl[
+            (ctl["bp"] > row["bp"])
+            | ((ctl["bp"] == row["bp"]) & (ctl["user_id"] > row["user_id"]))
+        ]
+        cands = []
+        if len(before):
+            b = before.iloc[-1]
+            cands.append((row["bp"] - b["bp"], 0, b["spend"]))
+        if len(after):
+            a = after.iloc[0]
+            cands.append((a["bp"] - row["bp"], 1, a["spend"]))
+        if not cands:
+            continue
+        d, _, cs = min(cands)  # ties prefer the lower side (flag 0)
+        if d <= 500:
+            diffs.append(row["spend"] - cs)
+            dists.append(d)
+    assert out["n_treated"] == n_treated
+    assert out["n_matched"] == len(diffs)
+    assert abs(out["att_dollars"] - np.mean(diffs) / 100) < TOL
+    assert abs(out["avg_match_dist_bp"] - np.mean(dists)) < TOL
