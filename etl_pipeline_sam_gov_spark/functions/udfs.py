@@ -720,3 +720,113 @@ def udf_holt_winters_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("forecast"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-D Kalman filter (constant-state model, per user)
+# ---------------------------------------------------------------------------
+
+KF_Q = 0.5  #: process-noise variance per step
+KF_R = 4.0  #: measurement-noise variance
+
+
+def _kalman_oracle() -> str:
+    """Recursive-CTE replay of the predict/update cycle with the gain
+    expression repeated VERBATIM inside x' and P' (the EWMA/Holt
+    oracle discipline), so every state is bit-identical per step."""
+    q, r = KF_Q, KF_R
+    k = f"((r.p + {q}) / ((r.p + {q}) + {r}))"
+    return f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+rec AS (
+  SELECT user_id, rn, n, value AS x, CAST({r} AS DOUBLE) AS p,
+         CAST(0.0 AS DOUBLE) AS k
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.n,
+         r.x + {k} * (s.value - r.x),
+         (1.0 - {k}) * (r.p + {q}),
+         {k}
+  FROM seq s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       round(x, 6) + 0.0 AS kalman_estimate,
+       round(p, 6) + 0.0 AS error_variance,
+       round(k, 6) + 0.0 AS kalman_gain
+FROM rec WHERE rn = n
+"""
+
+
+@query("udf_kalman_filter_users", oracle=_kalman_oracle())
+def udf_kalman_filter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter per user over the event-value stream
+    (constant-state model, Q=0.5 process / R=4 measurement noise) —
+    the OPTIMAL linear sequential estimator and the fifth member of
+    the grouped-map recurrence family (EWMA = fixed gain, Holt adds
+    trend, Holt-Winters adds seasonality, CUSUM detects shifts; the
+    Kalman gain ADAPTS each step as K = P⁻/(P⁻+R), so early noisy
+    estimates converge toward the steady-state gain). Emits each
+    user's final estimate, error variance, and last gain — the
+    "filtered sensor" readout of IoT/metrics smoothing pipelines.
+
+    The update contains a per-step DIVISION, which is the reason this
+    is beyond exact-integer window algebra: determinism instead comes
+    from the EWMA contract — the Python loop and the recursive CTE
+    perform the identical IEEE op sequence (the gain expression is
+    repeated verbatim inside x' and P', never held in a SQL
+    temporary), so every intermediate is bit-identical before
+    round(6). Scale: one user-keyed shuffle; per-task state is three
+    doubles; recursion depth = history length."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+
+    def kalman(pdf: pd.DataFrame) -> pd.DataFrame:
+        q, r = KF_Q, KF_R
+        pdf = pdf.sort_values(["ts", "event_id"])
+        x = p = None
+        k = 0.0
+        for z in pdf["value"].tolist():
+            if x is None:
+                x, p = z, r
+                continue
+            p_pred = p + q
+            k = p_pred / (p_pred + r)
+            x = x + k * (z - x)
+            p = (1.0 - k) * p_pred
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "x_raw": [x],
+                "p_raw": [p],
+                "k_raw": [k],
+            }
+        )
+
+    out = (
+        ev.select("event_id", "user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            kalman,
+            T.StructType(
+                [
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("n_events", T.LongType()),
+                    T.StructField("x_raw", T.DoubleType()),
+                    T.StructField("p_raw", T.DoubleType()),
+                    T.StructField("k_raw", T.DoubleType()),
+                ]
+            ),
+        )
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        (F.round("x_raw", 6) + F.lit(0.0)).alias("kalman_estimate"),
+        (F.round("p_raw", 6) + F.lit(0.0)).alias("error_variance"),
+        (F.round("k_raw", 6) + F.lit(0.0)).alias("kalman_gain"),
+    )

@@ -151,6 +151,8 @@ STRESS_QUERIES = (
     "ab_mann_whitney_u",         # user rollup + distinct-value prefix sum
     "ab_sequential_sprt",        # per-arm ordered cumsum + first crossing
     "udf_holt_winters_hourly",   # (type,hour) collapse + per-type walk
+    "udf_kalman_filter_users",   # user-keyed grouped-map, 3-double state
+    "ab_propensity_caliper_match",  # user rollup + global merged walk
     # (ann_mmr_rerank inherits the ann_* exclusion: its query set grows
     # with the corpus by fixture rule, so amplification measures the
     # candidate-pool count, not the per-query O(K·C·dim) selection.)
