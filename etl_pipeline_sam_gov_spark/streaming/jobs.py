@@ -1554,3 +1554,104 @@ def stream_max_drawdown_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("draw").cast("bigint").alias("max_drawdown_cents"),
         F.col("h").cast("bigint").alias("trough_hour"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Kalman filter (GroupState twin of udf_kalman_filter_users)
+# ---------------------------------------------------------------------------
+
+
+def _kalman_stream_oracle() -> str:
+    """The batch twin's recursive-CTE oracle, verbatim — one source of
+    truth for both lanes (imports the defining module first so the
+    lookup works under standalone import)."""
+    import etl_pipeline_sam_gov_spark.functions.udfs  # noqa: F401
+
+    from etl_pipeline_sam_gov_spark.registry import ORACLES
+
+    return ORACLES["udf_kalman_filter_users"]
+
+
+@query("stream_kalman_filter_users", oracle=_kalman_stream_oracle())
+def stream_kalman_filter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of udf_kalman_filter_users: the per-user
+    predict/update Kalman cycle carried in explicit GroupState across
+    micro-batches — the adaptive-gain upgrade of
+    stream_ewma_user_values' fixed-gain fold, and the richest state
+    this family carries (count, estimate, error variance, last gain).
+    Batch rows sort by (ts, event_id) before folding and the cycle
+    resumes from the saved (x, P), so under event-time-ordered batch
+    boundaries (availableNow replay; any log-ordered source) the final
+    state is op-for-op the batch kernel's — it hash-matches the SAME
+    recursive-CTE oracle."""
+    from etl_pipeline_sam_gov_spark.functions.udfs import KF_Q, KF_R
+
+    events = read_events_stream(spark, sf_dir)
+
+    def update_kalman(key, pdfs, state):
+        import pandas as pd
+
+        q, r = KF_Q, KF_R
+        if state.exists:
+            n, x, p, k = state.get
+        else:
+            n, x, p, k = 0, None, None, 0.0
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for z in pdf["value"].tolist():
+            if n == 0:
+                x, p = z, r
+            else:
+                p_pred = p + q
+                k = p_pred / (p_pred + r)
+                x = x + k * (z - x)
+                p = (1.0 - k) * p_pred
+            n += 1
+        state.update((n, float(x), float(p), float(k)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "x_raw": [x],
+                "p_raw": [p],
+                "k_raw": [k],
+            }
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("x_raw", T.DoubleType()),
+            T.StructField("p_raw", T.DoubleType()),
+            T.StructField("k_raw", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("p", T.DoubleType()),
+            T.StructField("k", T.DoubleType()),
+        ]
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    filtered = (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_kalman,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_to_memory(filtered, mode="update", shuffle_partitions=8)
+    return out.select(
+        "user_id",
+        "n_events",
+        (F.round("x_raw", 6) + F.lit(0.0)).alias("kalman_estimate"),
+        (F.round("p_raw", 6) + F.lit(0.0)).alias("error_variance"),
+        (F.round("k_raw", 6) + F.lit(0.0)).alias("kalman_gain"),
+    )
