@@ -830,3 +830,147 @@ def udf_kalman_filter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("p_raw", 6) + F.lit(0.0)).alias("error_variance"),
         (F.round("k_raw", 6) + F.lit(0.0)).alias("kalman_gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Viterbi decode over a 2-state HMM (browse / buy-intent)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+#: Emission probabilities per hidden state (browse, intent) for each
+#: event type, and the transition/initial matrices. The LOG constants
+#: below are computed once in Python and embedded as shared literals,
+#: so neither engine ever calls ln() — the whole DP is max/+ on doubles.
+VIT_EMIT = {
+    "view": (0.35, 0.15),
+    "click": (0.30, 0.30),
+    "signup": (0.10, 0.10),
+    "error": (0.15, 0.05),
+    "purchase": (0.10, 0.40),
+}
+VIT_TRANS = (0.8, 0.2, 0.3, 0.7)  #: a00, a01, a10, a11
+VIT_INIT = (0.5, 0.5)
+
+_LE = {t: (_math.log(p0), _math.log(p1)) for t, (p0, p1) in VIT_EMIT.items()}
+_LA = tuple(_math.log(p) for p in VIT_TRANS)
+_LI = tuple(_math.log(p) for p in VIT_INIT)
+
+
+def _viterbi_oracle() -> str:
+    """Recursive-CTE replay of the Viterbi DP: state (v0, v1) is the
+    max log-prob of any path ending in each hidden state; per step
+    v_j' = max(v_0 + lnA_0j, v_1 + lnA_1j) + lnB_j(obs) via GREATEST —
+    the identical max/+ sequence as the Python loop."""
+    a00, a01, a10, a11 = (f"CAST({a!r} AS DOUBLE)" for a in _LA)
+
+    def emit(j: int) -> str:
+        return (
+            "CASE s.event_type "
+            + " ".join(
+                f"WHEN '{t}' THEN CAST({lp[j]!r} AS DOUBLE)"
+                for t, lp in sorted(_LE.items())
+            )
+            + " END"
+        )
+
+    def emit1(j: int) -> str:
+        return emit(j).replace("s.event_type", "event_type")
+
+    return f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+rec AS (
+  SELECT user_id, rn, n,
+         CAST({_LI[0]!r} AS DOUBLE) + CAST({emit1(0)} AS DOUBLE) AS v0,
+         CAST({_LI[1]!r} AS DOUBLE) + CAST({emit1(1)} AS DOUBLE) AS v1
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.n,
+         GREATEST(r.v0 + {a00}, r.v1 + {a10}) + {emit(0)},
+         GREATEST(r.v0 + {a01}, r.v1 + {a11}) + {emit(1)}
+  FROM seq s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       round(CASE WHEN v1 > v0 THEN v1 ELSE v0 END, 6) + 0.0
+         AS viterbi_logprob,
+       CAST(CASE WHEN round(v1, 6) > round(v0, 6) THEN 1 ELSE 0 END AS BIGINT)
+         AS best_final_state
+FROM rec WHERE rn = n
+"""
+
+
+@query("udf_viterbi_2state", oracle=_viterbi_oracle())
+def udf_viterbi_2state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi decoding of a 2-state HMM (browse vs buy-intent) over
+    each user's event-type sequence — the max-product DYNAMIC PROGRAM
+    (Viterbi 1967; Rabiner 1989) behind session-intent tagging,
+    activity segmentation, and every sequence-labeling pipeline. Per
+    step the DP keeps the best log-probability of any path ending in
+    each hidden state; the readout is the best final path's log-prob
+    and its ending state. A NEW kernel class for the grouped-map lane:
+    the recurrences so far were smoothers (EWMA/Holt/HW/Kalman) and
+    detectors (CUSUM); this is a max-plus DP over a latent space —
+    non-linear (max), non-invertible, strictly beyond window frames.
+
+    Determinism: all ln() calls happen ONCE in Python; both engines
+    receive the same double literals and perform only max/+ (exact,
+    order-pinned via GREATEST ≡ Python max with identical operand
+    order), so every DP cell is bit-identical; ties in the final
+    argmax break to state 0 in both. Scale: one user-keyed shuffle;
+    per-task state is two doubles; depth = history length."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    a00, a01, a10, a11 = _LA
+
+    def viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        v0 = v1 = None
+        for t in pdf["event_type"].tolist():
+            e0, e1 = _LE[t]
+            if v0 is None:
+                v0, v1 = _LI[0] + e0, _LI[1] + e1
+            else:
+                n0 = max(v0 + a00, v1 + a10) + e0
+                n1 = max(v0 + a01, v1 + a11) + e1
+                v0, v1 = n0, n1
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "v0": [v0],
+                "v1": [v1],
+            }
+        )
+
+    out = (
+        ev.select("event_id", "user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandas(
+            viterbi,
+            T.StructType(
+                [
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("n_events", T.LongType()),
+                    T.StructField("v0", T.DoubleType()),
+                    T.StructField("v1", T.DoubleType()),
+                ]
+            ),
+        )
+    )
+    best = F.when(F.col("v1") > F.col("v0"), F.col("v1")).otherwise(F.col("v0"))
+    return out.select(
+        "user_id",
+        "n_events",
+        (F.round(best, 6) + F.lit(0.0)).alias("viterbi_logprob"),
+        # the argmax compares ROUND(·,6) values (the emitted precision):
+        # a sub-emission 1-ulp DP divergence between engines must not be
+        # able to flip the label on a near-tie (observed at sf0.01)
+        F.when(F.round(F.col("v1"), 6) > F.round(F.col("v0"), 6), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("best_final_state"),
+    )
