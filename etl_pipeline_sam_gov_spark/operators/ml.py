@@ -2301,3 +2301,153 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤9-cell contingency aggregate, margins on the cell relation."""
     load_tables(spark, sf_dir, ("documents",))
     return spark.sql(_kappa_sql())
+
+
+# ---------------------------------------------------------------------------
+# Bagged stumps (bootstrap-aggregated ensemble; Poisson(1) bags)
+# ---------------------------------------------------------------------------
+
+BAG_B = 8  #: bootstrap bags
+
+
+def _bagged_sql(hash60_u, f1_days) -> str:
+    """ONE SQL text driving both engines; parameterized only by (a) the
+    hash-uniform spelling and (b) the day-diff spelling plus the bag
+    generator. Weighted stump fits use exact int64 weighted moments;
+    the split score and the two leaf means are the only double ops,
+    written once. Ensemble MAE stays exact: Σ|B·y − Σ_b pred_b| is an
+    integer — one double division at the end."""
+    from etl_pipeline_sam_gov_spark.operators.behavior import _pois_w_sql
+
+    bexp = hash60_u["gen_bags"]
+    u = hash60_u["u"]("CAST(r.id AS {t}) || ':' || CAST(r.b AS {t})")
+    b = BAG_B
+
+    def cum(fi: int) -> str:
+        return f"""
+    SELECT b, f{fi} AS v,
+           CAST(SUM(SUM(w)) OVER (PARTITION BY b ORDER BY f{fi})
+                AS BIGINT) AS nl,
+           CAST(SUM(SUM(w * y)) OVER (PARTITION BY b ORDER BY f{fi})
+                AS BIGINT) AS sl
+    FROM reps GROUP BY b, f{fi}"""
+
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS id,
+         {f1_days} AS f1,
+         CAST(o_custkey % 97 AS BIGINT) AS f2,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+),
+bags AS (SELECT {bexp} AS b),
+reps AS (
+  SELECT r.id, r.f1, r.f2, r.y, r.b, {{W}} AS w
+  FROM (SELECT base.*, bags.b FROM base CROSS JOIN bags) r
+),
+tot AS (
+  SELECT b, CAST(SUM(w) AS BIGINT) AS nt, CAST(SUM(w * y) AS BIGINT) AS st
+  FROM reps GROUP BY b
+),
+cand AS (
+  SELECT 1 AS feat, t1.* FROM ({cum(1)}) t1
+  UNION ALL
+  SELECT 2 AS feat, t2.* FROM ({cum(2)}) t2
+),
+scored AS (
+  SELECT c.feat, c.b, c.v, c.nl, t.nt - c.nl AS nr, c.sl, t.st,
+         CAST(c.sl AS DOUBLE) * c.sl / c.nl
+           + CAST(t.st - c.sl AS DOUBLE) * (t.st - c.sl) / (t.nt - c.nl)
+           AS score
+  FROM cand c JOIN tot t ON c.b = t.b
+  WHERE c.nl > 0 AND c.nl < t.nt
+),
+best AS (
+  SELECT * FROM (
+    SELECT feat, b, v, nl, nr, sl, st,
+           row_number() OVER (PARTITION BY b ORDER BY score DESC, feat, v)
+             AS rn
+    FROM scored
+  ) rb WHERE rn = 1
+),
+stumps AS (
+  SELECT b AS bag, feat, v AS threshold, nl AS n_left_w, nr AS n_right_w,
+         CAST(round(CAST(sl AS DOUBLE) / nl) AS BIGINT) AS pred_left_cents,
+         CAST(round(CAST(st - sl AS DOUBLE) / nr) AS BIGINT)
+           AS pred_right_cents
+  FROM best
+),
+preds AS (
+  SELECT base.id, base.y,
+         CAST(SUM(CASE WHEN (s.feat = 1 AND base.f1 <= s.threshold)
+                         OR (s.feat = 2 AND base.f2 <= s.threshold)
+                  THEN s.pred_left_cents ELSE s.pred_right_cents END)
+              AS BIGINT) AS psum
+  FROM base CROSS JOIN stumps s
+  GROUP BY base.id, base.y
+),
+mae AS (
+  SELECT round(CAST(SUM(abs({b} * y - psum)) AS DOUBLE)
+               / ({b}.0 * COUNT(*)) / 100, 6) AS ensemble_mae_dollars
+  FROM preds
+)
+SELECT CAST(s.bag AS BIGINT) AS bag, s.feat, s.threshold,
+       s.n_left_w, s.n_right_w,
+       s.pred_left_cents, s.pred_right_cents, m.ensemble_mae_dollars
+FROM stumps s CROSS JOIN mae m
+""".replace("{W}", _pois_w_sql(u))
+
+
+def _bagged_oracle() -> str:
+    from etl_pipeline_sam_gov_spark.operators.behavior import _U_DEN
+    from etl_pipeline_sam_gov_spark.operators.dedup import _sql_hash60
+
+    return _bagged_sql(
+        {
+            "gen_bags": f"unnest(range({BAG_B}))",
+            "u": lambda key: (
+                f"({_sql_hash60(key.format(t='VARCHAR'))})::DOUBLE / {_U_DEN!r}"
+            ),
+        },
+        "CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+        " AS BIGINT)",
+    )
+
+
+@query("ml_bagged_stumps", oracle=_bagged_oracle())
+def ml_bagged_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bagging (Breiman 1996) of regression stumps — the third member
+    of the ensemble triad (ml_gbm_stumps = boosting, ml_kfold_cv_stump
+    = validation): B=8 bootstrap replicas, one depth-1 tree each, the
+    ensemble predicting the leaf-mean AVERAGE. Bootstrap resampling is
+    the Poisson(1)-weight approximation (the ab_bootstrap_ci_poisson
+    machinery — weights from a deterministic md5 grid, the
+    industry-standard distributed bootstrap since resampling 100 TB by
+    index is impossible), so each bag's weighted stump fit uses exact
+    int64 weighted moments and every split decision is reproducible.
+
+    The variance-reduction readout is honest and exact: ensemble MAE
+    uses Σ|B·y − Σ_b pred_b| (an integer — avoiding a float mean per
+    row), one double division at the end. ONE SQL text drives both
+    engines (hash/day-diff/bag-generator spellings aside). Scale: the
+    B-fold replication is a narrow generate (w column per bag, rows
+    never copied); per bag the fit is the GBM stump shape — per-value
+    collapse, one cumulative window on the bounded value domain, a
+    1-row argmax; prediction broadcasts 8 stump rows."""
+    load_tables(spark, sf_dir, ("orders",))
+    from etl_pipeline_sam_gov_spark.operators.behavior import _U_DEN
+
+    return spark.sql(
+        _bagged_sql(
+            {
+                "gen_bags": f"explode(sequence(0, {BAG_B - 1}))",
+                "u": lambda key: (
+                    "CAST(CAST(conv(substring(md5("
+                    + key.format(t="STRING")
+                    + f"), 1, 15), 16, 10) AS BIGINT) AS DOUBLE) / {_U_DEN!r}"
+                ),
+            },
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)",
+        )
+    )
