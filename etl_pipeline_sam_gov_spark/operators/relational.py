@@ -1182,3 +1182,56 @@ WHERE r.r_name IN ('ASIA', 'EUROPE')
 GROUP BY n.n_name
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-declared scalar functions (Spark 4 CREATE FUNCTION ... RETURN)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_declared_functions",
+    oracle="""
+SELECT CASE WHEN l_extendedprice * (1.0 - l_discount) < 1000 THEN 'lo'
+            WHEN l_extendedprice * (1.0 - l_discount) < 30000 THEN 'mid'
+            ELSE 'hi' END AS net_band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                      AS BIGINT)) AS DOUBLE) / 100, 2) AS net_revenue
+FROM lineitem
+GROUP BY 1
+""",
+)
+def sql_declared_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language scalar UDFs (Spark 4 ``CREATE FUNCTION … RETURNS …
+    RETURN <expr>``): the net-price formula and its banding rule are
+    DECLARED once in the catalog and reused by name — the way a data
+    platform centralizes business definitions so every query computes
+    "net revenue" identically. Because the body is a SQL expression
+    (not Python), Catalyst INLINES it: the plan is identical to
+    writing the expression by hand — whole-stage codegen, pushdown,
+    no serialization wall — which is exactly what the oracle checks
+    by inlining the same expressions verbatim.
+
+    Scale: one scan + partial-combined agg; the function layer adds
+    zero runtime cost by construction (it dissolves at plan time)."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_band(x DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN x < 1000 THEN 'lo' "
+        "WHEN x < 30000 THEN 'mid' ELSE 'hi' END"
+    )
+    return spark.sql(
+        """
+SELECT net_band(net_price(l_extendedprice, l_discount)) AS net_band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(SUM(CAST(round(net_price(l_extendedprice, l_discount) * 100)
+                      AS BIGINT)) AS DOUBLE) / 100, 2) AS net_revenue
+FROM lineitem
+GROUP BY 1
+"""
+    )
