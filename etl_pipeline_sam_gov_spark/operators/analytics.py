@@ -2590,3 +2590,149 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_click_us",
         (F.col("next_click_us") - F.col("ts_us")).alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Granger causality (lag-1, hourly revenue between event types)
+# ---------------------------------------------------------------------------
+
+GRANGER_PAIRS = (
+    ("view", "purchase"),
+    ("purchase", "view"),
+    ("click", "purchase"),
+)
+#: F(1, n−3) critical value at α=0.05 for n ≈ 700 hourly samples.
+GRANGER_F_CRIT = 3.855
+
+
+def _granger_sql(grid_expr: str) -> str:
+    """ONE SQL text for both engines (only the dense-grid generator
+    spelling differs). Per pair: dense zero-filled hourly series, one
+    lag window, exact int64 moments, then the restricted (y~y₋₁) and
+    unrestricted (y~y₋₁+x₋₁) OLS solved in closed form — RSS via the
+    normal-equations identity RSS = Σy² − β'X'y, no residual scan."""
+    blocks = []
+    for i, (xc, yc) in enumerate(GRANGER_PAIRS):
+        blocks.append(f"""
+series{i} AS (
+  SELECT g.h,
+         COALESCE(x.c, 0) AS q0, COALESCE(y.c, 0) AS y0
+  FROM grid g
+  LEFT JOIN hourly x ON x.event_type = '{xc}' AND x.h = g.h
+  LEFT JOIN hourly y ON y.event_type = '{yc}' AND y.h = g.h
+),
+lagged{i} AS (
+  SELECT y0 AS yv,
+         lag(y0) OVER (ORDER BY h) AS p,
+         lag(q0) OVER (ORDER BY h) AS q
+  FROM series{i}
+),
+mom{i} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(p) AS BIGINT) AS sp, CAST(SUM(q) AS BIGINT) AS sq,
+         CAST(SUM(yv) AS BIGINT) AS sy,
+         CAST(SUM(p * p) AS BIGINT) AS spp,
+         CAST(SUM(q * q) AS BIGINT) AS sqq,
+         CAST(SUM(p * q) AS BIGINT) AS spq,
+         CAST(SUM(p * yv) AS BIGINT) AS spy,
+         CAST(SUM(q * yv) AS BIGINT) AS sqy,
+         CAST(SUM(yv * yv) AS BIGINT) AS syy
+  FROM lagged{i} WHERE p IS NOT NULL
+),
+d{i} AS (
+  SELECT CAST(n AS DOUBLE) AS n_d, CAST(sp AS DOUBLE) AS sp_d,
+         CAST(sq AS DOUBLE) AS sq_d, CAST(sy AS DOUBLE) AS sy_d,
+         CAST(spp AS DOUBLE) AS spp_d, CAST(sqq AS DOUBLE) AS sqq_d,
+         CAST(spq AS DOUBLE) AS spq_d, CAST(spy AS DOUBLE) AS spy_d,
+         CAST(sqy AS DOUBLE) AS sqy_d, CAST(syy AS DOUBLE) AS syy_d,
+         n
+  FROM mom{i}
+),
+fit{i} AS (
+  SELECT n,
+         syy_d - ((sy_d - ((n_d * spy_d - sp_d * sy_d)
+                           / (n_d * spp_d - sp_d * sp_d)) * sp_d) / n_d)
+                   * sy_d
+               - ((n_d * spy_d - sp_d * sy_d)
+                  / (n_d * spp_d - sp_d * sp_d)) * spy_d AS rss_r,
+         syy_d
+           - ((sy_d * (spp_d * sqq_d - spq_d * spq_d)
+               - spy_d * (sp_d * sqq_d - spq_d * sq_d)
+               + sqy_d * (sp_d * spq_d - spp_d * sq_d)) / det) * sy_d
+           - ((n_d * (spy_d * sqq_d - spq_d * sqy_d)
+               - sp_d * (sy_d * sqq_d - sq_d * sqy_d)
+               + sq_d * (sy_d * spq_d - sq_d * spy_d)) / det) * spy_d
+           - ((n_d * (spp_d * sqy_d - spy_d * spq_d)
+               - sp_d * (sp_d * sqy_d - sy_d * spq_d)
+               + sq_d * (sp_d * spy_d - sy_d * spp_d)) / det) * sqy_d
+           AS rss_u
+  FROM (
+    SELECT d{i}.*,
+           n_d * (spp_d * sqq_d - spq_d * spq_d)
+           - sp_d * (sp_d * sqq_d - spq_d * sq_d)
+           + sq_d * (sp_d * spq_d - spp_d * sq_d) AS det
+    FROM d{i}
+  ) dd{i}
+),
+out{i} AS (
+  SELECT '{xc}' AS x_col, '{yc}' AS y_col, n,
+         round((rss_r - rss_u) / (rss_u / (n - 3)), 6) + 0.0 AS f_stat,
+         (rss_r - rss_u) / (rss_u / (n - 3)) > {GRANGER_F_CRIT}
+           AS granger_causal
+  FROM fit{i}
+)""")
+        sel = "\nUNION ALL\n".join(
+            f"SELECT * FROM out{j}" for j in range(len(GRANGER_PAIRS))
+        )
+    return (
+        """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+grid AS (SELECT """
+        + grid_expr
+        + """ AS h),
+"""
+        + ",".join(blocks)
+        + "\n"
+        + sel
+    )
+
+
+@query(
+    "ts_granger_causality",
+    oracle=_granger_sql(
+        "unnest(generate_series((SELECT min(h) FROM hourly), "
+        "(SELECT max(h) FROM hourly), INTERVAL 1 HOUR))"
+    ),
+)
+def ts_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality (lag-1) between hourly revenue series of
+    event-type pairs — "does view activity an hour ago help predict
+    purchase revenue now, beyond purchase's own history?" The nested-
+    model F-test every metrics platform uses to rank leading
+    indicators (and the asymmetric design point: view→purchase and
+    purchase→view are BOTH tested — Granger causality is directional,
+    like ml_xicor_correlation's asymmetry).
+
+    Statistics without a residual pass: both OLS fits (restricted
+    y~y₋₁, unrestricted y~y₋₁+x₋₁) solve in closed form from exact
+    int64 moments over the ZERO-FILLED dense hourly grid (missing
+    hours are real zeros, not gaps — the forecasting convention), and
+    each RSS comes from the normal-equations identity Σy² − β'X'y.
+    F = (RSS_r − RSS_u)/(RSS_u/(n−3)) against the α=0.05 critical
+    value. ONE SQL text drives both engines (grid-generator spelling
+    aside), so the Cramer-solve double tree is structurally identical.
+
+    Scale: the corpus collapses to |types|×|hours| in one partial-
+    combined pass; everything after runs on the bounded grid relation
+    (one lag window + one moment aggregate per pair)."""
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        _granger_sql(
+            "explode(sequence((SELECT min(h) FROM hourly), "
+            "(SELECT max(h) FROM hourly), INTERVAL '1' HOUR))"
+        )
+    )
