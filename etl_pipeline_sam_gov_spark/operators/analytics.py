@@ -2736,3 +2736,129 @@ def ts_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(SELECT max(h) FROM hourly), INTERVAL '1' HOUR))"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation (Durbin-Levinson, lags 1-4)
+# ---------------------------------------------------------------------------
+
+
+def _pacf_sql(grid_expr: str) -> str:
+    """ONE SQL text (grid generator aside). Per-lag Pearson ACF from
+    exact int64 moments over the zero-filled hourly series, then the
+    Durbin-Levinson recursion UNROLLED to lag 4 — each φ appears as a
+    named column exactly once, so the double tree is identical in both
+    engines."""
+
+    def rho(k: int) -> str:
+        return f"""
+m{k} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sx, CAST(SUM(l{k}) AS BIGINT) AS sy,
+         CAST(SUM(y * y) AS BIGINT) AS sxx,
+         CAST(SUM(l{k} * l{k}) AS BIGINT) AS syy,
+         CAST(SUM(y * l{k}) AS BIGINT) AS sxy
+  FROM lagged WHERE l{k} IS NOT NULL
+),
+r{k} AS (
+  SELECT (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           AS r,
+         n
+  FROM m{k}
+)"""
+
+    return (
+        """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+grid AS (SELECT """
+        + grid_expr
+        + """ AS h),
+series AS (
+  SELECT g.h, COALESCE(hh.c, 0) AS y
+  FROM grid g LEFT JOIN hourly hh ON hh.h = g.h
+),
+lagged AS (
+  SELECT y,
+         lag(y, 1) OVER (ORDER BY h) AS l1,
+         lag(y, 2) OVER (ORDER BY h) AS l2,
+         lag(y, 3) OVER (ORDER BY h) AS l3,
+         lag(y, 4) OVER (ORDER BY h) AS l4
+  FROM series
+),"""
+        + ",".join(rho(k) for k in (1, 2, 3, 4))
+        + """,
+rho AS (
+  SELECT r1.r AS a1, r2.r AS a2, r3.r AS a3, r4.r AS a4,
+         r1.n AS n1, r2.n AS n2, r3.n AS n3, r4.n AS n4
+  FROM r1 CROSS JOIN r2 CROSS JOIN r3 CROSS JOIN r4
+),
+dl2 AS (
+  SELECT rho.*, (a2 - a1 * a1) / (1 - a1 * a1) AS p22 FROM rho
+),
+dl2b AS (
+  SELECT dl2.*, a1 - p22 * a1 AS p21 FROM dl2
+),
+dl3 AS (
+  SELECT dl2b.*,
+         (a3 - (p21 * a2 + p22 * a1)) / (1 - (p21 * a1 + p22 * a2)) AS p33
+  FROM dl2b
+),
+dl3b AS (
+  SELECT dl3.*, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32 FROM dl3
+),
+dl4 AS (
+  SELECT dl3b.*,
+         (a4 - (p31 * a3 + p32 * a2 + p33 * a1))
+           / (1 - (p31 * a1 + p32 * a2 + p33 * a3)) AS p44
+  FROM dl3b
+)
+SELECT 1 AS lag_hours, n1 AS n_pairs,
+       round(a1, 6) + 0.0 AS acf, round(a1, 6) + 0.0 AS pacf FROM dl4
+UNION ALL
+SELECT 2, n2, round(a2, 6) + 0.0, round(p22, 6) + 0.0 FROM dl4
+UNION ALL
+SELECT 3, n3, round(a3, 6) + 0.0, round(p33, 6) + 0.0 FROM dl4
+UNION ALL
+SELECT 4, n4, round(a4, 6) + 0.0, round(p44, 6) + 0.0 FROM dl4
+"""
+    )
+
+
+@query(
+    "ts_pacf_durbin_levinson",
+    oracle=_pacf_sql(
+        "unnest(generate_series((SELECT min(h) FROM hourly), "
+        "(SELECT max(h) FROM hourly), INTERVAL 1 HOUR))"
+    ),
+)
+def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of hourly revenue at lags 1-4 via the
+    Durbin-Levinson recursion — the ARIMA order-selection readout
+    (PACF cuts off at the AR order; ACF at the MA order) that pairs
+    with ts_autocorrelation_hourly exactly the way the Box-Jenkins
+    workflow pairs them. PACF at lag k is the correlation left after
+    regressing out lags 1..k−1 — a different quantity from ACF, and
+    the recursion that computes it from the ACF is a genuinely new
+    kernel here (a scalar triangular solve, not a window or a join).
+
+    Per-lag ACFs are Pearson over the zero-filled dense grid from
+    exact int64 moments; the recursion is UNROLLED to lag 4 with each
+    φ_{k,j} a named column appearing once, so both engines execute an
+    identical double tree (ONE shared SQL text, grid spelling aside).
+
+    Scale: corpus collapses to |hours| rows once; the lag window and
+    four moment passes run on that bounded relation; the recursion is
+    a 1-row computation."""
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        _pacf_sql(
+            "explode(sequence((SELECT min(h) FROM hourly), "
+            "(SELECT max(h) FROM hourly), INTERVAL '1' HOUR))"
+        )
+    )

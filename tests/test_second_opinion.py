@@ -842,3 +842,33 @@ def test_propensity_match_matches_numpy(spark, sf_dir):
     assert out["n_matched"] == len(diffs)
     assert abs(out["att_dollars"] - np.mean(diffs) / 100) < TOL
     assert abs(out["avg_match_dist_bp"] - np.mean(dists)) < TOL
+
+
+def test_pacf_matches_yule_walker(spark, sf_dir):
+    """Independent check: PACF at lag k = last coefficient of the
+    Yule-Walker system Toeplitz(ρ₀..ρ_{k−1})·φ = (ρ₁..ρ_k), solved
+    with numpy linear algebra — a different algorithm from the
+    engine's Durbin-Levinson recursion (same quantity only if both
+    are right). ACFs differ slightly by convention (the engine uses
+    per-lag Pearson, YW uses a shared ρ₀) so compare loosely."""
+    out = (
+        eng.QUERIES["ts_pacf_durbin_levinson"](spark, sf_dir)
+        .toPandas()
+        .set_index("lag_hours")
+    )
+    ev = _events(sf_dir)
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    hourly = ev.set_index(ev["ts"].dt.floor("h"))["cents"].groupby(level=0).sum()
+    full = hourly.reindex(
+        pd.date_range(hourly.index.min(), hourly.index.max(), freq="h"),
+        fill_value=0,
+    ).to_numpy("float64")
+    # engine's per-lag-Pearson ACF vector
+    r = [1.0]
+    for k in (1, 2, 3, 4):
+        r.append(float(np.corrcoef(full[k:], full[:-k])[0, 1]))
+    for k in (1, 2, 3, 4):
+        toep = np.array([[r[abs(i - j)] for j in range(k)] for i in range(k)])
+        phi = np.linalg.solve(toep, np.array(r[1 : k + 1]))
+        assert abs(out.loc[k, "pacf"] - phi[-1]) < 1e-5, k
+        assert abs(out.loc[k, "acf"] - r[k]) < TOL, k
