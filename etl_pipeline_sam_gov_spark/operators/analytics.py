@@ -2555,9 +2555,10 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction set (backward: asof_join_purchase_click, nearest:
     asof_join_nearest, banded: asof_join_with_tolerance). Same
     joinless merged-timeline plan, mirrored: one union with a side
-    marker, one user-keyed sort, and first(ignorenulls) over the
-    CURRENT-ROW-TO-FOLLOWING frame — purchases sort before same-
-    timestamp clicks so the ≤ equality case matches, exactly DuckDB's
+    marker, one user-keyed sort, and last(ignorenulls) over the
+    REVERSED-sort running frame (≡ first over current-to-following,
+    but incremental) — the reversed tie order keeps same-timestamp
+    clicks matchable so the ≤ equality case holds, exactly DuckDB's
     native forward ASOF semantics (the oracle)."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     ts_us = F.unix_micros("ts")
@@ -2575,13 +2576,20 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("event_id"),
         ts_us.alias("click_us"),
     )
+    # Reversed-sort RUNNING frame: first(ignorenulls) over
+    # [current, unbounded following] ascending is a SHRINKING frame,
+    # which Spark re-aggregates per row (O(n²) per user); last over
+    # [unbounded preceding, current] on the reversed order is the
+    # incremental GROWING frame — same rows, same value, O(n). At
+    # equal ts the reversed (side desc) order puts clicks before the
+    # purchase, so the ≤ equality case still matches.
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts_us", "side")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
+        .orderBy(F.col("ts_us").desc(), F.col("side").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     merged = purchases.unionByName(clicks).withColumn(
-        "next_click_us", F.first("click_us", ignorenulls=True).over(w)
+        "next_click_us", F.last("click_us", ignorenulls=True).over(w)
     )
     return merged.filter(F.col("side") == 0).select(
         F.col("event_id").alias("purchase_id"),
