@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -35,6 +36,31 @@ from etl_pipeline_sam_gov_spark.session import get_spark  # noqa: E402
 DECLARED_CROSS = {"join_cross_region_status"}
 #: queries whose POINT is the Python lane
 PYTHON_LANES = ("udf_", "udtf_", "multimodal_")
+#: declared Arrow grouped-map kernels outside those prefixes: greedy
+#: MMR selection and PAV pooling are inherently sequential per group —
+#: the sanctioned escape hatch, not a relational op that fell off the
+#: JVM path (row-at-a-time BatchEvalPython stays banned by test_plans)
+DECLARED_PYTHON = {"ann_mmr_rerank", "ml_isotonic_calibration"}
+
+#: Window frames whose LOWER bound moves while the upper is unbounded
+#: ("shrinking" frames): Spark re-aggregates the whole remaining frame
+#: per row — O(n²) per partition (measured 12× super-linear on the
+#: caliper-match walk before its fix). The reversed-sort running frame
+#: computes the same value incrementally; nothing in the registry
+#: should plan one.
+_FRAME_RE = re.compile(
+    r"specifiedwindowframe\((?:Row|Range)Frame, "
+    r"(unboundedpreceding\$\(\)|currentrow\$\(\)|[^,]+?), "
+    r"(unboundedfollowing\$\(\))\)"
+)
+
+
+def shrinking_frames(plan: str) -> int:
+    return sum(
+        1
+        for m in _FRAME_RE.finditer(plan)
+        if m.group(1) != "unboundedpreceding$()"
+    )
 
 
 def main() -> None:
@@ -64,10 +90,17 @@ def main() -> None:
             "scans": s.count("FileScan"),
         }
         rows[name] = r
+        r["shrinking_frames"] = shrinking_frames(s)
         if r["cartesian"] and name not in DECLARED_CROSS:
             flags.append(f"{name}: undeclared CartesianProduct")
-        if r["python"] and not name.startswith(PYTHON_LANES):
+        if (
+            r["python"]
+            and not name.startswith(PYTHON_LANES)
+            and name not in DECLARED_PYTHON
+        ):
             flags.append(f"{name}: Python eval in a relational path")
+        if r["shrinking_frames"]:
+            flags.append(f"{name}: shrinking window frame (O(n²) per row)")
     with open(out_json, "w") as f:
         json.dump({"sf_dir": sf_dir, "plans": rows, "flags": flags}, f, indent=1)
     worst = sorted(
