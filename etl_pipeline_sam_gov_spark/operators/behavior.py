@@ -329,8 +329,9 @@ AB_Z2_CRIT = 3.8416
 WITH assigned AS (
   SELECT user_id,
          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
-         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-           AS converted
+         CAST(CASE WHEN 5 * SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) > COUNT(*)
+              THEN 1 ELSE 0 END AS BIGINT) AS converted
   FROM events
   GROUP BY user_id
 ),
@@ -365,7 +366,11 @@ FROM z
 )
 def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout: users hash-assigned to two arms, pooled
-    two-proportion z-test on purchase conversion — the experimentation
+    two-proportion z-test on conversion (= the user's purchase share
+    exceeds the 1/5 base rate — scale-stable: a raw any-purchase flag
+    saturates to 100% once histories grow past ~30 events, which made
+    the original metric degenerate, z² = 0/0, certified only
+    vacuously; the all-NULL gate in oracle_compare now bans that) — the experimentation
     primitive behind every product-launch decision pipeline. Assignment
     is the md5-hash coin of the curation family (reproducible,
     append-stable: a user's arm never changes as data grows — the
@@ -385,9 +390,12 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         ev.groupBy("user_id")
         .agg(
-            F.max((F.col("event_type") == "purchase").cast("bigint")).alias(
-                "converted"
+            (
+                5 * F.sum((F.col("event_type") == "purchase").cast("bigint"))
+                > F.count(F.lit(1))
             )
+            .cast("bigint")
+            .alias("converted")
         )
         .select(
             (_spark_hash60(F.col("user_id").cast("string")) % 2).alias("arm"),

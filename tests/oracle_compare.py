@@ -198,6 +198,17 @@ def canonical_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+#: (query, column) pairs where an all-NULL column is the MEANINGFUL
+#: answer (e.g. "no outliers found ⇒ no first outlier id"), not a
+#: vacuous hash match. Anything else all-NULL fails: two queries were
+#: once certified green while a 0/0 made their whole readout NULL on
+#: both engines (ab_test_proportions' saturated conversion flag;
+#: ts_theil_sen_trend's double-typed median rank never matching).
+ALLOWED_ALL_NULL = {
+    ("dq_embedding_norm_outliers", "first_outlier_vec"),
+}
+
+
 def compare(spark, name: str, fn, oracle: str, sf_dir: str) -> None:
     sdf = fn(spark, sf_dir)
     s_cols = list(sdf.columns)
@@ -225,6 +236,19 @@ def compare(spark, name: str, fn, oracle: str, sf_dir: str) -> None:
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count spark={len(s_rows)} duckdb={len(d_rows)}"
     )
+    if s_rows:
+        all_null = [
+            c
+            for i, c in enumerate(s_cols)
+            if all(r[i] is None for r in s_rows)
+            and (name, c) not in ALLOWED_ALL_NULL
+        ]
+        assert not all_null, (
+            f"{name}: column(s) {all_null} are NULL in every row — almost "
+            "certainly a vacuous match (0/0, a rank that never hits, a "
+            "predicate that can't fire); fix the query or declare the "
+            "column in ALLOWED_ALL_NULL with a reason"
+        )
     s_canon = canonical_rows(s_cols, s_rows)
     d_canon = canonical_rows(d_cols, d_rows)
     if s_canon != d_canon:

@@ -872,3 +872,22 @@ def test_pacf_matches_yule_walker(spark, sf_dir):
         phi = np.linalg.solve(toep, np.array(r[1 : k + 1]))
         assert abs(out.loc[k, "pacf"] - phi[-1]) < 1e-5, k
         assert abs(out.loc[k, "acf"] - r[k]) < TOL, k
+
+
+def test_theil_sen_matches_numpy(spark, sf_dir):
+    out = eng.QUERIES["ts_theil_sen_trend"](spark, sf_dir).toPandas().iloc[0]
+    ev = _events(sf_dir)
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    hourly = ev.set_index(ev["ts"].dt.floor("h"))["cents"].groupby(level=0).sum()
+    full = hourly.reindex(
+        pd.date_range(hourly.index.min(), hourly.index.max(), freq="h"),
+        fill_value=0,
+    ).to_numpy("float64")
+    t = np.arange(1, len(full) + 1, dtype="float64")
+    i, j = np.triu_indices(len(full), k=1)
+    slopes = (full[j] - full[i]) / (t[j] - t[i])
+    assert out["n_pairs"] == len(slopes)
+    # exact lower/upper-middle median (numpy median == same for even n)
+    med = float(np.median(slopes))
+    assert abs(out["sen_slope_dollars_per_hour"] - med / 100) < TOL
+    assert bool(out["rising"]) == (med > 0)
