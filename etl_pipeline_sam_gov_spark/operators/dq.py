@@ -292,8 +292,10 @@ KANON_K = 5  # minimum group size for a quasi-identifier combination
     "dq_k_anonymity_audit",
     oracle=f"""
 WITH g AS (
-  SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS group_size
-  FROM customer GROUP BY c_mktsegment, c_nationkey
+  SELECT c_mktsegment, c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS INT) AS acctbal_band,
+         CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM customer GROUP BY c_mktsegment, c_nationkey, 3
 ),
 t AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
@@ -305,7 +307,7 @@ t AS (
   FROM g
 )
 SELECT g.c_mktsegment, CAST(g.c_nationkey AS INT) AS c_nationkey,
-       g.group_size, t.k_anonymity,
+       g.acctbal_band, g.group_size, t.k_anonymity,
        g.group_size < {KANON_K} AS risky,
        t.n_risky_groups, t.n_risky_rows
 FROM g CROSS JOIN t
@@ -313,8 +315,11 @@ WHERE g.group_size < {KANON_K}
 """,
 )
 def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity audit over the quasi-identifier pair (market
-    segment, nation): every combination whose group is smaller than k
+    """k-anonymity audit over the quasi-identifier triple (market
+    segment, nation, $1k account-balance band — the banded continuous
+    column is what makes real QI sets dangerous, and what keeps the
+    audit non-degenerate at every fixture scale): every combination
+    whose group is smaller than k
     is a re-identification risk — the privacy-compliance check run
     before releasing or joining "anonymized" data (Sweeney 2002). The
     companion to the masking lane (fn_mask_customer): masking hides
@@ -327,9 +332,11 @@ def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern). One partial-combined groupBy of the table; the audit
     relation is |segments × nations|-sized regardless of row count."""
     cust = load_tables(spark, sf_dir, ("customer",))["customer"]
-    g = cust.groupBy("c_mktsegment", F.col("c_nationkey").cast("int").alias("c_nationkey")).agg(
-        F.count(F.lit(1)).alias("group_size")
-    )
+    g = cust.groupBy(
+        "c_mktsegment",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("acctbal_band"),
+    ).agg(F.count(F.lit(1)).alias("group_size"))
     t = g.agg(
         F.count(F.lit(1)).alias("n_groups"),
         F.sum((F.col("group_size") < KANON_K).cast("bigint")).alias(
@@ -348,6 +355,7 @@ def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_mktsegment",
             "c_nationkey",
+            "acctbal_band",
             "group_size",
             "k_anonymity",
             (F.col("group_size") < KANON_K).alias("risky"),
@@ -898,43 +906,47 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dq_missing_hours_report",
     oracle="""
-WITH hours AS (
-  SELECT DISTINCT epoch_us(ts) // 3600000000 AS h FROM events
+WITH minutes AS (
+  SELECT DISTINCT epoch_us(ts) // 60000000 AS m FROM events
 ),
 flagged AS (
-  SELECT h, lead(h) OVER (ORDER BY h) AS nxt FROM hours
+  SELECT m, lead(m) OVER (ORDER BY m) AS nxt FROM minutes
 )
-SELECT CAST(h + 1 AS BIGINT) AS gap_start_hour,
-       CAST(nxt - 1 AS BIGINT) AS gap_end_hour,
-       CAST(nxt - h - 1 AS BIGINT) AS n_missing_hours
-FROM flagged WHERE nxt - h > 1
+SELECT CAST(m + 1 AS BIGINT) AS gap_start_minute,
+       CAST(nxt - 1 AS BIGINT) AS gap_end_minute,
+       CAST(nxt - m - 1 AS BIGINT) AS n_missing_minutes
+FROM flagged WHERE nxt - m > 1
 """,
 )
 def dq_missing_hours_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingestion-gap report: every run of consecutive MISSING hours in
-    the event stream's hourly grid, as (start, end, length) spans —
+    """Ingestion-gap report: every run of consecutive MISSING minutes
+    in the event stream's minute grid, as (start, end, length) spans —
+    minute grain because it is the freshness-SLA unit AND because it
+    stays non-degenerate at every fixture scale (the hourly grid is
+    fully dense from sf0.1 up, which would certify this query only as
+    an empty result — the zero-row-audit lesson) —
     the first thing an on-call engineer asks when a dashboard flatlines
     ("did traffic stop, or did the pipeline?"), and the data-arrival
     complement of resample_interpolate_hourly (which papers over gaps;
     this one reports them for alerting). Gaps-and-islands via one
-    lead() over the distinct-hour relation.
+    lead() over the distinct-minute relation.
 
-    Exactness: hours are exact integer epoch-hour indices; spans are
-    integer arithmetic. Scale shape: the corpus collapses to distinct
-    hours in one partial-combined pass; the lead window runs on the
-    calendar-BOUNDED hour axis (the STL-family convention), and the
-    output is at most one row per gap."""
+    Exactness: minutes are exact integer epoch-minute indices; spans
+    are integer arithmetic. Scale shape: the corpus collapses to
+    distinct minutes in one partial-combined pass; the lead window
+    runs on the calendar-BOUNDED minute axis (the STL-family
+    convention), and the output is at most one row per gap."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    hours = ev.select(
-        F.expr("unix_micros(ts) div 3600000000").alias("h")
+    minutes = ev.select(
+        F.expr("unix_micros(ts) div 60000000").alias("m")
     ).distinct()
-    flagged = hours.select(
-        "h", F.lead("h").over(W.orderBy("h")).alias("nxt")
+    flagged = minutes.select(
+        "m", F.lead("m").over(W.orderBy("m")).alias("nxt")
     )
-    return flagged.filter(F.col("nxt") - F.col("h") > 1).select(
-        (F.col("h") + 1).cast("bigint").alias("gap_start_hour"),
-        (F.col("nxt") - 1).cast("bigint").alias("gap_end_hour"),
-        (F.col("nxt") - F.col("h") - 1).cast("bigint").alias("n_missing_hours"),
+    return flagged.filter(F.col("nxt") - F.col("m") > 1).select(
+        (F.col("m") + 1).cast("bigint").alias("gap_start_minute"),
+        (F.col("nxt") - 1).cast("bigint").alias("gap_end_minute"),
+        (F.col("nxt") - F.col("m") - 1).cast("bigint").alias("n_missing_minutes"),
     )
 
 

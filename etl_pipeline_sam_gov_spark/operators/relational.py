@@ -238,16 +238,24 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_mktsegment, COUNT(*) AS n_inactive
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-06-01')
 GROUP BY c_mktsegment
 """,
 )
 def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS as a left-anti join (null-safe, unlike NOT IN)."""
+    """NOT EXISTS as a left-anti join (null-safe, unlike NOT IN) —
+    customers with no RECENT order (the filtered-right-side anti
+    join; "no order ever" is empty in this fixture, which certified
+    the original form only vacuously — the zero-row-audit lesson)."""
     t = load_tables(spark, sf_dir, ("customer", "orders"))
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+    )
     return (
         t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_inactive"))
     )

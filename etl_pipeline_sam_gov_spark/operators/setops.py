@@ -66,18 +66,27 @@ def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_except_nations",
     oracle="""
-SELECT n_nationkey AS nationkey FROM nation
+SELECT c_nationkey AS nationkey FROM customer
 EXCEPT
-SELECT s_nationkey FROM supplier
+SELECT s_nationkey FROM supplier WHERE s_acctbal > 9900
 """,
 )
 def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct semantics) — nations without suppliers."""
-    t = load_tables(spark, sf_dir, ("nation", "supplier"))
+    """EXCEPT (distinct semantics) — nations with customers but no
+    top-capitalized supplier (every nation HAS suppliers in the
+    fixture, which made the original nation-minus-supplier form an
+    empty — vacuously certified — result; the zero-row-audit lesson)."""
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
     return (
-        t["nation"]
-        .select(F.col("n_nationkey").alias("nationkey"))
-        .exceptAll(t["supplier"].select(F.col("s_nationkey").alias("nationkey")).distinct())
+        t["customer"]
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+        .exceptAll(
+            t["supplier"]
+            .filter(F.col("s_acctbal") > 9900)
+            .select(F.col("s_nationkey").alias("nationkey"))
+            .distinct()
+        )
         .distinct()
     )
 

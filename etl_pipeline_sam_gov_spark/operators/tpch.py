@@ -98,8 +98,8 @@ JOIN orders   ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
 JOIN nation sn ON sn.n_nationkey = s_nationkey
 JOIN nation cn ON cn.n_nationkey = c_nationkey
-WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+WHERE ((sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_11')
+    OR (sn.n_name = 'NATION_11' AND cn.n_name = 'NATION_12'))
   AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
                      AND TIMESTAMP '1997-12-31 00:00:00'
 GROUP BY supp_nation, cust_nation, l_year
@@ -108,7 +108,11 @@ GROUP BY supp_nation, cust_nation, l_year
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: nation-pair volume by year. The two nation dims
     broadcast; the disjunctive pair predicate applies after both dim
-    joins (it references columns from both sides)."""
+    joins (it references columns from both sides). The substitution
+    pair is NATION_12/NATION_11 — a pair with traffic at every fixture
+    scale (TPC-H treats the nations as substitution parameters; the
+    original pick had zero cross-transactions at sf0.001, certifying
+    the query only vacuously — the zero-row-audit lesson)."""
     t = load_tables(spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation"))
     sn = t["nation"].select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
@@ -117,8 +121,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
     pair = (
-        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        ((F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_11"))
+        | ((F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_12"))
     )
     return (
         t["lineitem"]
@@ -478,16 +482,21 @@ SELECT c_mktsegment, COUNT(*) AS numcust,
 FROM customer
 WHERE c_acctbal > (
     SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.00)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-06-01')
 GROUP BY c_mktsegment
 """,
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (phone-prefix predicate adapted to mktsegment —
     fixture has no c_phone, FIXTURES.md §B): above-average-balance
-    customers with no orders. The scalar AVG subquery is a 1-row
-    broadcast cross join (never a driver collect); NOT EXISTS is a
-    left-anti join."""
+    customers with no RECENT orders ("no orders ever" is empty in
+    this fixture — it certified Q22 only vacuously; the recency
+    predicate keeps the exact Q22 plan shape: scalar subquery +
+    anti join + agg, all three now exercised on real rows). The
+    scalar AVG subquery is a 1-row broadcast cross join (never a
+    driver collect); NOT EXISTS is a left-anti join."""
     t = load_tables(spark, sf_dir, ("customer", "orders"))
     avg_bal = (
         t["customer"]
@@ -498,7 +507,13 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["customer"]
         .crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(
+            t["orders"].filter(
+                F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
