@@ -62,6 +62,21 @@ REPRESENTATIVE = [
     "curate_curriculum_order",   # percentile cuts + shard-local hash order
     "dedup_url_canonicalized",   # regex canonical keys, exact group mins
     "text_rake_keyphrase",       # int-ratio phrase scores + tiebreak ranking
+    "udf_kalman_filter_users",   # per-group sequential recursion w/ division
+    "udf_holt_winters_hourly",   # 24-slot vector state over (type,hour) collapse
+    "udf_viterbi_2state",        # max-plus DP + rounding-robust argmax
+    "udf_cusum_drift_alarm",     # clamped two-sided recursion per user
+    "ab_mann_whitney_u",         # distinct-value midrank prefix sum
+    "ab_sequential_sprt",        # per-arm global cumsum + first crossing
+    "ab_propensity_caliper_match",  # global merged nearest-control walk
+    "ab_delta_method_ratio",     # per-user moments → one double tree
+    "ml_spearman_rho",           # doubled-midrank windows + double finish
+    "ml_xicor_correlation",      # segment rank windows, |Δrank| ints
+    "ml_conformal_interval",     # hash 3-way split + order-statistic quantile
+    "ml_bagged_stumps",          # per-bag weighted argmax w/ (score,feat,v) ties
+    "ts_granger_causality",      # dense-grid lag moments → Cramer solve
+    "ts_theil_sen_trend",        # pairwise-slope median order statistic
+    "ts_pacf_durbin_levinson",   # per-lag moments → unrolled recursion
 ]
 
 
