@@ -22,7 +22,8 @@ SESSION_GAP_S = 1800
 #: Shared sessionization CTE prefix (events → per-event session_seq),
 #: used verbatim by both the sessionize and the funnel oracles so the
 #: session assignment is provably identical.
-_SQL_NUMBERED = f"""
+def _sql_numbered(gap_s: int = SESSION_GAP_S) -> str:
+    return f"""
 ordered AS (
   SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
          lag(epoch_us(ts)) OVER w AS prev_us
@@ -31,7 +32,7 @@ ordered AS (
 ),
 flagged AS (
   SELECT *, CASE WHEN prev_us IS NULL
-                   OR ts_us - prev_us > {SESSION_GAP_S} * 1000000
+                   OR ts_us - prev_us > {gap_s * 1000000}
                  THEN 1 ELSE 0 END AS is_new
   FROM ordered
 ),
@@ -44,6 +45,9 @@ numbered AS (
   FROM flagged
 )
 """
+
+
+_SQL_NUMBERED = _sql_numbered()
 
 
 @query(
@@ -75,9 +79,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def numbered_sessions(ev: DataFrame) -> DataFrame:
+def numbered_sessions(ev: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
     """(user_id, event_id, event_type, value, ts_us, session_seq) — the
-    Spark twin of the _SQL_NUMBERED CTE, shared by sessionize + funnel."""
+    Spark twin of the _sql_numbered CTE, shared by sessionize + funnel
+    (the funnel passes its own, wider gap)."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     ts_us = F.unix_micros("ts")
     flagged = ev.select(
@@ -88,7 +93,7 @@ def numbered_sessions(ev: DataFrame) -> DataFrame:
         ts_us.alias("ts_us"),
         F.when(
             F.lag(ts_us).over(w).isNull()
-            | (ts_us - F.lag(ts_us).over(w) > SESSION_GAP_S * 1_000_000),
+            | (ts_us - F.lag(ts_us).over(w) > gap_s * 1_000_000),
             1,
         )
         .otherwise(0)
@@ -104,10 +109,19 @@ def numbered_sessions(ev: DataFrame) -> DataFrame:
     )
 
 
+#: The funnel uses a WIDER gap than plain sessionization: at the
+#: fixture's traffic density the 30-min convention yields ~1-event
+#: sessions, so an ordered 3-stage chain never completes and
+#: reached_purchase certifies only as all-false (the degenerate-output
+#: audit); 12 h is the visit-level funnel convention and produces real
+#: conversions at every fixture scale.
+FUNNEL_GAP_S = 43200
+
+
 @query(
     "sessionize_funnel",
     oracle=f"""
-WITH {_SQL_NUMBERED.strip()},
+WITH {_sql_numbered(FUNNEL_GAP_S).strip()},
 s1 AS (
   SELECT user_id, session_seq, event_type, ts_us,
          MIN(CASE WHEN event_type = 'view' THEN ts_us END) OVER sw AS fv
@@ -143,7 +157,7 @@ def sessionize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     timeline shuffle as sessionization itself."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     sw = W.partitionBy("user_id", "session_seq")
-    s1 = numbered_sessions(ev).withColumn(
+    s1 = numbered_sessions(ev, FUNNEL_GAP_S).withColumn(
         "fv", F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(sw)
     )
     s2 = s1.withColumn(

@@ -1379,8 +1379,9 @@ def seq_session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH per_user AS (
   SELECT user_id,
          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
-         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-              AS BIGINT) AS good
+         CAST(CASE WHEN 5 * SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) > COUNT(*)
+              THEN 1 ELSE 0 END AS BIGINT) AS good
   FROM events GROUP BY 1
 ),
 banded AS (
@@ -1417,7 +1418,10 @@ FROM contrib c CROSS JOIN ivsum s
 )
 def ml_information_value_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Information Value / Weight of Evidence of the spend-band feature
-    against the purchaser label — credit-scoring's feature-screening
+    against the heavy-purchaser label (purchase share above the 1/5
+    base rate — an any-purchase flag saturates to all-good at this
+    event density, leaving n_bad ≡ 0 and the WoE column meaningless;
+    the degenerate-output audit) — credit-scoring's feature-screening
     staple (IV < 0.02 useless, > 0.3 strong) and PSI's SUPERVISED
     sibling: PSI (dq_psi_value_drift) asks "did the banded shape move
     over time?"; IV asks "does the banded shape separate good from
@@ -1437,8 +1441,9 @@ def ml_information_value_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
             .cast("bigint")
             .alias("cents"),
-            F.max(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            (
+                5 * F.sum((F.col("event_type") == "purchase").cast("bigint"))
+                > F.count(F.lit(1))
             )
             .cast("bigint")
             .alias("good"),

@@ -839,14 +839,25 @@ def _mi_oracle() -> str:
         )
     )
     return f"""
-WITH conv AS (
-  SELECT user_id,
-         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-           AS converted
+WITH u AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np
   FROM events GROUP BY user_id
 ),
+conv AS (
+  SELECT user_id,
+         CAST(CASE WHEN 5 * np > n THEN 1 ELSE 0 END AS BIGINT) AS converted
+  FROM u
+),
+tc AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS ct
+  FROM events WHERE event_type <> 'purchase' GROUP BY user_id, event_type
+),
 has_t AS (
-  SELECT DISTINCT user_id, event_type FROM events WHERE event_type <> 'purchase'
+  SELECT t.user_id, t.event_type
+  FROM tc t JOIN u ON t.user_id = u.user_id
+  WHERE 5 * t.ct > u.n
 ),
 nu_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM conv),
 cells AS (
@@ -872,10 +883,14 @@ FROM full_cells
 
 @query("ml_mutual_information", oracle=_mi_oracle())
 def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mutual information I(feature; label) between "user emitted
-    event type T" and "user converted" — the filter-method feature
-    selector (information gain) run before model fitting, ranking
-    which behaviors actually carry signal about conversion.
+    """Mutual information I(feature; label) between "user is a heavy
+    type-T emitter" (T's share above the 1/5 base rate) and "user
+    converted" (purchase share above base rate) — the filter-method
+    feature selector (information gain) run before model fitting.
+    Both indicators are share-banded rather than ever-emitted flags:
+    with ~67 events per user every user emits every type at least
+    once, which collapses the 2×2 table to one cell and certifies
+    MI only as identically zero (the degenerate-output audit).
 
     The 2×2 contingency per feature comes from exact integer counts
     (one distinct user-type pass joined to the per-user conversion
@@ -887,15 +902,23 @@ def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(6). Output is |event_types| rows regardless of corpus
     size."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    conv = ev.groupBy("user_id").agg(
-        F.max((F.col("event_type") == "purchase").cast("bigint")).alias(
-            "converted"
-        )
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("np"),
+    )
+    conv = u.select(
+        "user_id",
+        (5 * F.col("np") > F.col("n")).cast("bigint").alias("converted"),
+    )
+    tc = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
     )
     has_t = (
-        ev.filter(F.col("event_type") != "purchase")
+        tc.join(u.select("user_id", "n"), "user_id")
+        .filter(5 * F.col("ct") > F.col("n"))
         .select("user_id", "event_type")
-        .distinct()
     )
     nu_t = conv.agg(F.count(F.lit(1)).alias("nu"))
     conv_tot = conv.agg(F.sum("converted").alias("n_conv"))

@@ -748,8 +748,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUZZY_MATCH_SQL = """
 WITH dirty AS (
   SELECT c_custkey + 9000000 AS dirty_id,
-         substr(c_name, 1, 16)
-           || substr(c_name, 18, 1) || substr(c_name, 17, 1) AS dirty_name
+         c_name || '!' AS dirty_name
   FROM customer WHERE c_custkey % 13 = 0
 ),
 cand AS (
@@ -771,10 +770,18 @@ FROM (
 
 @query("join_fuzzy_name_match", oracle=_FUZZY_MATCH_SQL)
 def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy entity-resolution join (record linkage): match typo'd
-    records back to the master table by BLOCKING on a stable substring
-    key, then verifying candidates with Levenshtein edit distance and
-    keeping the deterministic best match (min distance, then min key).
+    """Fuzzy entity-resolution join (record linkage): match corrupted
+    records (a stray trailing character — OCR/form-field noise) back
+    to the master table by BLOCKING on a stable substring key, then
+    verifying candidates with Levenshtein edit distance and keeping
+    the deterministic best match (min distance, then min key). The
+    corruption is chosen so the TRUE match is the provably unique
+    minimum: the appended character costs exactly 1 edit against the
+    original and ≥2 against every other entity (they already differ in
+    ≥1 digit) — the first transposed-digit variant collided with other
+    REAL entity names in the dense keyspace, so every "fuzzy" match
+    was an exact-but-wrong one (edit_dist ≡ 0; the degenerate-output
+    audit caught it).
     This is the blocking-verification shape every dedup/ER system uses
     (Fellegi-Sunter style): all-pairs edit distance over N×M records
     is infeasible, but an equi-join on a block key reduces candidates
@@ -785,10 +792,10 @@ def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (hash-partitioned, AQE-skew-splittable if one block is hot);
     Levenshtein runs JVM-side only on candidates; the best-match
     row_number partitions by dirty_id — one shuffle each, no cross
-    join anywhere. The SQL runs verbatim on both engines (transposed
-    digits at positions 17-18 never touch the 5-digit block key at
-    positions 10-14, so a true match can never be blocked away —
-    recall is provable, the blocked-SimHash discipline)."""
+    join anywhere. The SQL runs verbatim on both engines (the appended
+    character never touches the 5-digit block key at positions 10-14,
+    so a true match can never be blocked away — recall is provable,
+    the blocked-SimHash discipline)."""
     load_tables(spark, sf_dir, ("customer",))
     return spark.sql(_FUZZY_MATCH_SQL)
 
