@@ -1084,9 +1084,9 @@ SELECT 'psi_value_drift' AS check_name, 'events' AS target,
        ANY_VALUE(psi_total) AS metric, NOT bool_or(drifted) AS passed
 FROM ({psi})
 UNION ALL
-SELECT 'missing_hours' AS check_name, 'events' AS target,
-       CAST(COALESCE(SUM(n_missing_hours), 0) AS DOUBLE) AS metric,
-       COALESCE(SUM(n_missing_hours), 0) = 0 AS passed
+SELECT 'missing_minutes' AS check_name, 'events' AS target,
+       CAST(COALESCE(SUM(n_missing_minutes), 0) AS DOUBLE) AS metric,
+       COALESCE(SUM(n_missing_minutes), 0) = 0 AS passed
 FROM ({gaps})
 UNION ALL
 SELECT 'orphans_' || fk_edge AS check_name, fk_edge AS target,
@@ -1131,12 +1131,12 @@ def pipeline_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = (
         _Q["dq_missing_hours_report"](spark, sf_dir)
         .agg(
-            F.coalesce(F.sum("n_missing_hours"), F.lit(0))
+            F.coalesce(F.sum("n_missing_minutes"), F.lit(0))
             .cast("double")
             .alias("metric")
         )
         .select(
-            F.lit("missing_hours").alias("check_name"),
+            F.lit("missing_minutes").alias("check_name"),
             F.lit("events").alias("target"),
             "metric",
             (F.col("metric") == 0).alias("passed"),
