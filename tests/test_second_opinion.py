@@ -891,3 +891,86 @@ def test_theil_sen_matches_numpy(spark, sf_dir):
     med = float(np.median(slopes))
     assert abs(out["sen_slope_dollars_per_hour"] - med / 100) < TOL
     assert bool(out["rising"]) == (med > 0)
+
+
+def test_mutual_information_matches_numpy(spark, sf_dir):
+    out = (
+        eng.QUERIES["ml_mutual_information"](spark, sf_dir)
+        .toPandas()
+        .set_index("feature")
+    )
+    ev = _events(sf_dir)
+    per = ev.groupby("user_id").agg(
+        n=("event_id", "size"),
+        np_=("event_type", lambda s: int((s == "purchase").sum())),
+    )
+    conv = (5 * per["np_"] > per["n"]).astype(int)
+    tc = (
+        ev[ev["event_type"] != "purchase"]
+        .groupby(["user_id", "event_type"]).size().rename("ct").reset_index()
+    )
+    tc = tc.merge(per["n"], left_on="user_id", right_index=True)
+    heavy = tc[5 * tc["ct"] > tc["n"]]
+    nu = len(per)
+    for feat, g in heavy.groupby("event_type"):
+        users = set(g["user_id"])
+        x = per.index.isin(users).astype(int)
+        y = conv.to_numpy()
+        n11 = int(((x == 1) & (y == 1)).sum())
+        n10 = int(((x == 1) & (y == 0)).sum())
+        n01 = int(((x == 0) & (y == 1)).sum())
+        n00 = int(((x == 0) & (y == 0)).sum())
+        mi = 0.0
+        for nc, rt, ct in (
+            (n11, n11 + n10, n11 + n01),
+            (n10, n11 + n10, n10 + n00),
+            (n01, n01 + n00, n11 + n01),
+            (n00, n01 + n00, n10 + n00),
+        ):
+            if nc > 0:
+                mi += (nc / nu) * np.log(nc * nu / (rt * ct))
+        row = out.loc[feat]
+        assert (row["n11"], row["n10"], row["n01"], row["n00"]) == (
+            n11, n10, n01, n00,
+        ), feat
+        assert abs(row["mutual_info"] - mi) < TOL, feat
+        assert mi > 0 or (n10 == 0 and n01 == 0)  # non-degenerate table
+
+
+def test_information_value_matches_numpy(spark, sf_dir):
+    out = (
+        eng.QUERIES["ml_information_value_spend"](spark, sf_dir)
+        .toPandas()
+        .set_index("band")
+    )
+    ev = _events(sf_dir)
+    cents = (ev["value"] * 100).round().astype("int64")
+    per = pd.DataFrame(
+        {
+            "cents": cents.groupby(ev["user_id"]).sum(),
+            "n": ev.groupby("user_id").size(),
+            "np_": (ev["event_type"] == "purchase")
+            .groupby(ev["user_id"]).sum(),
+        }
+    )
+    per = per[per["cents"] > 0]
+    per["good"] = (5 * per["np_"] > per["n"]).astype(int)
+    per["band"] = per["cents"].apply(lambda c: int(c).bit_length() - 1)
+    cells = per.groupby("band")["good"].agg(["sum", "count"])
+    tg = int(cells["sum"].sum())
+    tb = int((cells["count"] - cells["sum"]).sum())
+    assert tg > 0 and tb > 0  # the label must not saturate either way
+    iv = 0.0
+    rows = {}
+    for band, r in cells.iterrows():
+        ng, nb = int(r["sum"]), int(r["count"] - r["sum"])
+        pg, pb = (ng + 1) / (tg + 1), (nb + 1) / (tb + 1)
+        woe = np.log(pg / pb)
+        rows[band] = (ng, nb, woe, (pg - pb) * woe)
+        iv += (pg - pb) * woe
+    for band, (ng, nb, woe, ivc) in rows.items():
+        row = out.loc[band]
+        assert (row["n_good"], row["n_bad"]) == (ng, nb), band
+        assert abs(row["woe"] - woe) < TOL, band
+        assert abs(row["iv_contrib"] - ivc) < TOL, band
+        assert abs(row["iv_total"] - iv) < TOL, band
