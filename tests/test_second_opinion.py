@@ -543,28 +543,6 @@ def test_psi_matches_numpy(spark, sf_dir):
         assert got.loc[b, "n_ref"] == r and got.loc[b, "n_cur"] == c, b
 
 
-def test_information_value_matches_numpy(spark, sf_dir):
-    out = eng.QUERIES["ml_information_value_spend"](spark, sf_dir).toPandas()
-    ev = _events(sf_dir)
-    ev["cents"] = (ev["value"] * 100).round().astype("int64")
-    per = ev.groupby("user_id").agg(
-        cents=("cents", "sum"),
-        good=("event_type", lambda s: int((s == "purchase").any())),
-    )
-    per = per[per["cents"] > 0]
-    per["band"] = np.floor(np.log2(per["cents"])).astype(int)
-    cells = per.groupby("band")["good"].agg(["sum", "count"])
-    g = cells["sum"].to_numpy()
-    b = (cells["count"] - cells["sum"]).to_numpy()
-    tg, tb = g.sum(), b.sum()
-    pg, pb = (g + 1) / (tg + 1), (b + 1) / (tb + 1)
-    iv = ((pg - pb) * np.log(pg / pb)).sum()
-    assert abs(out["iv_total"].iloc[0] - iv) < 1e-5
-    got = out.set_index("band")
-    for band, gg, bb in zip(cells.index, g, b):
-        assert got.loc[band, "n_good"] == gg and got.loc[band, "n_bad"] == bb
-
-
 def test_higher_moments_match_scipy_definitions(spark, sf_dir):
     out = (
         eng.QUERIES["agg_higher_moments"](spark, sf_dir)
