@@ -1049,3 +1049,126 @@ def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         pixel_entropy,
         schema="doc_id long, n_bytes long, n_distinct long, byte_entropy double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Patch-grid statistics (ViT-style patchify over the decoded pixels)
+# ---------------------------------------------------------------------------
+
+PATCH_PX = 8  #: square patch side in pixels
+
+
+def patch_grid_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: patchify the REAL decoded pixel array into
+    PATCH_PX×PATCH_PX tiles (image order — bottom-up rows flipped,
+    stride honored, padding excluded) and emit each tile's exact
+    integer gray sum; the mean and rounding happen JVM-side so no
+    Python float rounding convention leaks into the output. Edge tiles
+    keep their true (smaller) pixel count — the fractional-patch
+    convention a ViT preprocessor must decide explicitly."""
+    import numpy as np
+
+    for pdf in batches:
+        doc, prow, pcol, npx, sg = [], [], [], [], []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            b = bytes(content)
+            if b[:2] != b"BM":
+                continue
+            width = int.from_bytes(b[18:22], "little", signed=True)
+            height = int.from_bytes(b[22:26], "little", signed=True)
+            off = int.from_bytes(b[10:14], "little")
+            stride = (width * 3 + 3) // 4 * 4
+            raw = np.frombuffer(
+                b, dtype=np.uint8, count=stride * height, offset=off
+            ).reshape(height, stride)[:, : width * 3]
+            # bottom-up file rows → image order, then per-pixel 3-byte sum
+            gray3 = (
+                raw[::-1].astype(np.int64).reshape(height, width, 3).sum(axis=2)
+            )
+            for pr in range((height + PATCH_PX - 1) // PATCH_PX):
+                for pc in range((width + PATCH_PX - 1) // PATCH_PX):
+                    tile = gray3[
+                        pr * PATCH_PX : (pr + 1) * PATCH_PX,
+                        pc * PATCH_PX : (pc + 1) * PATCH_PX,
+                    ]
+                    doc.append(int(doc_id))
+                    prow.append(pr)
+                    pcol.append(pc)
+                    npx.append(int(tile.size))
+                    sg.append(int(tile.sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(doc, dtype="int64"),
+                "patch_row": pd.array(prow, dtype="int32"),
+                "patch_col": pd.array(pcol, dtype="int32"),
+                "n_pixels": pd.array(npx, dtype="int64"),
+                "sum_gray3": pd.array(sg, dtype="int64"),
+            }
+        )
+
+
+@query(
+    "multimodal_patch_grid_stats",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id,
+         doc_id % 32 + 1 AS w,
+         (doc_id // 3) % 32 + 1 AS h,
+         ((doc_id % 32 + 1) * 3 + 3) // 4 * 4 AS stride
+  FROM documents WHERE doc_id % 2 = 0
+),
+lines_ AS (SELECT doc_id, w, h, stride, unnest(range(h)) AS f FROM dims),
+px AS (
+  SELECT doc_id, (h - 1 - f) AS r, u.c,
+         (doc_id + f * stride + 3 * u.c) % 256
+           + (doc_id + f * stride + 3 * u.c + 1) % 256
+           + (doc_id + f * stride + 3 * u.c + 2) % 256 AS gray3
+  FROM lines_, unnest(range(w)) AS u(c)
+)
+SELECT doc_id,
+       CAST(r // {PATCH_PX} AS INT) AS patch_row,
+       CAST(c // {PATCH_PX} AS INT) AS patch_col,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+       round(SUM(gray3)::DOUBLE / (3 * COUNT(*)), 6) AS mean_gray
+FROM px GROUP BY doc_id, patch_row, patch_col
+""",
+)
+def multimodal_patch_grid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style PATCHIFY over the decoded pixel array: split each
+    image into {PATCH_PX}×{PATCH_PX} tiles and emit per-tile pixel
+    count and mean gray — the exact preprocessing shape of a
+    vision-transformer training pipeline (patch embedding inputs,
+    per-tile quality screens, attention-mask construction for ragged
+    edge tiles). The kernel owns every decode convention the oracle
+    can catch from doc_id alone: bottom-up row flip, 4-byte stride,
+    padding exclusion, and the edge-tile policy (partial tiles keep
+    their true pixel count rather than padding — the choice is emitted
+    as data, not buried in the kernel).
+
+    Exactness: tiles sum exact int64 byte values in numpy; the ONLY
+    float op (mean + round) runs JVM-side from the emitted integers,
+    so no Python rounding convention is in the loop. Scale: two-stage
+    Arrow mapInPandas chain, zero shuffle before the final
+    (doc, tile)-grain output — the production shape for a pixel-stats
+    pass over a parquet binary column; a JPEG decoder drops into the
+    same signature."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select("doc_id").mapInPandas(
+        synthesize_media, schema="doc_id long, content binary"
+    )
+    tiles = media.mapInPandas(
+        patch_grid_stats,
+        schema=(
+            "doc_id long, patch_row int, patch_col int,"
+            " n_pixels long, sum_gray3 long"
+        ),
+    )
+    return tiles.select(
+        "doc_id",
+        "patch_row",
+        "patch_col",
+        "n_pixels",
+        F.round(
+            F.col("sum_gray3").cast("double") / (3 * F.col("n_pixels")), 6
+        ).alias("mean_gray"),
+    )
