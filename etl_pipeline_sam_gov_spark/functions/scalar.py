@@ -771,3 +771,53 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.md5(rt) == F.md5("text")).alias("roundtrip_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Timezone-aware local bucketing (IANA zone conversions)
+# ---------------------------------------------------------------------------
+
+TZ_ZONES = ("UTC", "America/New_York", "Asia/Tokyo", "Asia/Kolkata")
+
+
+def _tz_sql(conv) -> str:
+    """ONE SQL text, parameterized by the engine's UTC→zone conversion
+    spelling. Asia/Kolkata exercises the non-integer (+5:30) offset —
+    the classic bug sieve for hand-rolled hour arithmetic."""
+    blocks = []
+    for tz in TZ_ZONES:
+        c = conv(tz, "ts")
+        blocks.append(f"""
+SELECT '{tz}' AS tz,
+       CAST(hour({c}) AS INT) AS local_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT CAST({c} AS DATE)) AS BIGINT) AS n_local_dates
+FROM events GROUP BY 2""")
+    return "\nUNION ALL\n".join(blocks)
+
+
+@query(
+    "fn_timezone_local_hours",
+    oracle=_tz_sql(lambda tz, ts: f"timezone('{tz}', timezone('UTC', {ts}))"),
+)
+def fn_timezone_local_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IANA-timezone local bucketing: the UTC event stream re-bucketed
+    into each market's LOCAL hour-of-day (activity heatmaps, local-SLA
+    windows, "business hours" filters — the first thing a global
+    product's analytics does with a UTC log). Four zones cover the
+    trap matrix: UTC identity, a negative offset (New York, winter
+    UTC−5), a positive one (Tokyo +9), and the half-hour offset
+    Kolkata +5:30 that breaks any hour-arithmetic shortcut — both
+    engines resolve the SAME IANA tzdata, which is exactly the
+    capability under test (Spark ``convert_timezone`` vs DuckDB's
+    two-step ``timezone()`` — different spellings, one tz database).
+    Local-date counts ride along because day-boundary shifts are the
+    other half of the trap.
+
+    Exactness: pure integer buckets, no floats anywhere. Scale: one
+    scan, four partial-combined aggs unioned — at 100 TB the union
+    shares the single exchange per zone; zone count is fixed."""
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        _tz_sql(lambda tz, ts: f"convert_timezone('UTC', '{tz}', {ts})")
+    )
