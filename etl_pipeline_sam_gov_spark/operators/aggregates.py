@@ -1848,3 +1848,88 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("excess_kurtosis"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation via count-min inner products
+# ---------------------------------------------------------------------------
+
+
+def _join_card_sql(hash60, gen_rows) -> str:
+    """ONE SQL text (hash + generator spellings aside): build one
+    count-min sketch per join side, estimate |A ⋈ B| as the MIN over
+    hash rows of the sketches' bucket-wise inner product (Alon-
+    Matias-Szegedy / Cormode-Muthukrishnan join-size bound — an
+    overestimate with probability 1), and certify against the exact
+    size computed per-key."""
+    h = hash60("h.i || ':' || CAST(user_id AS {t})")
+    return f"""
+WITH hrows AS (SELECT {gen_rows} AS i),
+p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+pcells AS (
+  SELECT h.i, {h} % {CMS_WIDTH} AS b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p CROSS JOIN hrows h GROUP BY 1, 2
+),
+ccells AS (
+  SELECT h.i, {h} % {CMS_WIDTH} AS b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM c CROSS JOIN hrows h GROUP BY 1, 2
+),
+ip AS (
+  SELECT pc.i, CAST(SUM(pc.n * cc.n) AS BIGINT) AS dot
+  FROM pcells pc JOIN ccells cc ON pc.i = cc.i AND pc.b = cc.b
+  GROUP BY pc.i
+),
+est AS (SELECT CAST(MIN(dot) AS BIGINT) AS estimate FROM ip),
+peru AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nc
+  FROM events GROUP BY user_id
+),
+truth AS (SELECT CAST(SUM(np * nc) AS BIGINT) AS true_size FROM peru)
+SELECT t.true_size, e.estimate,
+       round(CAST(e.estimate - t.true_size AS DOUBLE) / t.true_size, 6)
+         AS rel_overestimate,
+       e.estimate >= t.true_size AS bound_holds
+FROM truth t CROSS JOIN est e
+"""
+
+
+@query(
+    "agg_join_size_estimate",
+    oracle=_join_card_sql(
+        lambda e: "('0x' || substr(md5(" + e.format(t="VARCHAR") + "), 1, 15))::BIGINT",
+        f"unnest(range({CMS_DEPTH}))",
+    ),
+)
+def agg_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from per-side count-min sketches — the
+    cost-based-optimizer statistic that decides broadcast vs shuffle
+    vs skew mitigation BEFORE running a join: |A ⋈_k B| is estimated
+    as min over hash rows of Σ_b cmA[r][b]·cmB[r][b] (the AMS/CM
+    inner-product bound, overestimate-only), here for the
+    purchases ⋈ clicks self-join on user_id whose true size Σ np·nc
+    is skew-dominated — exactly the case where a naive
+    |A|·|B|/ndv estimate fails. The exact size rides along and the
+    query emits the certified bound_holds verdict plus relative slack.
+
+    The sketches reuse the engine's mergeable count-min build (one
+    partial-combined groupBy per side — each partition sketches
+    locally, the shuffle merges cell-wise); the inner product joins
+    two ≤ DEPTH×WIDTH cell relations. ONE SQL text drives both engines
+    (md5 spelling + row generator aside); everything is exact int64
+    until the final slack ratio."""
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        _join_card_sql(
+            lambda e: (
+                "CAST(conv(substring(md5("
+                + e.format(t="STRING")
+                + "), 1, 15), 16, 10) AS BIGINT)"
+            ),
+            f"explode(sequence(0, {CMS_DEPTH - 1}))",
+        )
+    )
