@@ -952,3 +952,34 @@ def test_information_value_matches_numpy(spark, sf_dir):
         assert abs(row["woe"] - woe) < TOL, band
         assert abs(row["iv_contrib"] - ivc) < TOL, band
         assert abs(row["iv_total"] - iv) < TOL, band
+
+
+def test_shapley_r2_matches_numpy(spark, sf_dir):
+    out = eng.QUERIES["ml_shapley_r2_attribution"](spark, sf_dir).toPandas()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li["f1"] = (li["l_extendedprice"] * 100).round()
+    li["f2"] = (li["l_discount"] * 10000).round()
+    li["y"] = (
+        li["l_extendedprice"] * (1 - li["l_discount"]) * (1 + li["l_tax"]) * 100
+    ).round()
+    for g, grp in li.groupby("l_returnflag"):
+        X = grp[["f1", "f2"]].to_numpy("float64")
+        y = grp["y"].to_numpy("float64")
+
+        def r2(cols):
+            A = np.column_stack([np.ones(len(y))] + [X[:, c] for c in cols])
+            beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+            resid = y - A @ beta
+            return 1 - (resid**2).sum() / ((y - y.mean()) ** 2).sum()
+
+        r1, r2_, r12 = r2([0]), r2([1]), r2([0, 1])
+        phi1 = 0.5 * r1 + 0.5 * (r12 - r2_)
+        phi2 = 0.5 * r2_ + 0.5 * (r12 - r1)
+        rows = out[out["l_returnflag"] == g].set_index("feature")
+        assert abs(rows.loc["l_extendedprice", "shapley_r2"] - phi1) < 1e-4, g
+        assert abs(rows.loc["l_discount", "shapley_r2"] - phi2) < 1e-4, g
+        assert abs(rows.loc["l_extendedprice", "r2_full"] - r12) < 1e-4, g
+        # efficiency: attributions sum to the full R² (to emitted grid)
+        assert abs(
+            rows["shapley_r2"].sum() - rows.loc["l_discount", "r2_full"]
+        ) < 3e-6, g
