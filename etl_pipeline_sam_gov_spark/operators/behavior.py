@@ -2475,3 +2475,130 @@ def ab_propensity_caliper_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(ok, F.col("dist"))).cast("double") / n_matched, 6
         ).alias("avg_match_dist_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bayesian A/B — exact P(B > A) under Beta-Binomial posteriors
+# ---------------------------------------------------------------------------
+
+BAYES_DECISION_P = 0.95  #: ship threshold on P(B beats A)
+
+
+def _bayes_ab_sql(hash60, gen_i) -> str:
+    """ONE SQL text (hash + series-generator spellings aside). With
+    uniform priors the posteriors are Beta with INTEGER parameters, so
+    P(B>A) has Cook's closed form — a finite sum of Beta-function
+    ratios — and every lnΓ of an integer is a PREFIX SUM of ln k built
+    in-engine (running window over a generated series, both engines
+    accumulating in ascending k): no lgamma needed, every term's op
+    order pinned, the outer sum accumulated in ascending i by another
+    running window."""
+    arm = hash60("CAST(user_id AS {t})")
+    return f"""
+WITH peruser AS (
+  SELECT {arm} % 2 AS arm,
+         CASE WHEN 5 * SUM(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) > COUNT(*)
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS conv
+  FROM peruser GROUP BY arm
+),
+w AS (
+  SELECT CAST(MAX(CASE WHEN arm = 0 THEN conv END) + 1 AS BIGINT) AS aa,
+         CAST(MAX(CASE WHEN arm = 0 THEN n - conv END) + 1 AS BIGINT) AS ba,
+         CAST(MAX(CASE WHEN arm = 1 THEN conv END) + 1 AS BIGINT) AS ab,
+         CAST(MAX(CASE WHEN arm = 1 THEN n - conv END) + 1 AS BIGINT) AS bb,
+         CAST(MAX(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+         CAST(MAX(CASE WHEN arm = 0 THEN conv END) AS BIGINT) AS conv_a,
+         CAST(MAX(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+         CAST(MAX(CASE WHEN arm = 1 THEN conv END) AS BIGINT) AS conv_b
+  FROM arms
+),
+ks AS (SELECT {gen_i("(SELECT aa + ab + ba + bb FROM w)")} AS k),
+lf AS (
+  SELECT k,
+         SUM(ln(CAST(k AS DOUBLE)))
+           OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS lfk
+  FROM ks WHERE k >= 1
+),
+lf0 AS (
+  SELECT CAST(0 AS BIGINT) AS k, CAST(0.0 AS DOUBLE) AS lfk
+  UNION ALL SELECT k, lfk FROM lf
+),
+terms AS (
+  SELECT i.k AS i,
+         exp(l1.lfk + l2.lfk - l3.lfk
+             - ln(CAST(w.bb + i.k AS DOUBLE))
+             - (l4.lfk + l5.lfk - l6.lfk)
+             - (l7.lfk + l8.lfk - l9.lfk)) AS t
+  FROM w
+  JOIN lf0 i ON i.k < w.ab
+  JOIN lf0 l1 ON l1.k = w.aa + i.k - 1
+  JOIN lf0 l2 ON l2.k = w.ba + w.bb - 1
+  JOIN lf0 l3 ON l3.k = w.aa + i.k + w.ba + w.bb - 1
+  JOIN lf0 l4 ON l4.k = i.k
+  JOIN lf0 l5 ON l5.k = w.bb - 1
+  JOIN lf0 l6 ON l6.k = i.k + w.bb
+  JOIN lf0 l7 ON l7.k = w.aa - 1
+  JOIN lf0 l8 ON l8.k = w.ba - 1
+  JOIN lf0 l9 ON l9.k = w.aa + w.ba - 1
+),
+psum AS (
+  SELECT i, SUM(t) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS p,
+         COUNT(*) OVER () AS m,
+         row_number() OVER (ORDER BY i) AS r
+  FROM terms
+)
+SELECT w.n_a, w.conv_a, w.n_b, w.conv_b,
+       round(CAST(w.aa AS DOUBLE) / (w.aa + w.ba), 6) AS posterior_mean_a,
+       round(CAST(w.ab AS DOUBLE) / (w.ab + w.bb), 6) AS posterior_mean_b,
+       round(s.p, 6) + 0.0 AS prob_b_beats_a,
+       s.p > {BAYES_DECISION_P} AS ship_b
+FROM w CROSS JOIN (SELECT p FROM psum WHERE r = m) s
+"""
+
+
+@query(
+    "ab_bayesian_beta_binomial",
+    oracle=_bayes_ab_sql(
+        lambda e: f"('0x' || substr(md5({e.format(t='VARCHAR')}), 1, 15))::BIGINT",
+        lambda n: f"unnest(range(1, {n} + 1))",
+    ),
+)
+def ab_bayesian_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B readout: Beta(1,1)-prior conversion posteriors per
+    hash arm and the EXACT P(B > A) via Cook's closed-form sum for
+    integer-parameter Betas — the decision quantity Bayesian
+    experimentation platforms ship on (no p-values, direct "probability
+    B is better"), complementing the frequentist family
+    (ab_test_proportions / ab_mann_whitney_u / ab_sequential_sprt).
+
+    The numerics are the interesting part at engine level: every
+    lnΓ(integer) is a PREFIX SUM of ln k over a generated series (a
+    running window both engines accumulate in ascending k — no lgamma
+    builtin needed, identical float op sequence), each of the conv_B
+    closed-form terms exponentiates the same pinned expression, and
+    the outer sum runs in ascending i through another running window —
+    order-pinned end to end, certified to round(6).
+
+    Scale: one user-keyed rollup; the lnfact relation is O(n_users)
+    rows built once; the term relation is conv_B rows of O(1) lookups
+    (equi-joins into lnfact). All downstream of the 2-row arm
+    aggregate."""
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        _bayes_ab_sql(
+            lambda e: (
+                "CAST(conv(substring(md5("
+                + e.format(t="STRING")
+                + "), 1, 15), 16, 10) AS BIGINT)"
+            ),
+            lambda n: f"explode(sequence(1, {n}))",
+        )
+    )

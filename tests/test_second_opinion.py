@@ -983,3 +983,47 @@ def test_shapley_r2_matches_numpy(spark, sf_dir):
         assert abs(
             rows["shapley_r2"].sum() - rows.loc["l_discount", "r2_full"]
         ) < 3e-6, g
+
+
+def test_bayesian_ab_matches_lgamma(spark, sf_dir):
+    """Independent path: math.lgamma (libm) vs the engine's in-SQL
+    prefix-sum log-factorials."""
+    import hashlib
+    from math import exp, lgamma, log
+
+    out = (
+        eng.QUERIES["ab_bayesian_beta_binomial"](spark, sf_dir)
+        .toPandas()
+        .iloc[0]
+    )
+    ev = _events(sf_dir)
+    per = ev.groupby("user_id").agg(
+        n=("event_id", "size"),
+        np_=("event_type", lambda s: int((s == "purchase").sum())),
+    )
+    per["conv"] = (5 * per["np_"] > per["n"]).astype(int)
+    per["arm"] = [
+        int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+        for u in per.index
+    ]
+    g = per.groupby("arm")["conv"].agg(["count", "sum"])
+    aa, ba = int(g.loc[0, "sum"]) + 1, int(g.loc[0, "count"] - g.loc[0, "sum"]) + 1
+    ab, bb = int(g.loc[1, "sum"]) + 1, int(g.loc[1, "count"] - g.loc[1, "sum"]) + 1
+
+    def lnbeta(x, y):
+        return lgamma(x) + lgamma(y) - lgamma(x + y)
+
+    p = sum(
+        exp(
+            lnbeta(aa + i, ba + bb)
+            - log(bb + i)
+            - lnbeta(1 + i, bb)
+            - lnbeta(aa, ba)
+        )
+        for i in range(ab)
+    )
+    assert out["n_a"] == g.loc[0, "count"] and out["n_b"] == g.loc[1, "count"]
+    assert abs(out["posterior_mean_a"] - aa / (aa + ba)) < TOL
+    assert abs(out["posterior_mean_b"] - ab / (ab + bb)) < TOL
+    assert abs(out["prob_b_beats_a"] - p) < 1e-5
+    assert bool(out["ship_b"]) == (p > 0.95)
