@@ -1655,3 +1655,132 @@ def stream_kalman_filter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("p_raw", 6) + F.lit(0.0)).alias("error_variance"),
         (F.round("k_raw", 6) + F.lit(0.0)).alias("kalman_gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Timeout-closed sessionization (EventTimeTimeout state eviction)
+# ---------------------------------------------------------------------------
+
+
+def _session_stream_oracle() -> str:
+    """The batch sessionizer's oracle, verbatim — one source of truth
+    (imports the defining module first for standalone-import safety)."""
+    import etl_pipeline_sam_gov_spark.operators.analytics  # noqa: F401
+
+    from etl_pipeline_sam_gov_spark.registry import ORACLES
+
+    return ORACLES["sessionize_events"]
+
+
+@query("stream_session_timeout_close", oracle=_session_stream_oracle())
+def stream_session_timeout_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization where the RUNTIME closes the session: the open
+    session lives in GroupState with an EVENT-TIME TIMEOUT at
+    last_event + gap, mid-stream sessions close inline when a new
+    event arrives past the gap, and the final open session of every
+    user is flushed by the timeout callback once the watermark passes
+    it (the far-future heartbeat drives the watermark across the whole
+    replay) — the state-EVICTION half of the applyInPandasWithState
+    API that every other stateful query here (NoTimeout) leaves
+    unexercised, and the mechanism that bounds state to O(active
+    users) on an unbounded stream. Emits the exact sessionize_events
+    schema and hash-matches its oracle verbatim.
+
+    The timeout path is real control flow: a timed-out invocation
+    receives NO rows (hasTimedOut=True), emits the held session, and
+    removes its state — the idle-user flush a production sessionizer
+    must get right (the alternative, waiting for the user's next
+    event, holds state forever for one-visit users)."""
+    import etl_pipeline_sam_gov_spark.operators.analytics as _an
+
+    configure_runtime(spark)
+    landing = _heartbeat_landing(spark, sf_dir)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(landing)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = _denaive(stream).withWatermark("ts", "10 minutes")
+    gap_us = _an.SESSION_GAP_S * 1_000_000
+
+    def fold(key, pdfs, state):
+        import pandas as pd
+
+        cols = [
+            "user_id",
+            "session_seq",
+            "n_events",
+            "session_start_us",
+            "session_end_us",
+            "value_sum",
+        ]
+        if state.hasTimedOut:
+            seq, start, end, n, vsum = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], seq, n, start, end, vsum)], columns=cols
+            )
+            return
+        if state.exists:
+            seq, start, end, n, vsum = state.get
+        else:
+            seq, start, end, n, vsum = 0, None, None, 0, 0.0
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts_us = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000)
+        rows = []
+        for t, v in zip(ts_us.tolist(), pdf["value"].tolist()):
+            if start is None:
+                seq, start, end, n, vsum = seq + 1, t, t, 1, float(v)
+            elif t - end > gap_us:
+                rows.append((key[0], seq, n, start, end, vsum))
+                seq, start, end, n, vsum = seq + 1, t, t, 1, float(v)
+            else:
+                end, n, vsum = t, n + 1, vsum + float(v)
+        state.update((seq, start, end, n, vsum))
+        state.setTimeoutTimestamp(end // 1000 + _an.SESSION_GAP_S * 1000 + 1)
+        yield pd.DataFrame(rows, columns=cols)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_seq", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("session_end_us", T.LongType()),
+            T.StructField("value_sum", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("start", T.LongType()),
+            T.StructField("end", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("vsum", T.DoubleType()),
+        ]
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sessions = (
+        stream.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    out = run_to_memory(sessions, mode="append", shuffle_partitions=8)
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        "session_start_us",
+        "session_end_us",
+        (
+            (F.col("session_end_us") - F.col("session_start_us")) / 1_000_000
+        ).alias("duration_s"),
+        F.round("value_sum", 6).alias("session_value"),
+    )
