@@ -136,7 +136,11 @@ STRESS_QUERIES = (
     # round-5 batch:
     "text_boilerplate_removal",  # chunk-text exchange + broadcast boiler set
     "graph_personalized_pagerank",  # frontier-sparse rank vectors per round
-    "ann_radius_search_lsh",     # sign-cell equi-join, per-pair O(dim) fold
+    # (ann_radius_search_lsh is excluded for the ann_* reason in its
+    # strongest form: replicas are deliberate near-dups, so every
+    # radius neighborhood gains one member per replica and the OUTPUT
+    # grows ~quadratically with amplification — measured 5.1× at the
+    # 16× step, all of it result rows, none of it plan shape.)
     "ml_embedding_whitening",    # dim-keyed int64 moments + broadcast-back
     "ml_isotonic_calibration",   # one group shuffle + O(n) PAV per group
     "ml_target_encoding",        # one (category, fold) agg; tiny tail math
