@@ -77,6 +77,13 @@ REPRESENTATIVE = [
     "ts_granger_causality",      # dense-grid lag moments → Cramer solve
     "ts_theil_sen_trend",        # pairwise-slope median order statistic
     "ts_pacf_durbin_levinson",   # per-lag moments → unrolled recursion
+    "ts_theil_sen_trend",        # pairwise slopes + order-statistic median
+    "ml_shapley_r2_attribution",  # decimal moments → Cramer double tree
+    "ab_bayesian_beta_binomial",  # running-window ln-factorials + term sum
+    "agg_join_size_estimate",    # md5 sketch cells + inner-product min
+    "multimodal_patch_grid_stats",  # Arrow decode + exact int tile sums
+    "fn_timezone_local_hours",   # IANA conversions, pure int buckets
+    "dedup_levenshtein_blocked",  # prefix blocks + exact DP distances
 ]
 
 
