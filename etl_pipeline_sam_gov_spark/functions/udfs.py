@@ -974,3 +974,131 @@ def udf_viterbi_2state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("best_final_state"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Croston's method (intermittent-demand forecasting)
+# ---------------------------------------------------------------------------
+
+CROSTON_A = 0.2  #: smoothing gain for both size and interval
+
+
+def _croston_oracle() -> str:
+    """Recursive-CTE replay over the per-user PURCHASE subsequence:
+    Croston smooths demand SIZE and inter-demand INTERVAL as two EWMA
+    recurrences that update only when demand occurs — the rn here
+    indexes purchases, and the interval input is the gap in EVENTS
+    since the previous purchase (position within the full timeline),
+    both exact integers before the recursion's doubles."""
+    a = CROSTON_A
+    return f"""
+WITH RECURSIVE pos AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS pidx
+  FROM events
+),
+dem AS (
+  SELECT user_id, value, pidx,
+         row_number() OVER (PARTITION BY user_id ORDER BY pidx) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         pidx - COALESCE(lag(pidx) OVER (PARTITION BY user_id
+                                         ORDER BY pidx), 0) AS iv
+  FROM pos WHERE event_type = 'purchase'
+),
+rec AS (
+  SELECT user_id, rn, n, value AS z, CAST(iv AS DOUBLE) AS p
+  FROM dem WHERE rn = 1
+  UNION ALL
+  SELECT d.user_id, d.rn, d.n,
+         {a} * d.value + {1 - a} * r.z,
+         {a} * CAST(d.iv AS DOUBLE) + {1 - a} * r.p
+  FROM dem d JOIN rec r ON d.user_id = r.user_id AND d.rn = r.rn + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_demands,
+       round(z, 6) + 0.0 AS smoothed_size,
+       round(p, 6) + 0.0 AS smoothed_interval,
+       round(z / p, 6) + 0.0 AS demand_rate
+FROM rec WHERE rn = n
+"""
+
+
+@query("udf_croston_demand", oracle=_croston_oracle())
+def udf_croston_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (1972) per user over the purchase stream — THE
+    intermittent-demand forecaster (spare parts, reorders, sparse
+    purchasing): classic exponential smoothing is biased when most
+    periods have zero demand, so Croston smooths two series that
+    update ONLY at demand points — the demand size z and the
+    inter-demand interval p — and forecasts the demand RATE z/p. The
+    event-TRIGGERED update is the family-distinguishing feature
+    (EWMA/Holt/HW/Kalman update every observation; CUSUM clamps;
+    Croston's clock only ticks on nonzero demand).
+
+    Exactness is the EWMA contract on the purchase SUBSEQUENCE:
+    intervals are exact integer event-position gaps, sizes raw
+    doubles, and the Python loop and recursive CTE run the identical
+    IEEE sequence per demand point before round(6). Scale: one
+    user-keyed shuffle; state is two doubles; depth = purchases per
+    user."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+
+    def croston(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = CROSTON_A
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        z = p = None
+        n = 0
+        last_pos = 0
+        for pos, (t, v) in enumerate(
+            zip(pdf["event_type"].tolist(), pdf["value"].tolist()), start=1
+        ):
+            if t != "purchase":
+                continue
+            iv = pos - last_pos
+            last_pos = pos
+            n += 1
+            if z is None:
+                z, p = v, float(iv)
+            else:
+                z = a * v + (1 - a) * z
+                p = a * float(iv) + (1 - a) * p
+        if n == 0:
+            return pd.DataFrame(
+                columns=["user_id", "n_demands", "z_raw", "p_raw"]
+            ).astype(
+                {"user_id": "int64", "n_demands": "int64",
+                 "z_raw": "float64", "p_raw": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_demands": [n],
+                "z_raw": [z],
+                "p_raw": [p],
+            }
+        )
+
+    out = (
+        ev.select("event_id", "user_id", "ts", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            croston,
+            T.StructType(
+                [
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("n_demands", T.LongType()),
+                    T.StructField("z_raw", T.DoubleType()),
+                    T.StructField("p_raw", T.DoubleType()),
+                ]
+            ),
+        )
+    )
+    return out.select(
+        "user_id",
+        "n_demands",
+        (F.round("z_raw", 6) + F.lit(0.0)).alias("smoothed_size"),
+        (F.round("p_raw", 6) + F.lit(0.0)).alias("smoothed_interval"),
+        (F.round(F.col("z_raw") / F.col("p_raw"), 6) + F.lit(0.0)).alias(
+            "demand_rate"
+        ),
+    )
