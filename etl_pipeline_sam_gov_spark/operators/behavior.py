@@ -2602,3 +2602,103 @@ def ab_bayesian_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda n: f"explode(sequence(1, {n}))",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed experiment readout (SRM gate + four inference methods)
+# ---------------------------------------------------------------------------
+
+
+def _experiment_report_oracle() -> str:
+    """Composes the five component oracles VERBATIM — the pipeline_*
+    rule: the report is certified to be exactly the union of the
+    individually-certified methods."""
+    from etl_pipeline_sam_gov_spark.registry import ORACLES
+
+    srm = ORACLES["ab_srm_check"]
+    prop = ORACLES["ab_test_proportions"]
+    mwu = ORACLES["ab_mann_whitney_u"]
+    sprt = ORACLES["ab_sequential_sprt"]
+    bayes = ORACLES["ab_bayesian_beta_binomial"]
+    return f"""
+SELECT 'srm_gate' AS component, 'chi2_total' AS metric,
+       ANY_VALUE(chi2_total) AS value,
+       NOT bool_or(srm_detected) AS verdict
+FROM ({srm})
+UNION ALL
+SELECT 'two_proportion_z', 'uplift', uplift, significant FROM ({prop})
+UNION ALL
+SELECT 'mann_whitney_u', 'z_stat', z_stat, significant FROM ({mwu})
+UNION ALL
+SELECT 'sprt_arm_' || CAST(arm AS VARCHAR), 'llr_at_decision',
+       llr_at_decision, decision = 'accept_h1'
+FROM ({sprt})
+UNION ALL
+SELECT 'bayesian', 'prob_b_beats_a', prob_b_beats_a, ship_b
+FROM ({bayes})
+"""
+
+
+@query("pipeline_experiment_report", oracle=_experiment_report_oracle())
+def pipeline_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed EXPERIMENT READOUT: the SRM validity gate plus all
+    four inference methods (frequentist z, rank-based Mann-Whitney,
+    sequential SPRT per arm, Bayesian P(B>A)) unioned into one
+    (component, metric, value, verdict) table — what an
+    experimentation platform's decision page renders, and the
+    methods-triangulation discipline in one plan: a launch call you'd
+    trust has the validity gate passing and the methods AGREEING.
+    Composition rule as for pipeline_health_report: each component is
+    individually driver-certified and the report's oracle embeds those
+    oracles verbatim, so the union is provably the sum of its parts;
+    Catalyst plans the whole thing lazily (the five per-user rollups
+    share scan/exchange shapes where they align).
+
+    Scale: inherits each component's one-user-rollup shape; the union
+    adds no shuffle. The verdict column is the only new logic — pure
+    renames of each method's own decision output."""
+    from etl_pipeline_sam_gov_spark.registry import QUERIES as _Q
+
+    srm = (
+        _Q["ab_srm_check"](spark, sf_dir)
+        .agg(
+            F.any_value("chi2_total").alias("value"),
+            (~F.bool_or("srm_detected")).alias("verdict"),
+        )
+        .select(
+            F.lit("srm_gate").alias("component"),
+            F.lit("chi2_total").alias("metric"),
+            "value",
+            "verdict",
+        )
+    )
+    prop = _Q["ab_test_proportions"](spark, sf_dir).select(
+        F.lit("two_proportion_z").alias("component"),
+        F.lit("uplift").alias("metric"),
+        F.col("uplift").alias("value"),
+        F.col("significant").alias("verdict"),
+    )
+    mwu = _Q["ab_mann_whitney_u"](spark, sf_dir).select(
+        F.lit("mann_whitney_u").alias("component"),
+        F.lit("z_stat").alias("metric"),
+        F.col("z_stat").alias("value"),
+        F.col("significant").alias("verdict"),
+    )
+    sprt = _Q["ab_sequential_sprt"](spark, sf_dir).select(
+        F.concat(F.lit("sprt_arm_"), F.col("arm").cast("string")).alias(
+            "component"
+        ),
+        F.lit("llr_at_decision").alias("metric"),
+        F.col("llr_at_decision").alias("value"),
+        (F.col("decision") == "accept_h1").alias("verdict"),
+    )
+    bayes = _Q["ab_bayesian_beta_binomial"](spark, sf_dir).select(
+        F.lit("bayesian").alias("component"),
+        F.lit("prob_b_beats_a").alias("metric"),
+        F.col("prob_b_beats_a").alias("value"),
+        F.col("ship_b").alias("verdict"),
+    )
+    out = srm
+    for part in (prop, mwu, sprt, bayes):
+        out = out.unionByName(part)
+    return out
