@@ -1213,3 +1213,51 @@ def dq_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda e: f"CAST(conv(substring(md5({e}), 1, 15), 16, 10) AS BIGINT)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-charge detection (exact-amount repeats per account)
+# ---------------------------------------------------------------------------
+
+
+def _dup_charges_sql(epoch_us: str = "epoch_us") -> str:
+    """Shared SQL parameterized only by the epoch-micros spelling
+    (DuckDB epoch_us vs Spark unix_micros): equi-join on the (user,
+    exact cents) block key with a deterministic (earlier id, later id)
+    orientation; the time gap rides along as evidence."""
+    return f"""
+WITH c AS (
+  SELECT user_id, event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents, ts
+  FROM events
+)
+SELECT a.user_id, a.event_id AS first_event, b.event_id AS second_event,
+       a.cents,
+       a.event_type AS first_type, b.event_type AS second_type,
+       CAST(floor(abs({epoch_us}(b.ts) - {epoch_us}(a.ts)) / 1000000.0)
+            AS BIGINT) AS gap_s
+FROM c a JOIN c b
+  ON a.user_id = b.user_id AND a.cents = b.cents
+ AND a.event_id < b.event_id
+"""
+
+
+@query("dq_duplicate_charges", oracle=_dup_charges_sql())
+def dq_duplicate_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-charge / double-entry detection: pairs of events on
+    the SAME account with the SAME exact amount — the reconciliation
+    sieve every billing/ledger pipeline runs (retried payments, double
+    submits, replayed webhooks), with the time gap emitted as triage
+    evidence (a 3-second gap is a double-click; a 3-week gap is a
+    subscription). The amount key is EXACT integer cents — the whole
+    point of the centize convention: float amounts would make "same
+    amount" a tolerance question, the classic reconciliation bug.
+
+    Scale: one equi-join blocked on (user, cents) — candidate pairs
+    are per-block quadratic but a block is one account×amount (the
+    skew-safe key); the orientation predicate halves the output and
+    sits in the ON clause with the block keys (the Levenshtein-dedup
+    predicate-order lesson). ONE shared SQL text drives both engines
+    (epoch-micros spelling aside)."""
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(_dup_charges_sql("unix_micros"))
