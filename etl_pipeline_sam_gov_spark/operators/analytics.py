@@ -2967,3 +2967,79 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(SELECT max(h) FROM hourly), INTERVAL '1' HOUR))"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fisher dispersion index (Poisson overdispersion test on arrivals)
+# ---------------------------------------------------------------------------
+
+
+def _dispersion_sql(grid_expr: str) -> str:
+    """ONE SQL text (grid spelling aside): per type, hourly arrival
+    counts on the zero-filled dense grid, then the variance/mean
+    ratio from exact int64 moments — D = (T·Σc² − (Σc)²) / (T−1) / Σc
+    written as one double expression."""
+    return (
+        """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+grid AS (SELECT """
+        + grid_expr
+        + """ AS h),
+types AS (SELECT DISTINCT event_type FROM hourly),
+dense AS (
+  SELECT t.event_type, COALESCE(hh.c, 0) AS c
+  FROM grid g CROSS JOIN types t
+  LEFT JOIN hourly hh ON hh.event_type = t.event_type AND hh.h = g.h
+),
+mom AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM dense GROUP BY event_type
+)
+SELECT event_type, t AS n_hours, s1 AS n_events,
+       round(CAST(s1 AS DOUBLE) / t, 6) AS mean_per_hour,
+       round((CAST(t AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+             / (t - 1) / t, 6) AS var_per_hour,
+       round((CAST(t AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+             / (t - 1) / s1, 6) + 0.0 AS dispersion_index,
+       (CAST(t AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) / (t - 1) / s1
+         > 1.5 AS overdispersed
+FROM mom
+"""
+    )
+
+
+@query(
+    "ts_dispersion_index",
+    oracle=_dispersion_sql(
+        "unnest(generate_series((SELECT min(h) FROM hourly), "
+        "(SELECT max(h) FROM hourly), INTERVAL 1 HOUR))"
+    ),
+)
+def ts_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's dispersion index D = Var/Mean of hourly arrival counts
+    per event type over the zero-filled dense grid — the first test a
+    count-data modeler runs: a Poisson process has D = 1, bursty
+    traffic (sessions, incidents, bot waves) is OVERDISPERSED (D ≫ 1,
+    negative-binomial territory), and D < 1 means regularized
+    arrivals. Decides whether the Poisson assumptions behind rate
+    alarms and ab_bootstrap_ci_poisson's resampling hold for this
+    stream, and pairs with ts_autocorrelation (burstiness in time) the
+    way a marginal test pairs with a serial one.
+
+    Exactness: counts are exact ints incl. the zero hours (omitting
+    empty cells biases D down — the classic mistake); mean, variance
+    and D are single fixed-shape double expressions from int64
+    moments. Scale: corpus collapses to |types|×|hours| once; all else
+    runs on the bounded grid."""
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        _dispersion_sql(
+            "explode(sequence((SELECT min(h) FROM hourly), "
+            "(SELECT max(h) FROM hourly), INTERVAL '1' HOUR))"
+        )
+    )
