@@ -3043,3 +3043,86 @@ def ts_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(SELECT max(h) FROM hourly), INTERVAL '1' HOUR))"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponential-fit KS test on inter-arrival gaps
+# ---------------------------------------------------------------------------
+
+
+def _exp_ks_sql(epoch_us: str) -> str:
+    """ONE SQL text (epoch spelling aside). Per type: inter-arrival
+    gaps in exact micros, λ̂ = n/Σg by MLE, and the exact two-sided KS
+    distance against Exp(λ̂) on the distinct-gap grid — F_n from
+    integer cumulative counts, F(g) = 1 − exp(−n·g/Σg) with the
+    exponent written as one int-ratio shape."""
+    return f"""
+WITH ordered AS (
+  SELECT event_type, {epoch_us}(ts) AS t_us,
+         lag({epoch_us}(ts)) OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+gaps AS (
+  SELECT event_type, t_us - prev_us AS g
+  FROM ordered WHERE prev_us IS NOT NULL
+),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(g) AS BIGINT) AS sg
+  FROM gaps GROUP BY event_type
+),
+byval AS (
+  SELECT event_type, g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM gaps GROUP BY event_type, g
+),
+cum AS (
+  SELECT event_type, g,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY g
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cle
+  FROM byval
+),
+dev AS (
+  SELECT c.event_type,
+         CASE WHEN abs(CAST(c.cle AS DOUBLE) / t.n
+                       - (1.0 - exp(-(CAST(t.n AS DOUBLE) * c.g / t.sg))))
+                   >= abs((1.0 - exp(-(CAST(t.n AS DOUBLE) * c.g / t.sg)))
+                          - CAST(c.cle - 1 AS DOUBLE) / t.n)
+              THEN abs(CAST(c.cle AS DOUBLE) / t.n
+                       - (1.0 - exp(-(CAST(t.n AS DOUBLE) * c.g / t.sg))))
+              ELSE abs((1.0 - exp(-(CAST(t.n AS DOUBLE) * c.g / t.sg)))
+                       - CAST(c.cle - 1 AS DOUBLE) / t.n) END AS d
+  FROM cum c JOIN tot t ON c.event_type = t.event_type
+)
+SELECT t.event_type, t.n AS n_gaps,
+       round(CAST(t.n AS DOUBLE) * 60000000 / t.sg, 6) AS lambda_per_min,
+       round(MAX(d.d), 6) + 0.0 AS ks_d,
+       MAX(d.d) < 1.358 / sqrt(CAST(t.n AS DOUBLE)) AS exp_fit_ok
+FROM tot t JOIN dev d ON t.event_type = d.event_type
+GROUP BY t.event_type, t.n, t.sg
+"""
+
+
+@query(
+    "ts_exponential_fit_ks",
+    oracle=_exp_ks_sql("epoch_us"),
+)
+def ts_exponential_fit_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodness-of-fit of the exponential inter-arrival model, per
+    event type: MLE rate λ̂ = n/Σgap, then the EXACT two-sided
+    Kolmogorov-Smirnov distance between the gap ECDF and Exp(λ̂),
+    compared against the 5% asymptotic critical value 1.358/√n — the
+    distributional half of the Poisson-process audit whose marginal
+    half is ts_dispersion_index (D≈1 AND exponential gaps ⇒ the rate
+    alarms and Poisson-bootstrap machinery rest on solid ground; heavy
+    tails show up here first). KS is evaluated correctly at BOTH sides
+    of each ECDF jump (sup over atoms needs F_n(g) and F_n(g⁻)).
+
+    Exactness: gaps and cumulative counts are exact int64 on the
+    distinct-gap grid; the model CDF's exponent is the int ratio
+    n·g/Σg in one fixed shape, exp is the only libm call, round(6)
+    absorbs its ulp. Scale: one type-keyed lag window, a distinct-gap
+    collapse, one prefix sum per type — the Mann-Whitney grid shape."""
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(_exp_ks_sql("unix_micros"))

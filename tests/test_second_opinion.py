@@ -1027,3 +1027,29 @@ def test_bayesian_ab_matches_lgamma(spark, sf_dir):
     assert abs(out["posterior_mean_b"] - ab / (ab + bb)) < TOL
     assert abs(out["prob_b_beats_a"] - p) < 1e-5
     assert bool(out["ship_b"]) == (p > 0.95)
+
+
+def test_exponential_ks_matches_numpy(spark, sf_dir):
+    out = (
+        eng.QUERIES["ts_exponential_fit_ks"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = _events(sf_dir)
+    ev["us"] = ev["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    for t, g in ev.groupby("event_type"):
+        s = g.sort_values(["ts", "event_id"])["us"].to_numpy()
+        gaps = np.diff(s).astype("float64")
+        n = len(gaps)
+        lam = n / gaps.sum()
+        x = np.sort(gaps)
+        fx = 1 - np.exp(-lam * x)
+        # exact two-sided KS at atoms (handles tied gaps via ECDF jumps)
+        ecdf_hi = np.searchsorted(x, x, side="right") / n
+        ecdf_lo = np.searchsorted(x, x, side="left") / n
+        d = max(np.abs(ecdf_hi - fx).max(), np.abs(fx - ecdf_lo).max())
+        row = out.loc[t]
+        assert row["n_gaps"] == n
+        assert abs(row["lambda_per_min"] - lam * 60_000_000) < TOL, t
+        assert abs(row["ks_d"] - d) < TOL, t
+        assert bool(row["exp_fit_ok"]) == (d < 1.358 / np.sqrt(n)), t
