@@ -2702,3 +2702,69 @@ def pipeline_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in (prop, mwu, sprt, bayes):
         out = out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate of the behavior Markov chain
+# ---------------------------------------------------------------------------
+
+
+def _entropy_rate_sql() -> str:
+    """Fully portable shared SQL: plug-in entropy rate from exact
+    transition counts — H = −Σ (n_ij/N)·ln(n_ij/n_i), empirical state
+    frequencies standing in for the stationary distribution (the
+    standard plug-in; they coincide on an observed chain up to end
+    effects)."""
+    return """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+trans AS (
+  SELECT prev, event_type AS nxt, CAST(COUNT(*) AS BIGINT) AS nij
+  FROM seq WHERE prev IS NOT NULL GROUP BY prev, nxt
+),
+rowtot AS (
+  SELECT prev, CAST(SUM(nij) AS BIGINT) AS ni FROM trans GROUP BY prev
+),
+tot AS (
+  SELECT CAST(SUM(nij) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT prev) AS BIGINT) AS k
+  FROM trans
+)
+SELECT t.n AS n_transitions, t.k AS n_states,
+       round(SUM(-(CAST(tr.nij AS DOUBLE) / t.n)
+                 * ln(CAST(tr.nij AS DOUBLE) / r.ni)), 6) + 0.0
+         AS entropy_rate_nats,
+       round(ln(CAST(t.k AS DOUBLE)), 6) AS max_entropy_nats,
+       round(SUM(-(CAST(tr.nij AS DOUBLE) / t.n)
+                 * ln(CAST(tr.nij AS DOUBLE) / r.ni))
+             / ln(CAST(t.k AS DOUBLE)), 6) + 0.0 AS relative_entropy
+FROM trans tr
+JOIN rowtot r ON tr.prev = r.prev
+CROSS JOIN tot t
+GROUP BY t.n, t.k
+"""
+
+
+@query("behavior_entropy_rate", oracle=_entropy_rate_sql())
+def behavior_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTROPY RATE of the user-behavior Markov chain — how predictable
+    is the next action given the current one (Shannon; the
+    sequence-level companion of markov_event_transitions' matrix and
+    text_token_entropy's marginal entropy): H = −Σ π̂_i p̂_ij ln p̂_ij
+    with plug-in empirical frequencies, reported beside the ln(k)
+    ceiling as a 0-1 predictability score. Behavior modeling uses
+    this to decide whether next-action prediction is worth a model at
+    all (H near ln k ⇒ the chain is noise — which this fixture's
+    independent generator should and does exhibit).
+
+    Exactness: all counts exact int64 through one user-keyed lag
+    window and a |k|²-bounded transition aggregate; the ≤k² ln terms
+    sum under round(6) (the PSI/IV small-relation convention). Scale:
+    one shuffle on user_id; everything after runs on the k²-cell
+    relation."""
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(_entropy_rate_sql())
