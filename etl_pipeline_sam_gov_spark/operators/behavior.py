@@ -2768,3 +2768,103 @@ def behavior_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation."""
     load_tables(spark, sf_dir, ("events",))
     return spark.sql(_entropy_rate_sql())
+
+
+# ---------------------------------------------------------------------------
+# Recommendation-set evaluation: catalog coverage + novelty
+# ---------------------------------------------------------------------------
+
+
+def _reco_eval_oracle() -> str:
+    """Embeds the certified rule-set oracle VERBATIM (the composition
+    rule), then evaluates it."""
+    from etl_pipeline_sam_gov_spark.registry import ORACLES
+
+    rules = ORACLES["reco_item_lift"]
+    return f"""
+WITH rules AS ({rules}),
+rec_items AS (
+  SELECT part_a AS part FROM rules
+  UNION
+  SELECT part_b FROM rules
+),
+catalog AS (
+  SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+  FROM lineitem
+),
+pop AS (
+  SELECT l_partkey AS part,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST((SELECT COUNT(*) FROM rules) AS BIGINT) AS n_rules,
+       CAST(COUNT(*) AS BIGINT) AS n_rec_items,
+       round(CAST(COUNT(*) AS DOUBLE) / MAX(cat.n_parts), 6)
+         AS catalog_coverage,
+       round(SUM(-ln(CAST(p.c AS DOUBLE) / cat.n_orders)) / COUNT(*), 6)
+         + 0.0 AS mean_novelty_nats
+FROM rec_items r
+JOIN pop p ON r.part = p.part
+CROSS JOIN catalog cat
+"""
+
+
+@query("reco_eval_coverage_novelty", oracle=_reco_eval_oracle())
+def reco_eval_coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-accuracy evaluation of the market-basket rule set:
+    CATALOG COVERAGE (what share of the catalog the top-K rules ever
+    recommend — a rule miner that only surfaces bestsellers scores
+    high lift and zero discovery) and mean NOVELTY as self-information
+    −ln(popularity share) of the recommended items (Zhou et al. 2010;
+    high = long-tail recommendations, low = popularity bias). The two
+    metrics every recsys review demands NEXT TO ranking quality
+    (retrieval_ndcg_eval's counterpart on the reco side).
+
+    Composition rule: the evaluated rule set is reco_item_lift's
+    certified output, its oracle embedded verbatim. Exactness: counts
+    exact int64; coverage one division; novelty a ≤2K-term ln sum
+    (the PSI/IV small-relation convention). Scale: rides the rule
+    miner's plan plus one popularity aggregate; the evaluation
+    relation is K-bounded."""
+    from etl_pipeline_sam_gov_spark.registry import QUERIES as _Q
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    rules = _Q["reco_item_lift"](spark, sf_dir)
+    rec_items = (
+        rules.select(F.col("part_a").alias("part"))
+        .union(rules.select(F.col("part_b").alias("part")))
+        .distinct()
+    )
+    catalog = li.agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+    pop = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count_distinct("l_orderkey").alias("c")
+    )
+    n_rules = rules.agg(F.count(F.lit(1)).cast("bigint").alias("n_rules"))
+    return (
+        rec_items.join(pop, "part")
+        .crossJoin(F.broadcast(catalog))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rec_items"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.max("n_parts"), 6
+            ).alias("catalog_coverage"),
+            (
+                F.round(
+                    F.sum(
+                        -F.log(F.col("c").cast("double") / F.col("n_orders"))
+                    )
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mean_novelty_nats"),
+        )
+        .crossJoin(F.broadcast(n_rules))
+        .select(
+            "n_rules", "n_rec_items", "catalog_coverage", "mean_novelty_nats"
+        )
+    )
