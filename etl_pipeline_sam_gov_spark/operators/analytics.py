@@ -3126,3 +3126,121 @@ def ts_exponential_fit_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse, one prefix sum per type — the Mann-Whitney grid shape."""
     load_tables(spark, sf_dir, ("events",))
     return spark.sql(_exp_ks_sql("unix_micros"))
+
+# ---------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis
+# ---------------------------------------------------------------------------
+
+HURST_WINDOWS = (16, 32, 64, 128)  #: block sizes (hours)
+
+
+def _hurst_sql(grid_expr: str) -> str:
+    """ONE SQL text (grid spelling aside). Within a block of size w the
+    cumulative deviation stays EXACT by scaling with w:
+    Y_j = w·Σ_{i≤j}c_i − j·Σc is int64, so the range max−min is exact
+    and R/S = (maxY − minY) / √(w·Σc² − (Σc)²) is one double
+    expression per block. H is the ln-ln OLS slope over the
+    (ln w, ln avg R/S) points; the four ln w are shared literals."""
+    import math
+
+    per_w = []
+    for w in HURST_WINDOWS:
+        per_w.append(f"""
+  SELECT CAST({w} AS BIGINT) AS w, CAST({math.log(w)!r} AS DOUBLE) AS lw,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         SUM(rs) / COUNT(*) AS avg_rs
+  FROM (
+    SELECT b,
+           CAST(MAX(y) - MIN(y) AS DOUBLE)
+             / sqrt(CAST({w} AS DOUBLE) * MAX(s2)
+                    - CAST(MAX(s1) AS DOUBLE) * MAX(s1)) AS rs
+    FROM (
+      SELECT b, j,
+             {w} * cum - j * s1 AS y, s1, s2
+      FROM (
+        SELECT b,
+               row_number() OVER (PARTITION BY b ORDER BY rn) AS j,
+               SUM(c) OVER (PARTITION BY b ORDER BY rn
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               SUM(c) OVER (PARTITION BY b) AS s1,
+               SUM(c * c) OVER (PARTITION BY b) AS s2,
+               COUNT(*) OVER (PARTITION BY b) AS bn
+        FROM (
+          SELECT CAST(floor((rn - 1) / {w}.0) AS BIGINT) AS b, rn, c
+          FROM series_idx
+        ) blk{w}
+      ) win{w} WHERE bn = {w}
+    ) dev{w}
+    GROUP BY b
+    HAVING CAST({w} AS DOUBLE) * MAX(s2)
+           - CAST(MAX(s1) AS DOUBLE) * MAX(s1) > 0
+  ) per_block{w}""")
+    rs_union = "\nUNION ALL\n".join(per_w)
+    return (
+        """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+grid AS (SELECT """
+        + grid_expr
+        + """ AS h),
+series_idx AS (
+  SELECT CAST(row_number() OVER (ORDER BY g.h) AS BIGINT) AS rn,
+         COALESCE(hh.c, 0) AS c
+  FROM grid g LEFT JOIN hourly hh ON hh.h = g.h
+),
+rspoints AS (
+"""
+        + rs_union
+        + """
+),
+fit AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS np,
+         SUM(lw) AS sx, SUM(ln(avg_rs)) AS sy,
+         SUM(lw * lw) AS sxx, SUM(lw * ln(avg_rs)) AS sxy
+  FROM rspoints
+)
+SELECT r.w AS window_hours, r.n_blocks,
+       round(r.avg_rs, 6) + 0.0 AS avg_rescaled_range,
+       round((f.np * f.sxy - f.sx * f.sy)
+             / (f.np * f.sxx - f.sx * f.sx), 6) + 0.0 AS hurst_h
+FROM rspoints r CROSS JOIN fit f
+"""
+    )
+
+
+@query(
+    "ts_hurst_exponent",
+    oracle=_hurst_sql(
+        "unnest(generate_series((SELECT min(h) FROM hourly), "
+        "(SELECT max(h) FROM hourly), INTERVAL 1 HOUR))"
+    ),
+)
+def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of hourly revenue via rescaled-range analysis
+    (Hurst 1951; Mandelbrot's long-memory diagnostic): for block sizes
+    16/32/64/128 hours, the mean rescaled range R/S grows ~ wᴴ — H≈0.5
+    is a memoryless series, H>0.5 long-range persistence (trends feed
+    themselves; rate alarms need longer baselines), H<0.5 mean
+    reversion. A genuinely different lens from ACF/PACF (which see
+    fixed lags; H sees SCALING) and the third leg of the
+    process-audit family (dispersion = marginal, exponential-KS =
+    inter-arrival law, Hurst = memory).
+
+    Exact-arithmetic core: within each block the cumulative deviation
+    is kept integral by scaling with w (Y_j = w·cum_j − j·total), so
+    every range is an exact int64 and only the final R/S division,
+    block mean, and 4-point ln-ln OLS slope are doubles (ln w as
+    shared literals). Scale: corpus → |hours| once, per-w windows
+    partition by block id — no global sort, block counts bounded by
+    the calendar."""
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        _hurst_sql(
+            "explode(sequence((SELECT min(h) FROM hourly), "
+            "(SELECT max(h) FROM hourly), INTERVAL '1' HOUR))"
+        )
+    )
