@@ -3244,3 +3244,103 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(SELECT max(h) FROM hourly), INTERVAL '1' HOUR))"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test — k related samples, ranked within hourly blocks
+# ---------------------------------------------------------------------------
+
+#: χ² critical value at α=0.05, df = k−1 = 4 event types − 1.
+FRIEDMAN_CRIT = 9.488
+
+
+def _friedman_sql(grid_expr: str) -> str:
+    """ONE SQL text (grid spelling aside). Each dense hour is a block;
+    the k types' revenues rank within it as exact DOUBLED midranks
+    (2r = 2·rank + t − 1); the Friedman statistic and its tie
+    correction C = 1 − Σ(t³−t)/(n·k·(k²−1)) assemble from int64
+    sums in one double expression."""
+    return (
+        """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+grid AS (SELECT """
+        + grid_expr
+        + """ AS h),
+types AS (SELECT DISTINCT event_type FROM hourly),
+dense AS (
+  SELECT g.h, t.event_type, COALESCE(hh.c, 0) AS c
+  FROM grid g CROSS JOIN types t
+  LEFT JOIN hourly hh ON hh.event_type = t.event_type AND hh.h = g.h
+),
+ranked AS (
+  SELECT h, event_type,
+         2 * CAST(rank() OVER (PARTITION BY h ORDER BY c) AS BIGINT)
+           + CAST(COUNT(*) OVER (PARTITION BY h, c) AS BIGINT) - 1 AS r2
+  FROM dense
+),
+ties AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM dense GROUP BY h, c) g
+),
+sums AS (
+  SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2sum,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ranked GROUP BY event_type
+),
+k_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM sums),
+stat AS (
+  SELECT
+    (12.0 * SUM((CAST(r2sum AS DOUBLE) / 2) * (CAST(r2sum AS DOUBLE) / 2))
+       / (MAX(n) * MAX(k.k) * (MAX(k.k) + 1))
+     - 3.0 * MAX(n) * (MAX(k.k) + 1))
+    / (1.0 - CAST(MAX(t.tie3) AS DOUBLE)
+             / (MAX(n) * MAX(k.k)
+                * (MAX(k.k) * MAX(k.k) - 1))) AS chi2,
+    MAX(n) AS n_blocks, MAX(k.k) AS k
+  FROM sums CROSS JOIN k_ k CROSS JOIN ties t
+)
+SELECT s.event_type, s.n AS n_blocks,
+       round(CAST(s.r2sum AS DOUBLE) / 2 / s.n, 6) AS mean_rank,
+       round(st.chi2, 6) + 0.0 AS friedman_chi2,
+       st.chi2 > """
+        + repr(FRIEDMAN_CRIT)
+        + """ AS types_differ
+FROM sums s CROSS JOIN stat st
+"""
+    )
+
+
+@query(
+    "ts_friedman_test_types",
+    oracle=_friedman_sql(
+        "unnest(generate_series((SELECT min(h) FROM hourly), "
+        "(SELECT max(h) FROM hourly), INTERVAL 1 HOUR))"
+    ),
+)
+def ts_friedman_test_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (1937): do the k event types draw different
+    hourly revenues, judged NONPARAMETRICALLY by ranking the types
+    within every hour (each hour is its own block, so level shifts and
+    daily seasonality cancel — the within-block design ANOVA can't
+    give you without homoscedasticity)? Completes the rank-test
+    family's arity ladder: Mann-Whitney (2 independent samples) →
+    Friedman (k related samples), with the same exact doubled-midrank
+    machinery and the textbook tie correction — zero-heavy hours make
+    ties the COMMON case here, so the correction is load-bearing, not
+    decorative.
+
+    Exactness: every rank statistic is int64 (doubled midranks, tie
+    cubes); ONE double expression assembles χ²_F with a pinned op
+    order. Scale: one (type,hour) collapse, per-hour rank windows
+    partitioned on the block key, k-row readout."""
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        _friedman_sql(
+            "explode(sequence((SELECT min(h) FROM hourly), "
+            "(SELECT max(h) FROM hourly), INTERVAL '1' HOUR))"
+        )
+    )
