@@ -157,6 +157,11 @@ STRESS_QUERIES = (
     "udf_holt_winters_hourly",   # (type,hour) collapse + per-type walk
     "udf_kalman_filter_users",   # user-keyed grouped-map, 3-double state
     "ab_propensity_caliper_match",  # user rollup + global merged walk
+    "udf_croston_demand",        # purchase-subsequence grouped-map walk
+    "dq_duplicate_charges",      # (user, cents) block join, oriented pairs
+    "behavior_entropy_rate",     # user lag window + k²-cell aggregate
+    "ts_exponential_fit_ks",     # type lag window + distinct-gap prefix sum
+    "ab_bayesian_beta_binomial",  # lnfact prefix sum + conv_B-term sum
     # (ann_mmr_rerank inherits the ann_* exclusion: its query set grows
     # with the corpus by fixture rule, so amplification measures the
     # candidate-pool count, not the per-query O(K·C·dim) selection.)
