@@ -2584,3 +2584,80 @@ def ml_shapley_r2_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same cost as agg_corr_matrix no matter the corpus size."""
     load_tables(spark, sf_dir, ("lineitem",))
     return spark.sql(_shapley_sql())
+
+
+# ---------------------------------------------------------------------------
+# Kendall's tau-b (exact, via domain-bounded cell-pair counting)
+# ---------------------------------------------------------------------------
+
+
+def _kendall_sql() -> str:
+    """Fully portable shared SQL. The corpus collapses to the
+    (quantity, discount-bp) contingency cells per segment FIRST; C and
+    D then count concordant/discordant pairs by joining CELLS (bounded
+    by the value domain, never corpus-quadratic), and τ-b's tie terms
+    come from the cell margins — every quantity an exact int64, one
+    double expression at the end."""
+    return """
+WITH cells AS (
+  SELECT l_returnflag AS g,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 10000) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT g, CAST(SUM(n) AS BIGINT) AS nn FROM cells GROUP BY g
+),
+conc AS (
+  SELECT a.g,
+         CAST(SUM(CASE WHEN b.y < a.y THEN a.n * b.n ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN b.y > a.y THEN a.n * b.n ELSE 0 END)
+              AS BIGINT) AS d
+  FROM cells a JOIN cells b
+    ON a.g = b.g AND b.x < a.x AND b.y <> a.y
+  GROUP BY a.g
+),
+tx AS (
+  SELECT g, CAST(SUM(tn * (tn - 1) / 2) AS BIGINT) AS t_x
+  FROM (SELECT g, x, SUM(n) AS tn FROM cells GROUP BY g, x) m
+  GROUP BY g
+),
+ty AS (
+  SELECT g, CAST(SUM(tn * (tn - 1) / 2) AS BIGINT) AS t_y
+  FROM (SELECT g, y, SUM(n) AS tn FROM cells GROUP BY g, y) m
+  GROUP BY g
+)
+SELECT t.g AS l_returnflag, t.nn AS n,
+       c.c AS concordant, c.d AS discordant,
+       round(CAST(c.c - c.d AS DOUBLE)
+             / sqrt((CAST(t.nn AS DOUBLE) * (t.nn - 1) / 2 - x.t_x)
+                    * (CAST(t.nn AS DOUBLE) * (t.nn - 1) / 2 - y.t_y)),
+             6) + 0.0 AS kendall_tau_b
+FROM tot t
+JOIN conc c ON t.g = c.g
+JOIN tx x ON t.g = x.g
+JOIN ty y ON t.g = y.g
+"""
+
+
+@query("ml_kendall_tau_b", oracle=_kendall_sql())
+def ml_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between quantity and discount per return-flag
+    segment — the FOURTH member of the dependence family (Pearson =
+    linear, Spearman = monotone-by-rank, ξ = any-function, Kendall =
+    pairwise concordance with the cleanest tie theory), and the one
+    whose naive computation is corpus-quadratic. The engine's move:
+    collapse to the CONTINGENCY CELLS first (≤ |quantity domain| ×
+    |discount domain| per segment — a few hundred cells no matter the
+    corpus), count concordant/discordant pairs by joining cells, and
+    take the τ-b tie terms from the margins. Everything is exact int64
+    up to one final double division.
+
+    Scale: one partial-combined collapse is the only corpus-sized
+    step; the cell join is bounded by the value domain — the same
+    bounded-domain discipline as agg_weighted_median and
+    ts_theil_sen_trend."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(_kendall_sql())

@@ -1053,3 +1053,34 @@ def test_exponential_ks_matches_numpy(spark, sf_dir):
         assert abs(row["lambda_per_min"] - lam * 60_000_000) < TOL, t
         assert abs(row["ks_d"] - d) < TOL, t
         assert bool(row["exp_fit_ok"]) == (d < 1.358 / np.sqrt(n)), t
+
+
+def test_kendall_tau_matches_bruteforce(spark, sf_dir):
+    out = (
+        eng.QUERIES["ml_kendall_tau_b"](spark, sf_dir)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li["x"] = li["l_quantity"].astype("int64")
+    li["y"] = (li["l_discount"] * 10000).round().astype("int64")
+    for g, grp in li.groupby("l_returnflag"):
+        if len(grp) > 3000:  # brute force only at small test scales
+            grp = grp.iloc[:0]
+            continue
+        x = grp["x"].to_numpy()
+        y = grp["y"].to_numpy()
+        sx = np.sign(np.subtract.outer(x, x))
+        sy = np.sign(np.subtract.outer(y, y))
+        prod = sx * sy
+        iu = np.triu_indices(len(x), k=1)
+        conc = int((prod[iu] > 0).sum())
+        disc = int((prod[iu] < 0).sum())
+        n = len(x)
+        n2 = n * (n - 1) / 2
+        tx = sum(t * (t - 1) / 2 for t in pd.Series(x).value_counts())
+        ty = sum(t * (t - 1) / 2 for t in pd.Series(y).value_counts())
+        tau = (conc - disc) / np.sqrt((n2 - tx) * (n2 - ty))
+        row = out.loc[g]
+        assert row["concordant"] == conc and row["discordant"] == disc, g
+        assert abs(row["kendall_tau_b"] - tau) < TOL, g
