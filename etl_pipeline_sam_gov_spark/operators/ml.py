@@ -2661,3 +2661,54 @@ def ml_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_theil_sen_trend."""
     load_tables(spark, sf_dir, ("lineitem",))
     return spark.sql(_kendall_sql())
+
+
+# ---------------------------------------------------------------------------
+# McNemar's test — do two paired binary raters disagree systematically?
+# ---------------------------------------------------------------------------
+
+
+def _mcnemar_sql() -> str:
+    """Fully portable shared SQL: the 2×2 paired table's discordant
+    cells b and c; χ² = (b−c)²/(b+c) is one double division of exact
+    int64 squares (continuity-uncorrected form, documented)."""
+    return f"""
+WITH rated AS (
+  SELECT CASE WHEN length(text) > {KAPPA_LEN_CUTS[1]} THEN 1 ELSE 0 END AS r1,
+         CASE WHEN length(text) - length(replace(text, ' ', ''))
+                   > {KAPPA_SPACE_CUTS[1]} THEN 1 ELSE 0 END AS r2
+  FROM documents
+),
+cells AS (
+  SELECT CAST(SUM(CASE WHEN r1 = 1 AND r2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN r1 = 0 AND r2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM rated
+)
+SELECT n, b AS only_rater1, c AS only_rater2,
+       round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6) + 0.0
+         AS mcnemar_chi2,
+       CAST((b - c) * (b - c) AS DOUBLE) / (b + c) > 3.8416
+         AS systematic_disagreement
+FROM cells
+"""
+
+
+@query("ml_mcnemar_raters", oracle=_mcnemar_sql())
+def ml_mcnemar_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (1947) on the two paired document-quality raters
+    (binary high-quality verdicts: char-length vs whitespace-count
+    thresholds, the ml_cohens_kappa pair binarized at their top cut):
+    κ asks "do they AGREE beyond chance?"; McNemar asks the follow-up
+    a labeling-pipeline migration needs — "when they disagree, is one
+    rater SYSTEMATICALLY more liberal?" — from the discordant cells
+    alone, χ² = (b−c)²/(b+c) (uncorrected form; b+c here is large
+    enough that the continuity correction is noise). The standard
+    test for comparing two classifiers on the SAME examples.
+
+    Exactness: two exact int64 discordant counts, one double
+    division. Scale: one zero-shuffle scan + 1-row readout."""
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_mcnemar_sql())
