@@ -2712,3 +2712,75 @@ def ml_mcnemar_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
     division. Scale: one zero-shuffle scan + 1-row readout."""
     load_tables(spark, sf_dir, ("documents",))
     return spark.sql(_mcnemar_sql())
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test (conversion rate vs ordered spend band)
+# ---------------------------------------------------------------------------
+
+
+def _ca_trend_sql() -> str:
+    """Fully portable shared SQL: per power-of-two spend band i with
+    score s=i, conversions r_i of n_i users; z = (Σs·r − p̄·Σs·n) /
+    √(p̄(1−p̄)(Σs²n − (Σsn)²/N)) from exact int64 moments, one double
+    tree."""
+    return """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(CASE WHEN 5 * SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) > COUNT(*)
+              THEN 1 ELSE 0 END AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+),
+banded AS (
+  SELECT CAST(length(bin(cents)) - 1 AS BIGINT) AS s, conv
+  FROM per_user WHERE cents > 0
+),
+cells AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n_i,
+         CAST(SUM(conv) AS BIGINT) AS r_i
+  FROM banded GROUP BY s
+),
+mom AS (
+  SELECT CAST(SUM(n_i) AS BIGINT) AS n, CAST(SUM(r_i) AS BIGINT) AS r,
+         CAST(SUM(s * r_i) AS BIGINT) AS srn,
+         CAST(SUM(s * n_i) AS BIGINT) AS snn,
+         CAST(SUM(s * s * n_i) AS BIGINT) AS ssn,
+         CAST(COUNT(*) AS BIGINT) AS n_bands
+  FROM cells
+)
+SELECT n AS n_users, r AS n_converted, n_bands,
+       round((CAST(srn AS DOUBLE)
+              - CAST(r AS DOUBLE) / n * snn)
+             / sqrt(CAST(r AS DOUBLE) / n * (1.0 - CAST(r AS DOUBLE) / n)
+                    * (ssn - CAST(snn AS DOUBLE) * snn / n)),
+             6) + 0.0 AS trend_z,
+       ((CAST(srn AS DOUBLE) - CAST(r AS DOUBLE) / n * snn)
+        / sqrt(CAST(r AS DOUBLE) / n * (1.0 - CAST(r AS DOUBLE) / n)
+               * (ssn - CAST(snn AS DOUBLE) * snn / n)))
+       * ((CAST(srn AS DOUBLE) - CAST(r AS DOUBLE) / n * snn)
+          / sqrt(CAST(r AS DOUBLE) / n * (1.0 - CAST(r AS DOUBLE) / n)
+                 * (ssn - CAST(snn AS DOUBLE) * snn / n))) > 3.8416
+         AS trend_significant
+FROM mom
+"""
+
+
+@query("ml_cochran_armitage_trend", oracle=_ca_trend_sql())
+def ml_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does the (share-banded) conversion
+    RATE move monotonically with the ordered spend band? The
+    dose-response test for a binary outcome against an ORDERED
+    categorical exposure — strictly sharper than the omnibus χ²
+    (ts_chi2_type_weekday) when the alternative is a trend, and the
+    categorical sibling of ml_information_value_spend's WoE readout
+    over the very same power-of-two bands (IV measures separation;
+    this tests ordered DIRECTION).
+
+    Exactness: all five moments (Σn, Σr, Σs·r, Σs·n, Σs²·n) are exact
+    int64 from one user rollup + a ≤64-band aggregate; z is one
+    pinned double tree, significance compares z² to 1.96². Scale:
+    one user-keyed shuffle, band-bounded everything after."""
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(_ca_trend_sql())
