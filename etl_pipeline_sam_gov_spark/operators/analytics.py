@@ -3344,3 +3344,57 @@ def ts_friedman_test_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(SELECT max(h) FROM hourly), INTERVAL '1' HOUR))"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration index (supplier revenue per nation)
+# ---------------------------------------------------------------------------
+
+
+def _hhi_sql() -> str:
+    """Fully portable shared SQL: HHI = Σ sᵢ²/S² from exact int64
+    cents (numerator Σ sᵢ² and denominator S² both exact; ONE double
+    division)."""
+    return """
+WITH rev AS (
+  SELECT n.n_name, l.l_suppkey,
+         CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, l.l_suppkey
+),
+agg AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(cents) AS BIGINT) AS s1,
+         SUM(CAST(cents AS DOUBLE) * cents) AS s2
+  FROM rev GROUP BY n_name
+)
+SELECT n_name, n_suppliers,
+       round(s2 / (CAST(s1 AS DOUBLE) * s1), 6) AS hhi,
+       round(s2 / (CAST(s1 AS DOUBLE) * s1) * 10000, 2) AS hhi_points,
+       s2 / (CAST(s1 AS DOUBLE) * s1) > 0.25 AS highly_concentrated,
+       round(CAST(1.0 AS DOUBLE) / n_suppliers, 6) AS hhi_floor
+FROM agg
+"""
+
+
+@query("analytics_hhi_concentration", oracle=_hhi_sql())
+def analytics_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration per
+    nation — THE market-concentration statistic (antitrust thresholds,
+    marketplace health dashboards): HHI = Σ shareᵢ², from 1/n (perfect
+    competition, emitted as the floor for context) to 1 (monopoly).
+    Completes the distribution-shape family: Gini/Lorenz measure
+    INEQUALITY of the same revenue, HHI measures CONCENTRATION —
+    related but not interchangeable (a two-supplier 50/50 market has
+    Gini 0 and HHI 0.5).
+
+    Exactness: Σsᵢ² accumulates cents-squared as doubles of exact
+    ints (each product exact below 2⁵³; the sum is one partial-
+    combined agg) over the exact int64 total² — one division, one
+    threshold. Scale: one (nation, supplier) rollup, |nations|-row
+    readout."""
+    load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    return spark.sql(_hhi_sql())
