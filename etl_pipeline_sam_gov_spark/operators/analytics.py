@@ -3398,3 +3398,96 @@ def analytics_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     readout."""
     load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
     return spark.sql(_hhi_sql())
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (randomness of hourly revenue around median)
+# ---------------------------------------------------------------------------
+
+
+def _runs_test_sql(grid_expr: str) -> str:
+    """ONE SQL text (grid spelling aside): lower-median threshold via
+    the exact order statistic, ties-to-median dropped (the standard
+    convention), runs counted with one lag over the bounded grid, and
+    the normal approximation z from exact int64 n₁/n₂/R."""
+    return (
+        """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+grid AS (SELECT """
+        + grid_expr
+        + """ AS h),
+series AS (
+  SELECT g.h, COALESCE(hh.c, 0) AS c
+  FROM grid g LEFT JOIN hourly hh ON hh.h = g.h
+),
+med AS (
+  SELECT c AS m FROM (
+    SELECT c, row_number() OVER (ORDER BY c) AS r, COUNT(*) OVER () AS t
+    FROM series
+  ) q WHERE r = CAST(floor((t + 1) / 2.0) AS BIGINT)
+),
+flagged AS (
+  SELECT s.h, CASE WHEN s.c > m.m THEN 1 ELSE 0 END AS f
+  FROM series s CROSS JOIN med m
+  WHERE s.c <> m.m
+),
+walk AS (
+  SELECT f, lag(f) OVER (ORDER BY h) AS pf FROM flagged
+),
+stats AS (
+  SELECT CAST(SUM(f) AS BIGINT) AS n1,
+         CAST(SUM(1 - f) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN pf IS NULL OR f <> pf THEN 1 ELSE 0 END)
+              AS BIGINT) AS runs
+  FROM walk
+)
+SELECT n1 AS n_above, n2 AS n_below, runs,
+       round((CAST(runs AS DOUBLE)
+              - (2.0 * n1 * n2 / (n1 + n2) + 1))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2)
+                       * (n1 + n2 - 1))), 6) + 0.0 AS runs_z,
+       abs((CAST(runs AS DOUBLE)
+            - (2.0 * n1 * n2 / (n1 + n2) + 1))
+           / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                  / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2)
+                     * (n1 + n2 - 1)))) > 1.96 AS nonrandom
+FROM stats
+"""
+    )
+
+
+@query(
+    "ts_runs_test",
+    oracle=_runs_test_sql(
+        "unnest(generate_series((SELECT min(h) FROM hourly), "
+        "(SELECT max(h) FROM hourly), INTERVAL 1 HOUR))"
+    ),
+)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on hourly revenue around its median —
+    too FEW runs of above/below-median hours means positive serial
+    dependence (trending/sticky load), too MANY means oscillation;
+    |z| < 1.96 is consistent with randomness. The fourth leg of the
+    process-randomness audit (ts_dispersion_index = marginal
+    Poisson-ness, ts_exponential_fit_ks = inter-arrival law,
+    ts_hurst_exponent = scaling memory, runs = sign-pattern serial
+    structure) — four tests that fail in DIFFERENT ways, which is the
+    point of running them together.
+
+    Exactness: the median threshold is an exact order statistic
+    (lower median, floor-pinned rank), ties to the median drop by the
+    textbook convention, n₁/n₂/R are exact ints from one lag walk
+    over the calendar-bounded grid, and z is one pinned double tree.
+    Scale: corpus → |hours| once; everything after is grid-bounded."""
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        _runs_test_sql(
+            "explode(sequence((SELECT min(h) FROM hourly), "
+            "(SELECT max(h) FROM hourly), INTERVAL '1' HOUR))"
+        )
+    )
