@@ -1313,3 +1313,61 @@ def curate_oversample_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "factor", F.col("replica_id").cast("int").alias("replica_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Effective sample size of the DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def _ess_oracle() -> str:
+    """Embeds the certified DSIR oracle verbatim (composition rule) and
+    diagnoses its weights: ESS = (Σw)²/Σw² with w = exp(logw)."""
+    from etl_pipeline_sam_gov_spark.registry import ORACLES
+
+    dsir = ORACLES["curate_dsir_importance"]
+    return f"""
+WITH dsir AS ({dsir}),
+w AS (
+  SELECT d.source, exp(s.logw) AS wt
+  FROM dsir s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(SUM(wt) * SUM(wt) / SUM(wt * wt), 6) + 0.0 AS ess,
+       round(SUM(wt) * SUM(wt) / SUM(wt * wt) / COUNT(*), 6) + 0.0
+         AS ess_ratio,
+       SUM(wt) * SUM(wt) / SUM(wt * wt) / COUNT(*) < 0.5
+         AS weights_degenerate
+FROM w GROUP BY source
+"""
+
+
+@query("curate_ess_diagnostics", oracle=_ess_oracle())
+def curate_ess_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the DSIR importance weights, per
+    source: ESS = (Σw)²/Σw² (Kish) — THE health check every
+    importance-weighted pipeline runs before trusting its resample
+    (ESS/n near 1 ⇒ weights are gentle; near 0 ⇒ a few documents
+    dominate and the resampled corpus is effectively tiny, the classic
+    silent failure of importance sampling at scale). Composition rule:
+    the weights are curate_dsir_importance's certified logw, its
+    oracle embedded verbatim.
+
+    Scale: rides the DSIR plan plus one per-source aggregate; the
+    diagnostic relation is |sources|-bounded. The w sums are the
+    small-relation double convention (≤ docs-per-source terms)."""
+    from etl_pipeline_sam_gov_spark.registry import QUERIES as _Q
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = _Q["curate_dsir_importance"](spark, sf_dir)
+    w = scored.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source", F.exp(F.col("logw")).alias("wt")
+    )
+    sw, sww = F.sum("wt"), F.sum(F.col("wt") * F.col("wt"))
+    ess = sw * sw / sww
+    return w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.round(ess, 6) + F.lit(0.0)).alias("ess"),
+        (F.round(ess / F.count(F.lit(1)), 6) + F.lit(0.0)).alias("ess_ratio"),
+        (ess / F.count(F.lit(1)) < 0.5).alias("weights_degenerate"),
+    )
