@@ -1739,3 +1739,55 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node div 2").alias("entity_id"),
         F.round("rank", 8).alias("ppr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph summary statistics (bipartite customer-supplier profile)
+# ---------------------------------------------------------------------------
+
+
+def _graph_summary_sql() -> str:
+    """Fully portable shared SQL over the distinct customer-supplier
+    edge set: orders, densities and degree extremes from exact int64
+    counts — the one-row profile every graph job logs before running
+    anything iterative."""
+    return """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+cd AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY c),
+sd AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY s),
+m AS (
+  SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+         CAST((SELECT COUNT(*) FROM cd) AS BIGINT) AS n_cust,
+         CAST((SELECT COUNT(*) FROM sd) AS BIGINT) AS n_supp,
+         CAST((SELECT MAX(d) FROM cd) AS BIGINT) AS max_cust_degree,
+         CAST((SELECT MAX(d) FROM sd) AS BIGINT) AS max_supp_degree
+)
+SELECT n_cust, n_supp, n_edges,
+       round(CAST(n_edges AS DOUBLE) / n_cust / n_supp, 6) AS density,
+       round(CAST(n_edges AS DOUBLE) / n_cust, 6) AS avg_cust_degree,
+       round(CAST(n_edges AS DOUBLE) / n_supp, 6) AS avg_supp_degree,
+       max_cust_degree, max_supp_degree,
+       round(CAST(max_supp_degree AS DOUBLE) * n_supp / n_edges, 6)
+         AS supp_hub_skew
+FROM m
+"""
+
+
+@query("graph_summary_stats", oracle=_graph_summary_sql())
+def graph_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row profile of the customer-supplier transaction bipartite
+    graph — the pre-flight every iterative graph job (PageRank, HITS,
+    k-core, BFS here) should log first: node/edge counts, bipartite
+    density E/(n_c·n_s), mean degrees per side, max degrees, and a hub
+    skew ratio (max supplier degree over the mean — the number that
+    predicts whether a per-node join will need skew mitigation). The
+    graph-side sibling of agg_table_profile.
+
+    Exactness: distinct-edge counts and degree extremes are exact
+    int64; three divisions. Scale: one distinct collapse of the fact
+    join + two degree aggregates — all partial-combined."""
+    load_tables(spark, sf_dir, ("lineitem", "orders"))
+    return spark.sql(_graph_summary_sql())
