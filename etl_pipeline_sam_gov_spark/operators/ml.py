@@ -2784,3 +2784,101 @@ def ml_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     one user-keyed shuffle, band-bounded everything after."""
     load_tables(spark, sf_dir, ("events",))
     return spark.sql(_ca_trend_sql())
+
+
+# ---------------------------------------------------------------------------
+# Classifier scorecard: per-class precision/recall/F1 over the confusion matrix
+# ---------------------------------------------------------------------------
+
+
+def _scorecard_oracle() -> str:
+    """Embeds the certified language-ID confusion matrix verbatim
+    (composition rule) and derives the standard scorecard. F1 via the
+    product form 2PR/(P+R) ≡ 2·tp/(actual+predicted) — ONE division of
+    exact ints per class."""
+    from etl_pipeline_sam_gov_spark.registry import ORACLES
+
+    cm = ORACLES["ml_confusion_matrix_langid"]
+    return f"""
+WITH cm AS ({cm}),
+act AS (SELECT actual AS cls, CAST(SUM(n) AS BIGINT) AS n_actual
+        FROM cm GROUP BY actual),
+prd AS (SELECT predicted AS cls, CAST(SUM(n) AS BIGINT) AS n_predicted
+        FROM cm GROUP BY predicted),
+tp AS (SELECT actual AS cls, CAST(SUM(n) AS BIGINT) AS n_tp
+       FROM cm WHERE actual = predicted GROUP BY actual)
+SELECT a.cls AS class, a.n_actual,
+       CAST(COALESCE(p.n_predicted, 0) AS BIGINT) AS n_predicted,
+       CAST(COALESCE(t.n_tp, 0) AS BIGINT) AS n_tp,
+       round(CAST(COALESCE(t.n_tp, 0) AS DOUBLE)
+             / CASE WHEN COALESCE(p.n_predicted, 0) = 0 THEN 1
+                    ELSE p.n_predicted END, 6) AS precision_,
+       round(CAST(COALESCE(t.n_tp, 0) AS DOUBLE) / a.n_actual, 6) AS recall_,
+       round(2.0 * COALESCE(t.n_tp, 0)
+             / (a.n_actual + COALESCE(p.n_predicted, 0)), 6) AS f1
+FROM act a
+LEFT JOIN prd p ON a.cls = p.cls
+LEFT JOIN tp t ON a.cls = t.cls
+"""
+
+
+@query("ml_classifier_scorecard", oracle=_scorecard_oracle())
+def ml_classifier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard multi-class scorecard — per-class precision,
+    recall, F1 — derived from the CERTIFIED language-ID confusion
+    matrix (its oracle embedded verbatim, the composition rule): the
+    table every model card prints, completing the evaluation family
+    (confusion = raw cells, AUC/PR-curve = threshold sweeps, this =
+    the per-class operating-point summary). F1 computes as
+    2·tp/(actual+predicted) — algebraically 2PR/(P+R) but ONE exact-
+    int division instead of a ratio of ratios; zero-predicted classes
+    get precision 0 by the guarded denominator, not NULL.
+
+    Scale: rides the confusion matrix's plan plus three k-row margin
+    aggregates."""
+    from etl_pipeline_sam_gov_spark.registry import QUERIES as _Q
+
+    cm = _Q["ml_confusion_matrix_langid"](spark, sf_dir)
+    act = cm.groupBy(F.col("actual").alias("cls")).agg(
+        F.sum("n").cast("bigint").alias("n_actual")
+    )
+    prd = cm.groupBy(F.col("predicted").alias("cls")).agg(
+        F.sum("n").cast("bigint").alias("n_predicted")
+    )
+    tp = (
+        cm.filter(F.col("actual") == F.col("predicted"))
+        .groupBy(F.col("actual").alias("cls"))
+        .agg(F.sum("n").cast("bigint").alias("n_tp"))
+    )
+    j = (
+        act.join(prd, "cls", "left")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            "n_actual",
+            F.coalesce(F.col("n_predicted"), F.lit(0))
+            .cast("bigint")
+            .alias("n_predicted"),
+            F.coalesce(F.col("n_tp"), F.lit(0)).cast("bigint").alias("n_tp"),
+        )
+    )
+    return j.select(
+        F.col("cls").alias("class"),
+        "n_actual",
+        "n_predicted",
+        "n_tp",
+        F.round(
+            F.col("n_tp").cast("double")
+            / F.when(F.col("n_predicted") == 0, 1).otherwise(
+                F.col("n_predicted")
+            ),
+            6,
+        ).alias("precision_"),
+        F.round(F.col("n_tp").cast("double") / F.col("n_actual"), 6).alias(
+            "recall_"
+        ),
+        F.round(
+            2.0 * F.col("n_tp") / (F.col("n_actual") + F.col("n_predicted")),
+            6,
+        ).alias("f1"),
+    )
