@@ -925,3 +925,105 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MRR — mean reciprocal rank of the BM25 ranking
+# ---------------------------------------------------------------------------
+
+MRR_REL_MIN = 2  #: binary relevance: doc contains ≥2 distinct query terms
+
+
+def _mrr_oracle() -> str:
+    return f"""
+WITH {_BM25_CTES},
+rel AS (
+  SELECT q.query_id, c.doc_id
+  FROM c JOIN q USING (tok)
+  GROUP BY 1, 2 HAVING COUNT(DISTINCT c.tok) >= {MRR_REL_MIN}
+),
+firsts AS (
+  SELECT r.query_id,
+         CAST(COALESCE(MIN(CASE WHEN rel.doc_id IS NOT NULL
+                        THEN r.rnk END), 0) AS BIGINT) AS first_rel_rank
+  FROM ranked r
+  LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+  WHERE r.rnk <= {BM25_TOP_K}
+  GROUP BY r.query_id
+),
+rr AS (
+  SELECT query_id, first_rel_rank,
+         CASE WHEN first_rel_rank = 0 THEN 0.0
+              ELSE 1.0 / first_rel_rank END AS reciprocal_rank
+  FROM firsts
+),
+m AS (SELECT SUM(reciprocal_rank) / COUNT(*) AS mrr FROM rr)
+SELECT r.query_id, r.first_rel_rank,
+       round(r.reciprocal_rank, 6) AS reciprocal_rank,
+       round(m.mrr, 6) + 0.0 AS mrr
+FROM rr r CROSS JOIN m
+"""
+
+
+@query("retrieval_mrr_eval", oracle=_mrr_oracle())
+def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the BM25 ranking against binary
+    relevance (doc covers ≥2 distinct query terms) — the third leg of
+    the IR-metric triad here (nDCG = graded ranking quality, recall@k
+    = coverage, MRR = "how fast does the FIRST good answer appear", the
+    metric that matters for question-answering and lookup UIs). A
+    query with no relevant doc in the top-k contributes 0, emitted as
+    first_rel_rank = 0 rather than NULL (the all-NULL-gate
+    convention).
+
+    Exactness: ranks are the certified BM25 order; reciprocal ranks
+    are exact small-denominator rationals; the Q-query mean is the
+    small-relation double convention. Scale: rides the shared
+    (doc, tok) exchange like every retrieval query."""
+    from etl_pipeline_sam_gov_spark.registry import QUERIES as _Q
+
+    ranked = _Q["text_bm25_retrieval"](spark, sf_dir)
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERY_TERMS for t in terms],
+        "query_id int, tok string",
+    )
+    rel = (
+        _doc_term_counts(spark, sf_dir)
+        .join(F.broadcast(q), "tok")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("tok").alias("nt"))
+        .filter(F.col("nt") >= MRR_REL_MIN)
+        .select("query_id", "doc_id")
+    )
+    firsts = (
+        ranked.filter(F.col("rnk") <= BM25_TOP_K)
+        .join(
+            rel.withColumn("is_rel", F.lit(1)),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("is_rel") == 1, F.col("rnk"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("first_rel_rank")
+        )
+    )
+    rr = firsts.select(
+        "query_id",
+        "first_rel_rank",
+        F.when(F.col("first_rel_rank") == 0, F.lit(0.0))
+        .otherwise(F.lit(1.0) / F.col("first_rel_rank"))
+        .alias("reciprocal_rank"),
+    )
+    m = rr.agg(
+        (F.sum("reciprocal_rank") / F.count(F.lit(1))).alias("mrr")
+    )
+    return rr.crossJoin(F.broadcast(m)).select(
+        "query_id",
+        "first_rel_rank",
+        F.round("reciprocal_rank", 6).alias("reciprocal_rank"),
+        (F.round("mrr", 6) + F.lit(0.0)).alias("mrr"),
+    )
