@@ -3306,7 +3306,7 @@ stat AS (
 SELECT s.event_type, s.n AS n_blocks,
        round(CAST(s.r2sum AS DOUBLE) / 2 / s.n, 6) AS mean_rank,
        round(st.chi2, 6) + 0.0 AS friedman_chi2,
-       st.chi2 > """
+       round(st.chi2, 6) > """
         + repr(FRIEDMAN_CRIT)
         + """ AS types_differ
 FROM sums s CROSS JOIN stat st
@@ -3374,7 +3374,7 @@ agg AS (
 SELECT n_name, n_suppliers,
        round(s2 / (CAST(s1 AS DOUBLE) * s1), 6) AS hhi,
        round(s2 / (CAST(s1 AS DOUBLE) * s1) * 10000, 2) AS hhi_points,
-       s2 / (CAST(s1 AS DOUBLE) * s1) > 0.25 AS highly_concentrated,
+       round(s2 / (CAST(s1 AS DOUBLE) * s1), 6) > 0.25 AS highly_concentrated,
        round(CAST(1.0 AS DOUBLE) / n_suppliers, 6) AS hhi_floor
 FROM agg
 """
@@ -3451,11 +3451,11 @@ SELECT n1 AS n_above, n2 AS n_below, runs,
              / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
                     / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2)
                        * (n1 + n2 - 1))), 6) + 0.0 AS runs_z,
-       abs((CAST(runs AS DOUBLE)
+       abs(round((CAST(runs AS DOUBLE)
             - (2.0 * n1 * n2 / (n1 + n2) + 1))
            / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
                   / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2)
-                     * (n1 + n2 - 1)))) > 1.96 AS nonrandom
+                     * (n1 + n2 - 1))), 6)) > 1.96 AS nonrandom
 FROM stats
 """
     )

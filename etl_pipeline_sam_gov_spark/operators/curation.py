@@ -1336,7 +1336,7 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        round(SUM(wt) * SUM(wt) / SUM(wt * wt), 6) + 0.0 AS ess,
        round(SUM(wt) * SUM(wt) / SUM(wt * wt) / COUNT(*), 6) + 0.0
          AS ess_ratio,
-       SUM(wt) * SUM(wt) / SUM(wt * wt) / COUNT(*) < 0.5
+       round(SUM(wt) * SUM(wt) / SUM(wt * wt) / COUNT(*), 6) < 0.5
          AS weights_degenerate
 FROM w GROUP BY source
 """
@@ -1369,5 +1369,7 @@ def curate_ess_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         (F.round(ess, 6) + F.lit(0.0)).alias("ess"),
         (F.round(ess / F.count(F.lit(1)), 6) + F.lit(0.0)).alias("ess_ratio"),
-        (ess / F.count(F.lit(1)) < 0.5).alias("weights_degenerate"),
+        (F.round(ess / F.count(F.lit(1)), 6) < 0.5).alias(
+            "weights_degenerate"
+        ),
     )

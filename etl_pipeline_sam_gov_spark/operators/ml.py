@@ -112,16 +112,22 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode(quant).alias("dim0", "val")
     ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "val")
 
-    init_ids = emb.select("vec_id").orderBy("vec_id").limit(KM_K)
-    c_prev = (
-        vecs.join(F.broadcast(init_ids), "vec_id")
+    # Rank the K init ids BEFORE joining the corpus: the no-partition
+    # dense_rank window rides the LIMIT-K relation (bounded by
+    # construction), never the exploded vector table.
+    init_ids = (
+        emb.select("vec_id")
+        .orderBy("vec_id")
+        .limit(KM_K)
         .select(
+            "vec_id",
             (F.dense_rank().over(W.orderBy("vec_id")) - 1)
             .cast("bigint")
             .alias("cid"),
-            "dim",
-            F.col("val").alias("cval"),
         )
+    )
+    c_prev = vecs.join(F.broadcast(init_ids), "vec_id").select(
+        "cid", "dim", F.col("val").alias("cval")
     )
     assign = None
     for _ in range(KM_ITERS):
@@ -1840,6 +1846,11 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LIFT_BUCKETS = 10
 
+#: Range partitions for the distributed-rank decomposition — matches
+#: the session's shuffle parallelism; at cluster scale set this to the
+#: cluster's task parallelism (rank correctness never depends on it).
+LIFT_RANK_PARTS = 32
+
 
 def _lift_oracle() -> str:
     from etl_pipeline_sam_gov_spark.operators.text import SQL_QUALITY_LOGIT
@@ -1880,17 +1891,27 @@ def ml_lift_gain_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives"). Complements ml_auc_quality_classifier (threshold-free
     ranking quality) and ml_reliability_bins_quality (calibration).
 
-    Exactness: decile boundaries come from ntile over a total order
+    Exactness: decile boundaries follow ntile over a total order
     (score DESC, doc_id) — the SQL-standard first-(n mod k)-buckets-
     get-one-extra rule in both engines; counts are ints, every emitted
     ratio is a single IEEE division (the lift divides two such
     divisions, still deterministic), cumulative sums are integer
     window sums before their one division.
 
-    Scale shape: scoring is scan-stage; the ntile needs a total sort —
-    at 100 TB replace with pre-computed score-histogram cuts (the
-    agg_histogram_prices pattern) and a range join; the decile cells
-    relation is K rows and all ratio math happens there."""
+    Scale shape: the naive plan (a global no-partition ntile window)
+    funnels the corpus through ONE partition — the classic 100×-scale
+    killer. This implementation computes the SAME ntile buckets with
+    the standard DISTRIBUTED RANKING decomposition instead: range-
+    repartition on the sort key, row_number within each partition
+    (window partitioned by spark_partition_id — every partition ranks
+    independently in parallel), prefix-sum the per-partition counts on
+    a #partitions-row relation, and broadcast the offsets back. The
+    global rank is exact for ANY ordered disjoint partitioning, so the
+    sampled range boundaries never affect the answer; the decile then
+    falls out of integer arithmetic on (rank, n, k) — the same
+    first-(n mod k)-buckets-get-one-extra rule ntile defines. No
+    single-partition exchange anywhere; the only whole-relation
+    shuffles are the range partition and one hash partition on pid."""
     from etl_pipeline_sam_gov_spark.operators.dedup import spread_docs
     from etl_pipeline_sam_gov_spark.operators.text import quality_logit
 
@@ -1900,9 +1921,46 @@ def ml_lift_gain_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_logit().alias("score"),
         (F.col("lang") == "en").cast("int").alias("y"),
     )
-    binned = scored.withColumn(
+    # Distributed exact rank: ordered disjoint ranges -> local rank ->
+    # global offset. repartitionByRange samples boundaries, but the
+    # final rank is boundary-independent (any ordered split works).
+    ranged = scored.repartitionByRange(
+        LIFT_RANK_PARTS, F.desc("score"), F.asc("doc_id")
+    ).withColumn("pid", F.spark_partition_id())
+    w_part = W.partitionBy("pid").orderBy(F.desc("score"), "doc_id")
+    local = ranged.withColumn("rn", F.row_number().over(w_part))
+    # Per-partition counts: a <= LIFT_RANK_PARTS-row relation; the
+    # no-partition window below it rides THAT bounded relation (the
+    # plan-gate-sanctioned shape), never the corpus.
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("cnt").over(
+            W.orderBy("pid").rangeBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").withColumn(
+        "rank", F.col("off") + F.col("rn")
+    )
+    # ntile(k) as integer arithmetic on the exact global rank: with
+    # q = n div k, rem = n mod k, the first rem buckets have q+1 rows.
+    k = F.lit(LIFT_BUCKETS).cast("bigint")
+    q = (F.col("n_total") / k).cast("bigint")
+    rem = F.col("n_total") % k
+    head = rem * (q + 1)
+    binned = ranked.withColumn(
         "decile",
-        F.ntile(LIFT_BUCKETS).over(W.orderBy(F.desc("score"), "doc_id")),
+        F.when(
+            F.col("rank") <= head,
+            F.floor((F.col("rank") - 1) / (q + 1)),
+        ).otherwise(
+            rem + F.floor((F.col("rank") - head - 1) / F.greatest(q, F.lit(1)))
+        ).cast("bigint")
+        + 1,
     )
     cells = binned.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -2690,7 +2748,7 @@ cells AS (
 SELECT n, b AS only_rater1, c AS only_rater2,
        round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6) + 0.0
          AS mcnemar_chi2,
-       CAST((b - c) * (b - c) AS DOUBLE) / (b + c) > 3.8416
+       round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6) > 3.8416
          AS systematic_disagreement
 FROM cells
 """
@@ -2756,12 +2814,12 @@ SELECT n AS n_users, r AS n_converted, n_bands,
              / sqrt(CAST(r AS DOUBLE) / n * (1.0 - CAST(r AS DOUBLE) / n)
                     * (ssn - CAST(snn AS DOUBLE) * snn / n)),
              6) + 0.0 AS trend_z,
-       ((CAST(srn AS DOUBLE) - CAST(r AS DOUBLE) / n * snn)
-        / sqrt(CAST(r AS DOUBLE) / n * (1.0 - CAST(r AS DOUBLE) / n)
-               * (ssn - CAST(snn AS DOUBLE) * snn / n)))
-       * ((CAST(srn AS DOUBLE) - CAST(r AS DOUBLE) / n * snn)
-          / sqrt(CAST(r AS DOUBLE) / n * (1.0 - CAST(r AS DOUBLE) / n)
-                 * (ssn - CAST(snn AS DOUBLE) * snn / n))) > 3.8416
+       round((CAST(srn AS DOUBLE) - CAST(r AS DOUBLE) / n * snn)
+             / sqrt(CAST(r AS DOUBLE) / n * (1.0 - CAST(r AS DOUBLE) / n)
+                    * (ssn - CAST(snn AS DOUBLE) * snn / n)), 6)
+       * round((CAST(srn AS DOUBLE) - CAST(r AS DOUBLE) / n * snn)
+               / sqrt(CAST(r AS DOUBLE) / n * (1.0 - CAST(r AS DOUBLE) / n)
+                      * (ssn - CAST(snn AS DOUBLE) * snn / n)), 6) > 3.8416
          AS trend_significant
 FROM mom
 """

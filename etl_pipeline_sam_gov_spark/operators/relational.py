@@ -1069,14 +1069,14 @@ GEO_RADIUS_C = 500  #: join radius: 5.00 units, in hundredth-units
     oracle=f"""
 WITH s AS (
   SELECT s_suppkey,
-         ('0x' || substr(md5('gx' || s_suppkey), 1, 15))::BIGINT % {GEO_DOMAIN_C} AS x,
-         ('0x' || substr(md5('gy' || s_suppkey), 1, 15))::BIGINT % {GEO_DOMAIN_C} AS y
+         ('0x' || substr(md5('g' || s_suppkey), 1, 15))::BIGINT % {GEO_DOMAIN_C} AS x,
+         ('0x' || substr(md5('g' || s_suppkey), 17, 15))::BIGINT % {GEO_DOMAIN_C} AS y
   FROM supplier
 ),
 c AS (
   SELECT c_custkey,
-         ('0x' || substr(md5('gx' || c_custkey), 1, 15))::BIGINT % {GEO_DOMAIN_C} AS x,
-         ('0x' || substr(md5('gy' || c_custkey), 1, 15))::BIGINT % {GEO_DOMAIN_C} AS y
+         ('0x' || substr(md5('g' || c_custkey), 1, 15))::BIGINT % {GEO_DOMAIN_C} AS x,
+         ('0x' || substr(md5('g' || c_custkey), 17, 15))::BIGINT % {GEO_DOMAIN_C} AS y
   FROM customer
 )
 SELECT s.s_suppkey, c.c_custkey,
@@ -1092,36 +1092,50 @@ def join_spatial_grid_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier site) via GRID-CELL BLOCKING — the geospatial join kernel
     (geofencing, store-catchment, sensor-neighborhood) that Spark has
     no native operator for, expressed as the standard distributed
-    decomposition: hash every point into a radius-sized grid cell,
-    explode the probe side to its 3×3 neighbor cells (any point within
-    R is geometrically confined to those), equi-join on the cell key,
-    then apply the exact predicate. The shuffle is a plain hash join
-    on cell ids — corpus-linear with a 9× probe fan-out, NEVER the
-    quadratic cross product, and skew is bounded by cell capacity.
-    Geometry is exact int64 throughout (hundredth-unit coordinates,
-    squared distances; no float, no sqrt). The oracle states DIFFERENT
-    physics — an x-band interval join (DuckDB IEJoin) plus the exact
-    filter — so the hash match proves the 9-cell blocking loses no
-    pair (formulation-independence, the PCA discipline). Coordinates
-    are md5-derived from the keys (derivation-oracle pattern)."""
-    from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
-
+    decomposition: hash every point into a 2R-sized grid cell and
+    QUADRANT-probe — a disc of radius R spans at most TWO 2R cells per
+    axis (its own plus the one on whichever side of the cell midline
+    the point sits), so the probe side explodes to exactly 4 cells,
+    not the 3×3=9 a radius-sized grid needs. The equi-join on cell ids
+    is a plain hash join — corpus-linear with a 4× probe fan-out,
+    NEVER the quadratic cross product; skew is bounded by cell
+    capacity, and the cheap exact predicate absorbs the slightly
+    larger candidate cells (16R² vs 9R² of blocked area — exchange
+    rows, the expensive resource, drop 2.25×; scan-stage compares,
+    the cheap one, absorb the difference). Geometry is exact int64
+    throughout (hundredth-unit coordinates, squared distances; no
+    float, no sqrt; the d<=R boundary is inclusive and the midline
+    rule keeps exactly-at-R corner points covered). The oracle states
+    DIFFERENT physics — an x-band interval join (DuckDB IEJoin) plus
+    the exact filter — so the hash match proves the quadrant blocking
+    loses no pair (formulation-independence, the PCA discipline).
+    Coordinates are md5-derived from the keys (derivation-oracle)."""
     t = load_tables(spark, sf_dir, ("supplier", "customer"))
 
     def pts(df: DataFrame, key: str, out: str) -> DataFrame:
-        coord = lambda p: (  # noqa: E731
-            _spark_hash60(F.concat(F.lit(p), F.col(key).cast("string")))
+        # ONE md5 per point, two disjoint 60-bit slices for (x, y) —
+        # the hash is the scan stage's dominant cost and both engines
+        # slice the same digest identically.
+        h = F.md5(F.concat(F.lit("g"), F.col(key).cast("string")))
+        coord = lambda start: (  # noqa: E731
+            F.conv(F.substring(h, start, 15), 16, 10).cast("bigint")
             % GEO_DOMAIN_C
         )
         return df.select(
             F.col(key).alias(out),
-            coord("gx").alias("x"),
-            coord("gy").alias("y"),
+            coord(1).alias("x"),
+            coord(17).alias("y"),
         )
 
     s = pts(t["supplier"], "s_suppkey", "s_suppkey")
     c = pts(t["customer"], "c_custkey", "c_custkey")
-    cell = lambda v: F.floor(v / GEO_RADIUS_C)  # noqa: E731
+    two_r = 2 * GEO_RADIUS_C
+    cell = lambda v: F.floor(v / two_r)  # noqa: E731
+    # Midline rule: the R-disc reaches the +1 neighbor cell iff the
+    # point sits in the upper half of its 2R cell, else the -1 one.
+    side = lambda v: F.when(  # noqa: E731
+        v % two_r >= GEO_RADIUS_C, F.lit(1)
+    ).otherwise(F.lit(-1))
     c_cells = c.select(
         "c_custkey", "x", "y",
         cell(F.col("x")).alias("cx"), cell(F.col("y")).alias("cy"),
@@ -1129,9 +1143,12 @@ def join_spatial_grid_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets = F.explode(
         F.array(
             *[
-                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                for dx in (-1, 0, 1)
-                for dy in (-1, 0, 1)
+                F.struct(
+                    (side(F.col("x")) * F.lit(ux)).alias("dx"),
+                    (side(F.col("y")) * F.lit(uy)).alias("dy"),
+                )
+                for ux in (0, 1)
+                for uy in (0, 1)
             ]
         )
     ).alias("o")

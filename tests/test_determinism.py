@@ -77,7 +77,7 @@ REPRESENTATIVE = [
     "ts_granger_causality",      # dense-grid lag moments → Cramer solve
     "ts_theil_sen_trend",        # pairwise-slope median order statistic
     "ts_pacf_durbin_levinson",   # per-lag moments → unrolled recursion
-    "ts_theil_sen_trend",        # pairwise slopes + order-statistic median
+    "ts_runs_test",              # int run counts → one z expression tree
     "ml_shapley_r2_attribution",  # decimal moments → Cramer double tree
     "ab_bayesian_beta_binomial",  # running-window ln-factorials + term sum
     "agg_join_size_estimate",    # md5 sketch cells + inner-product min

@@ -1084,3 +1084,228 @@ def test_kendall_tau_matches_bruteforce(spark, sf_dir):
         row = out.loc[g]
         assert row["concordant"] == conc and row["discordant"] == disc, g
         assert abs(row["kendall_tau_b"] - tau) < TOL, g
+
+
+# --- round-5: second opinions for the shared-SQL-text operators -------------
+# These operators run the IDENTICAL SQL string on both engines (ADVICE
+# r04), so their oracle certification proves cross-engine execution
+# parity only — a shared formula error would certify green. Each test
+# below recomputes the statistic from the raw parquet with numpy/pandas
+# (scipy is absent in this environment; formulas follow the textbook
+# definitions, sharing no code or SQL text with the operators).
+
+
+def test_hhi_matches_numpy(spark, sf_dir):
+    out = (
+        eng.QUERIES["analytics_hhi_concentration"](spark, sf_dir)
+        .toPandas()
+        .set_index("n_name")
+    )
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_extendedprice"]
+    )
+    sup = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).set_index("s_suppkey")
+    nat = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).set_index("n_nationkey")
+    li["cents"] = (li["l_extendedprice"] * 100).round().astype("int64")
+    li["nk"] = li["l_suppkey"].map(sup["s_nationkey"])
+    rev = li.groupby(["nk", "l_suppkey"])["cents"].sum()
+    for nk, grp in rev.groupby(level=0):
+        x = grp.to_numpy().astype("float64")
+        hhi = (x * x).sum() / x.sum() ** 2
+        row = out.loc[nat.loc[nk, "n_name"]]
+        assert row["n_suppliers"] == len(x)
+        assert abs(row["hhi"] - hhi) < TOL
+        assert abs(row["hhi_floor"] - 1.0 / len(x)) < TOL
+        assert bool(row["highly_concentrated"]) == (round(hhi, 6) > 0.25)
+
+
+def _dense_hourly_cents(sf_dir, by_type=False):
+    ev = _events(sf_dir)
+    ev["h"] = ev["ts"].dt.floor("h")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    keys = ["event_type", "h"] if by_type else ["h"]
+    hourly = ev.groupby(keys)["cents"].sum()
+    hmin = hourly.index.get_level_values("h").min()
+    hmax = hourly.index.get_level_values("h").max()
+    hours = pd.date_range(hmin, hmax, freq="h")
+    if not by_type:
+        return hourly.reindex(hours).fillna(0).astype("int64")
+    return (
+        hourly.unstack(level=0).reindex(hours).fillna(0).astype("int64")
+    )
+
+
+def test_friedman_matches_numpy(spark, sf_dir):
+    out = (
+        eng.QUERIES["ts_friedman_test_types"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    dense = _dense_hourly_cents(sf_dir, by_type=True)
+    n, k = dense.shape
+    ranks = dense.rank(axis=1, method="average")
+    big_r = ranks.sum(axis=0)
+    tie3 = 0
+    for _, row in dense.iterrows():
+        vc = row.value_counts().to_numpy().astype("int64")
+        tie3 += int((vc**3 - vc).sum())
+    correction = 1.0 - tie3 / (n * k * (k * k - 1))
+    chi2 = (
+        12.0 * float((big_r**2).sum()) / (n * k * (k + 1))
+        - 3.0 * n * (k + 1)
+    ) / correction
+    for t in dense.columns:
+        assert out.loc[t, "n_blocks"] == n
+        assert abs(out.loc[t, "mean_rank"] - big_r[t] / n) < TOL
+    assert abs(out["friedman_chi2"].iloc[0] - chi2) < 1e-4
+    from etl_pipeline_sam_gov_spark.operators.analytics import FRIEDMAN_CRIT
+
+    assert bool(out["types_differ"].iloc[0]) == (round(chi2, 6) > FRIEDMAN_CRIT)
+
+
+def test_runs_test_matches_numpy(spark, sf_dir):
+    out = eng.QUERIES["ts_runs_test"](spark, sf_dir).toPandas().iloc[0]
+    c = _dense_hourly_cents(sf_dir).to_numpy()
+    t = len(c)
+    m = np.sort(c)[(t + 1) // 2 - 1]  # lower-median order statistic
+    f = c[c != m] > m
+    n1, n2 = int(f.sum()), int((~f).sum())
+    runs = 1 + int((f[1:] != f[:-1]).sum())
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / (float(n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    z = (runs - mu) / np.sqrt(var)
+    assert out["n_above"] == n1 and out["n_below"] == n2
+    assert out["runs"] == runs
+    assert abs(out["runs_z"] - z) < 1e-4
+    assert bool(out["nonrandom"]) == (abs(round(z, 6)) > 1.96)
+
+
+def test_mcnemar_matches_numpy(spark, sf_dir):
+    from etl_pipeline_sam_gov_spark.operators.ml import (
+        KAPPA_LEN_CUTS,
+        KAPPA_SPACE_CUTS,
+    )
+
+    out = eng.QUERIES["ml_mcnemar_raters"](spark, sf_dir).toPandas().iloc[0]
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    r1 = docs["text"].str.len() > KAPPA_LEN_CUTS[1]
+    r2 = docs["text"].str.count(" ") > KAPPA_SPACE_CUTS[1]
+    b, c = int((r1 & ~r2).sum()), int((~r1 & r2).sum())
+    chi2 = (b - c) ** 2 / (b + c)
+    assert out["n"] == len(docs)
+    assert out["only_rater1"] == b and out["only_rater2"] == c
+    assert abs(out["mcnemar_chi2"] - chi2) < TOL
+    assert bool(out["systematic_disagreement"]) == (round(chi2, 6) > 3.8416)
+
+
+def test_kendall_tau_b_matches_numpy(spark, sf_dir):
+    out = (
+        eng.QUERIES["ml_kendall_tau_b"](spark, sf_dir)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+    li["x"] = li["l_quantity"].round().astype("int64")
+    li["y"] = (li["l_discount"] * 10000).round().astype("int64")
+    for g, grp in li.groupby("l_returnflag"):
+        m = pd.crosstab(grp["x"], grp["y"]).to_numpy().astype("float64")
+        n = m.sum()
+        p = m.cumsum(0).cumsum(1)
+        below_left = np.zeros_like(m)
+        below_left[1:, 1:] = p[:-1, :-1]  # Σ_{x'<x, y'<y}
+        rowtot = m.sum(1)
+        above_tot = np.concatenate([[0.0], rowtot.cumsum()[:-1]])
+        pm = np.zeros_like(m)
+        pm[1:, :] = p[:-1, :]  # Σ_{x'<x, y'<=y}
+        below_right = above_tot[:, None] - pm  # Σ_{x'<x, y'>y}
+        conc = float((m * below_left).sum())
+        disc = float((m * below_right).sum())
+        n0 = n * (n - 1) / 2
+        t_x = float((rowtot * (rowtot - 1) / 2).sum())
+        coltot = m.sum(0)
+        t_y = float((coltot * (coltot - 1) / 2).sum())
+        tau = (conc - disc) / np.sqrt((n0 - t_x) * (n0 - t_y))
+        row = out.loc[g]
+        assert row["n"] == n
+        assert row["concordant"] == conc and row["discordant"] == disc
+        assert abs(row["kendall_tau_b"] - tau) < 1e-5
+
+
+def test_cochran_armitage_matches_numpy(spark, sf_dir):
+    out = (
+        eng.QUERIES["ml_cochran_armitage_trend"](spark, sf_dir)
+        .toPandas()
+        .iloc[0]
+    )
+    ev = _events(sf_dir)
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    per = ev.groupby("user_id").agg(
+        cents=("cents", "sum"),
+        n=("cents", "size"),
+        purchases=("event_type", lambda s: int((s == "purchase").sum())),
+    )
+    per = per[per["cents"] > 0]
+    s = per["cents"].map(lambda v: int(v).bit_length() - 1).to_numpy(
+        dtype="float64"
+    )
+    conv = (5 * per["purchases"] > per["n"]).to_numpy(dtype="float64")
+    n = float(len(s))
+    r = conv.sum()
+    p = r / n
+    srn, snn, ssn = (s * conv).sum(), s.sum(), (s * s).sum()
+    z = (srn - p * snn) / np.sqrt(p * (1 - p) * (ssn - snn * snn / n))
+    assert out["n_users"] == n and out["n_converted"] == r
+    assert abs(out["trend_z"] - z) < 1e-4
+    assert bool(out["trend_significant"]) == (round(z, 6) ** 2 > 3.8416)
+
+
+def test_hurst_matches_numpy(spark, sf_dir):
+    import math
+
+    from etl_pipeline_sam_gov_spark.operators.analytics import HURST_WINDOWS
+
+    out = (
+        eng.QUERIES["ts_hurst_exponent"](spark, sf_dir)
+        .toPandas()
+        .set_index("window_hours")
+    )
+    c = [int(v) for v in _dense_hourly_cents(sf_dir).to_numpy()]
+    pts = []
+    for w in HURST_WINDOWS:
+        rss = []
+        for b in range(len(c) // w):
+            blk = c[b * w : (b + 1) * w]  # exact python ints throughout
+            s1 = sum(blk)
+            s2 = sum(v * v for v in blk)
+            den = w * s2 - s1 * s1
+            if den <= 0:
+                continue
+            cum, ys = 0, []
+            for j, v in enumerate(blk, 1):
+                cum += v
+                ys.append(w * cum - j * s1)
+            rss.append((max(ys) - min(ys)) / math.sqrt(den))
+        if not rss:
+            assert w not in out.index
+            continue
+        avg = sum(rss) / len(rss)
+        pts.append((math.log(w), math.log(avg)))
+        assert out.loc[w, "n_blocks"] == len(rss)
+        assert abs(out.loc[w, "avg_rescaled_range"] - avg) < 1e-4
+    npts = float(len(pts))
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    hurst = (npts * sxy - sx * sy) / (npts * sxx - sx * sx)
+    assert abs(out["hurst_h"].iloc[0] - hurst) < 1e-4

@@ -63,6 +63,66 @@ def shrinking_frames(plan: str) -> int:
     )
 
 
+# --- corpus-scale global-window gate ---------------------------------------
+# A Window with NO partition spec funnels its whole input through one
+# partition. That is fine on a bounded relation (a post-aggregation
+# score lattice, a K-row candidate table) and a 100×-scale killer on a
+# corpus relation. The gate walks the OPTIMIZED LOGICAL plan: flag any
+# no-partition Window whose subtree reaches a corpus-table leaf without
+# an intervening aggregation or limit (either bounds cardinality below
+# corpus scale). Leaves are identified by their parquet schema attrs.
+
+#: column prefixes / names that identify an SF-scaling fixture table
+#: (region/nation are constant-size and deliberately absent)
+_CORPUS_PREFIXES = ("l_", "o_", "c_", "p_", "ps_", "s_")
+_CORPUS_NAMES = {"event_id", "user_id", "doc_id", "vec_id", "embedding"}
+#: logical nodes that bound output cardinality regardless of input size
+_BOUNDING_NODES = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+
+#: queries whose global window provably rides a bounded relation the
+#: gate cannot see through: the two-stage distributed skyline's global
+#: pass runs over the UNION OF LOCAL FRONTIERS (O(buckets × frontier)
+#: rows, produced by a filter the gate cannot size) — the textbook
+#: final stage of Börzsönyi-style skylines, not a corpus funnel.
+DECLARED_BOUNDED_GLOBAL_WINDOW = {"join_skyline_parts"}
+
+
+def _is_corpus_leaf(node) -> bool:
+    out = node.output()
+    for i in range(out.size()):
+        n = out.apply(i).name()
+        if n in _CORPUS_NAMES or n.startswith(_CORPUS_PREFIXES):
+            return True
+    return False
+
+
+def _reaches_corpus(node) -> bool:
+    if node.nodeName() in _BOUNDING_NODES:
+        return False
+    ch = node.children()
+    if ch.size() == 0:
+        return _is_corpus_leaf(node)
+    return any(_reaches_corpus(ch.apply(i)) for i in range(ch.size()))
+
+
+def corpus_global_windows(df) -> int:
+    """Count no-partition Windows riding an unaggregated corpus scan."""
+    hits = 0
+
+    def walk(node) -> None:
+        nonlocal hits
+        if node.nodeName() == "Window" and node.partitionSpec().size() == 0:
+            ch = node.children()
+            if any(_reaches_corpus(ch.apply(i)) for i in range(ch.size())):
+                hits += 1
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return hits
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/plan_audit.json"
@@ -71,7 +131,9 @@ def main() -> None:
     flags: list[str] = []
     for name, fn in eng.QUERIES.items():
         try:
-            s = physical_plan(fn(spark, sf_dir))
+            df = fn(spark, sf_dir)
+            s = physical_plan(df)
+            corpus_windows = corpus_global_windows(df)
         except Exception as e:
             rows[name] = {"error": str(e)[:200]}
             flags.append(f"{name}: plan failed")
@@ -91,6 +153,12 @@ def main() -> None:
         }
         rows[name] = r
         r["shrinking_frames"] = shrinking_frames(s)
+        r["corpus_global_windows"] = corpus_windows
+        if corpus_windows and name not in DECLARED_BOUNDED_GLOBAL_WINDOW:
+            flags.append(
+                f"{name}: {corpus_windows} no-partition Window(s) over an "
+                "unaggregated corpus relation (single-partition funnel)"
+            )
         if r["cartesian"] and name not in DECLARED_CROSS:
             flags.append(f"{name}: undeclared CartesianProduct")
         if (
