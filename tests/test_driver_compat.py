@@ -147,3 +147,42 @@ def test_queries_dict_is_verification_priority_ordered():
     # all failed before any never-sampled, all never-sampled before green
     rank = {"failed": 0, "never": 1, "green": 2}
     assert [rank[c] for c in classes] == sorted(rank[c] for c in classes)
+
+
+# ---------------------------------------------------------------------------
+# Vacuous-certification audit at BOTH scales (round-5, VERDICT r04 #7):
+# an oracle that returns zero rows — or a non-declared all-NULL column —
+# hash-matches any equally-degenerate Spark result, certifying nothing.
+# The r04 audit ran at sf0.01 only; q7-style density holes appear first
+# at the smallest fixture, so the driver scale AND sf0.001 are gated.
+# One pass per scale (not per-name parametrize): DuckDB executes the
+# whole registry in ~20-30 s per scale, and a single assertion report
+# names every offender at once.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "scale_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_no_oracle_is_vacuous(scale_dir):
+    from tests.oracle_compare import ALLOWED_ALL_NULL, ALLOWED_EMPTY
+
+    con = duckdb_con(scale_dir)
+    offenders: list[str] = []
+    for name, sql in eng.ORACLES.items():
+        rel = con.sql(sql)
+        cols = rel.columns
+        rows = rel.fetchall()
+        if not rows:
+            if name not in ALLOWED_EMPTY:
+                offenders.append(f"{name}: ZERO rows")
+            continue
+        for i, c in enumerate(cols):
+            if (name, c) in ALLOWED_ALL_NULL:
+                continue
+            if all(r[i] is None for r in rows):
+                offenders.append(f"{name}: column {c} all-NULL")
+    assert not offenders, (
+        f"vacuous oracle output at {scale_dir} (re-parameterize the "
+        f"query or declare the exception with a reason): {offenders}"
+    )
