@@ -113,3 +113,134 @@ def test_corrupt_json_rows_are_quarantined_not_fatal(spark, tmp_path):
     assert bad.count() == 1
     assert "{not json" in bad.collect()[0]["_corrupt_record"]
     df.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Live-HTTP lane through the DataSource seam (round-5, VERDICT r04 #8):
+# a local http.server stands in for the paginated API so the
+# timeout/non-200/short-page/retry semantics of lambda_function.py:40-54
+# are exercised end-to-end with zero external network. The server runs
+# in a daemon thread; Spark's local-mode Python workers reach it over
+# loopback.
+# ---------------------------------------------------------------------------
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+N_LIVE_ROWS = 230  # 2 full pages of 100 + one short page of 30
+
+
+def _live_rows(offset: int, limit: int) -> list[dict]:
+    return [
+        {
+            "noticeId": f"L-{i:08d}",
+            "title": f"Live {i}",
+            "typeOfSetAsideDescription": None if i % 3 else "8(a) Set-Aside",
+            "postedDate": f"2026-08-{i % 28 + 1:02d}",
+        }
+        for i in range(offset, min(offset + limit, N_LIVE_ROWS))
+    ]
+
+
+class _ApiHandler(BaseHTTPRequestHandler):
+    flaky_hits: dict[str, int] = {}
+
+    def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler API
+        u = urlparse(self.path)
+        q = parse_qs(u.query)
+        offset = int(q.get("offset", ["0"])[0])
+        limit = int(q.get("limit", ["100"])[0])
+        if u.path == "/notfound":
+            self.send_error(404)
+            return
+        if u.path == "/flaky":
+            key = str(offset)
+            n = _ApiHandler.flaky_hits.get(key, 0)
+            _ApiHandler.flaky_hits[key] = n + 1
+            if n < 2:  # fail twice per offset, then serve
+                self.send_error(503)
+                return
+        body = json.dumps(
+            {"opportunitiesData": _live_rows(offset, limit)}
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # keep pytest output clean
+        pass
+
+
+@pytest.fixture(scope="module")
+def api_url():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _ApiHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _read_live(spark, url: str, **opts) -> list:
+    from etl_pipeline_sam_gov_spark.sources.paginated import register
+
+    register(spark)
+    r = spark.read.format("paginated_opportunities").option("base_url", url)
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load().collect()
+
+
+def test_live_lane_short_page_stops(spark, api_url):
+    """n_pages far exceeds the feed; the short page (30 rows) must stop
+    the scan exactly at the feed size — the lambda_function.py:52
+    len(results) < LIMIT break, observed through a real GET."""
+    rows = _read_live(spark, f"{api_url}/data", n_pages=10, pages_per_task=10)
+    assert len(rows) == N_LIVE_ROWS
+    assert sorted(r.noticeId for r in rows)[0] == "L-00000000"
+
+
+def test_live_lane_non_200_stops_without_error(spark, api_url):
+    """404 ⇒ the reference logs and breaks (lambda_function.py:42-44);
+    the scan returns the rows fetched so far — zero here — not a
+    raised exception."""
+    rows = _read_live(spark, f"{api_url}/notfound", n_pages=3)
+    assert rows == []
+
+
+def test_live_lane_retries_transient_5xx(spark, api_url):
+    """Each offset 503s twice before serving; with the bounded-retry
+    lane (2 retries) every page must eventually land and the full feed
+    arrive exactly once."""
+    _ApiHandler.flaky_hits.clear()
+    rows = _read_live(
+        spark,
+        f"{api_url}/flaky",
+        n_pages=10,
+        pages_per_task=10,
+        http_max_retries=2,
+        http_backoff_s=0.01,
+    )
+    assert len(rows) == N_LIVE_ROWS
+    assert len({r.noticeId for r in rows}) == N_LIVE_ROWS
+
+
+def test_live_lane_exhausted_retries_break_not_raise(spark, api_url):
+    """With retries below the flake depth the 503 exhausts the retry
+    budget and the lane must degrade to the reference's break-and-keep
+    semantics (empty scan), never a task failure."""
+    _ApiHandler.flaky_hits.clear()
+    rows = _read_live(
+        spark,
+        f"{api_url}/flaky",
+        n_pages=2,
+        pages_per_task=2,
+        http_max_retries=0,
+        http_backoff_s=0.01,
+    )
+    assert rows == []
