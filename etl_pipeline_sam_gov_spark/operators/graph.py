@@ -37,6 +37,24 @@ PR_ITERS = 3
 _EDGE_CACHE: dict[int, tuple[DataFrame, ...]] = {}
 
 
+def _symmetrize(pairs: DataFrame) -> DataFrame:
+    """Both directed edges of every (c, s) pair in ONE pass: a union of
+    the pair relation with its reverse plans the (lineitem⋈orders,
+    distinct) subtree TWICE and leans on runtime exchange reuse to
+    dedupe it — fragile under AQE replanning — while exploding each
+    pair into its two directions structurally reads it once (measured
+    parity at sf0.1 where reuse does kick in; the explode shape cannot
+    regress when it doesn't). Output: (src, dst)."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
 def _pagerank_oracle() -> str:
     """Unrolled PR_ITERS-iteration PageRank as chained CTEs. Node ids:
     customers at 2*c_custkey, suppliers at 2*l_suppkey+1. The graph is
@@ -112,11 +130,7 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     if prev is not None:
         for df in prev:
             df.unpersist()
-    edges = (
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        .persist()
-    )
+    edges = _symmetrize(pairs).persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     cached: list[DataFrame] = [edges, deg]
 
@@ -452,11 +466,7 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     if prev is not None:
         for df in prev:
             df.unpersist()
-    e = (
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        .persist()
-    )
+    e = _symmetrize(pairs).persist()
     cached: list[DataFrame] = [e]
     for _ in range(KC_ROUNDS):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
@@ -687,11 +697,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     if prev is not None:
         for df in prev:
             df.unpersist()
-    edges = (
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        .persist()
-    )
+    edges = _symmetrize(pairs).persist()
     cached: list[DataFrame] = [edges]
     seeds = (
         t["customer"]
@@ -819,9 +825,7 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     if prev is not None:
         for df in prev:
             df.unpersist()
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    edges = _symmetrize(pairs)
     # The ranked neighbor list and degree table are derived once and
     # persisted (release-before-re-persist cache rule) — every step
     # and every union branch of the output re-reads them instead of
@@ -1461,9 +1465,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    edges = _symmetrize(pairs)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     je = (
         edges.join(deg.select(F.col("src"), F.col("d").alias("j")), "src")
@@ -1680,11 +1682,7 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     if prev is not None:
         for df in prev:
             df.unpersist()
-    edges = (
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        .persist()
-    )
+    edges = _symmetrize(pairs).persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     cached: list[DataFrame] = [edges, deg]
 
