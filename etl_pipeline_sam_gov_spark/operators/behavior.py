@@ -360,7 +360,7 @@ SELECT n_a, conv_a, n_b, conv_b,
        round(conv_b::DOUBLE / n_b, 6) AS rate_b,
        round(conv_b::DOUBLE / n_b - conv_a::DOUBLE / n_a, 6) AS uplift,
        round(z2, 6) AS z_squared,
-       z2 > {AB_Z2_CRIT} AS significant
+       round(z2, 6) > {AB_Z2_CRIT} AS significant
 FROM z
 """,
 )
@@ -437,7 +437,7 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
             conv_b.cast("double") / n_b - conv_a.cast("double") / n_a, 6
         ).alias("uplift"),
         F.round(F.col("z2"), 6).alias("z_squared"),
-        (F.col("z2") > AB_Z2_CRIT).alias("significant"),
+        (F.round(F.col("z2"), 6) > AB_Z2_CRIT).alias("significant"),
     )
 
 
@@ -1849,16 +1849,16 @@ SELECT n_a, n_b,
                     * ((n_a + n_b + 1)
                        - CAST(tie3 AS DOUBLE) / (n_a + n_b)
                          / (n_a + n_b - 1)) / 12.0), 6) + 0.0 AS z_stat,
-       (CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) / 2.0
-        / sqrt(CAST(n_a AS DOUBLE) * n_b
-               * ((n_a + n_b + 1)
-                  - CAST(tie3 AS DOUBLE) / (n_a + n_b)
-                    / (n_a + n_b - 1)) / 12.0))
-       * (CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) / 2.0
-          / sqrt(CAST(n_a AS DOUBLE) * n_b
-                 * ((n_a + n_b + 1)
-                    - CAST(tie3 AS DOUBLE) / (n_a + n_b)
-                      / (n_a + n_b - 1)) / 12.0)) > {MWU_Z2_CRIT}
+       round(CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) / 2.0
+             / sqrt(CAST(n_a AS DOUBLE) * n_b
+                    * ((n_a + n_b + 1)
+                       - CAST(tie3 AS DOUBLE) / (n_a + n_b)
+                         / (n_a + n_b - 1)) / 12.0), 6)
+       * round(CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) / 2.0
+               / sqrt(CAST(n_a AS DOUBLE) * n_b
+                      * ((n_a + n_b + 1)
+                         - CAST(tie3 AS DOUBLE) / (n_a + n_b)
+                           / (n_a + n_b - 1)) / 12.0), 6) > {MWU_Z2_CRIT}
          AS significant
 FROM sums
 """,
@@ -1940,7 +1940,7 @@ def ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r2a") - n_a * (n_a + 1)).cast("double") / 2, 6
         ).alias("u_stat"),
         (F.round(z, 6) + F.lit(0.0)).alias("z_stat"),
-        (z * z > MWU_Z2_CRIT).alias("significant"),
+        (F.round(z, 6) * F.round(z, 6) > MWU_Z2_CRIT).alias("significant"),
     )
 
 
@@ -1982,8 +1982,8 @@ SELECT c.bucket, c.n_obs,
                   * ({SRM_BUCKETS} * c.n_obs - t.n) AS DOUBLE)
              / ({SRM_BUCKETS}.0 * t.n), 6) AS chi2_contrib,
        round(CAST(t.ssq AS DOUBLE) / ({SRM_BUCKETS}.0 * t.n), 6) AS chi2_total,
-       CAST(t.ssq AS DOUBLE) / ({SRM_BUCKETS}.0 * t.n) > {SRM_CHI2_CRIT}
-         AS srm_detected
+       round(CAST(t.ssq AS DOUBLE) / ({SRM_BUCKETS}.0 * t.n), 6)
+         > {SRM_CHI2_CRIT} AS srm_detected
 FROM counts c CROSS JOIN tot t
 """,
 )
@@ -2033,7 +2033,7 @@ def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dev * dev).cast("double") / (float(SRM_BUCKETS) * F.col("n")), 6
         ).alias("chi2_contrib"),
         F.round(chi2_total, 6).alias("chi2_total"),
-        (chi2_total > SRM_CHI2_CRIT).alias("srm_detected"),
+        (F.round(chi2_total, 6) > SRM_CHI2_CRIT).alias("srm_detected"),
     )
 
 
@@ -2100,8 +2100,8 @@ SELECT n_a, n_b,
        round(sqrt(var_b), 6) AS se_b,
        round(r_b - r_a, 6) + 0.0 AS diff,
        round((r_b - r_a) / sqrt(var_a + var_b), 6) + 0.0 AS z_stat,
-       ((r_b - r_a) / sqrt(var_a + var_b))
-         * ((r_b - r_a) / sqrt(var_a + var_b)) > {DELTA_Z2_CRIT}
+       round((r_b - r_a) / sqrt(var_a + var_b), 6)
+         * round((r_b - r_a) / sqrt(var_a + var_b), 6) > {DELTA_Z2_CRIT}
          AS significant
 FROM w
 """

@@ -409,7 +409,8 @@ SELECT metric,
        round(old_value, 6) AS old_value,
        round(new_value, 6) AS new_value,
        round(abs(new_value - old_value) / abs(old_value), 6) AS rel_drift,
-       abs(new_value - old_value) > {DRIFT_REL_TOL} * abs(old_value) AS drifted
+       round(abs(new_value - old_value), 6)
+         > {DRIFT_REL_TOL} * round(abs(old_value), 6) AS drifted
 FROM m
 """,
 )
@@ -489,8 +490,8 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_drift"),
         (
-            F.abs(F.col("new_value") - F.col("old_value"))
-            > DRIFT_REL_TOL * F.abs(F.col("old_value"))
+            F.round(F.abs(F.col("new_value") - F.col("old_value")), 6)
+            > DRIFT_REL_TOL * F.round(F.abs(F.col("old_value")), 6)
         ).alias("drifted"),
     )
 
@@ -753,7 +754,7 @@ SELECT CAST(c.digit AS INT) AS digit, c.n_obs,
        c.p AS benford_p,
        round(c.x2, 6) + 0.0 AS chi2_contrib,
        round(t.chi2, 6) + 0.0 AS chi2_total,
-       t.chi2 > {_BENFORD_CHI2_CRIT} AS reject_benford
+       round(t.chi2, 6) > {_BENFORD_CHI2_CRIT} AS reject_benford
 FROM contrib c CROSS JOIN x2tot t
 """,
 )
@@ -815,7 +816,7 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("benford_p"),
         (F.round("x2", 6) + F.lit(0.0)).alias("chi2_contrib"),
         (F.round("chi2", 6) + F.lit(0.0)).alias("chi2_total"),
-        (F.col("chi2") > _BENFORD_CHI2_CRIT).alias("reject_benford"),
+        (F.round("chi2", 6) > _BENFORD_CHI2_CRIT).alias("reject_benford"),
     )
 
 
@@ -991,7 +992,7 @@ psum AS (SELECT SUM(psi_c) AS psi FROM contrib)
 SELECT c.band, c.n_ref, c.n_cur,
        round(c.psi_c, 6) + 0.0 AS psi_contrib,
        round(p.psi, 6) + 0.0 AS psi_total,
-       p.psi > 0.2 AS drifted
+       round(p.psi, 6) > 0.2 AS drifted
 FROM contrib c CROSS JOIN psum p
 """,
 )
@@ -1058,7 +1059,7 @@ def dq_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cur",
         (F.round("psi_c", 6) + F.lit(0.0)).alias("psi_contrib"),
         (F.round("psi", 6) + F.lit(0.0)).alias("psi_total"),
-        (F.col("psi") > 0.2).alias("drifted"),
+        (F.round("psi", 6) > 0.2).alias("drifted"),
     )
 
 
