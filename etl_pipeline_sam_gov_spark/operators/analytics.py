@@ -2699,7 +2699,7 @@ fit{i} AS (
 out{i} AS (
   SELECT '{xc}' AS x_col, '{yc}' AS y_col, n,
          round((rss_r - rss_u) / (rss_u / (n - 3)), 6) + 0.0 AS f_stat,
-         (rss_r - rss_u) / (rss_u / (n - 3)) > {GRANGER_F_CRIT}
+         round((rss_r - rss_u) / (rss_u / (n - 3)), 6) > {GRANGER_F_CRIT}
            AS granger_causal
   FROM fit{i}
 )""")
@@ -3006,8 +3006,8 @@ SELECT event_type, t AS n_hours, s1 AS n_events,
              / (t - 1) / t, 6) AS var_per_hour,
        round((CAST(t AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
              / (t - 1) / s1, 6) + 0.0 AS dispersion_index,
-       (CAST(t AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) / (t - 1) / s1
-         > 1.5 AS overdispersed
+       round((CAST(t AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+             / (t - 1) / s1, 6) > 1.5 AS overdispersed
 FROM mom
 """
     )

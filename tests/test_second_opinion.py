@@ -1309,3 +1309,166 @@ def test_hurst_matches_numpy(spark, sf_dir):
     sxy = sum(x * y for x, y in pts)
     hurst = (npts * sxy - sx * sy) / (npts * sxx - sx * sx)
     assert abs(out["hurst_h"].iloc[0] - hurst) < 1e-4
+
+
+# --- round-5 batch 2: remaining shared-SQL numerics ------------------------
+
+
+def test_dispersion_index_matches_numpy(spark, sf_dir):
+    out = (
+        eng.QUERIES["ts_dispersion_index"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = _events(sf_dir)
+    ev["h"] = ev["ts"].dt.floor("h")
+    hourly = ev.groupby(["event_type", "h"]).size()
+    hours = pd.date_range(
+        hourly.index.get_level_values("h").min(),
+        hourly.index.get_level_values("h").max(),
+        freq="h",
+    )
+    dense = hourly.unstack(level=0).reindex(hours).fillna(0).astype("int64")
+    for typ in dense.columns:
+        c = dense[typ].to_numpy()
+        t, s1, s2 = len(c), int(c.sum()), int((c * c).sum())
+        var = (t * s2 - s1 * s1) / (t - 1) / t
+        disp = (t * s2 - s1 * s1) / (t - 1) / s1
+        row = out.loc[typ]
+        assert row["n_hours"] == t and row["n_events"] == s1
+        assert abs(row["mean_per_hour"] - s1 / t) < TOL
+        assert abs(row["var_per_hour"] - var) < 1e-4
+        assert abs(row["dispersion_index"] - disp) < 1e-4
+        assert bool(row["overdispersed"]) == (round(disp, 6) > 1.5)
+
+
+def test_mde_matches_numpy(spark, sf_dir):
+    from etl_pipeline_sam_gov_spark.operators.behavior import MDE_Z_SUM
+
+    out = (
+        eng.QUERIES["ab_minimum_detectable_effect"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = _events(sf_dir)
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    per = ev.groupby(["event_type", "user_id"])["cents"].sum()
+    for typ, grp in per.groupby(level=0):
+        c = grp.to_numpy().astype("float64")
+        n = len(c)
+        var = c.var(ddof=1)
+        mde_abs = MDE_Z_SUM * np.sqrt(2 * var / (n / 2)) / 100
+        row = out.loc[typ]
+        assert row["n_users"] == n
+        assert abs(row["mean_value"] - c.mean() / 100) < 1e-4
+        assert abs(row["stddev_value"] - np.sqrt(var) / 100) < 1e-4
+        assert abs(row["mde_abs"] - mde_abs) < 1e-4
+        assert abs(row["mde_rel"] - mde_abs * 100 / c.mean()) < 1e-4
+
+
+def test_entropy_rate_matches_numpy(spark, sf_dir):
+    out = eng.QUERIES["behavior_entropy_rate"](spark, sf_dir).toPandas().iloc[0]
+    ev = _events(sf_dir).sort_values(["user_id", "ts", "event_id"])
+    prev = ev.groupby("user_id")["event_type"].shift()
+    tr = pd.DataFrame({"prev": prev, "nxt": ev["event_type"]}).dropna()
+    nij = tr.groupby(["prev", "nxt"]).size()
+    ni = nij.groupby(level=0).sum()
+    n = nij.sum()
+    k = len(ni)
+    h = sum(
+        -(c / n) * np.log(c / ni[p]) for (p, _), c in nij.items()
+    )
+    assert out["n_transitions"] == n and out["n_states"] == k
+    assert abs(out["entropy_rate_nats"] - h) < 1e-4
+    assert abs(out["relative_entropy"] - h / np.log(k)) < 1e-4
+
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    out = (
+        eng.QUERIES["agg_corr_matrix"](spark, sf_dir)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    for g, grp in li.groupby("l_returnflag"):
+        for col, a, b in (
+            ("corr_qty_price", "l_quantity", "l_extendedprice"),
+            ("corr_qty_disc", "l_quantity", "l_discount"),
+            ("corr_price_disc", "l_extendedprice", "l_discount"),
+        ):
+            r = np.corrcoef(grp[a], grp[b])[0, 1]
+            assert abs(out.loc[g, col] - r) < 1e-5, (g, col)
+        assert out.loc[g, "n"] == len(grp)
+
+
+def _lstsq_betas(grp, ridge_lambda=0.0):
+    x = np.column_stack(
+        [
+            np.ones(len(grp)),
+            grp["l_quantity"].to_numpy(dtype="float64"),
+            grp["l_discount"].to_numpy(dtype="float64"),
+        ]
+    )
+    y = grp["l_extendedprice"].to_numpy(dtype="float64")
+    xtx = x.T @ x + ridge_lambda * np.diag([0.0, 1.0, 1.0])
+    return np.linalg.solve(xtx, x.T @ y)
+
+
+@pytest.mark.parametrize(
+    "qname,lam",
+    [("ml_linear_regression_closed_form", 0.0), ("ml_ridge_regression", None)],
+)
+def test_regression_solves_match_numpy(spark, sf_dir, qname, lam):
+    from etl_pipeline_sam_gov_spark.operators.ml import RIDGE_LAMBDA
+
+    lam = RIDGE_LAMBDA if lam is None else lam
+    out = eng.QUERIES[qname](spark, sf_dir).toPandas().set_index("l_returnflag")
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    for g, grp in li.groupby("l_returnflag"):
+        beta = _lstsq_betas(grp, lam)
+        row = out.loc[g]
+        for i, col in enumerate(["beta0", "beta1", "beta2"]):
+            assert np.isclose(row[col], beta[i], rtol=1e-5, atol=1e-4), (
+                g,
+                col,
+                row[col],
+                beta[i],
+            )
+
+
+def test_granger_matches_numpy(spark, sf_dir):
+    from etl_pipeline_sam_gov_spark.operators.analytics import (
+        GRANGER_F_CRIT,
+        GRANGER_PAIRS,
+    )
+
+    out = (
+        eng.QUERIES["ts_granger_causality"](spark, sf_dir)
+        .toPandas()
+        .set_index(["x_col", "y_col"])
+    )
+    dense = _dense_hourly_cents(sf_dir, by_type=True)
+    for xc, yc in GRANGER_PAIRS:
+        y = dense[yc].to_numpy(dtype="float64")
+        x = dense[xc].to_numpy(dtype="float64")
+        yv, p, q = y[1:], y[:-1], x[:-1]
+        n = len(yv)
+        xr = np.column_stack([np.ones(n), p])
+        xu = np.column_stack([np.ones(n), p, q])
+        rss_r = float(
+            ((yv - xr @ np.linalg.lstsq(xr, yv, rcond=None)[0]) ** 2).sum()
+        )
+        rss_u = float(
+            ((yv - xu @ np.linalg.lstsq(xu, yv, rcond=None)[0]) ** 2).sum()
+        )
+        f = (rss_r - rss_u) / (rss_u / (n - 3))
+        row = out.loc[(xc, yc)]
+        assert row["n"] == n
+        assert abs(row["f_stat"] - f) < 1e-3, (xc, yc, row["f_stat"], f)
+        assert bool(row["granger_causal"]) == (round(f, 6) > GRANGER_F_CRIT)
