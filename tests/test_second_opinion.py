@@ -1472,3 +1472,208 @@ def test_granger_matches_numpy(spark, sf_dir):
         assert row["n"] == n
         assert abs(row["f_stat"] - f) < 1e-3, (xc, yc, row["f_stat"], f)
         assert bool(row["granger_causal"]) == (round(f, 6) > GRANGER_F_CRIT)
+
+
+# --- round-5 batch 3: shared-SQL relational / functional lanes --------------
+
+
+def test_sprt_matches_pandas(spark, sf_dir):
+    import hashlib
+
+    from etl_pipeline_sam_gov_spark.operators.behavior import (
+        SPRT_A,
+        SPRT_B,
+        SPRT_C0,
+        SPRT_C1,
+    )
+
+    out = (
+        eng.QUERIES["ab_sequential_sprt"](spark, sf_dir)
+        .toPandas()
+        .set_index("arm")
+    )
+    ev = _events(sf_dir).copy()
+    ev["arm"] = ev["user_id"].map(
+        lambda u: int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+    )
+    ev["succ"] = (ev["event_type"] == "purchase").astype("int64")
+    for arm, grp in ev.sort_values(["ts", "event_id"]).groupby("arm"):
+        k = grp["succ"].cumsum().to_numpy()
+        rn = np.arange(1, len(grp) + 1)
+        llr = k * SPRT_C1 + (rn - k) * SPRT_C0
+        hit = np.nonzero((llr >= SPRT_A) | (llr <= SPRT_B))[0]
+        idx = hit[0] if len(hit) else len(grp) - 1
+        row = out.loc[arm]
+        assert row["n_total"] == len(grp)
+        assert row["n_at_decision"] == idx + 1
+        assert row["k_at_decision"] == k[idx]
+        assert abs(row["llr_at_decision"] - llr[idx]) < 1e-4
+        expected = (
+            "continue"
+            if not len(hit)
+            else ("accept_h1" if llr[idx] >= SPRT_A else "accept_h0")
+        )
+        assert row["decision"] == expected
+
+
+def test_duplicate_charges_matches_pandas(spark, sf_dir):
+    out = (
+        eng.QUERIES["dq_duplicate_charges"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["first_event", "second_event"])
+        .reset_index(drop=True)
+    )
+    ev = _events(sf_dir)[["user_id", "event_id", "event_type", "value", "ts"]]
+    ev = ev.assign(cents=(ev["value"] * 100).round().astype("int64"))
+    m = ev.merge(ev, on=["user_id", "cents"], suffixes=("_a", "_b"))
+    m = m[m["event_id_a"] < m["event_id_b"]]
+    # Both engines difference MICROSECOND-truncated timestamps
+    # (tables.py ns→µs truncation / DuckDB epoch_us), so normalize each
+    # side to µs explicitly — pandas may hold the column as either
+    # datetime64[ns] or datetime64[us] depending on the arrow reader.
+    us_a = m["ts_a"].astype("datetime64[us]").astype("int64")
+    us_b = m["ts_b"].astype("datetime64[us]").astype("int64")
+    gap = (us_b - us_a).abs() // 10**6
+    exp = (
+        pd.DataFrame(
+            {
+                "first_event": m["event_id_a"],
+                "second_event": m["event_id_b"],
+                "gap_s": gap,
+            }
+        )
+        .sort_values(["first_event", "second_event"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(exp)
+    assert (out["first_event"] == exp["first_event"]).all()
+    assert (out["second_event"] == exp["second_event"]).all()
+    assert (out["gap_s"] == exp["gap_s"]).all()
+
+
+def test_graph_summary_matches_pandas(spark, sf_dir):
+    out = eng.QUERIES["graph_summary_stats"](spark, sf_dir).toPandas().iloc[0]
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    od = _orders(sf_dir)[["o_orderkey", "o_custkey"]]
+    e = (
+        li.merge(od, left_on="l_orderkey", right_on="o_orderkey")[
+            ["o_custkey", "l_suppkey"]
+        ]
+        .drop_duplicates()
+    )
+    n_e = len(e)
+    cd = e.groupby("o_custkey").size()
+    sd = e.groupby("l_suppkey").size()
+    assert out["n_cust"] == len(cd) and out["n_supp"] == len(sd)
+    assert out["n_edges"] == n_e
+    assert abs(out["density"] - n_e / len(cd) / len(sd)) < TOL
+    assert out["max_cust_degree"] == cd.max()
+    assert out["max_supp_degree"] == sd.max()
+    assert abs(out["supp_hub_skew"] - sd.max() * len(sd) / n_e) < TOL
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_blocked_matches_python(spark, sf_dir):
+    from etl_pipeline_sam_gov_spark.operators.dedup import (
+        LEV_MAX_DIST,
+        LEV_PREFIX,
+    )
+
+    out = (
+        eng.QUERIES["dedup_levenshtein_blocked"](spark, sf_dir)
+        .toPandas()
+        .set_index(["doc_a", "doc_b"])
+    )
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    docs["pfx"] = docs["text"].str[:LEV_PREFIX]
+    expected = {}
+    for _, blk in docs.groupby("pfx"):
+        rows = list(blk.itertuples(index=False))
+        for i in range(len(rows)):
+            for j in range(len(rows)):
+                a, b = rows[i], rows[j]
+                if a.doc_id >= b.doc_id:
+                    continue
+                if abs(len(a.text) - len(b.text)) > LEV_MAX_DIST:
+                    continue
+                d = _levenshtein(a.text, b.text)
+                if d <= LEV_MAX_DIST:
+                    expected[(a.doc_id, b.doc_id)] = d
+    assert set(out.index) == set(expected)
+    for key, d in expected.items():
+        row = out.loc[key]
+        assert row["edit_dist"] == d
+        assert abs(
+            row["rel_dist"] - d / max(row["len_a"], row["len_b"])
+        ) < TOL
+
+
+def _interleave16(x: int, y: int) -> int:
+    z = 0
+    for bit in range(16):
+        z |= ((x >> bit) & 1) << (2 * bit)
+        z |= ((y >> bit) & 1) << (2 * bit + 1)
+    return z
+
+
+def test_zorder_matches_python(spark, sf_dir):
+    out = eng.QUERIES["fn_zorder_interleave"](spark, sf_dir).toPandas()
+    sample = out.sample(n=min(500, len(out)), random_state=7)
+    for r in sample.itertuples(index=False):
+        assert r.zkey == _interleave16(int(r.x), int(r.y)), r
+
+
+def test_timezone_local_hours_matches_pandas(spark, sf_dir):
+    from etl_pipeline_sam_gov_spark.functions.scalar import TZ_ZONES
+
+    out = (
+        eng.QUERIES["fn_timezone_local_hours"](spark, sf_dir)
+        .toPandas()
+        .set_index(["tz", "local_hour"])
+    )
+    ev = _events(sf_dir)
+    utc = ev["ts"].dt.tz_localize("UTC")
+    for tz in TZ_ZONES:
+        loc = utc.dt.tz_convert(tz)
+        g = pd.DataFrame({"h": loc.dt.hour, "d": loc.dt.date})
+        for h, grp in g.groupby("h"):
+            row = out.loc[(tz, h)]
+            assert row["n_events"] == len(grp)
+            assert row["n_local_dates"] == grp["d"].nunique()
+
+
+def test_recursive_hierarchy_matches_python(spark, sf_dir):
+    out = (
+        eng.QUERIES["recursive_hierarchy_walk"](spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    for doc in docs["doc_id"]:
+        anc, depth = int(doc), 0
+        while anc > 1:
+            anc //= 2
+            depth += 1
+        # walk emits every level; MAX(depth) is the full walk length and
+        # MIN(anc) the smallest ancestor reached (the root, or the doc
+        # itself when the walk never steps)
+        row = out.loc[doc]
+        assert row["depth"] == depth
+        assert row["root"] == min(int(doc), anc)
