@@ -1677,3 +1677,129 @@ def test_recursive_hierarchy_matches_python(spark, sf_dir):
         row = out.loc[doc]
         assert row["depth"] == depth
         assert row["root"] == min(int(doc), anc)
+
+
+def test_conformal_interval_matches_numpy(spark, sf_dir):
+    import hashlib
+    import math
+
+    from etl_pipeline_sam_gov_spark.operators.ml import CONF_ALPHA
+
+    out = (
+        eng.QUERIES["ml_conformal_interval"](spark, sf_dir)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            "l_returnflag",
+            "l_quantity",
+            "l_discount",
+            "l_extendedprice",
+        ],
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    li["split"] = [
+        h60(f"{ok}:{ln}:{pk}:{sk}") % 3
+        for ok, ln, pk, sk in zip(
+            li["l_orderkey"], li["l_linenumber"], li["l_partkey"], li["l_suppkey"]
+        )
+    ]
+    for g, grp in li.groupby("l_returnflag"):
+        train = grp[grp["split"] == 0]
+        beta = _lstsq_betas(train)
+        pred = (
+            beta[0]
+            + beta[1] * grp["l_quantity"].to_numpy()
+            + beta[2] * grp["l_discount"].to_numpy()
+        )
+        absres = np.abs(grp["l_extendedprice"].to_numpy() - pred)
+        cal = np.sort(absres[(grp["split"] == 1).to_numpy()])
+        n_cal = len(cal)
+        r = min(n_cal, math.ceil((n_cal + 1) * (1 - CONF_ALPHA)))
+        q_alpha = cal[r - 1]
+        test = absres[(grp["split"] == 2).to_numpy()]
+        covered = int((test <= q_alpha).sum())
+        row = out.loc[g]
+        assert row["n_train"] == len(train)
+        assert row["n_cal"] == n_cal and row["n_test"] == len(test)
+        assert np.isclose(row["q_alpha"], q_alpha, rtol=1e-5, atol=1e-3)
+        # beta differences at the 1e-10 level can flip borderline
+        # test residuals across the interval edge — allow 2 counts
+        assert abs(row["coverage"] * len(test) - covered) <= 2
+
+
+def test_bagged_stumps_matches_pandas(spark, sf_dir):
+    import hashlib
+
+    from etl_pipeline_sam_gov_spark.operators.behavior import _POIS_CDF, _U_DEN
+    from etl_pipeline_sam_gov_spark.operators.ml import BAG_B
+
+    out = eng.QUERIES["ml_bagged_stumps"](spark, sf_dir).toPandas()
+    od = _orders(sf_dir)[
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ].copy()
+    od["f1"] = (
+        pd.to_datetime(od["o_orderdate"]).astype("datetime64[s]").astype("int64")
+        // 86400
+    )
+    od["f2"] = od["o_custkey"] % 97
+    od["y"] = (od["o_totalprice"] * 100).round().astype("int64")
+
+    def pois_w(uid: int, b: int) -> int:
+        u = int(
+            hashlib.md5(f"{uid}:{b}".encode()).hexdigest()[:15], 16
+        ) / _U_DEN
+        for k, c in enumerate(_POIS_CDF):
+            if u < c:
+                return k
+        return 7
+
+    stump_rows = {}
+    psum = np.zeros(len(od), dtype="int64")
+    for b in range(BAG_B):
+        w = np.array([pois_w(i, b) for i in od["o_orderkey"]], dtype="int64")
+        y = od["y"].to_numpy()
+        nt, st = int(w.sum()), int((w * y).sum())
+        best = None  # (score, feat, v, nl, sl)
+        for feat, col in ((1, "f1"), (2, "f2")):
+            f = od[col].to_numpy()
+            dfv = pd.DataFrame({"v": f, "w": w, "wy": w * y})
+            cum = (
+                dfv.groupby("v")[["w", "wy"]]
+                .sum()
+                .sort_index()
+                .cumsum()
+            )
+            for v, row in cum.iterrows():
+                nl, sl = int(row["w"]), int(row["wy"])
+                if nl <= 0 or nl >= nt:
+                    continue
+                score = sl * sl / nl + (st - sl) ** 2 / (nt - nl)
+                key = (-score, feat, v)
+                if best is None or key < best[0]:
+                    best = (key, feat, v, nl, sl)
+        _, feat, v, nl, sl = best
+        pl = int(round(sl / nl))
+        pr = int(round((st - sl) / (nt - nl)))
+        stump_rows[b] = (feat, v, nl, nt - nl, pl, pr)
+        fcol = od["f1"] if feat == 1 else od["f2"]
+        psum += np.where(fcol.to_numpy() <= v, pl, pr)
+    mae = np.abs(BAG_B * od["y"].to_numpy() - psum).sum() / (
+        BAG_B * len(od)
+    ) / 100
+    got = out.set_index("bag")
+    for b, (feat, v, nl, nr, pl, pr) in stump_rows.items():
+        row = got.loc[b]
+        assert row["feat"] == feat and row["threshold"] == v, (b, feat, v)
+        assert row["n_left_w"] == nl and row["n_right_w"] == nr
+        assert row["pred_left_cents"] == pl and row["pred_right_cents"] == pr
+    assert abs(out["ensemble_mae_dollars"].iloc[0] - mae) < 1e-4
