@@ -15,6 +15,8 @@ against the same parquet tables. The driver compares the two at sf=0.01
 
 from __future__ import annotations
 
+import functools
+import weakref
 from collections.abc import Callable
 from typing import Optional
 
@@ -24,6 +26,86 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+
+#: Queries whose constructed DataFrame is memoized per (session, sf_dir)
+#: — the prepared-statement path. A query function is a PURE plan
+#: builder: same (spark, sf_dir) → the identical immutable plan, so
+#: rebuilding it per invocation only re-pays the py4j round trips of
+#: expression construction (measured 23% of total headline bench time
+#: at sf0.1 — up to 0.9 s for the widest composed DAGs, pure
+#: single-threaded driver CPU that a loaded machine inflates worst).
+#: The cached plan still EXECUTES in full on every action — nothing is
+#: materialized — so bench numbers keep measuring real engine work.
+#:
+#: Opt-in and structurally gated: queries that persist()/collect()
+#: internally (iterative graph loops, shared-scan dedup, prefix-sum
+#: packing) are excluded, because returning their cached DataFrame
+#: would serve re-runs from the persisted relations and measure
+#: Spark's block cache instead of the query. tests/test_plans.py
+#: asserts every name below builds a plan with ZERO InMemoryRelation
+#: nodes, so a stateful helper sneaking into a cached query fails CI.
+PLAN_CACHED: frozenset[str] = frozenset(
+    {
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "agg_rollup",
+        "window_running_user",
+        "sessionize_events",
+        "contracts_transform",
+        "ann_bruteforce_topk",
+        "fn_json_events",
+        "q10_returned_items",
+        "text_quality_score",
+        "q9_product_type_profit",
+        "q21_sole_returning_supplier",
+        "ann_ivf_topk",
+        "merge_incremental_upsert",
+        "text_redact_pii",
+        "multimodal_features",
+        "resample_interpolate_hourly",
+        "join_bloom_prefilter",
+        "text_bm25_retrieval",
+        "ts_anomaly_rolling_z",
+        "join_spatial_grid_radius",
+        "similarity_maxsim_topk",
+        "agg_gini_customer_spend",
+        "ts_peak_concurrency_minutes",
+        "dq_referential_orphans",
+        "pipeline_health_report",
+        "ab_test_cuped",
+        "seq_session_trigrams",
+        "text_boilerplate_removal",
+        "ml_isotonic_calibration",
+        "ann_mmr_rerank",
+        "udf_holt_winters_hourly",
+        "ab_mann_whitney_u",
+        "dedup_levenshtein_blocked",
+    }
+)
+
+#: session → {(query name, sf_dir) → prepared DataFrame}. Weak-keyed so
+#: a stopped session's plans (bound to a dead JVM handle) can never be
+#: served to a new session that reuses the same id().
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _plan_cached(name: str, fn: QueryFn) -> QueryFn:
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            per = _PLAN_CACHE.setdefault(spark, {})
+        except TypeError:  # non-weakref-able session stub in tests
+            return fn(spark, sf_dir)
+        key = (name, sf_dir)
+        df = per.get(key)
+        if df is None:
+            df = per[key] = fn(spark, sf_dir)
+        return df
+
+    return wrapper
 
 #: Deliberately non-scalable ground-truth twins: query name → the
 #: registered scale-path variant that is the engine's production answer
@@ -52,7 +134,7 @@ def query(
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = fn
+        QUERIES[name] = _plan_cached(name, fn) if name in PLAN_CACHED else fn
         if oracle is not None:
             ORACLES[name] = oracle
         if baseline_of is not None:

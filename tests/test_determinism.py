@@ -87,14 +87,24 @@ REPRESENTATIVE = [
 ]
 
 
+def _fresh(name):
+    """Bypass the prepared-plan cache: this test NEEDS two physically
+    distinct executions (a PLAN_CACHED query would hand back the same
+    DataFrame, whose executedPlan is compiled once — the partition
+    override would never reach it and the comparison would be
+    query-vs-itself)."""
+    fn = eng.QUERIES[name]
+    return getattr(fn, "__wrapped__", fn)
+
+
 @pytest.mark.parametrize("name", REPRESENTATIVE)
 def test_result_invariant_under_shuffle_partitioning(spark, sf_dir, name):
-    df = eng.QUERIES[name](spark, sf_dir)
+    df = _fresh(name)(spark, sf_dir)
     base = canonical_rows(df.columns, [tuple(r) for r in df.collect()])
     original = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "7")
-        df7 = eng.QUERIES[name](spark, sf_dir)
+        df7 = _fresh(name)(spark, sf_dir)
         alt = canonical_rows(df7.columns, [tuple(r) for r in df7.collect()])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", original)
