@@ -2474,13 +2474,21 @@ def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("idx").cast("bigint").alias("idx"),
         F.concat_ws(" ", F.slice(t, F.col("s"), BOILER_B)).alias("chunk"),
     )
+    # The cross-document count only needs chunk IDENTITY, so it groups
+    # on the md5 of the chunk, not the text: the (chunk, doc) shuffle
+    # payload drops from B tokens of raw text per row to a fixed 32
+    # bytes — at 100 TB that shuffle is the operator's dominant cost.
+    # Exactness: md5 equality stands in for text equality (128-bit;
+    # the repo's hashing convention), and the retained-text rebuild
+    # below still rides the original chunk column.
+    chunks = chunks.withColumn("ch", F.md5("chunk"))
     boiler = (
-        chunks.groupBy("chunk")
+        chunks.groupBy("ch")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= BOILER_MIN_DOCS)
-        .select("chunk", F.lit(True).alias("is_boiler"))
+        .select("ch", F.lit(True).alias("is_boiler"))
     )
-    flagged = chunks.join(F.broadcast(boiler), "chunk", "left").select(
+    flagged = chunks.join(F.broadcast(boiler), "ch", "left").select(
         "doc_id",
         "idx",
         "chunk",
