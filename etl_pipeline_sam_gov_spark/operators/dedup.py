@@ -822,14 +822,20 @@ def dedup_crossdoc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = arrs.select(
         "doc_id", F.size("arr").cast("bigint").alias("n_shingles")
     ).filter(F.col("n_shingles") > 0)
-    sh = arrs.select("doc_id", F.explode("arr").alias("shingle"))
+    # Shingle IDENTITY is all the frequency side needs, so both the
+    # corpus-frequency groupBy and the dup-probe join key on the md5 of
+    # the shingle — fixed 32-byte shuffle rows instead of raw n-gram
+    # text (the text_boilerplate_removal discipline).
+    sh = arrs.select("doc_id", F.explode("arr").alias("shingle")).select(
+        "doc_id", F.md5("shingle").alias("sh")
+    )
     dupes = (
-        sh.groupBy("shingle")
+        sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > 1)
-        .select("shingle")
+        .select("sh")
     )
-    dup = sh.join(dupes, "shingle").groupBy("doc_id").agg(
+    dup = sh.join(dupes, "sh").groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_dup")
     )
     frac = F.round(

@@ -548,14 +548,18 @@ def text_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     small and degrades to a shuffle join if it ever is not
     (tests/test_plans.py::test_no_pinned_broadcast_of_scale_tables)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    sh = doc_shingles(docs)
+    # Overlap needs shingle IDENTITY only, so every shingle-keyed hop
+    # (the eval-set distinct, the join, the per-doc distinct count)
+    # rides the md5 of the shingle — 32-byte shuffle rows, not raw
+    # n-gram text (the text_boilerplate_removal discipline).
+    sh = doc_shingles(docs).select("doc_id", F.md5("shingle").alias("sh"))
     is_eval = F.col("doc_id") % EVAL_EVERY == 0
-    eval_shingles = sh.filter(is_eval).select("shingle").distinct()
+    eval_shingles = sh.filter(is_eval).select("sh").distinct()
     hits = (
         sh.filter(~is_eval)
-        .join(eval_shingles, "shingle")
+        .join(eval_shingles, "sh")
         .groupBy("doc_id")
-        .agg(F.count_distinct("shingle").alias("n_overlap"))
+        .agg(F.count_distinct("sh").alias("n_overlap"))
     )
     return (
         docs.filter(~is_eval)
@@ -1540,8 +1544,11 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
     )
     fs = (
+        # First-seen mins need shingle IDENTITY only: key the
+        # vocabulary aggregation on the shingle's md5 so the corpus-
+        # sized shuffle carries 32-byte rows, not raw n-gram text.
         postings.join(sh, "doc_id")
-        .groupBy("shingle")
+        .groupBy(F.md5("shingle").alias("sh"))
         .agg(F.min("shard").alias("first_shard"))
     )
     nv = fs.groupBy(F.col("first_shard").alias("shard")).agg(
