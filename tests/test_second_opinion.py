@@ -1592,6 +1592,7 @@ def test_levenshtein_blocked_matches_python(spark, sf_dir):
     from etl_pipeline_sam_gov_spark.operators.dedup import (
         LEV_MAX_DIST,
         LEV_PREFIX,
+        LEV_WINDOW,
     )
 
     out = (
@@ -1605,12 +1606,17 @@ def test_levenshtein_blocked_matches_python(spark, sf_dir):
     docs["pfx"] = docs["text"].str[:LEV_PREFIX]
     expected = {}
     for _, blk in docs.groupby("pfx"):
-        rows = list(blk.itertuples(index=False))
+        # Sorted-neighborhood order mirrors the query's rank window
+        # (not binding at fixture scales — widest block is 4 docs —
+        # but the recomputation must encode the same semantics).
+        rows = sorted(
+            blk.itertuples(index=False), key=lambda r: (len(r.text), r.doc_id)
+        )
         for i in range(len(rows)):
-            for j in range(len(rows)):
+            for j in range(i + 1, min(i + 1 + LEV_WINDOW, len(rows))):
                 a, b = rows[i], rows[j]
                 if a.doc_id >= b.doc_id:
-                    continue
+                    a, b = b, a
                 if abs(len(a.text) - len(b.text)) > LEV_MAX_DIST:
                     continue
                 d = _levenshtein(a.text, b.text)

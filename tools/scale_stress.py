@@ -170,6 +170,35 @@ STRESS_QUERIES = (
     # candidate volume grows ~quadratically under this tool's replica
     # scheme — measuring the fixture, not the operator; its hub cap is
     # the production knob that bounds per-item fan-out at cap².)
+    # round-5 batch — under-stressed families (window/agg-sketch/graph
+    # pair-join/dedup blocking/retrieval/streaming):
+    "window_pattern_peaks",      # per-type lag/lead peak windows on events
+    "window_rolling_trend_slope",  # ROWS-frame exact-int moment windows
+    "window_moving_median",      # bounded-frame order statistic per user
+    "agg_approx_sketches",       # HLL/KLL/topk partials — mergeable by design
+    "agg_bitmap_distinct",       # exact bitmap ORs across day partials
+    "agg_theta_sketch_audiences",  # theta-sketch set algebra on user sets
+    "graph_triangle_count",      # edge²-bounded wedge join, support-pruned
+    "graph_jaccard_neighbors",   # hub-capped pair self-join
+    "dedup_levenshtein_blocked", # prefix-blocked + sorted-neighborhood pairs
+    "dedup_fingerprint",         # winnowing fingerprint groupBy
+    # (dedup_shingle_containment inherits the ann_radius exclusion in
+    # its strongest form: replicas share ~every shingle with their
+    # original, so every replica pair IS a true containment pair —
+    # measured 25 → 4,972 result rows for 4× data at sf0.01, a 199×
+    # TRUE-output explosion against which its 4.5× time growth is
+    # massively sublinear per row. Pair-listing under mass duplication
+    # is output-quadratic by problem statement; the production answer
+    # is the cluster-collapse consumer (dedup_cc_clusters), which is
+    # exactly how the repo pipelines it.)
+    "retrieval_query_likelihood",  # Dirichlet LM: one tf pass + broadcast stats
+    "retrieval_rocchio_prf",     # two-round retrieval, feedback centroid
+    # (stream_cdc_snapshot_upsert is NOT stressable by this tool: it
+    # materializes a snapshot + landing-zone directory pair per
+    # invocation, and the second amplification's invocation races the
+    # first's cleanup — a harness limitation, not a plan property;
+    # stream_funnel_timebound already carries the streaming family's
+    # scaling signal.)
 )
 
 
