@@ -823,11 +823,12 @@ def dedup_crossdoc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("arr").cast("bigint").alias("n_shingles")
     ).filter(F.col("n_shingles") > 0)
     # Shingle IDENTITY is all the frequency side needs, so both the
-    # corpus-frequency groupBy and the dup-probe join key on the md5 of
-    # the shingle — fixed 32-byte shuffle rows instead of raw n-gram
-    # text (the text_boilerplate_removal discipline).
+    # corpus-frequency groupBy and the dup-probe join key on the 60-bit
+    # md5-derived key (_spark_hash60) — fixed 8-byte bigint shuffle
+    # rows instead of raw n-gram text (the text_boilerplate_removal
+    # discipline).
     sh = arrs.select("doc_id", F.explode("arr").alias("shingle")).select(
-        "doc_id", F.md5("shingle").alias("sh")
+        "doc_id", _spark_hash60(F.col("shingle")).alias("sh")
     )
     dupes = (
         sh.groupBy("sh")

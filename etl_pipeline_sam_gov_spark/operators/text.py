@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_sam_gov_spark.operators.dedup import (
     _SQL_SHINGLES,
+    _spark_hash60,
     _sql_hash60,
     doc_shingles,
     spread_docs,
@@ -550,9 +551,11 @@ def text_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     # Overlap needs shingle IDENTITY only, so every shingle-keyed hop
     # (the eval-set distinct, the join, the per-doc distinct count)
-    # rides the md5 of the shingle — 32-byte shuffle rows, not raw
-    # n-gram text (the text_boilerplate_removal discipline).
-    sh = doc_shingles(docs).select("doc_id", F.md5("shingle").alias("sh"))
+    # rides the 60-bit md5-derived key — 8-byte bigint shuffle rows,
+    # not raw n-gram text (the text_boilerplate_removal discipline).
+    sh = doc_shingles(docs).select(
+        "doc_id", _spark_hash60(F.col("shingle")).alias("sh")
+    )
     is_eval = F.col("doc_id") % EVAL_EVERY == 0
     eval_shingles = sh.filter(is_eval).select("sh").distinct()
     hits = (
@@ -1545,10 +1548,10 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fs = (
         # First-seen mins need shingle IDENTITY only: key the
-        # vocabulary aggregation on the shingle's md5 so the corpus-
-        # sized shuffle carries 32-byte rows, not raw n-gram text.
+        # vocabulary aggregation on the 60-bit md5-derived key so the
+        # corpus-sized shuffle carries 8-byte bigints, not raw text.
         postings.join(sh, "doc_id")
-        .groupBy(F.md5("shingle").alias("sh"))
+        .groupBy(_spark_hash60(F.col("shingle")).alias("sh"))
         .agg(F.min("shard").alias("first_shard"))
     )
     nv = fs.groupBy(F.col("first_shard").alias("shard")).agg(
@@ -2482,13 +2485,15 @@ def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(t, F.col("s"), BOILER_B)).alias("chunk"),
     )
     # The cross-document count only needs chunk IDENTITY, so it groups
-    # on the md5 of the chunk, not the text: the (chunk, doc) shuffle
-    # payload drops from B tokens of raw text per row to a fixed 32
-    # bytes — at 100 TB that shuffle is the operator's dominant cost.
-    # Exactness: md5 equality stands in for text equality (128-bit;
-    # the repo's hashing convention), and the retained-text rebuild
-    # below still rides the original chunk column.
-    chunks = chunks.withColumn("ch", F.md5("chunk"))
+    # on the 60-bit md5-derived key (_spark_hash60, the repo's
+    # engine-neutral hashing convention), not the text: the
+    # (chunk, doc) shuffle payload drops from raw chunk text per row
+    # to a fixed 8-byte bigint — at 100 TB that shuffle is the
+    # operator's dominant cost. The retained-text rebuild below still
+    # rides the original chunk column; a 60-bit collision (≈1e-7 at
+    # fixture vocabulary sizes, and it would fail the exact oracle
+    # compare loudly) merges two chunk identities.
+    chunks = chunks.withColumn("ch", _spark_hash60(F.col("chunk")))
     boiler = (
         chunks.groupBy("ch")
         .agg(F.count_distinct("doc_id").alias("nd"))
