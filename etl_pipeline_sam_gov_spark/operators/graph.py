@@ -138,24 +138,27 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # out-edge, so deg IS the node relation — deriving nodes/counts from
     # the cached degree table avoids a separate distinct-shuffle of the
     # edge list per iteration (measured 40% of the sf0.1 runtime).
-    nodes = deg.select(F.col("src").alias("node"))
     nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    # the corpus-size scalar rides along as a broadcast 1-row cross
-    # join so the plan stays fully lazy (no collected literal)
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    # The rank vector CARRIES the node's degree and the corpus-size
+    # scalar (a broadcast 1-row cross join — fully lazy, no collected
+    # literal): the per-round message rank/outdeg is then a pure
+    # projection of the vector, not a deg ⋈ ranks join per round.
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("node"),
+        "deg",
+        "n_nodes",
+        (F.lit(1.0) / F.col("n_nodes")).alias("rank"),
     )
     for _ in range(PR_ITERS):
-        # The per-round message value rank/outdeg is computed on the
-        # |V|-row vector (deg ⋈ ranks, both tiny and Aggregate-bounded
-        # per the hint policy), THEN broadcast onto the cached edge
-        # list — so an iteration touches the edge relation with exactly
-        # one map-side hash join and one partial-combined aggregation;
-        # the only shuffle is |V| contribution sums, never the edges.
+        # The per-round message value rank/outdeg projects off the
+        # |V|-row vector, THEN broadcasts onto the cached edge list —
+        # so an iteration touches the edge relation with exactly one
+        # map-side hash join and one partial-combined aggregation; the
+        # only shuffle is |V| contribution sums, never the edges.
         # (AQE's pre-runtime estimates chose sort-merge joins against
         # the edges here: measured 2.3x slower at sf0.1.)
-        msg = deg.join(ranks.select(F.col("node").alias("src"), "rank"), "src").select(
-            "src", (F.col("rank") / F.col("deg")).alias("rd")
+        msg = ranks.select(
+            F.col("node").alias("src"), (F.col("rank") / F.col("deg")).alias("rd")
         )
         contrib = (
             edges.join(F.broadcast(msg), "src")
@@ -163,10 +166,13 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("rd").alias("m"))
         )
         ranks = (
-            nodes.crossJoin(F.broadcast(nn))
-            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            deg.crossJoin(F.broadcast(nn))
+            .join(
+                contrib.select(F.col("dst").alias("src"), "m"), "src", "left"
+            )
             .select(
-                "node",
+                F.col("src").alias("node"),
+                "deg",
                 "n_nodes",
                 (
                     F.lit(1 - PR_DAMPING) / F.col("n_nodes")
