@@ -1883,10 +1883,17 @@ def ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines) produces z; significance compares z² against 1.96².
 
     Scale shape: one shuffle on user_id, one groupBy(v) partial-
-    combined collapse, then a prefix sum over distinct values — |V| ≪
-    corpus rows; at 100 TB the prefix sum runs as the two-phase
-    (per-partition subtotal, broadcast offsets) pattern of
-    curate_pack_token_shards rather than one window task."""
+    combined collapse, then a prefix sum over distinct values. |V| ≪
+    corpus rows but still GROWS with users (cent-grain spend totals are
+    nearly all distinct), so the prefix sum runs as the two-phase
+    range-partitioned decomposition (per-partition running sum +
+    broadcast exclusive offsets — the packed_prev_tokens / lift-table
+    pattern), never one global window task. The offsets window rides
+    the ≤ n_parts-row subtotal relation only. Both phases read ONE
+    range exchange (Spark's exchange reuse dedupes the identical
+    subtree within the single action), so they observe the same
+    boundary sampling; the arithmetic is boundary-independent anyway —
+    any ordered disjoint split yields the same global prefix."""
     from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
@@ -1904,11 +1911,24 @@ def ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("ceq"),
         F.sum((F.col("arm") == 0).cast("bigint")).alias("ca"),
     )
-    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
-    ranked = byval.select(
-        "ceq",
-        "ca",
-        F.coalesce(F.sum("ceq").over(w), F.lit(0)).alias("clt"),
+    n_parts = spark.sparkContext.defaultParallelism
+    ranged = byval.repartitionByRange(n_parts, F.asc("v")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_in = W.partitionBy("pid").orderBy("v").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    subtot = ranged.groupBy("pid").agg(F.sum("ceq").alias("sub"))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = subtot.select(
+        "pid", F.coalesce(F.sum("sub").over(w_off), F.lit(0)).alias("off")
+    )
+    ranked = (
+        ranged.withColumn(
+            "clt_in", F.coalesce(F.sum("ceq").over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "pid")
+        .select("ceq", "ca", (F.col("off") + F.col("clt_in")).alias("clt"))
     )
     sums = ranked.agg(
         F.sum(
@@ -2389,11 +2409,16 @@ def ab_propensity_caliper_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 cents; the ATT and mean match distance are one double
     division each.
 
-    Scale: one user rollup shuffle, then ONE global ordered walk over
-    the |users|-row relation — at 100 TB this becomes the two-phase
-    range-partition walk with boundary carry (each partition needs
-    only its neighbors' edge controls), the resample_interpolate
-    pattern; never the treated×control quadratic."""
+    Scale: one user rollup shuffle, then the ordered walk runs as the
+    two-phase RANGE-PARTITION walk with boundary carry: each partition
+    walks its own slice in parallel (windows keyed by partition id),
+    and a row whose slice holds no control on one side falls back to
+    the carry — the nearest edge control among preceding/following
+    slices, computed on the ≤ n_parts-row per-slice edge relation and
+    broadcast back. Identical semantics to the single global walk
+    (slices are ordered and disjoint, so "last control in earlier
+    slices" IS the global predecessor), never the treated×control
+    quadratic, and no unpartitioned corpus-sized window task."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     u = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -2419,23 +2444,56 @@ def ab_propensity_caliper_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # columns are NULL; the forward walk is the reversed-sort running
     # frame (the resample_interpolate_hourly move). The oracle keeps
     # the textbook frames — semantics are identical.
-    w_prev = W.orderBy("bp", "user_id").rowsBetween(
+    ranged = lab.repartitionByRange(
+        spark.sparkContext.defaultParallelism, "bp", "user_id"
+    ).withColumn("pid", F.spark_partition_id())
+    w_prev = W.partitionBy("pid").orderBy("bp", "user_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    w_next = W.orderBy(F.col("bp").desc(), F.col("user_id").desc()).rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    w_next = (
+        W.partitionBy("pid")
+        .orderBy(F.col("bp").desc(), F.col("user_id").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cbp = F.when(~F.col("treated"), F.col("bp"))
-    cspend = F.when(~F.col("treated"), F.col("spend"))
-    walk = lab.select(
-        "user_id",
+    # One struct per direction keeps (bp, spend) from the SAME control
+    # row; struct comparison is lexicographic, so max/min over
+    # (bp, user_id, spend) picks each slice's edge control exactly.
+    ctrl = F.when(
+        ~F.col("treated"), F.struct("bp", "user_id", "spend")
+    )
+    walk_local = ranged.select(
+        "pid",
         "treated",
         "bp",
         "spend",
-        F.last(cbp, ignorenulls=True).over(w_prev).alias("pbp"),
-        F.last(cspend, ignorenulls=True).over(w_prev).alias("pspend"),
-        F.last(cbp, ignorenulls=True).over(w_next).alias("nbp"),
-        F.last(cspend, ignorenulls=True).over(w_next).alias("nspend"),
+        F.last(ctrl, ignorenulls=True).over(w_prev).alias("pc"),
+        F.last(ctrl, ignorenulls=True).over(w_next).alias("nc"),
+    )
+    # Boundary carry: per slice, its extreme controls; prefix/suffix
+    # extremes over the ≤ n_parts-row slice relation give each slice
+    # the nearest control in every EARLIER (resp. LATER) slice.
+    edges = ranged.groupBy("pid").agg(
+        F.max(ctrl).alias("last_c"), F.min(ctrl).alias("first_c")
+    )
+    # Suffix extreme as the reversed-sort RUNNING frame (the repo-wide
+    # rule: [1 FOLLOWING, unbounded] frames re-aggregate per row).
+    w_before = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    w_after = W.orderBy(F.col("pid").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    carry = edges.select(
+        "pid",
+        F.max("last_c").over(w_before).alias("cprev"),
+        F.min("first_c").over(w_after).alias("cnext"),
+    )
+    walk = walk_local.join(F.broadcast(carry), "pid").select(
+        "treated",
+        "bp",
+        "spend",
+        F.coalesce(F.col("pc.bp"), F.col("cprev.bp")).alias("pbp"),
+        F.coalesce(F.col("pc.spend"), F.col("cprev.spend")).alias("pspend"),
+        F.coalesce(F.col("nc.bp"), F.col("cnext.bp")).alias("nbp"),
+        F.coalesce(F.col("nc.spend"), F.col("cnext.spend")).alias("nspend"),
     )
     bp, pbp, nbp = F.col("bp"), F.col("pbp"), F.col("nbp")
     both_null = pbp.isNull() & nbp.isNull()
