@@ -163,6 +163,10 @@ REGRESSION_FACTOR = 2.0
 
 
 def load_floor() -> dict[str, float]:
+    """Per-query floors; the ``_reasons`` key is a sidecar dict that
+    records WHY a floor was ever loosened (floors otherwise only
+    tighten) — it never collides with query names and rides along
+    through the tighten-in-place rewrite."""
     try:
         with open(FLOOR_PATH) as f:
             return json.load(f)

@@ -75,7 +75,13 @@ def get_spark(app_name: str = "etl_pipeline_sam_gov_spark") -> SparkSession:
         # Shuffle parallelism sized to cores for local; on a real cluster
         # AQE coalescing makes the initial number mostly a ceiling.
         .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # 24g: a 42-query bench sweep churns broadcasts, cached plans
+        # and codegen classes faster than the async ContextCleaner
+        # reclaims them; at 8g the old-gen pressure showed up as 2-4x
+        # per-query swings late in the sweep (measured r5). The box has
+        # 128 GiB; a single local[32] JVM driving sf0.1 fixtures can
+        # afford the headroom, and -Xmx only commits what it touches.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
