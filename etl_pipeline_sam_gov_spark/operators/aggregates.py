@@ -1042,39 +1042,55 @@ def agg_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     both feed on. The reference's remote engine got these from the
     Glue crawler (SURVEY.md S6); here they are one in-engine scan.
 
-    Scale shape: ONE pass over the fact table computing all columns'
-    stats in a single aggregation (the multi-count-distinct Expand is
-    the price of exactness — Spark's own ANALYZE uses the same shape
-    with HLL partials instead, which agg_sketch_merge_rollup already
-    demonstrates; swap NDV to approx_count_distinct at 100 TB). The
-    wide 1-row result unpivots driver-free via posexplode of a struct
-    array. Min/max aggregate on the NATIVE column (numeric/timestamp
-    ordering) and only the aggregated result renders to an
-    engine-stable string (exact decimals / formatted timestamps) —
-    rendering before aggregating would give lexicographic extrema."""
+    Scale shape: one column-pruned scan PER COLUMN, each collapsing to
+    its distinct-value relation first (groupBy(col) — partial hash
+    aggregation makes the exchange value-sized, not row-sized), from
+    which all four stats derive: NDV = non-null row count, null count
+    = the NULL group's multiplicity, min/max over the values. The 11
+    single-row profiles union together. The previous single-pass form
+    (11 count_distincts in one agg) planned a 12-way Expand — every
+    fact row replicated 12x through one shuffle — and went 4.9x
+    super-linear at the 4x stress step (18.7 s → 91.4 s); the
+    per-column form's scans prune to one parquet column each and its
+    exchanges carry only distinct values. Spark's own ANALYZE swaps
+    exact NDV for HLL partials at warehouse scale, which
+    agg_sketch_merge_rollup already demonstrates. Min/max aggregate on
+    the NATIVE column (numeric/timestamp ordering) and only the
+    aggregated result renders to an engine-stable string (exact
+    decimals / formatted timestamps) — rendering before aggregating
+    would give lexicographic extrema."""
+    from functools import reduce
+
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    aggs = []
+    parts = []
     for c, k in _PROFILE_COLS:
-        aggs += [
-            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
-            _spark_render(F.min(F.col(c)), k).alias(f"{c}__min"),
-            _spark_render(F.max(F.col(c)), k).alias(f"{c}__max"),
-        ]
-    wide = li.agg(*aggs)
-    rows = F.array(
-        *[
-            F.struct(
+        dist = li.groupBy(F.col(c).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        parts.append(
+            dist.agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("v").isNull(), F.col("cnt")).otherwise(
+                            F.lit(0)
+                        )
+                    ),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_nulls"),
+                F.count("v").cast("bigint").alias("n_distinct"),
+                _spark_render(F.min("v"), k).alias("min_value"),
+                _spark_render(F.max("v"), k).alias("max_value"),
+            ).select(
                 F.lit(c).alias("col_name"),
-                F.col(f"{c}__nulls").alias("n_nulls"),
-                F.col(f"{c}__ndv").alias("n_distinct"),
-                F.col(f"{c}__min").alias("min_value"),
-                F.col(f"{c}__max").alias("max_value"),
+                "n_nulls",
+                "n_distinct",
+                "min_value",
+                "max_value",
             )
-            for c, _ in _PROFILE_COLS
-        ]
-    )
-    return wide.select(F.explode(rows).alias("r")).select("r.*")
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 # ---------------------------------------------------------------------------

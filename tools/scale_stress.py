@@ -199,6 +199,56 @@ STRESS_QUERIES = (
     # first's cleanup — a harness limitation, not a plan property;
     # stream_funnel_timebound already carries the streaming family's
     # scaling signal.)
+    # round-5 second batch — the riskiest still-unstressed shapes:
+    # pair/blocked joins, iterative loops, grouped walks, salt paths.
+    # (dedup_ngram_jaccard and dedup_simhash_blocked inherit the
+    # dedup_shingle_containment exclusion: replicas are TRUE near-dups,
+    # so the pair LISTING grows quadratically by problem statement —
+    # measured 25 → 3,400 → 66,400 result rows (ngram) and 4,323 →
+    # 462,462 (simhash) across 1x/4x/16x at sf0.01; time ratios 15.2x
+    # and 6.7x per 4x step are massively SUBLINEAR per output row.
+    # The cluster-collapse consumer is the production scale path:)
+    "dedup_cluster_components",  # label-propagation loop, persisted labels
+    "graph_pagerank_bipartite",  # headline: 3 rounds over cached edges
+    "graph_label_propagation",   # iterative mode-label joins
+    "graph_adamic_adar_links",   # common-neighbor pair join (hub-capped)
+    "graph_clustering_coefficient",  # wedge join vs triangle count
+    "ml_kmeans_embeddings",      # iterative broadcast-centroid assign
+    "ml_logistic_regression_gd", # fixed GD rounds, one scan each
+    "ml_mutual_information",     # (band, label) cell counts
+    "ml_auc_quality_classifier", # score-domain rank windows
+    "join_fuzzy_name_match",     # blocked edit-distance pair join
+    "join_salted_skewed_orders", # salted hot-key join path
+    "join_interval_overlap_incidents",  # grid-bucketed interval overlap
+    "join_lateral_topk_orders",  # per-key LATERAL top-N
+    "asof_join_purchase_click",  # merged-timeline as-of walk on events
+    # (multimodal_image_dhash_pairs inherits the pair-lister exclusion
+    # in its purest form: the amplifier replicates image BLOBS
+    # byte-identically, so every replica pair is a true duplicate pair
+    # and the dHash blocks fill with identical hashes — output and
+    # verify work grow amp² by problem statement (measured 2.9 s → 40 s
+    # at the 4x step). Cluster-collapse is the production consumer.)
+    "multimodal_shot_boundaries",  # frame-kernel + per-video walk
+    "text_decontaminate_eval_overlap",  # corpus n-grams ⋈ bounded eval set
+    "text_bpe_merge_rounds",     # headline: iterative vocab induction
+    "text_tfidf_keywords",       # tf pass + df join + per-doc top-k
+    "curate_pack_token_shards",  # two-phase prefix-sum packing
+    "curate_stratified_sample",  # per-stratum hash-threshold sample
+    "curate_sample_k_per_group", # per-group top-k windows
+    "sessionize_funnel",         # session exchange + step MIN chain
+    "streak_longest_daily",      # per-user day-island walk
+    "cohort_retention_daily",    # cohort collapse + (cohort, day) cells
+    "seq_pattern_support",       # per-session subsequence explode
+    "reco_eval_coverage_novelty",  # recs ⋈ catalog popularity eval
+    "agg_table_profile",         # per-column profile union
+    "agg_corr_matrix",           # d²-cell moments, d fixed
+    "agg_salted_heavy_hitters",  # two-phase salted heavy-hitter agg
+    "agg_weighted_median",       # weight-domain prefix-sum median
+    "dq_key_discovery",          # per-candidate distinct-count profile
+    "retrieval_phrase_proximity",  # positional posting self-join
+    "scd2_user_value_history",   # user-keyed change windows
+    "udf_viterbi_2state",        # grouped-map DP walk per user
+    "pipeline_experiment_report",  # composed CUPED+SRM+MWU DAG
 )
 
 
@@ -277,6 +327,14 @@ def amplify(spark, base_dir: str, amp: int, out_dir: str) -> None:
         for col, off in offsets.items():
             amped_t = amped_t.withColumn(
                 col, F.col(col) + F.col("rep") * F.lit(off)
+            )
+        if table == "customer":
+            # Replica customers are NEW entities: re-derive the name
+            # from the offset key (the fixture's own format) so
+            # name-keyed operators (fuzzy ER blocking) see distinct
+            # entity populations, not amp duplicates of every name.
+            amped_t = amped_t.withColumn(
+                "c_name", F.format_string("Customer#%09d", F.col("c_custkey"))
             )
         amped_t.drop("rep").write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{table}.parquet")
