@@ -829,3 +829,56 @@ def test_plan_cached_queries_exist_and_hold_no_state(spark, sf_dir):
         assert eng.QUERIES[name](spark, sf_dir) is eng.QUERIES[name](
             spark, sf_dir
         ), f"{name}: prepared-plan cache miss"
+
+
+def test_salted_join_hot_lane_is_populated_and_bounded(spark, sf_dir):
+    """The partial-salt join splits on a hash-sample heavy-hitter
+    sketch. Two vacuous failure modes are pinned here: an EMPTY hot
+    set (the salted lane never executes, so oracle parity proves only
+    the cold lane) and a hot set so large the 'partial' salt degrades
+    back into whole-table replication."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
+    from etl_pipeline_sam_gov_spark.operators.relational import (
+        SKEW_HOT_MIN,
+        SKEW_SAMPLE_MOD,
+    )
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    hot = (
+        li.filter(
+            _spark_hash60(
+                F.concat_ws("#", F.col("l_orderkey"), F.col("l_linenumber"))
+            )
+            % SKEW_SAMPLE_MOD
+            == 0
+        )
+        .groupBy("l_orderkey")
+        .count()
+        .filter(F.col("count") >= SKEW_HOT_MIN)
+        .count()
+    )
+    total_keys = li.select("l_orderkey").distinct().count()
+    assert hot > 0, "hot-key sketch nominated nothing: salted lane untested"
+    assert hot < total_keys * 0.05, (
+        f"hot set is {hot}/{total_keys} keys — partial salting has "
+        "degraded into near-whole-table replication"
+    )
+
+
+def test_fuzzy_match_blocks_are_high_entropy(spark, sf_dir):
+    """The ER block key must spread candidates: the round-5 regression
+    (blocking on the LEADING digits of a zero-padded id — 'block
+    00000' holding the whole table) made the blocked join secretly
+    all-pairs. Gate: no block may hold more than 1% of customers, so
+    candidate volume stays ~|dirty| x small-constant."""
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    n = cust.count()
+    biggest = (
+        cust.groupBy(F.substring("c_name", 14, 5).alias("blk"))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert biggest <= max(2, n * 0.01), (
+        f"largest fuzzy-match block holds {biggest}/{n} customers"
+    )
