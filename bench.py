@@ -75,6 +75,12 @@ HEADLINE = [
     "udf_holt_winters_hourly",  # grouped-map walk w/ 24-slot vector state
     "ab_mann_whitney_u",  # user rollup + distinct-value midrank prefix sum
     "dedup_levenshtein_blocked",  # prefix-blocked edit-distance verify
+    # round-5 additions: the three operators whose scale-hostile plans
+    # the extended stress battery caught and fixed — guarded here so
+    # the fixes can't silently regress.
+    "join_fuzzy_name_match",  # last-5-digit ER blocking + levenshtein verify
+    "join_salted_skewed_orders",  # partial salting via heavy-hitter sketch
+    "agg_table_profile",  # per-column distinct-relation ANALYZE stats
 ]
 
 

@@ -799,7 +799,7 @@ cand AS (
   SELECT d.dirty_id, d.dirty_name, c.c_custkey, c.c_name,
          levenshtein(d.dirty_name, c.c_name) AS edit_dist
   FROM dirty d JOIN customer c
-    ON substr(d.dirty_name, 14, 5) = substr(c.c_name, 14, 5)
+    ON substr(d.dirty_name, 12, 7) = substr(c.c_name, 12, 7)
   WHERE levenshtein(d.dirty_name, c.c_name) <= 2
 )
 SELECT dirty_id, dirty_name, c_custkey AS matched_key,
@@ -836,15 +836,18 @@ def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (hash-partitioned, AQE-skew-splittable if one block is hot);
     Levenshtein runs JVM-side only on candidates; the best-match
     row_number partitions by dirty_id — one shuffle each, no cross
-    join anywhere. The block key is the LAST five digits of the
-    entity number (positions 14-18): zero-padded identifiers carry
-    all their entropy at the tail, so blocks stay ~|C|/10^5-sized;
+    join anywhere. The block key is the LAST seven digits of the
+    entity number (positions 12-18): zero-padded identifiers carry
+    all their entropy at the tail, so blocks stay ~|C|/10^7-sized
+    (the 16x stress step showed a 5-digit key's 10^5 keyspace
+    saturating — block size, and with it candidate volume, must not
+    grow with the corpus);
     the original leading-digit key (positions 10-14) was "00000" for
     almost every row — a degenerate two-block partition whose "blocked"
     join was secretly all-pairs (measured 29 s at sf0.1, fixed to
     <0.5 s; the scale-stress battery caught it). The SQL runs verbatim
     on both engines (the appended character never touches positions
-    14-18, so a true match can never be blocked away — recall is
+    12-18, so a true match can never be blocked away — recall is
     provable, the blocked-SimHash discipline)."""
     load_tables(spark, sf_dir, ("customer",))
     return spark.sql(_FUZZY_MATCH_SQL)

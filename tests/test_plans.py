@@ -874,7 +874,7 @@ def test_fuzzy_match_blocks_are_high_entropy(spark, sf_dir):
     cust = load_tables(spark, sf_dir, ("customer",))["customer"]
     n = cust.count()
     biggest = (
-        cust.groupBy(F.substring("c_name", 14, 5).alias("blk"))
+        cust.groupBy(F.substring("c_name", 12, 7).alias("blk"))
         .count()
         .agg(F.max("count"))
         .collect()[0][0]
