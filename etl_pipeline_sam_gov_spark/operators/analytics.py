@@ -1407,9 +1407,19 @@ def ts_level_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary; the means are emitted as rounded doubles only for
     reporting.
 
-    Scale shape: ONE exchange keyed on event_type computes both
-    trailing and leading frames in the same sorted pass; the filter
-    prunes to the flagged rows before anything leaves the stage."""
+    Scale shape: windows keyed on event_type alone put a FIFTH of the
+    corpus in one task (|types| = 5 — the SPRT two-arm funnel with
+    more arms). The bounded ±K frames make this the OVERLAP-
+    REPLICATION decomposition instead: range-partition on (type, ts,
+    event_id); each slice's last K rows are duplicated into the next
+    slice and its first K−1 into the previous one as CONTEXT rows, so
+    every slice computes its own rows' frames locally — windows keyed
+    by (type, slice), fully parallel. Context rows feed frames but are
+    never emitted; rows whose global frame is genuinely short (the
+    series' first/last K) stay short in their slice too, so the
+    nb = na = K gate is unchanged. The oracle keeps the plain per-type
+    window formulation — the hash match proves the overlap carries
+    exactly the missing frame rows."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     seq = ev.select(
         "event_type",
@@ -1417,18 +1427,45 @@ def ts_level_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
     )
-    order = W.partitionBy("event_type").orderBy("ts_us", "event_id")
+    n_parts = spark.sparkContext.defaultParallelism
+    ranged = seq.repartitionByRange(
+        n_parts, "event_type", "ts_us", "event_id"
+    ).withColumn("pid", F.spark_partition_id())
+    w_loc = W.partitionBy("event_type", "pid").orderBy("ts_us", "event_id")
+    w_loc_d = W.partitionBy("event_type", "pid").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    edged = ranged.select(
+        "*",
+        F.row_number().over(w_loc).alias("rn_a"),
+        F.row_number().over(w_loc_d).alias("rn_d"),
+    )
+    own = edged.select(
+        "event_type", "event_id", "ts_us", "y", "pid",
+        F.lit(False).alias("ctx"),
+    )
+    ctx_fwd = edged.filter(F.col("rn_d") <= SHIFT_K).select(
+        "event_type", "event_id", "ts_us", "y",
+        (F.col("pid") + 1).alias("pid"), F.lit(True).alias("ctx"),
+    )
+    ctx_bwd = edged.filter(F.col("rn_a") <= SHIFT_K - 1).select(
+        "event_type", "event_id", "ts_us", "y",
+        (F.col("pid") - 1).alias("pid"), F.lit(True).alias("ctx"),
+    )
+    unioned = own.unionByName(ctx_fwd).unionByName(ctx_bwd)
+    order = W.partitionBy("event_type", "pid").orderBy("ts_us", "event_id")
     wb = order.rowsBetween(-SHIFT_K, -1)
     wa = order.rowsBetween(W.currentRow, SHIFT_K - 1)
-    frames = seq.select(
+    frames = unioned.select(
         "event_type",
         "event_id",
         "ts_us",
+        "ctx",
         F.count(F.lit(1)).over(wb).cast("bigint").alias("nb"),
         F.sum("y").over(wb).cast("bigint").alias("sb"),
         F.count(F.lit(1)).over(wa).cast("bigint").alias("na"),
         F.sum("y").over(wa).cast("bigint").alias("sa"),
-    )
+    ).filter(~F.col("ctx"))
     sa, sb = F.col("sa"), F.col("sb")
     return frames.filter(
         (F.col("nb") == SHIFT_K)
@@ -3122,10 +3159,109 @@ def ts_exponential_fit_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: gaps and cumulative counts are exact int64 on the
     distinct-gap grid; the model CDF's exponent is the int ratio
     n·g/Σg in one fixed shape, exp is the only libm call, round(6)
-    absorbs its ulp. Scale: one type-keyed lag window, a distinct-gap
-    collapse, one prefix sum per type — the Mann-Whitney grid shape."""
-    load_tables(spark, sf_dir, ("events",))
-    return spark.sql(_exp_ks_sql("unix_micros"))
+    absorbs its ulp.
+
+    Scale: the oracle's formulation — a type-keyed lag window and a
+    type-keyed prefix sum — puts a FIFTH of the corpus in one window
+    task (|types| = 5, the SPRT funnel). The engine path decomposes
+    both: the adjacent-gap lag runs per (type, slice) on a range
+    partition with the previous slice's last timestamp carried across
+    the boundary (the caliper-match carry), and the distinct-gap
+    ECDF prefix runs as the two-phase per-(type, slice) sum with
+    broadcast offsets (the Mann-Whitney decomposition). The oracle
+    keeps the plain windows — formulation independence."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    seq = ev.select(
+        "event_type", F.unix_micros("ts").alias("t_us"), "ts", "event_id"
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    ranged = seq.repartitionByRange(
+        n_parts, "event_type", "ts", "event_id"
+    ).withColumn("pid", F.spark_partition_id())
+    w_loc = W.partitionBy("event_type", "pid").orderBy("ts", "event_id")
+    local = ranged.select(
+        "event_type", "pid", "t_us",
+        F.lag("t_us").over(w_loc).alias("prev_us"),
+    )
+    # Boundary carry: each (type, slice)'s last timestamp, carried to
+    # the NEXT slice holding that type (last non-null over preceding
+    # slices — the bounded |types| x n_parts edge relation).
+    edges = ranged.groupBy("event_type", "pid").agg(
+        F.max("t_us").alias("last_us")
+    )
+    w_c = W.partitionBy("event_type").orderBy("pid").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    carry = edges.select(
+        "event_type", "pid",
+        F.last("last_us", ignorenulls=True).over(w_c).alias("carry_us"),
+    )
+    gaps = (
+        local.join(F.broadcast(carry), ["event_type", "pid"])
+        .select(
+            "event_type",
+            (
+                F.col("t_us") - F.coalesce(F.col("prev_us"), F.col("carry_us"))
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    tot = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("sg"),
+    )
+    byval = gaps.groupBy("event_type", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # Two-phase distinct-gap prefix: |V| grows with the corpus.
+    granged = byval.repartitionByRange(
+        n_parts, "event_type", "g"
+    ).withColumn("gpid", F.spark_partition_id())
+    w_in = W.partitionBy("event_type", "gpid").orderBy("g").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    gsub = granged.groupBy("event_type", "gpid").agg(F.sum("c").alias("sub"))
+    w_off = W.partitionBy("event_type").orderBy("gpid").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    goff = gsub.select(
+        "event_type", "gpid",
+        F.coalesce(F.sum("sub").over(w_off), F.lit(0)).alias("off"),
+    )
+    cum = (
+        granged.withColumn("cle_in", F.sum("c").over(w_in))
+        .join(F.broadcast(goff), ["event_type", "gpid"])
+        .select(
+            "event_type", "g",
+            (F.col("off") + F.col("cle_in")).cast("bigint").alias("cle"),
+        )
+    )
+    j = cum.join(F.broadcast(tot), "event_type")
+    fn_hi = F.col("cle").cast("double") / F.col("n")
+    fn_lo = (F.col("cle") - 1).cast("double") / F.col("n")
+    model = F.lit(1.0) - F.exp(
+        -(F.col("n").cast("double") * F.col("g") / F.col("sg"))
+    )
+    d = F.when(
+        F.abs(fn_hi - model) >= F.abs(model - fn_lo), F.abs(fn_hi - model)
+    ).otherwise(F.abs(model - fn_lo))
+    return (
+        j.select("event_type", "n", "sg", d.alias("d"))
+        .groupBy("event_type", "n", "sg")
+        .agg(F.max("d").alias("dmax"))
+        .select(
+            "event_type",
+            F.col("n").alias("n_gaps"),
+            F.round(
+                F.col("n").cast("double") * 60000000 / F.col("sg"), 6
+            ).alias("lambda_per_min"),
+            (F.round("dmax", 6) + F.lit(0.0)).alias("ks_d"),
+            (
+                F.col("dmax")
+                < F.lit(1.358) / F.sqrt(F.col("n").cast("double"))
+            ).alias("exp_fit_ok"),
+        )
+    )
 
 # ---------------------------------------------------------------------------
 # Hurst exponent via rescaled-range (R/S) analysis

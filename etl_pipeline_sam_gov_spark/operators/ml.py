@@ -1728,6 +1728,12 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: session id → the persisted level-1 PAV row relation; one slot per
+#: session, released on the next invocation (bench loops would
+#: otherwise pin every past run's rows in storage memory).
+_ISO_CACHE: dict = {}
+
+
 def _isotonic_oracle() -> str:
     from etl_pipeline_sam_gov_spark.operators.text import SQL_QUALITY_LOGIT
 
@@ -1782,11 +1788,21 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack itself pools integer (sum, count) pairs and compares means
     cross-multiplied, so block boundaries are exact too.
 
-    Scale shape: one narrow scan for the logit, ONE shuffle keyed on
-    the calibration group, per-group O(n) PAV in Arrow batches. (The
-    O(n^2) minimax form is the ORACLE's job only — the engine path is
-    linear per group.) Group cardinality bounds state: PAV's stack
-    never exceeds the group's distinct-block count."""
+    Scale shape: TWO-LEVEL exact PAV (the MLlib IsotonicRegression
+    decomposition). Keying the grouped-map by source alone would hold
+    a quarter of the corpus in ONE Arrow worker — the SPRT/two-arm
+    funnel in pandas form. Instead: range-partition on (source, score,
+    doc_id); level 1 runs PAV per (source, slice) in parallel and tags
+    each row with its local level-set block; the per-block (sum,
+    count) relation — level sets, orders of magnitude below row count
+    — aggregates map-side and level 2 re-runs weighted PAV per source
+    over the block sequence; fitted values broadcast-join back onto
+    the row→block assignment. PAV's pooling operation is CONFLUENT
+    (any order of adjacent-violator merges reaches the unique isotonic
+    projection), so slice-local pooling followed by block-level
+    pooling is bit-identical to one sequential pass — the oracle's
+    formulation-independent minimax check proves it every run. The
+    O(n^2) minimax form is the ORACLE's job only."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -1801,13 +1817,12 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("bigint").alias("label"),
     )
 
-    def pav(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["score", "doc_id"]).reset_index(drop=True)
-        blocks: list[list[int]] = []  # [sum, count] stack, exact ints
-        for y in pdf["label"].astype(int).tolist():
-            blocks.append([y, 1])
-            # merge while the last block's mean < the previous block's
-            # mean (cross-multiplied integer compare: no float error)
+    def _pool(pairs: list[list[int]]) -> list[list[int]]:
+        """PAV stack over weighted (sum, count) points — exact ints,
+        cross-multiplied mean compares (no float error)."""
+        blocks: list[list[int]] = []
+        for s, c in pairs:
+            blocks.append([s, c])
             while (
                 len(blocks) >= 2
                 and blocks[-1][0] * blocks[-2][1]
@@ -1816,28 +1831,105 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 s2, c2 = blocks.pop()
                 blocks[-1][0] += s2
                 blocks[-1][1] += c2
+        return blocks
+
+    def pav_slices(batches):
+        """Level 1: PAV per (source, slice), as ONE mapInPandas over
+        the range-partitioned, partition-sorted relation — the range
+        exchange already co-locates and orders each slice, so a
+        grouped-map's second hash exchange would be pure waste
+        (measured: 2.0 s vs 0.8 s at sf0.1). Arrow hands the partition
+        as a batch iterator; concatenating holds one SLICE in memory —
+        the decomposition's intended bound, corpus/n_parts, never a
+        whole source."""
+        import numpy as np
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        outs = []
+        for _, g in pdf.groupby("source", sort=False):
+            # rows arrive sorted by (source, score, doc_id) within the
+            # partition; groupby preserves the order inside each group
+            blocks = _pool([[int(y), 1] for y in g["label"]])
+            out = g[["doc_id", "source", "score", "label", "pid"]].copy()
+            out["blk"] = np.repeat(
+                np.arange(len(blocks), dtype="int64"),
+                [c for _, c in blocks],
+            )
+            outs.append(out)
+        yield pd.concat(outs, ignore_index=True)
+
+    def pav_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Level 2: weighted PAV per source over the ordered block
+        sequence. Merges only ever POOL blocks, so every level-1 block
+        maps to exactly one final block — fitted is a per-(pid, blk)
+        lookup."""
+        pdf = pdf.sort_values(["pid", "blk"]).reset_index(drop=True)
+        blocks = _pool([[int(s), int(c)] for s, c in zip(pdf["s"], pdf["c"])])
         fitted: list[float] = []
         for s, c in blocks:
             # raw IEEE ratio only — rounding happens in F.round on the
             # Spark side so the half-case rule (HALF_UP) matches the
             # oracle's; Python round() is banker's and would flip
             # exact-half ratios like 1/128 at large block sizes
-            fitted.extend([s / c] * c)
-        out = pdf[["doc_id", "source", "score", "label"]].copy()
+            n_members = 0
+            i = len(fitted)
+            while n_members < c:
+                n_members += int(pdf["c"].iloc[i])
+                i += 1
+                fitted.append(s / c)
+        out = pdf[["source", "pid", "blk"]].copy()
         out["fitted"] = fitted
         return out
 
-    schema = T.StructType(
+    n_parts = spark.sparkContext.defaultParallelism
+    ranged = (
+        scored.repartitionByRange(n_parts, "source", "score", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .sortWithinPartitions("source", "score", "doc_id")
+    )
+    row_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("source", T.StringType()),
             T.StructField("score", T.LongType()),
             T.StructField("label", T.LongType()),
+            T.StructField("pid", T.IntegerType()),
+            T.StructField("blk", T.LongType()),
+        ]
+    )
+    # rows feeds BOTH the block rollup and the final join; without a
+    # persist the Arrow pass (the expensive stage) executes twice.
+    # Same bounded cache-slot discipline as the pagerank edge cache:
+    # release the previous invocation's relation BEFORE persisting the
+    # new one (CacheManager matches by logical-plan equality).
+    slot = id(spark)
+    prev = _ISO_CACHE.pop(slot, None)
+    if prev is not None:
+        prev.unpersist()
+    rows = ranged.mapInPandas(pav_slices, row_schema).persist()
+    _ISO_CACHE[slot] = rows
+    blocks = rows.groupBy("source", "pid", "blk").agg(
+        F.sum("label").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    merge_schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("pid", T.IntegerType()),
+            T.StructField("blk", T.LongType()),
             T.StructField("fitted", T.DoubleType()),
         ]
     )
-    out = scored.groupBy("source").applyInPandas(pav, schema)
-    return out.withColumn("fitted", F.round("fitted", 6))
+    merged = blocks.groupBy("source").applyInPandas(pav_merge, merge_schema)
+    return rows.join(F.broadcast(merged), ["source", "pid", "blk"]).select(
+        "doc_id",
+        "source",
+        "score",
+        "label",
+        F.round("fitted", 6).alias("fitted"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -76,7 +76,6 @@ PLAN_CACHED: frozenset[str] = frozenset(
         "ab_test_cuped",
         "seq_session_trigrams",
         "text_boilerplate_removal",
-        "ml_isotonic_calibration",
         "ann_mmr_rerank",
         "udf_holt_winters_hourly",
         "ab_mann_whitney_u",
