@@ -882,3 +882,41 @@ def test_fuzzy_match_blocks_are_high_entropy(spark, sf_dir):
     assert biggest <= max(2, n * 0.01), (
         f"largest fuzzy-match block holds {biggest}/{n} customers"
     )
+
+
+def test_no_low_cardinality_window_funnels(spark, sf_dir):
+    """Round-5 gate, the SPRT lesson generalized: a Window keyed ONLY
+    by a 2-5-value column (arm, event_type, lang, source) holds a
+    constant fraction of the corpus in one task — invisible to the
+    stress battery (time stays linear; parallelism is capped at |key|).
+    The three real members were restructured (SPRT two-phase prefix,
+    level-shift overlap replication, exp-KS boundary carry); this pins
+    them plus the sanctioned WindowGroupLimit shape."""
+    import sys as _sys, os as _os
+
+    _sys.path.insert(
+        0, _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), "tools")
+    )
+    from plan_audit import (
+        DECLARED_BOUNDED_LOW_CARD_WINDOW,
+        low_card_corpus_windows,
+    )
+
+    names = [
+        "ab_sequential_sprt",  # was PARTITION BY arm — half the corpus
+        "ts_level_shift_detect",  # was per-type frames over raw events
+        "ts_exponential_fit_ks",  # was per-type lag + gap prefix
+        "curate_sample_k_per_group",  # rank<=k: WindowGroupLimit bounds it
+        "window_topk_docs_per_lang",  # same sanctioned shape
+        "markov_event_transitions",  # per-type window rides |types|² cells
+        "ml_isotonic_calibration",  # PAV now two-level, no per-source group
+    ]
+    for name in names:
+        hits = low_card_corpus_windows(fresh(name)(spark, sf_dir))
+        if name in DECLARED_BOUNDED_LOW_CARD_WINDOW:
+            continue
+        assert hits == 0, (
+            f"{name}: {hits} Window(s) keyed only by a low-cardinality "
+            "column over an unaggregated corpus relation — |key|-task "
+            "funnel at scale"
+        )

@@ -76,8 +76,18 @@ def shrinking_frames(plan: str) -> int:
 #: (region/nation are constant-size and deliberately absent)
 _CORPUS_PREFIXES = ("l_", "o_", "c_", "p_", "ps_", "s_")
 _CORPUS_NAMES = {"event_id", "user_id", "doc_id", "vec_id", "embedding"}
-#: logical nodes that bound output cardinality regardless of input size
-_BOUNDING_NODES = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+#: logical nodes that bound output cardinality regardless of input size.
+#: WindowGroupLimit is the rank<=k pushdown: it caps each group at k
+#: rows per map task BEFORE the window shuffle, so a per-group top-k
+#: window never carries whole groups (the sanctioned per-lang sampling
+#: shape).
+_BOUNDING_NODES = {
+    "Aggregate",
+    "GlobalLimit",
+    "LocalLimit",
+    "Deduplicate",
+    "WindowGroupLimit",
+}
 
 #: queries whose global window provably rides a bounded relation the
 #: gate cannot see through: the two-stage distributed skyline's global
@@ -123,6 +133,62 @@ def corpus_global_windows(df) -> int:
     return hits
 
 
+# --- low-cardinality window funnel gate -------------------------------------
+# The SPRT lesson generalized: a Window partitioned ONLY by a 2-5-value
+# key (arm, event_type, lang, source) holds a constant FRACTION of the
+# corpus in one task — the same funnel as a no-partition window, made
+# invisible to the stress battery because time stays linear while
+# parallelism is capped at |key|. Flag any Window whose partition keys
+# are all drawn from the known low-cardinality fixture columns and
+# whose subtree reaches a corpus leaf without a bounding node.
+
+#: fixture columns whose distinct-value count never grows with the
+#: corpus (2-6 values each) — a window keyed ONLY by these is a funnel
+_LOW_CARD_KEYS = {
+    "event_type",
+    "arm",
+    "lang",
+    "source",
+    "split",
+    "treated",
+    "prev_type",
+    "next_type",
+    "kind",
+}
+
+_ATTR_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
+
+
+def low_card_corpus_windows(df) -> int:
+    """Count Windows keyed only by low-cardinality columns riding an
+    unaggregated corpus scan."""
+    hits = 0
+
+    def walk(node) -> None:
+        nonlocal hits
+        if node.nodeName() == "Window" and node.partitionSpec().size() > 0:
+            ps = node.partitionSpec()
+            keys: set[str] = set()
+            for i in range(ps.size()):
+                keys.update(_ATTR_RE.findall(ps.apply(i).toString()))
+            if keys and keys <= _LOW_CARD_KEYS:
+                ch = node.children()
+                if any(_reaches_corpus(ch.apply(i)) for i in range(ch.size())):
+                    hits += 1
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return hits
+
+
+#: queries whose low-card-keyed window provably rides a relation the
+#: gate cannot size (none currently — the three r5 members were
+#: restructured instead of declared)
+DECLARED_BOUNDED_LOW_CARD_WINDOW: set = set()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/plan_audit.json"
@@ -134,6 +200,7 @@ def main() -> None:
             df = fn(spark, sf_dir)
             s = physical_plan(df)
             corpus_windows = corpus_global_windows(df)
+            low_card_windows = low_card_corpus_windows(df)
         except Exception as e:
             rows[name] = {"error": str(e)[:200]}
             flags.append(f"{name}: plan failed")
@@ -158,6 +225,13 @@ def main() -> None:
             flags.append(
                 f"{name}: {corpus_windows} no-partition Window(s) over an "
                 "unaggregated corpus relation (single-partition funnel)"
+            )
+        r["low_card_windows"] = low_card_windows
+        if low_card_windows and name not in DECLARED_BOUNDED_LOW_CARD_WINDOW:
+            flags.append(
+                f"{name}: {low_card_windows} Window(s) keyed only by a "
+                "low-cardinality column over an unaggregated corpus "
+                "relation (|key|-task funnel)"
             )
         if r["cartesian"] and name not in DECLARED_CROSS:
             flags.append(f"{name}: undeclared CartesianProduct")

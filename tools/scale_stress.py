@@ -249,6 +249,7 @@ STRESS_QUERIES = (
     "scd2_user_value_history",   # user-keyed change windows
     "udf_viterbi_2state",        # grouped-map DP walk per user
     "pipeline_experiment_report",  # composed CUPED+SRM+MWU DAG
+    "ts_level_shift_detect",     # per-(type, slice) frames, overlap carry
 )
 
 
