@@ -711,12 +711,17 @@ def multimodal_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-encoded copies keep their gradient structure and collide here).
 
     Blocking is LOSSLESS by pigeonhole: with 4 bands and ham ≤ 3, at
-    least one 16-bit band must match exactly, so the candidate join is
-    an equi-join-per-band union, never all-pairs (the dedup_simhash
-    banding argument, applied to pixels). The oracle predicts every
-    bit from the generator arithmetic — sampling-grid, orientation, or
-    bit-packing mistakes cannot hash-match. Hamming is exact int
-    bit_count on both engines."""
+    least one 16-bit band must match exactly, so candidates come from a
+    HASH-PARTITIONABLE equi-join on exploded (band_idx, band_val) keys
+    — the dedup_simhash_blocked shape, applied to pixels. (The r5 form
+    joined on an OR of band equalities; Catalyst cannot extract hash
+    keys from a disjunction, so it planned an all-pairs
+    BroadcastNestedLoopJoin over the corpus-sized hash relation —
+    VERDICT r05 #1. The explode+equi-join makes candidate generation
+    O(colliding pairs), and tools/plan_audit.py's BNLJ gate now pins
+    the shape.) The oracle predicts every bit from the generator
+    arithmetic — sampling-grid, orientation, or bit-packing mistakes
+    cannot hash-match. Hamming is exact int bit_count on both engines."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     media = docs.select("doc_id").mapInPandas(
         synthesize_media, schema="doc_id long, content binary"
@@ -725,30 +730,58 @@ def multimodal_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dhash_kernel,
         schema="doc_id long, b0 long, b1 long, b2 long, b3 long",
     )
-    x = hashes.select(
-        F.col("doc_id").alias("doc1"),
-        *[F.col(f"b{i}").alias(f"x{i}") for i in range(DHASH_BANDS)],
+    # Both sides of the band self-join consume the hash relation: persist
+    # so the BMP decode runs once (the dedup_simhash_blocked discipline).
+    hashes = hashes.persist()
+    bands = hashes.select(
+        "doc_id",
+        *[f"b{i}" for i in range(DHASH_BANDS)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.col(f"b{i}").alias("band_val"),
+                    )
+                    for i in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        *[f"b{i}" for i in range(DHASH_BANDS)],
+        "band.band_idx",
+        "band.band_val",
     )
-    y = hashes.select(
-        F.col("doc_id").alias("doc2"),
-        *[F.col(f"b{i}").alias(f"y{i}") for i in range(DHASH_BANDS)],
+    # A pair within ham ≤ 3 may collide on up to 4 bands → distinct the
+    # candidate pairs before the (cheap) Hamming verify, mirroring the
+    # oracle's DISTINCT. Hash columns ride along (functionally determined
+    # by doc_id, so the distinct stays a pair-level dedup).
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc1"),
+            F.col("y.doc_id").alias("doc2"),
+            *[F.col(f"x.b{i}").alias(f"x{i}") for i in range(DHASH_BANDS)],
+            *[F.col(f"y.b{i}").alias(f"y{i}") for i in range(DHASH_BANDS)],
+        )
+        .distinct()
     )
-    band_match = None
-    for i in range(DHASH_BANDS):
-        t = F.col(f"x{i}") == F.col(f"y{i}")
-        band_match = t if band_match is None else band_match | t
     ham = None
     for i in range(DHASH_BANDS):
         t = F.bit_count(
             F.col(f"x{i}").bitwiseXOR(F.col(f"y{i}")).cast("bigint")
         )
         ham = t if ham is None else ham + t
-    return (
-        x.join(y, (F.col("doc1") < F.col("doc2")) & band_match)
-        .select("doc1", "doc2", ham.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= DHASH_MAX_HAM)
-        .distinct()
-    )
+    return cand.select(
+        "doc1", "doc2", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= DHASH_MAX_HAM)
 
 
 # ---------------------------------------------------------------------------

@@ -920,3 +920,43 @@ def test_no_low_cardinality_window_funnels(spark, sf_dir):
             "column over an unaggregated corpus relation — |key|-task "
             "funnel at scale"
         )
+
+
+def test_no_corpus_nested_loop_joins(spark, sf_dir):
+    """Round-6 gate (VERDICT r05 #1/#2): a CONDITIONED
+    BroadcastNestedLoopJoin with both sides at corpus scale does the
+    same O(n·m) candidate work as a CartesianProduct but escaped the
+    old auditor's Cartesian count — exactly how
+    multimodal_image_dhash_pairs' OR-of-band-equalities join (which
+    Catalyst cannot hash-partition) survived a '0 flags' audit while
+    its docstring claimed banding. Pins the fixed offender, the shape
+    it was rewritten into, representative bounded-build BNLJ users,
+    and the declared exact baselines."""
+    import sys as _sys, os as _os
+
+    _sys.path.insert(
+        0, _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), "tools")
+    )
+    from plan_audit import DECLARED_CORPUS_BNLJ, corpus_nested_loop_joins
+
+    names = [
+        "multimodal_image_dhash_pairs",  # the r05 offender, now band equi-join
+        "dedup_simhash_blocked",  # the shape it was rewritten into
+        "join_range_quantity_bands",  # bounded build side (band table)
+        "ann_lsh_bucketed_topk",  # the declared-baseline's scale twin
+        "ann_bruteforce_topk",  # declared O(Q×N) ground-truth baseline
+        "ann_recall_at_k",  # declared: consumes brute-force ground truth
+    ]
+    for name in names:
+        hits = corpus_nested_loop_joins(fresh(name)(spark, sf_dir))
+        if name in DECLARED_CORPUS_BNLJ:
+            continue
+        assert hits == 0, (
+            f"{name}: {hits} corpus×corpus nested-loop join(s) — "
+            "all-pairs candidate work at scale"
+        )
+    # The fixed offender must ALSO plan zero plain BNLJ nodes of any
+    # kind: its banding claim is now checkable, keep it checked.
+    s = plan(fresh("multimodal_image_dhash_pairs")(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s

@@ -189,6 +189,81 @@ def low_card_corpus_windows(df) -> int:
 DECLARED_BOUNDED_LOW_CARD_WINDOW: set = set()
 
 
+# --- corpus×corpus nested-loop join gate -------------------------------------
+# VERDICT r05 #2: the auditor counted CartesianProduct but a CONDITIONED
+# BroadcastNestedLoopJoin — what Catalyst plans when a join condition has
+# no extractable equi-keys, e.g. an OR of band equalities — has the same
+# O(n·m) candidate asymptotics and went uncounted. That blind spot is
+# exactly how multimodal_image_dhash_pairs' all-pairs plan survived a
+# "0 flags" audit. Gate: walk the PHYSICAL plan; flag any BNLJ or
+# CartesianProduct where BOTH children reach a corpus leaf without a
+# bounding node. A bounded build side (band table, day grid, ≤7-type
+# lattice, 1-row model, broadcast seed set) passes by construction.
+
+#: physical nodes that bound output cardinality regardless of input size
+#: (nodeName() strips the Exec suffix). Deduplicate and Aggregate lower
+#: to the *Aggregate nodes; rank<=k pushdown lowers to WindowGroupLimit.
+_PHYS_BOUNDING = {
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "GlobalLimit",
+    "LocalLimit",
+    "CollectLimit",
+    "TakeOrderedAndProject",
+    "WindowGroupLimit",
+}
+
+#: DECLARED all-pairs plans whose asymptotics are the point:
+#:   ann_bruteforce_topk    — exact O(Q×N) ground truth, registered
+#:                            baseline of ann_ivf_topk
+#:   ann_recall_at_k        — the recall evaluator; consumes the same
+#:                            brute-force ground truth by definition
+#:   dedup_simhash          → scale twin dedup_simhash_blocked
+#:   dedup_embedding_cosine → scale twin ann_lsh_bucketed_topk
+#: (The two dedup baselines currently pass the walk anyway — their
+#: signature relations sit behind a per-doc Aggregate, which this gate,
+#: like the window gates, treats as bounding — but they are declared so
+#: a signature-pipeline refactor can't turn a deliberate baseline into
+#: a surprise flag.)
+DECLARED_CORPUS_BNLJ = {
+    "ann_bruteforce_topk",
+    "ann_recall_at_k",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+}
+
+
+def _phys_reaches_corpus(node) -> bool:
+    if node.nodeName() in _PHYS_BOUNDING:
+        return False
+    ch = node.children()
+    if ch.size() == 0:
+        return _is_corpus_leaf(node)
+    return any(_phys_reaches_corpus(ch.apply(i)) for i in range(ch.size()))
+
+
+def corpus_nested_loop_joins(df) -> int:
+    """Count BNLJ/CartesianProduct nodes with BOTH sides at corpus scale
+    (all-pairs candidate work regardless of output size)."""
+    hits = 0
+
+    def walk(node) -> None:
+        nonlocal hits
+        if node.nodeName() in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+            ch = node.children()
+            if all(
+                _phys_reaches_corpus(ch.apply(i)) for i in range(ch.size())
+            ):
+                hits += 1
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().sparkPlan())
+    return hits
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/plan_audit.json"
@@ -201,6 +276,7 @@ def main() -> None:
             s = physical_plan(df)
             corpus_windows = corpus_global_windows(df)
             low_card_windows = low_card_corpus_windows(df)
+            corpus_nlj = corpus_nested_loop_joins(df)
         except Exception as e:
             rows[name] = {"error": str(e)[:200]}
             flags.append(f"{name}: plan failed")
@@ -232,6 +308,13 @@ def main() -> None:
                 f"{name}: {low_card_windows} Window(s) keyed only by a "
                 "low-cardinality column over an unaggregated corpus "
                 "relation (|key|-task funnel)"
+            )
+        r["corpus_nlj"] = corpus_nlj
+        if corpus_nlj and name not in DECLARED_CORPUS_BNLJ:
+            flags.append(
+                f"{name}: {corpus_nlj} corpus×corpus nested-loop join(s) "
+                "(BNLJ/Cartesian with both sides unbounded — all-pairs "
+                "candidate work at scale)"
             )
         if r["cartesian"] and name not in DECLARED_CROSS:
             flags.append(f"{name}: undeclared CartesianProduct")
