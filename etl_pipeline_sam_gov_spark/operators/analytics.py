@@ -1411,13 +1411,17 @@ def ts_level_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus in one task (|types| = 5 — the SPRT two-arm funnel with
     more arms). The bounded ±K frames make this the OVERLAP-
     REPLICATION decomposition instead: range-partition on (type, ts,
-    event_id); each slice's last K rows are duplicated into the next
-    slice and its first K−1 into the previous one as CONTEXT rows, so
-    every slice computes its own rows' frames locally — windows keyed
-    by (type, slice), fully parallel. Context rows feed frames but are
-    never emitted; rows whose global frame is genuinely short (the
-    series' first/last K) stay short in their slice too, so the
-    nb = na = K gate is unchanged. The oracle keeps the plain per-type
+    event_id); each slice receives the last K rows of its type drawn
+    from ALL preceding slices (and the first K−1 from all following
+    ones) as CONTEXT rows — per-slice boundary rows collected into a
+    bounded |types|×n_parts×K edge relation, window-concatenated in
+    pid order, sliced to K, exploded back — so every slice computes
+    its own rows' frames locally — windows keyed by (type, slice),
+    fully parallel, robust to slices holding fewer than K rows of a
+    continuing type. Context rows feed frames but are never emitted;
+    rows whose global frame is genuinely short (the series' first/last
+    K) stay short in their slice too, so the nb = na = K gate is
+    unchanged. The oracle keeps the plain per-type
     window formulation — the hash match proves the overlap carries
     exactly the missing frame rows."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
@@ -1444,13 +1448,73 @@ def ts_level_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "event_id", "ts_us", "y", "pid",
         F.lit(False).alias("ctx"),
     )
-    ctx_fwd = edged.filter(F.col("rn_d") <= SHIFT_K).select(
-        "event_type", "event_id", "ts_us", "y",
-        (F.col("pid") + 1).alias("pid"), F.lit(True).alias("ctx"),
+    # Context carry across ALL preceding/following slices (ADVICE r05:
+    # copying exactly one slice over silently under-fills frames when a
+    # slice holds fewer than K rows of a type that continues past it —
+    # skewed boundary sampling or tiny inputs). The K global
+    # predecessors of a slice's first row decompose into ≤K-row
+    # SUFFIXES of preceding slices, so each slice's last-K-per-type
+    # rows (a bounded |types|×n_parts×K edge relation) are collected
+    # per cell, window-concatenated over all preceding slices in pid
+    # order — the ts_exponential_fit_ks boundary-carry, generalized
+    # from a scalar to a K-row array — and the last K of the
+    # concatenation are exploded back as that slice's context. Extra
+    # context rows beyond the true K predecessors are real earlier
+    # rows that sit outside every own row's ROWS frame — harmless.
+    _row = F.struct("ts_us", "event_id", "y")
+    sfx = (
+        edged.filter(F.col("rn_d") <= SHIFT_K)
+        .groupBy("event_type", "pid")
+        .agg(F.sort_array(F.collect_list(_row)).alias("rows"))
     )
-    ctx_bwd = edged.filter(F.col("rn_a") <= SHIFT_K - 1).select(
-        "event_type", "event_id", "ts_us", "y",
-        (F.col("pid") - 1).alias("pid"), F.lit(True).alias("ctx"),
+    w_prev = W.partitionBy("event_type").orderBy("pid").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    fwd = sfx.select(
+        "event_type",
+        "pid",
+        F.flatten(F.collect_list("rows").over(w_prev)).alias("carr"),
+    )
+    ctx_fwd = fwd.select(
+        "event_type",
+        "pid",
+        F.explode(
+            F.when(F.size("carr") <= SHIFT_K, F.col("carr")).otherwise(
+                F.slice("carr", -SHIFT_K, SHIFT_K)
+            )
+        ).alias("r"),
+    ).select(
+        "event_type",
+        F.col("r.event_id").alias("event_id"),
+        F.col("r.ts_us").alias("ts_us"),
+        F.col("r.y").alias("y"),
+        "pid",
+        F.lit(True).alias("ctx"),
+    )
+    pfx = (
+        edged.filter(F.col("rn_a") <= SHIFT_K - 1)
+        .groupBy("event_type", "pid")
+        .agg(F.sort_array(F.collect_list(_row)).alias("rows"))
+    )
+    w_next = W.partitionBy("event_type").orderBy("pid").rowsBetween(
+        1, W.unboundedFollowing
+    )
+    bwd = pfx.select(
+        "event_type",
+        "pid",
+        F.flatten(F.collect_list("rows").over(w_next)).alias("carr"),
+    )
+    ctx_bwd = bwd.select(
+        "event_type",
+        "pid",
+        F.explode(F.slice("carr", 1, SHIFT_K - 1)).alias("r"),
+    ).select(
+        "event_type",
+        F.col("r.event_id").alias("event_id"),
+        F.col("r.ts_us").alias("ts_us"),
+        F.col("r.y").alias("y"),
+        "pid",
+        F.lit(True).alias("ctx"),
     )
     unioned = own.unionByName(ctx_fwd).unionByName(ctx_bwd)
     order = W.partitionBy("event_type", "pid").orderBy("ts_us", "event_id")

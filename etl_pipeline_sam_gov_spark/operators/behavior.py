@@ -2366,29 +2366,36 @@ def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hit = (F.col("llr") >= F.lit(SPRT_A)) | (F.col("llr") <= F.lit(SPRT_B))
-    crossed = scored.groupBy("arm").agg(
+    # ONE aggregate pass recovers the decision row (ADVICE r05: the old
+    # crossed-aggregate + decision-row join consumed `scored` twice with
+    # no persist, so the window/join work above executed twice per
+    # action). rn is unique within an arm, so min_by picks the k at the
+    # first crossing and max_by the k at the final row — and llr is a
+    # pure function of (k, n) with literal log constants, so recomputing
+    # it from the aggregated ints is bit-identical to the row's value.
+    agg = scored.groupBy("arm").agg(
         F.min(F.when(hit, F.col("rn"))).alias("rn_dec"),
         F.max("rn").cast("bigint").alias("n_total"),
+        F.min_by("k", F.when(hit, F.col("rn"))).alias("k_dec"),
+        F.max_by("k", "rn").alias("k_tot"),
     )
-    c = F.broadcast(crossed).alias("c")
-    s = scored.alias("s")
-    return s.join(
-        c,
-        (F.col("s.arm") == F.col("c.arm"))
-        & (
-            F.col("s.rn")
-            == F.coalesce(F.col("c.rn_dec"), F.col("c.n_total"))
-        ),
-    ).select(
-        F.col("c.arm").alias("arm"),
-        "c.n_total",
-        F.coalesce(F.col("c.rn_dec"), F.col("c.n_total"))
+    n_dec = F.coalesce(F.col("rn_dec"), F.col("n_total")).cast("bigint")
+    k_dec = (
+        F.when(F.col("rn_dec").isNull(), F.col("k_tot"))
+        .otherwise(F.col("k_dec"))
         .cast("bigint")
-        .alias("n_at_decision"),
-        F.col("s.k").alias("k_at_decision"),
-        (F.round("s.llr", 6) + F.lit(0.0)).alias("llr_at_decision"),
-        F.when(F.col("c.rn_dec").isNull(), "continue")
-        .when(F.col("s.llr") >= F.lit(SPRT_A), "accept_h1")
+    )
+    llr_dec = k_dec.cast("double") * F.lit(SPRT_C1) + (
+        n_dec - k_dec
+    ).cast("double") * F.lit(SPRT_C0)
+    return agg.select(
+        "arm",
+        "n_total",
+        n_dec.alias("n_at_decision"),
+        k_dec.alias("k_at_decision"),
+        (F.round(llr_dec, 6) + F.lit(0.0)).alias("llr_at_decision"),
+        F.when(F.col("rn_dec").isNull(), "continue")
+        .when(llr_dec >= F.lit(SPRT_A), "accept_h1")
         .otherwise("accept_h0")
         .alias("decision"),
     )

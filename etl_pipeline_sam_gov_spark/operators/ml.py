@@ -22,6 +22,8 @@ Both operators therefore arrange every cross-row sum to be EXACT:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1728,10 +1730,15 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-#: session id → the persisted level-1 PAV row relation; one slot per
+#: session → the persisted level-1 PAV row relation; one slot per
 #: session, released on the next invocation (bench loops would
-#: otherwise pin every past run's rows in storage memory).
-_ISO_CACHE: dict = {}
+#: otherwise pin every past run's rows in storage memory). WEAK-keyed
+#: on the session object (the registry prepared-plan-cache pattern),
+#: not id(spark): CPython reuses ids after GC, so an id key could
+#: alias a dead session's slot onto a new one — the stale unpersist
+#: would then raise against a stopped context — and the strong value
+#: reference would pin the old session's JVM state alive meanwhile.
+_ISO_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _isotonic_oracle() -> str:
@@ -1905,12 +1912,11 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same bounded cache-slot discipline as the pagerank edge cache:
     # release the previous invocation's relation BEFORE persisting the
     # new one (CacheManager matches by logical-plan equality).
-    slot = id(spark)
-    prev = _ISO_CACHE.pop(slot, None)
+    prev = _ISO_CACHE.pop(spark, None)
     if prev is not None:
         prev.unpersist()
     rows = ranged.mapInPandas(pav_slices, row_schema).persist()
-    _ISO_CACHE[slot] = rows
+    _ISO_CACHE[spark] = rows
     blocks = rows.groupBy("source", "pid", "blk").agg(
         F.sum("label").alias("s"), F.count(F.lit(1)).alias("c")
     )

@@ -8,6 +8,7 @@ partition coalescing); only memory/parallelism sizing is deployment-specific.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -50,21 +51,48 @@ RUNTIME_CONFS = {
 
 #: Sessions already configured — configure_runtime is called by every
 #: query via load_tables, and a 100-query sweep over one session should
-#: pay the conf round-trips once, not per query.
-_CONFIGURED: set[int] = set()
+#: pay the conf round-trips once, not per query. Weak-keyed (not id()):
+#: CPython reuses ids after GC, and a stale id hit would silently skip
+#: configuring a brand-new session (same hazard class as the r5
+#: _ISO_CACHE advice).
+_CONFIGURED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def configure_runtime(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session (driver-safe)."""
-    if id(spark) in _CONFIGURED:
+    if spark in _CONFIGURED:
         return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime-settable on this build: builder already set it
-    _CONFIGURED.add(id(spark))
+    _CONFIGURED.add(spark)
     return spark
+
+
+def _default_driver_mem() -> str:
+    """Driver heap default, sized to the machine instead of hardcoded.
+
+    A 45-query bench sweep churns broadcasts, cached plans and codegen
+    classes faster than the async ContextCleaner reclaims them; at 8g
+    the old-gen pressure showed up as 2-4x per-query swings late in the
+    sweep (measured r5), and 24g cured it on the 128 GiB bench box. But
+    24g unconditionally would fail JVM startup (or push the host into
+    swap) on small dev/CI machines, so take min(24g, ~half of
+    MemAvailable) with an 8g fallback when /proc/meminfo is unreadable
+    (macOS, containers with masked procfs). SPARK_DRIVER_MEM stays the
+    explicit override.
+    """
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_gib = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(24, avail_gib // 2))}g"
+    except OSError:
+        pass
+    return "8g"
 
 
 def get_spark(app_name: str = "etl_pipeline_sam_gov_spark") -> SparkSession:
@@ -75,13 +103,10 @@ def get_spark(app_name: str = "etl_pipeline_sam_gov_spark") -> SparkSession:
         # Shuffle parallelism sized to cores for local; on a real cluster
         # AQE coalescing makes the initial number mostly a ceiling.
         .config("spark.sql.shuffle.partitions", str(cpus))
-        # 24g: a 42-query bench sweep churns broadcasts, cached plans
-        # and codegen classes faster than the async ContextCleaner
-        # reclaims them; at 8g the old-gen pressure showed up as 2-4x
-        # per-query swings late in the sweep (measured r5). The box has
-        # 128 GiB; a single local[32] JVM driving sf0.1 fixtures can
-        # afford the headroom, and -Xmx only commits what it touches.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )

@@ -1809,3 +1809,70 @@ def test_bagged_stumps_matches_pandas(spark, sf_dir):
         assert row["n_left_w"] == nl and row["n_right_w"] == nr
         assert row["pred_left_cents"] == pl and row["pred_right_cents"] == pr
     assert abs(out["ensemble_mae_dollars"].iloc[0] - mae) < 1e-4
+
+
+def test_level_shift_carry_spans_short_slices(spark, sf_dir, monkeypatch):
+    """ADVICE r05: ts_level_shift_detect's overlap replication used to
+    carry context exactly ONE slice forward/backward, silently dropping
+    changepoints whenever a range slice held fewer than SHIFT_K rows of
+    a type that continues past it. Force that regime hard — 256 range
+    slices over the 1000-row fixture gives ~4 rows per slice, far below
+    K=12, with empty slices from bound sampling — and recompute every
+    full-frame contrast with a numpy prefix sum (SHIFT_MIN_CENTS=0 so
+    EVERY interior row is emitted: the comparison covers all frames,
+    not just flagged ones)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_sam_gov_spark.operators import analytics as A
+    from etl_pipeline_sam_gov_spark.tables import load_tables
+
+    monkeypatch.setattr(A, "SHIFT_MIN_CENTS", 0)
+    monkeypatch.setattr(
+        type(spark.sparkContext),
+        "defaultParallelism",
+        property(lambda self: 256),
+    )
+    got = (
+        A.ts_level_shift_detect(spark, sf_dir)
+        .toPandas()
+        .sort_values(["event_type", "event_id"])
+        .reset_index(drop=True)
+    )
+    K = A.SHIFT_K
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    # y extracted through Spark so the HALF_UP cent rounding is shared;
+    # the windowing under test is recomputed fully independently.
+    seq = (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+        )
+        .toPandas()
+        .sort_values(["event_type", "ts_us", "event_id"])
+    )
+    rows = []
+    for t, g in seq.groupby("event_type", sort=True):
+        y = g["y"].to_numpy()
+        cs = np.concatenate([[0], np.cumsum(y)])
+        n = len(y)
+        for i in range(n):
+            if i < K or i + K > n:
+                continue
+            sb = int(cs[i] - cs[i - K])
+            sa = int(cs[i + K] - cs[i])
+            rows.append((t, int(g["event_id"].iloc[i]), sa - sb))
+    ref = (
+        pd.DataFrame(
+            rows, columns=["event_type", "event_id", "shift_total_cents"]
+        )
+        .sort_values(["event_type", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(ref) > 500, "fixture too small for a non-vacuous check"
+    pd.testing.assert_frame_equal(
+        got[["event_type", "event_id", "shift_total_cents"]],
+        ref,
+        check_dtype=False,
+    )
