@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.slots import session_slots
 from etl_pipeline_sam_gov_spark.tables import load_tables
 
 # ---------------------------------------------------------------------------
@@ -450,7 +451,6 @@ MB_TOP_K = 50
 
 #: session id → persisted basket relation (release-before-re-persist,
 #: the graph-loop cache discipline).
-_BASKET_CACHE: dict[int, DataFrame] = {}
 
 
 @query(
@@ -510,12 +510,11 @@ def reco_item_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 16× amplification measured super-linear (5.1×/4×) purely from
     the repeated distinct (the PageRank/k-core persist discipline)."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    slot = id(spark)
-    prev = _BASKET_CACHE.pop(slot, None)
+    prev = session_slots(spark).pop("basket", None)
     if prev is not None:
         prev.unpersist()
     basket = li.select("l_orderkey", "l_partkey").distinct().persist()
-    _BASKET_CACHE[slot] = basket
+    session_slots(spark)["basket"] = basket
     item = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     n = basket.agg(
         F.count_distinct("l_orderkey").alias("n_orders")

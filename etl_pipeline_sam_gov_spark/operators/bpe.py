@@ -29,15 +29,15 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_sam_gov_spark.operators.dedup import spread_docs, tokens_col
 from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.slots import session_slots
 from etl_pipeline_sam_gov_spark.tables import load_tables
 
 BPE_ROUNDS = 3
 
-#: (session id, query tag) → persisted per-round vocabulary relations
-#: of the latest invocation (bounded one-slot-per-query cache, same
-#: discipline as graph./curation. caches; tagged so the two BPE
-#: queries don't evict each other's live relations mid-plan).
-_VOCAB_CACHE: dict[tuple[int, str], tuple[DataFrame, ...]] = {}
+#: Per-round vocabulary relations persist under the session's
+#: ("bpe", query tag) slot (slots.session_slots — bounded
+#: one-slot-per-query discipline; tagged so the two BPE queries don't
+#: evict each other's live relations mid-plan).
 
 
 def _adjacent_pairs(syms: Column) -> Column:
@@ -162,8 +162,7 @@ def _merge_chain(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
-    slot = (id(spark), tag)
-    prev = _VOCAB_CACHE.pop(slot, None)
+    prev = session_slots(spark).pop(("bpe", tag), None)
     if prev is not None:
         for df in prev:
             df.unpersist()
@@ -206,7 +205,7 @@ def _merge_chain(
             .persist()
         )
         cached.append(vocab)
-    _VOCAB_CACHE[slot] = tuple(cached)
+    session_slots(spark)[("bpe", tag)] = tuple(cached)
     return vocab, tops
 
 

@@ -22,6 +22,7 @@ from etl_pipeline_sam_gov_spark.operators.dedup import (
     tokens_col,
 )
 from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.slots import session_slots
 from etl_pipeline_sam_gov_spark.tables import load_tables
 
 #: train/val/test bucket edges out of 100.
@@ -30,9 +31,9 @@ SPLIT_TRAIN, SPLIT_VAL = 90, 95
 #: shard capacity in whitespace tokens.
 SHARD_TOKENS = 1000
 
-#: (session id, group-cols) → the currently-persisted range-split
-#: relation of packed_prev_tokens, released on the next same-shape call.
-_PACK_CACHE: dict[tuple, DataFrame] = {}
+#: The currently-persisted range-split relation of packed_prev_tokens
+#: lives under the session's ("pack", group-cols) slot
+#: (slots.session_slots), released on the next same-shape call.
 
 
 def packed_prev_tokens(
@@ -75,8 +76,7 @@ def packed_prev_tokens(
     # BEFORE persisting: CacheManager matches entries by logical-plan
     # equality, and same-args invocations build identical plans — an
     # unpersist after the new persist would evict the new entry too.
-    slot = (id(spark), tuple(group_cols))
-    prev = _PACK_CACHE.pop(slot, None)
+    prev = session_slots(spark).pop(("pack", tuple(group_cols)), None)
     if prev is not None:
         prev.unpersist()
     stamped = (
@@ -84,7 +84,7 @@ def packed_prev_tokens(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    _PACK_CACHE[slot] = stamped
+    session_slots(spark)[("pack", tuple(group_cols))] = stamped
     subtot = stamped.groupBy("_pid", *group_cols).agg(F.sum("n_tokens").alias("_sub"))
     w_off = (
         W.partitionBy(*group_cols)

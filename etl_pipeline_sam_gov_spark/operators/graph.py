@@ -24,17 +24,18 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.slots import session_slots
 from etl_pipeline_sam_gov_spark.tables import load_tables
 
 #: PageRank damping factor and fixed iteration count.
 PR_DAMPING = 0.85
 PR_ITERS = 3
 
-#: session id → persisted relations (edges, deg, per-iteration rank
-#: vectors) of the latest invocation; the previous set is released when
-#: a new one is built (same bounded one-slot cache discipline as
-#: curation._PACK_CACHE).
-_EDGE_CACHE: dict[int, tuple[DataFrame, ...]] = {}
+#: Persisted relations (edges, deg, per-iteration rank vectors) of the
+#: latest invocation live in weak-keyed per-session slots
+#: (slots.session_slots); the previous set is released when a new one
+#: is built (bounded one-slot cache discipline, shared by every
+#: iterative operator in this module).
 
 
 def _symmetrize(pairs: DataFrame) -> DataFrame:
@@ -125,14 +126,32 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # new relations: CacheManager matches entries by logical-plan
     # equality, and repeated invocations build identical plans — an
     # unpersist AFTER the new persist would evict the new entry too.
-    slot = id(spark)
-    prev = _EDGE_CACHE.pop(slot, None)
+    prev = session_slots(spark).pop("pagerank", None)
     if prev is not None:
         for df in prev:
             df.unpersist()
     edges = _symmetrize(pairs).persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    cached: list[DataFrame] = [edges, deg]
+    # r6: the edge list CARRIES the destination's degree (one setup
+    # broadcast join, cached) and the per-round contribution aggregation
+    # groups by (dst, dst_deg) — same key cardinality, 8 more bytes per
+    # shuffle row. Because the graph is symmetric, EVERY node receives
+    # mass, so contrib covers the whole node relation and the old
+    # per-round deg ⋈ contrib LEFT join (+ coalesce) was recomputing a
+    # fact the aggregation already knows. Each round is now exactly: one
+    # broadcast hash join onto the cached edges + one partial-combined
+    # |V|-row aggregation — nothing else. (The oracle keeps the
+    # LEFT-join formulation, so a node silently losing its mass would
+    # hash-mismatch. A pairs-side degree derivation that skips the
+    # edges persist entirely measured SLOWER — 1.57 vs 1.23 s setup —
+    # so the join-back shape stays.)
+    edges_dd = edges.join(
+        F.broadcast(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("dst_deg"))
+        ),
+        "dst",
+    ).persist()
+    cached: list[DataFrame] = [edges, deg, edges_dd]
 
     # deg is keyed by src and every node of the symmetric graph has an
     # out-edge, so deg IS the node relation — deriving nodes/counts from
@@ -157,41 +176,44 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # only shuffle is |V| contribution sums, never the edges.
         # (AQE's pre-runtime estimates chose sort-merge joins against
         # the edges here: measured 2.3x slower at sf0.1.)
+        # n_nodes rides the message rows (a constant column) so the
+        # round needs no nn re-broadcast: grouping by it is free (same
+        # key cardinality) and saves one tiny-but-latency-bound
+        # broadcast-exchange job per round.
         msg = ranks.select(
-            F.col("node").alias("src"), (F.col("rank") / F.col("deg")).alias("rd")
-        )
-        contrib = (
-            edges.join(F.broadcast(msg), "src")
-            .groupBy("dst")
-            .agg(F.sum("rd").alias("m"))
+            F.col("node").alias("src"),
+            (F.col("rank") / F.col("deg")).alias("rd"),
+            "n_nodes",
         )
         ranks = (
-            deg.crossJoin(F.broadcast(nn))
-            .join(
-                contrib.select(F.col("dst").alias("src"), "m"), "src", "left"
+            edges_dd.join(F.broadcast(msg), "src")
+            .groupBy(
+                F.col("dst").alias("node"),
+                F.col("dst_deg").alias("deg"),
+                F.col("n_nodes"),
             )
+            .agg(F.sum("rd").alias("m"))
             .select(
-                F.col("src").alias("node"),
+                "node",
                 "deg",
                 "n_nodes",
                 (
                     F.lit(1 - PR_DAMPING) / F.col("n_nodes")
-                    + F.lit(PR_DAMPING) * F.coalesce(F.col("m"), F.lit(0.0))
+                    + F.lit(PR_DAMPING) * F.col("m")
                 ).alias("rank"),
             )
-            # Persist the |V|-row rank vector per round: each round's
-            # vector is referenced twice (next round's message AND next
-            # round's left join), so an unpersisted chain re-inlines
-            # every prior round's contribution subtree at ~2^r growth,
-            # leaning on ReuseExchange to dedupe at runtime (fragile
-            # under AQE replanning). The vector is node-count-sized —
-            # the same bounded per-round persist the CC label loop
-            # uses; at real scale, checkpoint to cluster storage to
-            # also truncate lineage.
+            # Persist the |V|-row rank vector per round: the next
+            # round's message projects off it, and an unpersisted chain
+            # re-inlines every prior round's contribution subtree at
+            # ~2^r growth, leaning on ReuseExchange to dedupe at
+            # runtime (fragile under AQE replanning). The vector is
+            # node-count-sized — the same bounded per-round persist the
+            # CC label loop uses; at real scale, checkpoint to cluster
+            # storage to also truncate lineage.
             .persist()
         )
         cached.append(ranks)
-    _EDGE_CACHE[slot] = tuple(cached)
+    session_slots(spark)["pagerank"] = tuple(cached)
     return ranks.select(
         F.when(F.col("node") % 2 == 0, "customer")
         .otherwise("supplier")
@@ -398,7 +420,6 @@ KC_ROUNDS = 3  # fixed peel rounds (deterministic; fixpoint at small SF)
 #: session id → persisted per-round relations (same cache discipline as
 #: the PageRank loop above: release the PREVIOUS invocation's entries
 #: before persisting plan-identical new ones).
-_KCORE_CACHE: dict[int, tuple[DataFrame, ...]] = {}
 
 
 def _kcore_oracle() -> str:
@@ -467,8 +488,7 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    slot = id(spark)
-    prev = _KCORE_CACHE.pop(slot, None)
+    prev = session_slots(spark).pop("kcore", None)
     if prev is not None:
         for df in prev:
             df.unpersist()
@@ -485,7 +505,7 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         cached.append(e)
-    _KCORE_CACHE[slot] = tuple(cached)
+    session_slots(spark)["kcore"] = tuple(cached)
     return e.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).select(
         F.col("src").alias("node"),
         F.when(F.col("src") % 2 == 0, F.lit("customer"))
@@ -501,7 +521,6 @@ HITS_ITERS = 2
 
 #: session id → persisted relations of the latest HITS invocation
 #: (pairs plus per-round score vectors; PageRank cache discipline).
-_HITS_CACHE: dict[int, tuple[DataFrame, ...]] = {}
 
 
 def _hits_oracle() -> str:
@@ -568,8 +587,7 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    slot = id(spark)
-    prev = _HITS_CACHE.pop(slot, None)
+    prev = session_slots(spark).pop("hits", None)
     if prev is not None:
         for df in prev:
             df.unpersist()
@@ -602,7 +620,7 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         cached.append(hub)
-    _HITS_CACHE[slot] = tuple(cached)
+    session_slots(spark)["hits"] = tuple(cached)
     return (
         auth.select(
             F.lit("supplier").alias("kind"),
@@ -625,7 +643,6 @@ BFS_MAX_HOPS = 3
 
 #: session id → persisted frontier/visited relations (PageRank cache
 #: discipline).
-_BFS_CACHE: dict[int, tuple[DataFrame, ...]] = {}
 
 
 def _bfs_oracle() -> str:
@@ -698,8 +715,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    slot = id(spark)
-    prev = _BFS_CACHE.pop(slot, None)
+    prev = session_slots(spark).pop("bfs", None)
     if prev is not None:
         for df in prev:
             df.unpersist()
@@ -725,7 +741,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionAll(fresh).persist()
         frontier = visited.filter(F.col("hop") == i).select("node")
         cached.append(visited)
-    _BFS_CACHE[slot] = tuple(cached)
+    session_slots(spark)["bfs"] = tuple(cached)
     return visited.select(
         "node",
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
@@ -740,11 +756,9 @@ RW_STEPS = 3
 
 #: session id → persisted (nbr, deg) relations of the latest walk
 #: invocation (PageRank cache discipline).
-_RW_CACHE: dict[int, tuple[DataFrame, ...]] = {}
 
 #: session id → persisted (edges, tri) of the latest clustering-
 #: coefficient invocation (same one-slot release-then-replace rule).
-_CC_CACHE: dict[int, tuple[DataFrame, ...]] = {}
 
 
 def _rw_oracle() -> str:
@@ -826,8 +840,7 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    slot = id(spark)
-    prev = _RW_CACHE.pop(slot, None)
+    prev = session_slots(spark).pop("rw", None)
     if prev is not None:
         for df in prev:
             df.unpersist()
@@ -882,7 +895,7 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.union(
             cur.select("walk_id", F.lit(step).cast("int").alias("step"), "node")
         )
-    _RW_CACHE[slot] = tuple(cached)
+    session_slots(spark)["rw"] = tuple(cached)
     return out
 
 
@@ -1143,12 +1156,11 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("transitivity")
         )
     )
-    slot = id(spark)
-    prev = _CC_CACHE.pop(slot, None)
+    prev = session_slots(spark).pop("cc", None)
     if prev is not None:
         for df in prev:
             df.unpersist()
-    _CC_CACHE[slot] = (edges, tri)
+    session_slots(spark)["cc"] = (edges, tri)
     return pern.crossJoin(F.broadcast(glob)).select(
         F.col("node").alias("suppkey"),
         "deg",
@@ -1166,7 +1178,6 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 LP_ROUNDS = 2
 
 #: session id → persisted relations of the latest LP invocation.
-_LP_CACHE: dict[int, tuple[DataFrame, ...]] = {}
 
 
 def _lp_oracle() -> str:
@@ -1227,8 +1238,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey"
     )
     a, b = li.alias("a"), li.alias("b")
-    slot = id(spark)
-    prev = _LP_CACHE.pop(slot, None)
+    prev = session_slots(spark).pop("lp", None)
     if prev is not None:
         for df in prev:
             df.unpersist()
@@ -1273,7 +1283,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             msgs.withColumn("rn", rn).filter(F.col("rn") == 1).select("node", "lab")
         ).persist()
         cached.append(labels)
-    _LP_CACHE[slot] = tuple(cached)
+    session_slots(spark)["lp"] = tuple(cached)
     return labels.select(
         F.col("node").alias("suppkey"),
         F.col("lab").alias("community"),
@@ -1595,7 +1605,6 @@ PPR_SEED_MOD = 10
 
 #: session id → persisted relations of the latest PPR invocation
 #: (PageRank cache discipline).
-_PPR_CACHE: dict[int, tuple[DataFrame, ...]] = {}
 
 
 def _ppr_oracle() -> str:
@@ -1683,8 +1692,7 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    slot = id(spark)
-    prev = _PPR_CACHE.pop(slot, None)
+    prev = session_slots(spark).pop("ppr", None)
     if prev is not None:
         for df in prev:
             df.unpersist()
@@ -1735,7 +1743,7 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         cached.append(ranks)
-    _PPR_CACHE[slot] = tuple(cached)
+    session_slots(spark)["ppr"] = tuple(cached)
     return ranks.filter(F.col("rank") > 0).select(
         F.when(F.col("node") % 2 == 0, "customer")
         .otherwise("supplier")

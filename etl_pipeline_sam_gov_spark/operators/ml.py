@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.slots import session_slots
 from etl_pipeline_sam_gov_spark.tables import load_tables
 
 #: cluster count, Lloyd iterations, and the fixed-point scale (2^10).
@@ -429,8 +430,7 @@ PCA_ITERS = 3
 PCA_SCALE = 1024
 
 #: session id -> persisted relations of the last pca invocation (same
-#: release-before-repersist discipline as operators.graph._EDGE_CACHE).
-_PCA_CACHE: dict[int, tuple] = {}
+#: release-before-repersist discipline as the graph slots).
 
 
 def _pca_oracle() -> str:
@@ -544,8 +544,7 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci",
         F.posexplode("arr").alias("j0", "cj"),
     )
-    slot = id(spark)
-    prev = _PCA_CACHE.pop(slot, None)
+    prev = session_slots(spark).pop("pca", None)
     if prev is not None:
         for df in prev:
             df.unpersist()
@@ -581,7 +580,7 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             (F.round(F.col("p") / F.col("nm") * S, 0) / S).alias("wi"),
         )
-    _PCA_CACHE[slot] = tuple(cached)
+    session_slots(spark)["pca"] = tuple(cached)
     return w.crossJoin(
         F.broadcast(nm.select(F.round("nm", 6).alias("eigenvalue")))
     ).select(
@@ -1738,7 +1737,7 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: alias a dead session's slot onto a new one — the stale unpersist
 #: would then raise against a stopped context — and the strong value
 #: reference would pin the old session's JVM state alive meanwhile.
-_ISO_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
 
 
 def _isotonic_oracle() -> str:
@@ -1912,11 +1911,11 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same bounded cache-slot discipline as the pagerank edge cache:
     # release the previous invocation's relation BEFORE persisting the
     # new one (CacheManager matches by logical-plan equality).
-    prev = _ISO_CACHE.pop(spark, None)
+    prev = session_slots(spark).pop("iso", None)
     if prev is not None:
         prev.unpersist()
     rows = ranged.mapInPandas(pav_slices, row_schema).persist()
-    _ISO_CACHE[spark] = rows
+    session_slots(spark)["iso"] = rows
     blocks = rows.groupBy("source", "pid", "blk").agg(
         F.sum("label").alias("s"), F.count(F.lit(1)).alias("c")
     )

@@ -54,7 +54,7 @@ RUNTIME_CONFS = {
 #: pay the conf round-trips once, not per query. Weak-keyed (not id()):
 #: CPython reuses ids after GC, and a stale id hit would silently skip
 #: configuring a brand-new session (same hazard class as the r5
-#: _ISO_CACHE advice).
+#: iso-cache advice).
 _CONFIGURED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 

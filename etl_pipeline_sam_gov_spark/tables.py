@@ -21,6 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_pipeline_sam_gov_spark.session import configure_runtime
+from etl_pipeline_sam_gov_spark.slots import session_slots
 
 TABLE_NAMES = (
     "region",
@@ -36,18 +37,17 @@ TABLE_NAMES = (
 )
 
 
-#: (session id, sf_dir, table) → loaded DataFrame-with-view. A driver
-#: sweep runs ~100 queries against ONE session and ONE sf_dir; each
-#: parquet read costs a footer/schema round-trip and each
-#: createOrReplaceTempView an analyzer call — cache them so that cost is
-#: paid once per table, not once per query. DataFrames are immutable
-#: logical plans, so reuse across queries is safe.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
-
-#: (session id, table) → the sf_dir whose data the session's temp view
-#: currently exposes. SQL-surface queries read the views, so a cache hit
-#: must still re-register the view whenever the sweep switches sf_dir.
-_VIEW_OWNER: dict[tuple[int, str], str] = {}
+#: Loaded DataFrames-with-views live under the session's "tables" slot
+#: keyed (sf_dir, table) — weak-keyed per session via
+#: slots.session_slots, so a dead session's entries vanish with it. A
+#: driver sweep runs ~100 queries against ONE session and ONE sf_dir;
+#: each parquet read costs a footer/schema round-trip and each
+#: createOrReplaceTempView an analyzer call — cache them so that cost
+#: is paid once per table, not once per query. DataFrames are immutable
+#: logical plans, so reuse across queries is safe. The "views" slot
+#: records which sf_dir each temp view currently exposes: SQL-surface
+#: queries read the views, so a cache hit must still re-register the
+#: view whenever the sweep switches sf_dir.
 
 
 def load_tables(
@@ -57,8 +57,9 @@ def load_tables(
     configure_runtime(spark)
     out: dict[str, DataFrame] = {}
     for name in names:
-        key = (id(spark), sf_dir, name)
-        df = _TABLE_CACHE.get(key)
+        tcache = session_slots(spark).setdefault("tables", {})
+        key = (sf_dir, name)
+        df = tcache.get(key)
         if df is None:
             path = os.path.join(sf_dir, f"{name}.parquet")
             df = spark.read.parquet(path)
@@ -82,10 +83,10 @@ def load_tables(
             ]
             for c in ntz:
                 df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
-            _TABLE_CACHE[key] = df
-        view_key = (id(spark), name)
-        if _VIEW_OWNER.get(view_key) != sf_dir:
+            tcache[key] = df
+        vowner = session_slots(spark).setdefault("views", {})
+        if vowner.get(name) != sf_dir:
             df.createOrReplaceTempView(name)
-            _VIEW_OWNER[view_key] = sf_dir
+            vowner[name] = sf_dir
         out[name] = df
     return out

@@ -360,8 +360,19 @@ def main() -> None:
     out_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_stress.json"
     only = os.environ.get("SPARK_GRAFT_STRESS_ONLY")
     queries = tuple(only.split(",")) if only else STRESS_QUERIES
+    # VERDICT r05 #4: an "output-bound" adjudication must MEASURE the
+    # output. With rows tracking on, each (query, amp) also records its
+    # result-row count, and the summary prints rows-ratio NEXT TO
+    # time-ratio per step: a pair-lister is legitimately excused only
+    # while time grows no faster than rows (time_ratio ≲ rows_ratio,
+    # i.e. flat-to-sublinear per output row). The dHash mis-call is the
+    # motivating case: its amp² TIME was excused as output growth
+    # without anyone counting the rows — with this column the quadratic
+    # join would have shown time outrunning rows.
+    track_rows = os.environ.get("SPARK_GRAFT_STRESS_ROWS") == "1"
     spark = get_spark("scale-stress")
     results: dict[str, dict[int, float]] = {q: {} for q in queries}
+    out_rows: dict[str, dict[int, int]] = {q: {} for q in queries}
     root = tempfile.mkdtemp(prefix="spark_graft_stress_")
     try:
         for amp in AMPS:
@@ -383,7 +394,14 @@ def main() -> None:
                     eng.QUERIES[q](spark, d).write.format("noop").mode("overwrite").save()
                     dt = min(dt, time.perf_counter() - t0)
                 results[q][amp] = round(dt, 3)
-                print(f"amp={amp:2d} ({n} docs) {q:28s} {dt:7.3f}s", flush=True)
+                extra = ""
+                if track_rows:
+                    out_rows[q][amp] = eng.QUERIES[q](spark, d).count()
+                    extra = f"  rows={out_rows[q][amp]}"
+                print(
+                    f"amp={amp:2d} ({n} docs) {q:28s} {dt:7.3f}s{extra}",
+                    flush=True,
+                )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     print("\nscaling (time ratio vs 4x data ratio — ≲4 is linear-or-better):")
@@ -393,7 +411,15 @@ def main() -> None:
         r164 = results[q][16] / results[q][4]
         verdicts[q] = {"t": results[q], "r_4_over_1": round(r41, 2),
                        "r_16_over_4": round(r164, 2)}
-        print(f"  {q:28s} 4x/1x={r41:5.2f}  16x/4x={r164:5.2f}")
+        line = f"  {q:28s} 4x/1x={r41:5.2f}  16x/4x={r164:5.2f}"
+        if track_rows and out_rows[q]:
+            rr41 = out_rows[q][4] / max(1, out_rows[q][1])
+            rr164 = out_rows[q][16] / max(1, out_rows[q][4])
+            verdicts[q]["rows"] = out_rows[q]
+            verdicts[q]["rows_4_over_1"] = round(rr41, 2)
+            verdicts[q]["rows_16_over_4"] = round(rr164, 2)
+            line += f"  rows 4x/1x={rr41:7.2f}  16x/4x={rr164:7.2f}"
+        print(line)
     with open(out_json, "w") as f:
         json.dump({"base": base, "amps": AMPS, "results": verdicts}, f, indent=1)
 
