@@ -1496,18 +1496,31 @@ def ts_level_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "pid")
         .agg(F.sort_array(F.collect_list(_row)).alias("rows"))
     )
-    w_next = W.partitionBy("event_type").orderBy("pid").rowsBetween(
-        1, W.unboundedFollowing
+    # "All FOLLOWING slices" as a GROWING frame over descending pid —
+    # a (1, unboundedFollowing) frame is a shrinking frame Spark
+    # re-aggregates O(n²) per row (the plan-audit gate; bounded here,
+    # but the incremental form costs nothing). Each slice's prefix
+    # array is reversed before concatenation so the NEAREST following
+    # slices' rows sit at the tail of the desc-ordered carry — the
+    # first K−1 global successors are then its last K−1 elements.
+    # Context rows are a SET (explode feeds a union the downstream
+    # windows re-sort), so the mirrored element order is immaterial.
+    w_next = W.partitionBy("event_type").orderBy(F.desc("pid")).rowsBetween(
+        W.unboundedPreceding, -1
     )
     bwd = pfx.select(
         "event_type",
         "pid",
-        F.flatten(F.collect_list("rows").over(w_next)).alias("carr"),
+        F.flatten(F.collect_list(F.reverse("rows")).over(w_next)).alias("carr"),
     )
     ctx_bwd = bwd.select(
         "event_type",
         "pid",
-        F.explode(F.slice("carr", 1, SHIFT_K - 1)).alias("r"),
+        F.explode(
+            F.when(F.size("carr") <= SHIFT_K - 1, F.col("carr")).otherwise(
+                F.slice("carr", -(SHIFT_K - 1), SHIFT_K - 1)
+            )
+        ).alias("r"),
     ).select(
         "event_type",
         F.col("r.event_id").alias("event_id"),
