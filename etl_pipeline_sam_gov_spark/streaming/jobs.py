@@ -53,9 +53,16 @@ _stream_dirs: dict[str, str] = {}
 def _stream_dir_for(path: str) -> str:
     """Spark's file stream source requires a directory; expose the
     single fixture file through a per-path symlink directory (a real
-    deployment points at the landing directory itself)."""
+    deployment points at the landing directory itself). When the path
+    ALREADY is a directory (a real landing zone, or a Spark-written
+    table like the stress amplifier's), stream straight from it — the
+    symlink indirection would otherwise bury the part-files one level
+    below the glob and the source would silently read zero files (the
+    stress battery's stream rows showed 0 at every amplification)."""
     import tempfile
 
+    if os.path.isdir(path):
+        return path
     d = _stream_dirs.get(path)
     if d is None:
         d = tempfile.mkdtemp(prefix="spark_graft_stream_")

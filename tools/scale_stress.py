@@ -250,6 +250,43 @@ STRESS_QUERIES = (
     "udf_viterbi_2state",        # grouped-map DP walk per user
     "pipeline_experiment_report",  # composed CUPED+SRM+MWU DAG
     "ts_level_shift_detect",     # per-(type, slice) frames, overlap carry
+    # round-6 batch — the riskiest still-unstressed shapes: incremental
+    # dedup joins, iterative boosting, correlated TPC-H subqueries,
+    # composed DQ/curation DAGs, recursive walks, streaming state.
+    # (dedup_winnowing_pairs inherits the pair-lister exclusion:
+    # replicas share ~every winnowing fingerprint with their original,
+    # so pair output grows amp² by problem statement — the
+    # cluster-collapse consumer is the scale path. fn_* scalar-function
+    # demos and sql_* surface demos are scan-side expression showcases
+    # with no shuffle to mis-scale and stay out.)
+    "dedup_incremental_new_docs",  # new-slice ⋈ corpus fingerprint join
+    "dedup_keep_best_quality",   # dup-key groupBy + per-group argmax
+    "dedup_minhash_estimate_quality",  # sig-pair estimate vs exact verify
+    "recursive_hierarchy_walk",  # iterative parent-chain joins
+    "graph_modularity_nations",  # |nations|-cell community contrast
+    "graph_conductance_nations", # cut/volume ratios per community
+    "graph_summary_stats",       # degree rollup → one summary row
+    "ml_gbm_stumps",             # iterative boosting: residual scan/round
+    "ml_classifier_scorecard",   # composed train+eval+calibration DAG
+    "ts_granger_causality",      # per-type lag regression cells
+    "ts_hurst_exponent",         # R/S rescaled-range over dyadic scales
+    "window_range_price_neighborhood",  # RANGE frame over price domain
+    "window_topk_docs_per_lang", # per-lang rank window + k cut
+    "q17_small_quantity_revenue",  # correlated per-part AVG subquery
+    "q18_large_volume_customers",  # HAVING-gated key semi-join
+    "q20_heavy_red_suppliers",   # nested semi over part/lineitem halves
+    "text_repetition_quality",   # intra-doc n-gram repetition ratios
+    "text_unigram_nll",          # corpus LM + per-doc NLL broadcast-back
+    "agg_key_skew_profile",      # per-key counts → skew moments
+    "agg_embedding_centroids",   # dim-explode centroid moments
+    "agg_join_size_estimate",    # per-key sketch → join cardinality est
+    "dq_k_anonymity_audit",      # quasi-identifier groupBy + k histogram
+    "curate_oversample_replicate",  # weight-driven explode replication
+    "set_intersect_all_quantities",  # INTERSECT ALL via paired counts
+    "pipeline_health_report",    # composed DQ DAG (headline)
+    "pipeline_corpus_curation",  # composed curation DAG v1
+    "stream_stateful_user_totals",  # GroupState running totals cycle
+    "stream_dedup_watermark",    # watermarked dropDuplicates cycle
 )
 
 
