@@ -287,6 +287,32 @@ STRESS_QUERIES = (
     "pipeline_corpus_curation",  # composed curation DAG v1
     "stream_stateful_user_totals",  # GroupState running totals cycle
     "stream_dedup_watermark",    # watermarked dropDuplicates cycle
+    # round-6 second batch — remaining unstressed shapes with any
+    # shuffle of their own: as-of variants, mergeable sketch rollups,
+    # global sort/offset, MERGE upsert, PIT snapshots, more streaming.
+    "asof_join_nearest",         # merged-timeline nearest walk
+    "asof_join_with_tolerance",  # tolerance-gated as-of match
+    "behavior_time_decay_score", # per-user decay-weighted rollup
+    "ml_kfold_cv_stump",         # K hash-fold train/eval scans
+    "ml_precision_recall_curve", # score-ranked cumulative confusion
+    "ml_cochran_armitage_trend", # dose-ordered proportions trend
+    "agg_kll_quantile_merge",    # KLL partials → merged quantiles
+    "agg_bitmap_rollup_daily",   # exact bitmap ORs across day grain
+    "agg_exponential_histogram", # log-banded histogram cells
+    "agg_mad_outliers",          # two-phase median-of-deviations
+    "multimodal_patch_grid_stats",  # patch-grid kernel, per-doc reduce
+    "stream_sliding_quarter",    # overlapping sliding windows cycle
+    "stream_session_windows",    # session-gap windows cycle
+    "stream_hypertable_rollup",  # stream-maintained 5-min partials
+    "text_langid",               # n-gram profile scoring scan
+    "dq_profile_drift",          # two-slice profile compare
+    "analytics_growth_waterfall",  # period-over-period bridge cells
+    "curate_split_train_holdout",  # hash-coin deterministic split
+    "scd2_as_of_snapshot",       # PIT validity-interval filter
+    "merge_incremental_upsert",  # full-outer MERGE upsert (headline)
+    "sort_offset_pagination",    # global sort + offset page cut
+    "q2_min_cost_supplier",      # correlated per-part MIN subquery
+    "q22_idle_rich_customers",   # scalar-avg gate + anti join
 )
 
 
