@@ -429,3 +429,25 @@ def test_cdc_upsert_accumulates_out_of_order_microbatches(spark, tmp_path):
         .collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_directory_source_streams_part_files(spark, sf_dir, tmp_path):
+    """A directory-shaped source (a real landing zone, or a
+    Spark-written table like the stress amplifier's) must stream its
+    part-files directly — the single-file symlink indirection buried
+    them one level below the glob and the source silently read ZERO
+    files (caught by the stress battery's row tracking: both stream
+    entries reported rows=0 at every amplification)."""
+    d = str(tmp_path / "landing")
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    events.write.parquet(os.path.join(d, "events.parquet"))
+    agg = (
+        read_events_stream(spark, d)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = run_to_memory(agg, mode="complete", shuffle_partitions=4)
+    batch = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    assert {(r["event_type"], r["n"]) for r in got.collect()} == {
+        (r["event_type"], r["n"]) for r in batch.collect()
+    } and got.count() > 0
