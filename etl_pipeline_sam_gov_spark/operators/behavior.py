@@ -492,20 +492,23 @@ def reco_item_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive ("customers who bought A also bought B") and the
     association-rule kernel under Apriori-style mining.
 
-    Scale shape: pair generation is a self-join of the distinct
-    (order, part) basket ON THE ORDER KEY, so fan-out is bounded by
-    basket size squared per order (≤ C(17,2) here; a real retailer
-    caps basket size the same way) and never corpus-quadratic. At
-    100 TB the basket relation is bucketed on orderkey so the
-    self-join is exchange-free (the dq_snapshot_diff layout). Counts
-    are exact ints; lift/confidence are one float expression in
-    identical operation order on both engines, rounded to 6; the
-    top-k cut orders by the ROUNDED lift with pair tiebreaks and
-    plans as TakeOrderedAndProject, not a full sort.
+    Scale shape (r6): pair generation collapses each order to its
+    sorted part ARRAY (one shuffle on the order key) and emits the
+    ordered within-array pairs map-side — fan-out is bounded by basket
+    size squared per order (≤ C(17,2) here; a real retailer caps
+    basket size the same way) and never corpus-quadratic. vs the
+    earlier basket self-join: same single order-keyed exchange but no
+    join probe/build and one fewer read of the cached basket, without
+    leaning on runtime ReusedExchange to dedupe the two join sides
+    (measured time-parity at sf0.1, 1.9 vs 1.9 s solo). Counts are
+    exact ints; lift/confidence are one float expression in identical
+    operation order on both engines, rounded to 6; the top-k cut
+    orders by the ROUNDED lift with pair tiebreaks and plans as
+    TakeOrderedAndProject, not a full sort.
 
-    The basket relation feeds FIVE consumers (pair sides, both item
-    joins, the order-count scalar); persisting it makes each read the
-    one distinct result instead of re-shuffling the fact table per
+    The basket relation feeds FOUR consumers (the pair arrays, both
+    item joins, the order-count scalar); persisting it makes each read
+    the one distinct result instead of re-shuffling the fact table per
     consumer — without it, exchange reuse is plan-layout-dependent and
     a 16× amplification measured super-linear (5.1×/4×) purely from
     the repeated distinct (the PageRank/k-core persist discipline)."""
@@ -519,15 +522,32 @@ def reco_item_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = basket.agg(
         F.count_distinct("l_orderkey").alias("n_orders")
     )
-    a = basket.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
-    )
-    b = basket.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    # Pair generation WITHOUT the basket self-join (r6): collapse each
+    # order to its sorted part array (one shuffle on orderkey — the
+    # exchange the self-join would have needed anyway), then emit the
+    # ordered within-array pairs map-side with nested HOFs and feed
+    # them straight into the partial-combined pair count. vs a ⋈ b on
+    # the order key: the join's probe/build work and its second read
+    # of the cached basket disappear; fan-out stays bounded by basket
+    # size squared per order exactly as before (arrays are basket-
+    # sized, ≤17 here, capped in production). array_sort guarantees
+    # part_a < part_b structurally.
+    arrs = basket.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("ps")
     )
     pair = (
-        a.join(b, "k")
-        .filter(F.col("part_a") < F.col("part_b"))
+        arrs.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ps, (x, i) -> transform("
+                        "slice(ps, i + 2, size(ps)), "
+                        "y -> struct(x AS part_a, y AS part_b)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= MB_MIN_SUPPORT)
