@@ -84,6 +84,8 @@ REPRESENTATIVE = [
     "multimodal_patch_grid_stats",  # Arrow decode + exact int tile sums
     "fn_timezone_local_hours",   # IANA conversions, pure int buckets
     "dedup_levenshtein_blocked",  # prefix blocks + exact DP distances
+    "reco_item_lift",            # r6 map-side array pairs + rounded-lift top-k
+    "join_salted_skewed_orders",  # r6 unified conditional-salt join
 ]
 
 
