@@ -671,7 +671,17 @@ def _heartbeat_landing(spark: SparkSession, sf_dir: str) -> str:
     sent.coalesce(1).write.mode("overwrite").parquet(tmp)
     part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
     landing = tempfile.mkdtemp(prefix="spark_graft_hb_")
-    os.symlink(path, os.path.join(landing, "events.parquet"))
+    if os.path.isdir(path):
+        # Directory-shaped source (real landing zone / Spark-written
+        # table): symlink its part-files individually — a symlinked
+        # DIRECTORY sits one level below the stream glob and reads as
+        # zero files (the _stream_dir_for bug, same class; caught by
+        # the stress battery's row tracking showing rows=0 for both
+        # heartbeat jobs at every amplification).
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            os.symlink(f, os.path.join(landing, "ev_" + os.path.basename(f)))
+    else:
+        os.symlink(path, os.path.join(landing, "events.parquet"))
     shutil.copy(part, os.path.join(landing, "zz_heartbeat.parquet"))
     shutil.rmtree(tmp, ignore_errors=True)
     _hb_landings[sf_dir] = landing
