@@ -313,6 +313,11 @@ STRESS_QUERIES = (
     "sort_offset_pagination",    # global sort + offset page cut
     "q2_min_cost_supplier",      # correlated per-part MIN subquery
     "q22_idle_rich_customers",   # scalar-avg gate + anti join
+    # pinned after the r6 full-coverage sweep's row column caught their
+    # heartbeat landing reading ZERO files from directory sources —
+    # keep measuring the replay row counts so the class can't recur:
+    "stream_left_outer_join_purchases",  # watermark-flushed outer join
+    "stream_session_timeout_close",      # GroupState timeout closes
 )
 
 
