@@ -640,7 +640,14 @@ def _heartbeat_landing(spark: SparkSession, sf_dir: str) -> str:
     and the query filters ids < 0 from the final table."""
     d = _hb_landings.get(sf_dir)
     if d is not None:
-        return d
+        # Stale guard (the _stream_dir_for repair, landing-wide): a
+        # dangling events symlink means the source was deleted and
+        # recreated elsewhere — rebuild rather than replay 2 rows.
+        if all(
+            os.path.exists(os.path.join(d, f)) for f in os.listdir(d)
+        ):
+            return d
+        _hb_landings.pop(sf_dir)
     import glob
     import shutil
     import tempfile
