@@ -451,3 +451,25 @@ def test_directory_source_streams_part_files(spark, sf_dir, tmp_path):
     assert {(r["event_type"], r["n"]) for r in got.collect()} == {
         (r["event_type"], r["n"]) for r in batch.collect()
     } and got.count() > 0
+
+
+def test_heartbeat_replay_reads_directory_sources(spark, sf_dir, tmp_path):
+    """_heartbeat_landing symlinked `events.parquet` itself into the
+    landing zone — correct for the single-file fixture, but a
+    directory-shaped source (any Spark-written events table) got
+    buried one level below the stream glob and the replay saw ONLY the
+    two heartbeat rows (filtered by construction → zero output; caught
+    by the stress battery's row tracking). Directory sources must
+    yield the same watermark-flushed outer join as the file fixture."""
+    from etl_pipeline_sam_gov_spark.operators import relational  # noqa: F401
+    import etl_pipeline_sam_gov_spark as eng
+
+    d = str(tmp_path / "sfdir")
+    os.makedirs(d)
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).write.parquet(
+        os.path.join(d, "events.parquet")
+    )
+    got = eng.QUERIES["stream_left_outer_join_purchases"](spark, d).count()
+    want = eng.QUERIES["stream_left_outer_join_purchases"](spark, sf_dir).count()
+    assert got == want and got > 0
