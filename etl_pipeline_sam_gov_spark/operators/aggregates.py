@@ -810,8 +810,18 @@ def agg_approx_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards = ev.groupBy((F.col("user_id") % 8).alias("shard")).agg(
         F.expr("approx_top_k_accumulate(event_type, 100)").alias("st")
     )
+    # coalesce(1) before the combine: the sketch relation is BOUNDED
+    # (one row per shard), and Spark 4.1's ApproxTopKCombine crashes
+    # serializing the partial buffer of an EMPTY input partition — the
+    # buffer's item type is still null and genSketchSerDe MatchErrors.
+    # AQE masks it by coalescing the tiny post-accumulate shuffle to
+    # one partition; with AQE off (or any plan leaving empty
+    # partitions under the combine) the query dies. One partition for
+    # a |shards|-row relation is also the natural merge shape at any
+    # corpus size.
     return (
-        shards.agg(F.expr("approx_top_k_combine(st)").alias("st"))
+        shards.coalesce(1)
+        .agg(F.expr("approx_top_k_combine(st)").alias("st"))
         .select(F.expr("inline(approx_top_k_estimate(st, 10))"))
         .select(F.col("item"), F.col("count").cast("bigint").alias("n"))
     )

@@ -960,3 +960,19 @@ def test_no_corpus_nested_loop_joins(spark, sf_dir):
     s = plan(fresh("multimodal_image_dhash_pairs")(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in s
     assert "CartesianProduct" not in s
+
+
+def test_approx_topk_combine_survives_aqe_off(spark, sf_dir):
+    """Spark 4.1's ApproxTopKCombine MatchErrors serializing the
+    partial buffer of an EMPTY input partition (item type still null).
+    AQE masks it by coalescing the tiny post-accumulate shuffle; the
+    query must not depend on that — the bounded sketch relation is
+    coalesced to one partition explicitly (found by a full-registry
+    AQE-off sweep; every other query passed unchanged)."""
+    fn = fresh("agg_approx_topk_merge")
+    original = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        assert fn(spark, sf_dir).count() > 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", original)
