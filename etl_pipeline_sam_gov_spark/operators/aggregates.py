@@ -818,11 +818,25 @@ def agg_approx_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one partition; with AQE off (or any plan leaving empty
     # partitions under the combine) the query dies. One partition for
     # a |shards|-row relation is also the natural merge shape at any
-    # corpus size.
+    # corpus size. A SENTINEL sketch (a NUL-prefixed item no event_type
+    # can be, filtered from the estimate) unions in so the combine's
+    # partition is non-empty even on an EMPTY corpus — without it the
+    # all-empty case hits the same serialize crash; the sentinel's
+    # count-1 entry occupies one of 100 sketch slots and cannot
+    # perturb the other estimates in the exact regime.
+    sentinel = "\x00sentinel"
+    seed = (
+        spark.range(1)
+        .select(F.lit(sentinel).alias("item"))
+        .agg(F.expr("approx_top_k_accumulate(item, 100)").alias("st"))
+    )
     return (
-        shards.coalesce(1)
+        shards.select("st")
+        .unionAll(seed)
+        .coalesce(1)
         .agg(F.expr("approx_top_k_combine(st)").alias("st"))
         .select(F.expr("inline(approx_top_k_estimate(st, 10))"))
+        .filter(F.col("item") != sentinel)
         .select(F.col("item"), F.col("count").cast("bigint").alias("n"))
     )
 

@@ -976,3 +976,20 @@ def test_approx_topk_combine_survives_aqe_off(spark, sf_dir):
         assert fn(spark, sf_dir).count() > 0
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", original)
+
+
+def test_approx_topk_combine_survives_empty_corpus(spark, sf_dir, tmp_path):
+    """The all-empty case hits the same ApproxTopKCombine serialize
+    crash even with the explicit coalesce — zero input rows leave the
+    single combine partition empty. The unioned sentinel sketch keeps
+    it non-empty; an empty corpus must yield an empty result, not a
+    MatchError (an empty day/slice is routine at real scale)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "sf_empty")
+    os.makedirs(d)
+    sch = pq.read_schema(os.path.join(sf_dir, "events.parquet"))
+    pq.write_table(sch.empty_table(), os.path.join(d, "events.parquet"))
+    assert fresh("agg_approx_topk_merge")(spark, d).count() == 0
