@@ -526,13 +526,21 @@ def _corr_sql(x: str, y: str) -> str:
     """Pearson correlation from exact decimal sums, evaluated in double
     with ONE shared expression shape (see agg_corr_matrix docstring)."""
     n = "CAST(n AS DOUBLE)"
+    # GREATEST(0, var-term): with a 1-row group the variance term is 0
+    # in real arithmetic but the decimal Σx² and the double (Σx)² round
+    # differently, leaving −ε under the sqrt — DuckDB raises a range
+    # error, Spark NaNs. NULLIF(denominator, 0): a zero-variance group
+    # has no defined correlation — emit NULL identically on both
+    # engines instead of a divide-by-zero (found by the 1-row
+    # degenerate-fixture sweep; values at any non-degenerate scale are
+    # untouched, so the certified hashes are unchanged).
     return (
         f"round(({n} * CAST(s_{x}{y} AS DOUBLE)"
         f" - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
-        f" / (sqrt({n} * CAST(s_{x}{x} AS DOUBLE)"
-        f" - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
-        f" * sqrt({n} * CAST(s_{y}{y} AS DOUBLE)"
-        f" - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))), 6)"
+        f" / NULLIF(sqrt(GREATEST(0.0, {n} * CAST(s_{x}{x} AS DOUBLE)"
+        f" - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE)))"
+        f" * sqrt(GREATEST(0.0, {n} * CAST(s_{y}{y} AS DOUBLE)"
+        f" - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))), 0.0), 6)"
     )
 
 
