@@ -1534,12 +1534,21 @@ def ml_kaplan_meier_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFra
 # Embedding whitening (per-dimension standardization)
 # ---------------------------------------------------------------------------
 
-#: Fixed-point scale for whitening sums: values are quantized to 1e-3
+#: Fixed-point scale for whitening sums: values are quantized to 2^-10
 #: before summing so every moment is an exact BIGINT in both engines.
-#: Bound: |x| < 1 in the fixture corpus, so qi <= 1000 and the largest
+#: Bound: |x| < 1 in the fixture corpus, so qi <= 1024 and the largest
 #: intermediate (qi*n - s)^2 stays ~1e14 even at n = 10^7 vectors —
 #: five orders of magnitude inside int64.
-WHITEN_SCALE = 1000
+# Dyadic fixed-point (2^-10), the repo-wide embedding quantization
+# convention (cf. PCA_SCALE, dedup._SD_SCALE). A NON-dyadic scale made
+# x*scale inexact, and Spark's round() on doubles goes through the
+# SHORTEST decimal representation (BigDecimal.valueOf) while DuckDB
+# rounds the exact binary value — at sf0.1 one tie-adjacent float32
+# coordinate quantized differently per engine and flipped a rounded
+# mean at the 1e-6 boundary (found by the r6 sf0.1 oracle sweep).
+# With a dyadic scale the product is exact in double, so rounding is
+# tie-exact and engine-independent.
+WHITEN_SCALE = 1024
 #: A coordinate is "extreme" when |z| > WHITEN_Z after standardization.
 WHITEN_Z = 2
 
@@ -1577,9 +1586,10 @@ def ml_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standardization pre-step of PCA/linear probes/ANN quantization
     (centroids and codebooks train badly on unnormalized axes), plus a
     per-dimension extreme-coordinate count (|z| > 2) that doubles as a
-    feature-quality audit. Every moment is an exact int64 of 1e-3
-    fixed-point values, so mean/sigma/outlier decisions are
-    bit-identical across engines — the z-test is evaluated in the
+    feature-quality audit. Every moment is an exact int64 of 2^-10
+    dyadic fixed-point values (the product x*1024 is exact in double,
+    so quantization is representation-independent), and mean/sigma/
+    outlier decisions are bit-identical across engines — the z-test is evaluated in the
     cross-multiplied integer form (qi*n - s)^2 > z^2*(s2*n - s^2),
     never via a float division.
 
