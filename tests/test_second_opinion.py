@@ -569,13 +569,15 @@ def test_embedding_whitening_matches_numpy(spark, sf_dir):
     )
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
     mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-    q = np.round(mat * 1000).astype(np.int64)  # WHITEN_SCALE fixed point
+    from etl_pipeline_sam_gov_spark.operators.ml import WHITEN_SCALE
+
+    q = np.round(mat * WHITEN_SCALE).astype(np.int64)  # dyadic fixed point
     n = q.shape[0]
     for d in range(q.shape[1]):
         col = q[:, d]
-        mu = col.sum() / (n * 1000.0)
+        mu = col.sum() / (n * float(WHITEN_SCALE))
         var_num = (col * col).sum() * n - col.sum() ** 2
-        sigma = np.sqrt(float(var_num)) / (n * 1000.0)
+        sigma = np.sqrt(float(var_num)) / (n * float(WHITEN_SCALE))
         row = out.loc[d + 1]
         assert row["n"] == n
         assert abs(row["mu"] - mu) < TOL, d
