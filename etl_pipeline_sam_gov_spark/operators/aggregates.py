@@ -836,7 +836,12 @@ def agg_approx_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .agg(F.expr("approx_top_k_combine(st)").alias("st"))
         .select(F.expr("inline(approx_top_k_estimate(st, 10))"))
-        .filter(F.col("item") != sentinel)
+        # Null-safe: a plain != would also drop a NULL item row if the
+        # sketch ever tracked nulls. Caveat: at a count-1 tie exactly on
+        # the top-10 boundary the sentinel's count-1 entry can displace
+        # a genuine count-1 item — outside the exact regime this query
+        # operates in (every event_type count ≫ 1), but stated here.
+        .filter(~F.col("item").eqNullSafe(sentinel))
         .select(F.col("item"), F.col("count").cast("bigint").alias("n"))
     )
 

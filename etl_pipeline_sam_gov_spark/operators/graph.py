@@ -865,6 +865,12 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degree-carrying move: 3 fewer |V|-keyed joins per query; measured
     # time-parity at sf0.1 where those joins are stage-latency-bound,
     # adopted for the at-scale shape).
+    # INNER join is safe only because _symmetrize guarantees no sinks
+    # (every dst also appears as a src, so every dst has an out-degree
+    # row). On a DIRECTED edge relation this join would silently drop
+    # edges into sinks and a walk stepping there would vanish one step
+    # early; reuse on directed edges must left-join with dst_deg
+    # defaulted to 0 and terminate the walk explicitly.
     nbr_dd = nbr.join(
         F.broadcast(
             deg.select(F.col("src").alias("dst"), F.col("deg").alias("dst_deg"))

@@ -642,8 +642,10 @@ def _heartbeat_landing(spark: SparkSession, sf_dir: str) -> str:
     if d is not None:
         # Stale guard (the _stream_dir_for repair, landing-wide): a
         # dangling events symlink means the source was deleted and
-        # recreated elsewhere — rebuild rather than replay 2 rows.
-        if all(
+        # recreated elsewhere — rebuild rather than replay 2 rows. The
+        # landing dir itself can also vanish (/tmp cleanup), so the
+        # isdir check falls through to the rebuild instead of raising.
+        if os.path.isdir(d) and all(
             os.path.exists(os.path.join(d, f)) for f in os.listdir(d)
         ):
             return d
@@ -684,9 +686,16 @@ def _heartbeat_landing(spark: SparkSession, sf_dir: str) -> str:
         # DIRECTORY sits one level below the stream glob and reads as
         # zero files (the _stream_dir_for bug, same class; caught by
         # the stress battery's row tracking showing rows=0 for both
-        # heartbeat jobs at every amplification).
-        for f in glob.glob(os.path.join(path, "*.parquet")):
-            os.symlink(f, os.path.join(landing, "ev_" + os.path.basename(f)))
+        # heartbeat jobs at every amplification). Recursive so a
+        # partitioned/nested layout still lands; the assert makes an
+        # unrecognized layout fail loudly instead of replaying only
+        # the two heartbeat rows.
+        parts = glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
+        )
+        assert parts, f"no parquet part-files under {path}"
+        for i, f in enumerate(parts):
+            os.symlink(f, os.path.join(landing, f"ev_{i}_" + os.path.basename(f)))
     else:
         os.symlink(path, os.path.join(landing, "events.parquet"))
     shutil.copy(part, os.path.join(landing, "zz_heartbeat.parquet"))

@@ -960,6 +960,17 @@ def test_no_corpus_nested_loop_joins(spark, sf_dir):
     s = plan(fresh("multimodal_image_dhash_pairs")(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in s
     assert "CartesianProduct" not in s
+    # r7 exact-duplicate representative collapse (VERDICT r06 #1): the
+    # band join must consume the DISTINCT-hash relation — a pre-join
+    # HashAggregate keyed by the 4 hash bands computing min(doc_id).
+    # Without it, k identical images cost 4·k² band-join candidates.
+    import re
+
+    assert re.search(
+        r"HashAggregate\(keys=\[b0#\d+L, b1#\d+L, b2#\d+L, b3#\d+L\], "
+        r"functions=\[min\(doc_id#\d+L\)\]",
+        s,
+    ), "dHash plan lost its pre-band-join distinct-hash collapse"
 
 
 def test_approx_topk_combine_survives_aqe_off(spark, sf_dir):
