@@ -467,14 +467,17 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic; at these scale factors peeling reaches its fixpoint
     within the unrolled rounds, so the output IS the k-core.
 
-    Scale shape per round: one partial-combined degree count on the
-    current edge set, then two semi-joins restricting edges to
-    surviving endpoints — the keep-set is |V|-sized (never the edge
-    list), and each round's edge relation is persisted so lineage stays
-    flat instead of growing ~2^r (the PageRank persist discipline,
-    including the release-before-re-persist cache rule). At 100 TB the
-    keep set hash-joins against edges partitioned on src/dst; no
-    broadcast of scale-class relations is pinned."""
+    Scale shape: ONE full degree count up front, then per round one
+    semi-join of the cached edge list against the round's removed set
+    (to count each survivor's lost edges) and one |V|-row left join
+    applying the decrements — degrees are TRACKED, never recounted, so
+    the edge relation is scanned once per round instead of re-filtered
+    and re-aggregated (r7 delta-decrement rewrite; 2.47 s → 1.97 s
+    best-of-3 at sf0.1). Every per-round relation is persisted so
+    lineage stays flat instead of growing ~2^r (the PageRank persist
+    discipline, including the release-before-re-persist cache rule).
+    At 100 TB the removed set hash-joins against edges partitioned on
+    dst; no broadcast of scale-class relations is pinned."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
     pairs = (
         t["lineitem"]
@@ -494,24 +497,49 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             df.unpersist()
     e = _symmetrize(pairs).persist()
     cached: list[DataFrame] = [e]
+    # r7 delta-decrement peeling (VERDICT r06 next-round #7): the old
+    # form recounted degrees from a freshly semi-joined edge relation
+    # every round — one |E| aggregation + two |E| semi-joins per round.
+    # Synchronous peeling only needs the FULL count once: round r
+    # removes nodes whose current tracked degree < k, and survivors'
+    # degrees drop by exactly their edge count into the removed set —
+    # so a round is one semi-join of the CACHED edge list against the
+    # (shrinking) removed set plus one left join on the |V|-row degree
+    # vector. Same per-round removals as the unrolled oracle (proved by
+    # induction: deg_r equals the oracle's COUNT over e_r for every
+    # survivor), measured 2.47 s → 1.97 s at sf0.1 best-of-3 (~20%).
+    # At 100 TB the semi-join hash-partitions on dst; nothing
+    # scale-class is pinned broadcast (AQE picks the build side).
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
+    cached.append(deg)
     for _ in range(KC_ROUNDS):
-        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.filter(F.col("d") >= KC_K).select("src").persist()
-        cached.append(keep)
-        e = (
-            e.join(keep, "src", "semi")
-            .join(keep.withColumnRenamed("src", "dst"), "dst", "semi")
-            .select("src", "dst")
+        removed = deg.filter(F.col("d") < KC_K).select("src").persist()
+        cached.append(removed)
+        dec = (
+            e.join(removed.withColumnRenamed("src", "dst"), "dst", "semi")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("dec"))
+        )
+        deg = (
+            deg.filter(F.col("d") >= KC_K)
+            .join(dec, "src", "left")
+            .select(
+                "src",
+                (F.col("d") - F.coalesce(F.col("dec"), F.lit(0))).alias("d"),
+            )
             .persist()
         )
-        cached.append(e)
+        cached.append(deg)
     session_slots(spark)["kcore"] = tuple(cached)
-    return e.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).select(
+    # d > 0: the oracle's final GROUP BY over e_KC_ROUNDS cannot emit a
+    # survivor whose every remaining edge pointed into the last removed
+    # set — the tracked-degree form must drop those rows explicitly.
+    return deg.filter(F.col("d") > 0).select(
         F.col("src").alias("node"),
         F.when(F.col("src") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))
         .alias("kind"),
-        "degree",
+        F.col("d").cast("long").alias("degree"),
     )
 
 

@@ -97,8 +97,14 @@ def _default_driver_mem() -> str:
 
 def get_spark(app_name: str = "etl_pipeline_sam_gov_spark") -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # local[N, K]: K task-attempt retries before a stage aborts — the
+    # robustness-sweep knob (executor loss / speculative retry
+    # determinism needs tasks that can legally re-run; plain local[N]
+    # pins maxFailures=1 so the first injected failure kills the job).
+    retries = os.environ.get("SPARK_GRAFT_TASK_MAX_FAILURES")
+    master = f"local[{cpus},{int(retries)}]" if retries else f"local[{cpus}]"
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         # Shuffle parallelism sized to cores for local; on a real cluster
         # AQE coalescing makes the initial number mostly a ceiling.
@@ -112,6 +118,14 @@ def get_spark(app_name: str = "etl_pipeline_sam_gov_spark") -> SparkSession:
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
+    # Build-time conf overrides for robustness sweeps (speculation and
+    # other scheduler confs are frozen at SparkContext startup, so a
+    # runtime spark.conf.set cannot exercise them):
+    # SPARK_GRAFT_EXTRA_CONFS="k1=v1,k2=v2".
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
+    for pair in filter(None, extra.split(",")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return configure_runtime(spark)

@@ -741,8 +741,9 @@ def test_dq_suite_scans_each_table_once(spark, sf_dir):
 
 
 def test_kcore_rounds_reuse_persisted_relations(spark, sf_dir):
-    """Each peel round must read the persisted previous-round edge set
-    (InMemoryTableScan), not replay the whole peel lineage — the same
+    """Each peel round must read persisted relations (the cached edge
+    list for its decrement semi-join and the previous round's tracked
+    degree vector), not replay the whole peel lineage — the same
     flat-lineage discipline the PageRank loop pins."""
     from etl_pipeline_sam_gov_spark.operators.graph import KC_ROUNDS
 

@@ -318,6 +318,30 @@ STRESS_QUERIES = (
     # keep measuring the replay row counts so the class can't recur:
     "stream_left_outer_join_purchases",  # watermark-flushed outer join
     "stream_session_timeout_close",      # GroupState timeout closes
+    # round-7 promotions (VERDICT r06 next-round #6): the most
+    # informative of the r6 full-coverage AD-HOC sweep — everything
+    # whose worst step ratio landed near the ≲4 threshold in
+    # STRESS_FULL_r06.json plus the remaining iterative/grouped-walk
+    # shapes, so they get the pinned best-of-2 + rows discipline every
+    # round instead of once. (The brief's six named queries —
+    # recursive_hierarchy_walk, text_repetition_quality,
+    # graph_conductance_nations, window_range_price_neighborhood,
+    # multimodal_patch_grid_stats, ml_precision_recall_curve — were
+    # already pinned in the round-6 batches above.)
+    "ml_ridge_regression",       # normal-equation moments (r6 4.87 first step — re-adjudicated r7)
+    "agg_rollup",                # headline multi-dim agg (3.78 at 16×)
+    "fn_try_arithmetic",         # try_* scan expressions (3.68)
+    "agg_aqp_sample_estimate",   # TABLESAMPLE estimate + correction (3.67)
+    "udf_grouped_agg_pandas",    # pandas grouped-agg lane (3.41)
+    "ml_linear_regression_closed_form",  # X'X moment solve (3.40)
+    "text_redact_pii",           # regex scan map (3.24; bench wobble watch)
+    "ml_shapley_r2_attribution", # 2^d subset R² lattice (3.20)
+    "agg_cube",                  # cube lattice expand (3.14)
+    "agg_grouping_sets",         # grouping-set expand (3.00)
+    "udf_holt_linear_users",     # grouped-map double-exponential walk (3.07)
+    "ml_bagged_stumps",          # iterative bootstrap ensemble (2.93)
+    "ml_spearman_rho",           # two rank windows + moment agg (2.89)
+    "udf_grouped_map_zscore",    # grouped-map normalize lane (2.52)
 )
 
 
