@@ -739,7 +739,17 @@ def multimodal_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-expansion joins, intra-cluster pairs) consumes the hash
     # relation: persist so the BMP decode runs once (the
     # dedup_simhash_blocked discipline).
-    hashes = hashes.persist()
+    return dhash_pairs_from_hashes(hashes.persist())
+
+
+def dhash_pairs_from_hashes(hashes: DataFrame) -> DataFrame:
+    """(doc1, doc2, hamming ≤ DHASH_MAX_HAM) pairs from a persisted
+    (doc_id, b0..b3) 4×16-bit hash relation — the banded candidate
+    generation + representative collapse + member re-expansion stage of
+    multimodal_image_dhash_pairs, factored out so the pairing logic is
+    property-testable over arbitrary hash populations (planted
+    identical-hash clusters, near-miss band collisions) independent of
+    the BMP decode (tests/test_properties.py)."""
     HB = [f"b{i}" for i in range(DHASH_BANDS)]
     # r7 exact-duplicate representative collapse (VERDICT r06 #1): band
     # candidates are generated over the DISTINCT-hash relation, so a

@@ -493,3 +493,132 @@ def test_skyline_windows_match_dominance_model(pts, spark):
     )
     got = {r.p_partkey for r in frontier(local).collect()}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# r7 rewrites: randomized equivalence against brute-force references
+# ---------------------------------------------------------------------------
+
+
+def _kcore_reference(edges: set, k: int, rounds: int) -> dict:
+    """Textbook synchronous peel by full recount — the unrolled-oracle
+    semantics the delta-decrement form must reproduce exactly."""
+    e = set(edges)
+    for _ in range(rounds):
+        deg: dict = {}
+        for s, d in e:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {n for n, dd in deg.items() if dd >= k}
+        e = {(s, d) for s, d in e if s in keep and d in keep}
+    out: dict = {}
+    for s, d in e:
+        out[s] = out.get(s, 0) + 1
+    return out
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kcore_delta_peel_matches_recount_reference(pairs, k, spark):
+    """The r7 delta-decrement peel (degrees tracked, never recounted)
+    must equal the recount peel on ANY symmetric graph — including
+    graphs whose peel does NOT reach fixpoint within the rounds, nodes
+    whose tracked degree falls to zero in the final round, and k values
+    far from the fixture's (the induction in kcore_peel's docstring,
+    checked mechanically)."""
+    from etl_pipeline_sam_gov_spark.operators.graph import kcore_peel
+
+    # symmetrize + dedup, drop self-loops (the query's edge relations
+    # are symmetric and loop-free by construction)
+    edges = set()
+    for a, b in pairs:
+        if a != b:
+            edges.add((a, b))
+            edges.add((b, a))
+    expect = _kcore_reference(edges, k, rounds=3)
+
+    if not edges:
+        return  # Spark can't infer a schema from zero rows; ref is {}
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    surv, cached = kcore_peel(df, k, rounds=3)
+    got = {r["src"]: r["d"] for r in surv.collect()}
+    for c in cached:
+        c.unpersist()
+    assert got == expect
+
+
+def _dhash_reference(hashes: list) -> set:
+    """Brute-force O(n²): every doc pair sharing ≥1 of the 4 16-bit
+    bands with total Hamming ≤ DHASH_MAX_HAM."""
+    from etl_pipeline_sam_gov_spark.operators.multimodal import DHASH_MAX_HAM
+
+    out = set()
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            di, bi = hashes[i][0], hashes[i][1:]
+            dj, bj = hashes[j][0], hashes[j][1:]
+            if not any(x == y for x, y in zip(bi, bj)):
+                continue
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(bi, bj))
+            if ham <= DHASH_MAX_HAM:
+                out.add((min(di, dj), max(di, dj), ham))
+    return out
+
+
+@given(data=st.data())
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dhash_pairing_matches_bruteforce(data, spark):
+    """The collapsed banded pipeline (distinct-hash candidates +
+    Hamming verify + member re-expansion) must equal brute force on
+    hash populations with PLANTED identical-hash clusters (the case the
+    r7 collapse exists for), near-miss band collisions, and random
+    noise — by pigeonhole the band join loses nothing at ham ≤ 3."""
+    from etl_pipeline_sam_gov_spark.operators.multimodal import (
+        dhash_pairs_from_hashes,
+    )
+
+    base = data.draw(
+        st.lists(
+            st.tuples(*[st.integers(min_value=0, max_value=0xFFFF)] * 4),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    rows = []
+    doc = 0
+    for h in base:
+        # plant a cluster of 1-3 identical copies of each hash, plus a
+        # 1-bit perturbation of some (a guaranteed band collision with
+        # hamming 1)
+        copies = data.draw(st.integers(min_value=1, max_value=3))
+        for _ in range(copies):
+            rows.append((doc, *h))
+            doc += 1
+        if data.draw(st.booleans()):
+            flip = data.draw(st.integers(min_value=0, max_value=63))
+            b = list(h)
+            b[flip // 16] ^= 1 << (flip % 16)
+            rows.append((doc, *b))
+            doc += 1
+    expect = _dhash_reference(rows)
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    ).persist()
+    got = {
+        (r["doc1"], r["doc2"], r["hamming"])
+        for r in dhash_pairs_from_hashes(df).collect()
+    }
+    df.unpersist()
+    assert got == expect
