@@ -467,17 +467,15 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic; at these scale factors peeling reaches its fixpoint
     within the unrolled rounds, so the output IS the k-core.
 
-    Scale shape: ONE full degree count up front, then per round one
-    semi-join of the cached edge list against the round's removed set
-    (to count each survivor's lost edges) and one |V|-row left join
-    applying the decrements — degrees are TRACKED, never recounted, so
-    the edge relation is scanned once per round instead of re-filtered
-    and re-aggregated (r7 delta-decrement rewrite; 2.47 s → 1.97 s
-    best-of-3 at sf0.1). Every per-round relation is persisted so
-    lineage stays flat instead of growing ~2^r (the PageRank persist
-    discipline, including the release-before-re-persist cache rule).
-    At 100 TB the removed set hash-joins against edges partitioned on
-    dst; no broadcast of scale-class relations is pinned."""
+    Scale shape per round: one partial-combined degree count on the
+    current edge set, then two semi-joins restricting edges to
+    surviving endpoints — the keep-set is |V|-sized (never the edge
+    list), and each round's edge relation is persisted so lineage stays
+    flat instead of growing ~2^r (the PageRank persist discipline,
+    including the release-before-re-persist cache rule). At 100 TB the
+    keep set hash-joins against edges partitioned on src/dst; no
+    broadcast of scale-class relations is pinned. See kcore_peel for
+    the measured rejection of the delta-decrement variant."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
     pairs = (
         t["lineitem"]
@@ -515,49 +513,38 @@ def kcore_peel(
     degree over the surviving edge set) plus the per-round persisted
     relations the CALLER must release (the session_slots discipline).
 
-    r7 delta-decrement shape (VERDICT r06 next-round #7): the old form
-    recounted degrees from a freshly semi-joined edge relation every
-    round — one |E| aggregation + two |E| semi-joins per round.
-    Synchronous peeling only needs the FULL count once: round r removes
-    nodes whose current TRACKED degree < k, and survivors' degrees drop
-    by exactly their edge count into the removed set — so a round is
-    one semi-join of the cached edge list against the (shrinking,
-    pairwise-disjoint) removed set plus one left join on the |V|-row
-    degree vector. Same per-round removals as the unrolled oracle
-    (induction: deg_r equals a recount over e_r for every survivor —
-    removed sets are disjoint, so each edge into an eventually-removed
-    node is decremented exactly once, in the round its endpoint falls);
-    measured 2.47 s → 1.97 s at sf0.1 best-of-3 (~20%), and
-    equivalence against a recount reference is property-tested over
-    random graphs (tests/test_properties.py). At 100 TB the semi-join
-    hash-partitions on dst; nothing scale-class is pinned broadcast
-    (AQE picks the build side)."""
+    Shape: per round one partial-combined degree count over the CURRENT
+    (shrinking) edge set and two semi-joins restricting edges to
+    surviving endpoints; every per-round relation persisted so lineage
+    stays flat (~2^r otherwise). An r7 delta-decrement variant (full
+    degree count once, then per-round decrements from an
+    e_full ⋈ removed semi-join) was built, property-tested equivalent,
+    and REJECTED on a clean-box interleaved A/B: recount best-of-5
+    1.57 s vs delta 2.26 s at sf0.1. The reason generalizes to 100 TB:
+    k-core peeling on heavy-tailed transaction graphs removes MOST
+    nodes in round 1 (here |e_2| ≪ |e_1|), so later recount rounds scan
+    a tiny relation while the delta form re-scans the FULL cached edge
+    list every round for its decrement join — delta peeling only wins
+    when removals per round are sparse. (An earlier same-session A/B on
+    a load-inflated box had favored delta 1.97 vs 2.47; the clean-box
+    interleaved measurement reverses it — adopt/reject calls need the
+    interleaved clean-box protocol.) Equivalence against a brute-force
+    recount reference stays property-tested over random graphs,
+    including non-fixpoint peels (tests/test_properties.py)."""
     e = e.persist()
     cached: list[DataFrame] = [e]
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
-    cached.append(deg)
     for _ in range(rounds):
-        removed = deg.filter(F.col("d") < k).select("src").persist()
-        cached.append(removed)
-        dec = (
-            e.join(removed.withColumnRenamed("src", "dst"), "dst", "semi")
-            .groupBy("src")
-            .agg(F.count(F.lit(1)).alias("dec"))
-        )
-        deg = (
-            deg.filter(F.col("d") >= k)
-            .join(dec, "src", "left")
-            .select(
-                "src",
-                (F.col("d") - F.coalesce(F.col("dec"), F.lit(0))).alias("d"),
-            )
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("src").persist()
+        cached.append(keep)
+        e = (
+            e.join(keep, "src", "semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "semi")
+            .select("src", "dst")
             .persist()
         )
-        cached.append(deg)
-    # d > 0: a recount over the surviving edge set cannot emit a
-    # survivor whose every remaining edge pointed into the last removed
-    # set — the tracked-degree form must drop those rows explicitly.
-    return deg.filter(F.col("d") > 0), cached
+        cached.append(e)
+    return e.groupBy("src").agg(F.count(F.lit(1)).alias("d")), cached
 
 
 #: HITS fixed iteration count (each iteration = one authority update +

@@ -529,13 +529,15 @@ def _kcore_reference(edges: set, k: int, rounds: int) -> dict:
 )
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
-def test_kcore_delta_peel_matches_recount_reference(pairs, k, spark):
-    """The r7 delta-decrement peel (degrees tracked, never recounted)
-    must equal the recount peel on ANY symmetric graph — including
-    graphs whose peel does NOT reach fixpoint within the rounds, nodes
-    whose tracked degree falls to zero in the final round, and k values
-    far from the fixture's (the induction in kcore_peel's docstring,
-    checked mechanically)."""
+def test_kcore_peel_matches_recount_reference(pairs, k, spark):
+    """kcore_peel must equal a pure-Python synchronous recount peel on
+    ANY symmetric graph — including graphs whose peel does NOT reach
+    fixpoint within the rounds, survivors whose degree falls in the
+    final round, and k values far from the fixture's. (This test was
+    the equivalence gate for the r7 delta-decrement variant, which
+    passed it and was then rejected on performance — see kcore_peel's
+    docstring; it now guards the committed recount form the same
+    way.)"""
     from etl_pipeline_sam_gov_spark.operators.graph import kcore_peel
 
     # symmetrize + dedup, drop self-loops (the query's edge relations
