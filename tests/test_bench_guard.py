@@ -75,3 +75,22 @@ def test_regressions_helper_drives_the_retrial_pass(tmp_path, monkeypatch):
     outlier = dict(uniform)
     outlier["qd"] = FLOOR["qd"] * 1.8 * 3
     assert set(bench.regressions(outlier, FLOOR)) == {"qd"}
+
+
+def test_median_inflation_helper_matches_guard_semantics():
+    """r7 (VERDICT r06 next-round #5): the bench JSON's
+    median_inflation field must be the exact factor regressions()
+    divides out — median per-query ratio to floor, clamped at 1.0, 1.0
+    on an empty floor — so a reader can reconstruct the guard's
+    normalized numbers from the JSON alone."""
+    t = {"qa": 2.2, "qb": 1.1, "qc": 4.4, "qd": 0.55, "qe": 1.76}
+    # uniform 2.2x: median ratio is exactly 2.2
+    assert bench.median_inflation(t, FLOOR) == 2.2
+    # faster-than-floor runs clamp to 1.0 (never deflate)
+    fast = {k: v * 0.4 for k, v in FLOOR.items()}
+    assert bench.median_inflation(fast, FLOOR) == 1.0
+    # no floor -> 1.0, and regressions() must agree with the field:
+    assert bench.median_inflation(t, {}) == 1.0
+    flagged = bench.regressions(t, FLOOR)
+    for name, (tt, fl, inf) in flagged.items():
+        assert inf == bench.median_inflation(t, FLOOR)
