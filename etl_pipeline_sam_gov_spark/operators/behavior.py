@@ -492,49 +492,49 @@ def reco_item_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive ("customers who bought A also bought B") and the
     association-rule kernel under Apriori-style mining.
 
-    Scale shape (r6): pair generation collapses each order to its
-    sorted part ARRAY (one shuffle on the order key) and emits the
-    ordered within-array pairs map-side — fan-out is bounded by basket
-    size squared per order (≤ C(17,2) here; a real retailer caps
-    basket size the same way) and never corpus-quadratic. vs the
-    earlier basket self-join: same single order-keyed exchange but no
-    join probe/build and one fewer read of the cached basket, without
-    leaning on runtime ReusedExchange to dedupe the two join sides
-    (measured time-parity at sf0.1, 1.9 vs 1.9 s solo). Counts are
-    exact ints; lift/confidence are one float expression in identical
-    operation order on both engines, rounded to 6; the top-k cut
-    orders by the ROUNDED lift with pair tiebreaks and plans as
-    TakeOrderedAndProject, not a full sort.
+    Scale shape (r7): ONE corpus shuffle total — the fact table goes
+    straight to groupBy(orderkey) with the per-order dedup INSIDE the
+    aggregation (array_distinct ∘ collect_list, then array_sort), so
+    the r6 shape's separate distinct exchange on (orderkey, partkey)
+    disappears; the persisted per-order array relation (|orders| rows)
+    then feeds all three consumers — item counts (map-side explode →
+    part-keyed agg), the order-count scalar (a count of arrs rows,
+    since distinct orderkeys = rows after the group), and the map-side
+    ordered pair emission (nested HOFs; fan-out bounded by basket size
+    squared per order, ≤ C(17,2) here — a real retailer caps basket
+    size the same way — never corpus-quadratic). Measured on a clean
+    box, interleaved best-of-5: 2.20 s → 1.74 s at sf0.1 (~21%), output
+    byte-identical. Counts are exact ints; lift/confidence are one
+    float expression in identical operation order on both engines,
+    rounded to 6; the top-k cut orders by the ROUNDED lift with pair
+    tiebreaks and plans as TakeOrderedAndProject, not a full sort.
 
-    The basket relation feeds FOUR consumers (the pair arrays, both
-    item joins, the order-count scalar); persisting it makes each read
-    the one distinct result instead of re-shuffling the fact table per
-    consumer — without it, exchange reuse is plan-layout-dependent and
-    a 16× amplification measured super-linear (5.1×/4×) purely from
-    the repeated distinct (the PageRank/k-core persist discipline)."""
+    Persisting arrs makes each consumer read the one grouped result
+    instead of re-shuffling the fact table — without it, exchange
+    reuse is plan-layout-dependent and a 16× amplification measured
+    super-linear (5.1×/4×) purely from the repeated grouping (the
+    PageRank/k-core persist discipline)."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     prev = session_slots(spark).pop("basket", None)
     if prev is not None:
         prev.unpersist()
-    basket = li.select("l_orderkey", "l_partkey").distinct().persist()
-    session_slots(spark)["basket"] = basket
-    item = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    n = basket.agg(
-        F.count_distinct("l_orderkey").alias("n_orders")
+    arrs = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.collect_list("l_partkey"))
+            ).alias("ps")
+        )
+        .persist()
     )
-    # Pair generation WITHOUT the basket self-join (r6): collapse each
-    # order to its sorted part array (one shuffle on orderkey — the
-    # exchange the self-join would have needed anyway), then emit the
-    # ordered within-array pairs map-side with nested HOFs and feed
-    # them straight into the partial-combined pair count. vs a ⋈ b on
-    # the order key: the join's probe/build work and its second read
-    # of the cached basket disappear; fan-out stays bounded by basket
-    # size squared per order exactly as before (arrays are basket-
-    # sized, ≤17 here, capped in production). array_sort guarantees
-    # part_a < part_b structurally.
-    arrs = basket.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("l_partkey")).alias("ps")
+    session_slots(spark)["basket"] = arrs
+    item = (
+        arrs.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
+    n = arrs.agg(F.count(F.lit(1)).alias("n_orders"))
     pair = (
         arrs.select(
             F.explode(
