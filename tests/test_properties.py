@@ -624,3 +624,149 @@ def test_dhash_pairing_matches_bruteforce(data, spark):
     }
     df.unpersist()
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH pipeline (operators.dedup.minhash_duplicate_pairs) vs a pure-
+# Python model of the whole chain on random small-vocab corpora
+# ---------------------------------------------------------------------------
+
+
+def _minhash_reference(texts: list[str]) -> set[tuple[int, int, float]]:
+    """Brute-force Python model of the ENTIRE LSH pipeline — shingles,
+    60-bit md5 hashing, the 16 permutations, 8×2 banding, candidate
+    pairs, exact Jaccard — sharing only the constants with the Spark
+    path (dedup.py's determinism contract)."""
+    import hashlib
+
+    from etl_pipeline_sam_gov_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_P,
+        MINHASH_PERMS,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sh = {i: _python_shingles(t) for i, t in enumerate(texts)}
+    sigs = {}
+    for i, s in sh.items():
+        if not s:
+            continue  # docs with no shingles never enter the sig relation
+        hs = [h60(x) % MINHASH_P for x in s]
+        sigs[i] = [
+            min((a * h + b) % MINHASH_P for h in hs) for a, b in MINHASH_PERMS
+        ]
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for i, sig in sigs.items():
+        for band in range(LSH_BANDS):
+            key = ",".join(
+                str(sig[band * LSH_ROWS + r]) for r in range(LSH_ROWS)
+            )
+            bh = hashlib.md5(key.encode()).hexdigest()
+            buckets.setdefault((band, bh), []).append(i)
+    cand = set()
+    for members in buckets.values():
+        for a in members:
+            for b in members:
+                if a < b:
+                    cand.add((a, b))
+    out = set()
+    for d1, d2 in cand:
+        inter = len(sh[d1] & sh[d2])
+        jac = inter / (len(sh[d1]) + len(sh[d2]) - inter)
+        if jac >= JACCARD_THRESHOLD:
+            out.add((d1, d2, round(jac, 6)))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    dup_of=st.lists(st.integers(min_value=0, max_value=11), max_size=4),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_minhash_lsh_matches_python_model(docs, dup_of, spark):
+    """The full MinHash-LSH chain must equal the brute-force model on
+    corpora seeded with exact duplicates (dup_of re-appends existing
+    docs) and tiny-vocab near-dups (4-token alphabet forces shingle
+    collisions) — the regimes where banding, tie-breaking, and the
+    verify join all do real work."""
+    from etl_pipeline_sam_gov_spark.operators.dedup import (
+        minhash_duplicate_pairs,
+    )
+
+    texts = [" ".join(toks) for toks in docs]
+    texts += [texts[i % len(texts)] for i in dup_of]  # planted exact dups
+    expect = _minhash_reference(texts)
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    got = {
+        (r["doc1"], r["doc2"], r["jaccard"])
+        for r in minhash_duplicate_pairs(df).collect()
+    }
+    assert {(a, b) for a, b, _ in got} == {(a, b) for a, b, _ in expect}
+    ej = {(a, b): j for a, b, j in expect}
+    for a, b, j in got:
+        assert abs(j - ej[(a, b)]) < 1e-6, (a, b, j, ej[(a, b)])
+
+
+# ---------------------------------------------------------------------------
+# Random-walk corpus generation (operators.graph.graph_random_walks) vs a
+# Python walk over the same edge list — pins neighbor ranking, the degree
+# carry, and the md5 pick rule end-to-end
+# ---------------------------------------------------------------------------
+
+
+def test_random_walks_match_python_walker(spark):
+    """Replay every walk in plain Python from the duckdb-derived edge
+    list: rank neighbors by dst ascending, carry degree, pick index =
+    md5-hash60(f"rw{walk}:{step}") % degree. Every (walk_id, step,
+    node) row must match exactly — and every step must traverse a real
+    edge (the _symmetrize no-sink invariant ADVICE r06 documented)."""
+    import hashlib
+
+    import duckdb
+
+    import etl_pipeline_sam_gov_spark as eng
+    from etl_pipeline_sam_gov_spark.operators.graph import RW_STEPS
+
+    sf = "/root/testdata/sf0.001"
+    pairs = duckdb.sql(f"""
+        SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+        FROM '{sf}/lineitem.parquet' l
+        JOIN '{sf}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+    """).fetchall()
+    nbrs: dict[int, list[int]] = {}
+    for c, s in pairs:
+        nbrs.setdefault(c, []).append(s)
+        nbrs.setdefault(s, []).append(c)
+    for v in nbrs:
+        nbrs[v] = sorted(set(nbrs[v]))
+
+    def h60(x: str) -> int:
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+    expect = set()
+    for v0 in nbrs:
+        cur = v0
+        expect.add((v0, 0, v0))
+        for step in range(1, RW_STEPS + 1):
+            cur = nbrs[cur][h60(f"rw{v0}:{step}") % len(nbrs[cur])]
+            expect.add((v0, step, cur))
+
+    got = {
+        (r["walk_id"], r["step"], r["node"])
+        for r in eng.QUERIES["graph_random_walks"](spark, sf).collect()
+    }
+    assert got == expect
