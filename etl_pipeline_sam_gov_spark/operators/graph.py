@@ -849,13 +849,24 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling is (hash coins, no RNG state; re-runs and both engines
     derive identical walks).
 
-    Scale shape: the neighbor ranking is ONE row_number window on the
-    edge exchange (keyed on src — the same partitioning every step's
-    join reuses); each step is an equi-join of the |V|-row walk
-    frontier against (deg ⋈ nbr) on (node, idx) — never a
-    degree-fan-out explode, never a collect; walk state is one row per
-    walk. At 100 TB with E ≫ V the per-step cost is the frontier join,
-    exactly Pregel's compute shape (cf. graph_bfs_hops)."""
+    Scale shape (r7): the ranked-neighbor cache is persisted carrying
+    the window's OWN hashpartitioning(src) — a subset of the step-join
+    keys, which co-partitions the join once
+    ``requireAllClusterKeysForCoPartition=false`` (session.py) lets
+    Spark reuse subset partitionings — plus a one-time no-op
+    sortWithinPartitions to make the (src, dst) ordering symbolically
+    (src, idx). Each step then exchanges ONLY the |V|-row frontier;
+    the |E|-row side is never re-shuffled, re-sorted, or broadcast.
+    The step join is deliberately UNHINTED: at fixture scale AQE
+    broadcasts the small frontier (measured parity with the old
+    explicit-broadcast shape, 2.25 vs 2.33 s interleaved best-of-6 at
+    sf0.1); at corpus scale the frontier is entity-population-sized
+    (one walk per node) and an explicit ``F.broadcast`` would ship
+    |V| rows to every executor — the one plan in this family that
+    CANNOT run at 100 TB — so AQE's size-gated fallback to a
+    co-partitioned merge join is the scale path, not a regression.
+    Never a degree-fan-out explode, never a collect; walk state stays
+    one row per walk — Pregel's compute shape (cf. graph_bfs_hops)."""
     from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
 
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
@@ -882,12 +893,17 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and every union branch of the output re-reads them instead of
     # re-deriving the edge relation (measured 4.2 s → ~1 s at sf0.1:
     # the unpersisted form re-ran the lineitem⋈orders distinct ~8×).
+    # idx is cast to bigint AT CONSTRUCTION: pick_idx below is bigint
+    # (hash60 % deg), and a cast(idx) inside the step-join keys would
+    # defeat both partitioning and ordering reuse of the cache (the
+    # planner compares key expressions symbolically — measured: the
+    # int-idx form re-exchanged the |E| side every step).
     nbr = edges.select(
         "src",
         "dst",
-        (
-            F.row_number().over(W.partitionBy("src").orderBy("dst")) - 1
-        ).alias("idx"),
+        (F.row_number().over(W.partitionBy("src").orderBy("dst")) - 1)
+        .cast("bigint")
+        .alias("idx"),
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     # r6: the ranked-neighbor relation CARRIES the destination's degree
@@ -903,12 +919,28 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edges into sinks and a walk stepping there would vanish one step
     # early; reuse on directed edges must left-join with dst_deg
     # defaulted to 0 and terminate the walk explicitly.
-    nbr_dd = nbr.join(
-        F.broadcast(
-            deg.select(F.col("src").alias("dst"), F.col("deg").alias("dst_deg"))
-        ),
-        "dst",
-    ).persist()
+    # r7: the cache keeps the window's hashpartitioning(src) — NO
+    # repartition (an explicit (src, idx) exchange measured +0.9 s of
+    # pure setup cost for nothing: hash(src) is a subset of the step
+    # keys and co-partitions the join under
+    # requireAllClusterKeysForCoPartition=false) — plus a one-time
+    # in-partition sort that renames the already-(src, dst)-ordered
+    # rows to the symbolically-(src, idx) ordering the step merge join
+    # asks for. InMemoryTableScan preserves both properties, so every
+    # step probes the cache with zero exchange and zero sort on the
+    # |E| side.
+    nbr_dd = (
+        nbr.join(
+            F.broadcast(
+                deg.select(
+                    F.col("src").alias("dst"), F.col("deg").alias("dst_deg")
+                )
+            ),
+            "dst",
+        )
+        .sortWithinPartitions("src", "idx")
+        .persist()
+    )
     cached: list[DataFrame] = [deg, nbr_dd]
     cur = deg.select(
         F.col("src").alias("walk_id"), F.col("src").alias("node"), "deg"
@@ -924,13 +956,17 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ) % F.col("deg")
         picked = cur.select("walk_id", "node", pick.alias("pick_idx"))
-        # The |V|-row frontier (with its picked index) BROADCASTS onto
-        # the persisted ranked-neighbor relation — the |E|-row side is
-        # never re-shuffled per step (the PageRank msg-broadcast move;
-        # a per-step shuffle of nbr measured ~1 s/step at sf0.1).
+        # UNHINTED join, deliberately (see docstring): AQE broadcasts
+        # the |V|-row frontier while it is small (fixture scale —
+        # measured parity with the old explicit F.broadcast, 2.25 vs
+        # 2.33 s) and falls back to a merge join onto the cache's
+        # reused partitioning when it is not — only the frontier is
+        # ever exchanged; the |E| side is never re-shuffled per step
+        # (the r3 "per-step shuffle of nbr ~1 s/step" regression
+        # re-shuffled the WRONG side).
         cur = (
             nbr_dd.join(
-                F.broadcast(picked),
+                picked,
                 (F.col("node") == nbr_dd["src"])
                 & (F.col("pick_idx") == nbr_dd["idx"]),
             )

@@ -27,6 +27,13 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let a relation partitioned on a SUBSET of a join's keys co-partition
+    # that join instead of forcing a full-key re-exchange (planner-freedom
+    # conf — results invariant, full-registry oracle sweep green under it).
+    # The iterative graph family leans on this: graph_random_walks probes
+    # its (src)-partitioned ranked-neighbor cache on (src, idx) with zero
+    # per-step exchange of the |E| side (operators/graph.py r7 note).
+    "spark.sql.requireAllClusterKeysForCoPartition": "false",
     # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     # reader rejects; read as long (nanos since epoch) and normalize to
     # micros in tables.load_tables (exact integer division).
