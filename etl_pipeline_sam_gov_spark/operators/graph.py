@@ -130,27 +130,37 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     if prev is not None:
         for df in prev:
             df.unpersist()
-    edges = _symmetrize(pairs).persist()
+    # r7: the edge cache is hash-partitioned by src ONCE at setup —
+    # the degree groupBy then reuses that partitioning exchange-free
+    # (so the repartition largely pays for itself), and every round's
+    # message join probes the cache with ZERO edge-side exchange or
+    # sort (the one-time sortWithinPartitions below bakes the merge
+    # ordering in).
+    edges = _symmetrize(pairs).repartition("src").persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     # r6: the edge list CARRIES the destination's degree (one setup
-    # broadcast join, cached) and the per-round contribution aggregation
-    # groups by (dst, dst_deg) — same key cardinality, 8 more bytes per
-    # shuffle row. Because the graph is symmetric, EVERY node receives
-    # mass, so contrib covers the whole node relation and the old
-    # per-round deg ⋈ contrib LEFT join (+ coalesce) was recomputing a
-    # fact the aggregation already knows. Each round is now exactly: one
-    # broadcast hash join onto the cached edges + one partial-combined
-    # |V|-row aggregation — nothing else. (The oracle keeps the
-    # LEFT-join formulation, so a node silently losing its mass would
-    # hash-mismatch. A pairs-side degree derivation that skips the
-    # edges persist entirely measured SLOWER — 1.57 vs 1.23 s setup —
-    # so the join-back shape stays.)
-    edges_dd = edges.join(
-        F.broadcast(
-            deg.select(F.col("src").alias("dst"), F.col("deg").alias("dst_deg"))
-        ),
-        "dst",
-    ).persist()
+    # broadcast join, cached; deg is |V|-row but the BUILD side of a
+    # bounded one-time setup join — at corpus scale swap this hint for
+    # the same co-partitioned join the rounds use). Because the graph
+    # is symmetric, EVERY node receives mass, so contrib covers the
+    # whole node relation and the old per-round deg ⋈ contrib LEFT
+    # join (+ coalesce) was recomputing a fact the aggregation already
+    # knows. (The oracle keeps the LEFT-join formulation, so a node
+    # silently losing its mass would hash-mismatch. A pairs-side
+    # degree derivation that skips the edges persist entirely measured
+    # SLOWER — 1.57 vs 1.23 s setup — so the join-back shape stays.)
+    edges_dd = (
+        edges.join(
+            F.broadcast(
+                deg.select(
+                    F.col("src").alias("dst"), F.col("deg").alias("dst_deg")
+                )
+            ),
+            "dst",
+        )
+        .sortWithinPartitions("src")
+        .persist()
+    )
     cached: list[DataFrame] = [edges, deg, edges_dd]
 
     # deg is keyed by src and every node of the symmetric graph has an
@@ -170,29 +180,39 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(PR_ITERS):
         # The per-round message value rank/outdeg projects off the
-        # |V|-row vector, THEN broadcasts onto the cached edge list —
-        # so an iteration touches the edge relation with exactly one
-        # map-side hash join and one partial-combined aggregation; the
-        # only shuffle is |V| contribution sums, never the edges.
-        # (AQE's pre-runtime estimates chose sort-merge joins against
-        # the edges here: measured 2.3x slower at sf0.1.)
-        # n_nodes rides the message rows (a constant column) so the
-        # round needs no nn re-broadcast: grouping by it is free (same
-        # key cardinality) and saves one tiny-but-latency-bound
-        # broadcast-exchange job per round.
+        # |V|-row vector and joins UNHINTED onto the pre-bucketed edge
+        # cache: the edge side needs no exchange and no sort (the
+        # cache carries hashpartitioning(src) + src ordering), so an
+        # iteration moves only |V| message rows plus |V| contribution
+        # sums — never the edges, and (r7) never a broadcast of the
+        # rank vector, which is entity-population-sized and was the
+        # one per-round relation this plan still shipped whole to
+        # every executor (infeasible exactly when the corpus grows;
+        # fair interleaved best-of-6 at sf0.1: 2.27 s vs the broadcast
+        # form's 2.34 s — parity locally). The r6 note "AQE chose
+        # sort-merge joins here: 2.3x slower" measured the UNBUCKETED
+        # cache, where SMJ re-exchanged and re-sorted the edges every
+        # round; with the partitioning baked into the cache that cost
+        # is gone. n_nodes rides the message rows (a constant column)
+        # so the round needs no nn re-broadcast.
+        # The contribution aggregation groups by dst ALONE — its
+        # output keeps hashpartitioning on the next round's join key,
+        # so consecutive rounds co-partition end-to-end; dst_deg and
+        # n_nodes are functionally dependent on dst (first() is exact,
+        # not a tie-break).
         msg = ranks.select(
             F.col("node").alias("src"),
             (F.col("rank") / F.col("deg")).alias("rd"),
             "n_nodes",
         )
         ranks = (
-            edges_dd.join(F.broadcast(msg), "src")
-            .groupBy(
-                F.col("dst").alias("node"),
-                F.col("dst_deg").alias("deg"),
-                F.col("n_nodes"),
+            edges_dd.join(msg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum("rd").alias("m"),
+                F.first("dst_deg").alias("deg"),
+                F.first("n_nodes").alias("n_nodes"),
             )
-            .agg(F.sum("rd").alias("m"))
             .select(
                 "node",
                 "deg",
@@ -392,9 +412,13 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d1 = deg.select(F.col("s").alias("s1"), F.col("ds").alias("deg1"))
     d2 = deg.select(F.col("s").alias("s2"), F.col("ds").alias("deg2"))
+    # UNHINTED (r7): the degree table is entity-population-sized — a
+    # pinned broadcast would ship |suppliers| rows to every executor
+    # at corpus scale; AQE broadcasts it while small and shuffles the
+    # (already larger) pair relation onto it when not.
     return (
-        shared.join(F.broadcast(d1), "s1")
-        .join(F.broadcast(d2), "s2")
+        shared.join(d1, "s1")
+        .join(d2, "s2")
         .select(
             "s1",
             "s2",
@@ -1317,13 +1341,15 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (run-to-convergence LPA is order-sensitive; the
     synchronous fixed-round variant is reproducible by construction).
 
-    Scale shape: the thresholded edge relation is derived once and
-    persisted; each round is one equi-join of the edge list with the
-    |V|-row label vector (labels broadcast — the edges never
-    re-shuffle) plus a partial-combined (node, lab) count and a
-    per-node argmax window keyed on the same exchange. Per-round label
-    vectors persist to stop lineage blowup (the PageRank rank-vector
-    rule)."""
+    Scale shape (r7): the thresholded edge relation is persisted
+    hash-partitioned by src once; each round's equi-join with the
+    |V|-row label vector is UNHINTED — AQE broadcasts the labels while
+    small and falls back to the co-partitioned merge join when the
+    community vector grows with the supplier population (the old
+    explicit broadcast shipped it whole regardless) — plus a
+    partial-combined (node, lab) count and a per-node argmax window
+    keyed on the same exchange. Per-round label vectors persist to
+    stop lineage blowup (the PageRank rank-vector rule)."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
         "l_orderkey", "l_suppkey"
     )
@@ -1351,6 +1377,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = (
         edges.select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
         .unionAll(edges.select(F.col("s2").alias("src"), F.col("s1").alias("dst")))
+        .repartition("src")
+        .sortWithinPartitions("src")
         .persist()
     )
     cached: list[DataFrame] = [sym]
@@ -1360,7 +1388,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(LP_ROUNDS):
         msgs = (
             sym.join(
-                F.broadcast(labels.select(F.col("node").alias("src"), "lab")),
+                labels.select(F.col("node").alias("src"), "lab"),
                 "src",
             )
             .groupBy(F.col("dst").alias("node"), "lab")
@@ -1763,11 +1791,15 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale the frontier relation stays sparse for low iteration
     counts rather than instantly dense like global PR.
 
-    Scale shape mirrors graph_pagerank_bipartite: edges + degrees
-    persisted once, each round = the |active|-row rank vector joined to
-    degrees (broadcast), one edge-list map-side join, one
-    partial-combined contribution sum keyed on dst. The rank>0 filter
-    keeps the per-round message relation frontier-sized."""
+    Scale shape mirrors graph_pagerank_bipartite (r7): the edge cache
+    is hash-partitioned by src once (the degree groupBy reuses the
+    exchange), and each round's message join is UNHINTED — AQE
+    broadcasts the frontier while it is genuinely sparse and falls
+    back to the co-partitioned merge join when spreading activation
+    densifies it to entity-population size (the old explicit
+    ``F.broadcast(msg)`` shipped that relation whole regardless). One
+    partial-combined contribution sum keyed on dst per round; the
+    rank>0 filter keeps the message relation frontier-sized."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
     pairs = (
         t["lineitem"]
@@ -1786,7 +1818,12 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     if prev is not None:
         for df in prev:
             df.unpersist()
-    edges = _symmetrize(pairs).persist()
+    edges = (
+        _symmetrize(pairs)
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     cached: list[DataFrame] = [edges, deg]
 
@@ -1812,7 +1849,7 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("src", (F.col("rank") / F.col("deg")).alias("rd"))
         )
         contrib = (
-            edges.join(F.broadcast(msg), "src")
+            edges.join(msg, "src")
             .groupBy("dst")
             .agg(F.sum("rd").alias("m"))
         )
