@@ -279,7 +279,11 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("word") != "")
     )
     return (
-        doctok.join(F.broadcast(wstats), "word")
+        # UNHINTED (r7 broadcast audit): the per-word encode table is
+        # vocabulary-sized — a pinned broadcast caps the operator at
+        # executor memory as the corpus vocabulary grows; AQE
+        # broadcasts while small, shuffles on word when not.
+        doctok.join(wstats, "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),

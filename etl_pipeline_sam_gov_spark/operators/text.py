@@ -791,7 +791,11 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         counts.withColumn("n", F.sum("c").over(n_doc))
-        .join(F.broadcast(df_term), "tok")
+        # UNHINTED (r7 broadcast audit): df is VOCABULARY-sized —
+        # unbounded under Heaps' law — so a pinned broadcast caps the
+        # operator at executor memory exactly when the corpus grows;
+        # AQE broadcasts while small, shuffles on tok when not.
+        .join(df_term, "tok")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
@@ -848,7 +852,9 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
     )
     return (
-        tok.join(F.broadcast(tf), "tok")
+        # UNHINTED (r7 broadcast audit): the unigram model is
+        # vocabulary-sized — AQE decides per the tfidf note.
+        tok.join(tf, "tok")
         .crossJoin(F.broadcast(corpus))
         .groupBy("doc_id")
         .agg(
@@ -1171,7 +1177,9 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = bc.join(ctx, "w1")
     return (
-        bg.join(F.broadcast(model), ["w1", "w2"])
+        # UNHINTED (r7 broadcast audit): the bigram model is
+        # bigram-vocabulary-sized — AQE decides per the tfidf note.
+        bg.join(model, ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
@@ -1358,8 +1366,11 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_fp").alias("n_fp1"))
     s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_fp").alias("n_fp2"))
     return (
-        shared.join(F.broadcast(s1), "doc1")
-        .join(F.broadcast(s2), "doc2")
+        # UNHINTED (r7 broadcast audit): the fingerprint-count tables
+        # are document-population-sized — AQE decides per the tfidf
+        # note (same fix as graph_jaccard_neighbors' degree tables).
+        shared.join(s1, "doc1")
+        .join(s2, "doc2")
         .select(
             "doc1",
             "doc2",
