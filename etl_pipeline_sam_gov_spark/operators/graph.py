@@ -140,8 +140,11 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     # r6: the edge list CARRIES the destination's degree (one setup
     # broadcast join, cached; deg is |V|-row but the BUILD side of a
-    # bounded one-time setup join — at corpus scale swap this hint for
-    # the same co-partitioned join the rounds use). Because the graph
+    # ONE-TIME setup join — at corpus scale replace the hint with a
+    # shuffle join on dst followed by a repartition("src") before the
+    # persist: the broadcast is currently also what PRESERVES the
+    # hash(src) layout the rounds reuse, so a bare unhint would
+    # silently cost an |E| exchange per round instead). Because the graph
     # is symmetric, EVERY node receives mass, so contrib covers the
     # whole node relation and the old per-round deg ⋈ contrib LEFT
     # join (+ coalesce) was recomputing a fact the aggregation already
@@ -953,6 +956,11 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # asks for. InMemoryTableScan preserves both properties, so every
     # step probes the cache with zero exchange and zero sort on the
     # |E| side.
+    # The |V|-row deg broadcast is a ONE-TIME setup join that also
+    # PRESERVES the window's hash(src) layout into the cache; at
+    # corpus scale replace it with a shuffle join on dst followed by
+    # a repartition("src") before the persist (the PageRank setup
+    # note) — a bare unhint would lose the layout the steps reuse.
     nbr_dd = (
         nbr.join(
             F.broadcast(
