@@ -201,8 +201,11 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The contribution aggregation groups by dst ALONE — its
         # output keeps hashpartitioning on the next round's join key,
         # so consecutive rounds co-partition end-to-end; dst_deg and
-        # n_nodes are functionally dependent on dst (first() is exact,
-        # not a tie-break).
+        # n_nodes are functionally dependent on dst, so max() is exact
+        # (same partial-agg cost as first(), but deterministic even if
+        # a future directed/asymmetric variant ever broke the
+        # dependency — first() would then vary run to run silently,
+        # max() stays a stable, oracle-catchable value).
         msg = ranks.select(
             F.col("node").alias("src"),
             (F.col("rank") / F.col("deg")).alias("rd"),
@@ -213,8 +216,8 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.sum("rd").alias("m"),
-                F.first("dst_deg").alias("deg"),
-                F.first("n_nodes").alias("n_nodes"),
+                F.max("dst_deg").alias("deg"),
+                F.max("n_nodes").alias("n_nodes"),
             )
             .select(
                 "node",

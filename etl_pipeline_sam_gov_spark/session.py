@@ -33,6 +33,15 @@ RUNTIME_CONFS = {
     # The iterative graph family leans on this: graph_random_walks probes
     # its (src)-partitioned ranked-neighbor cache on (src, idx) with zero
     # per-step exchange of the |E| side (operators/graph.py r7 note).
+    # SCOPE NOTE (r8): this is set session-wide although only the graph
+    # family needs it, and it can change join PHYSICAL plans everywhere —
+    # and therefore float-summation order. Every registered query is
+    # either rounded at the output or integer/decimal-exact, and the full
+    # registry is oracle-swept under this conf; any NEW query that emits
+    # an UNROUNDED floating-point aggregate must be swept under this conf
+    # too (or round like the rest of the registry) before registration,
+    # or it may drift across Spark versions in ways the graph-local
+    # rationale doesn't cover.
     "spark.sql.requireAllClusterKeysForCoPartition": "false",
     # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     # reader rejects; read as long (nanos since epoch) and normalize to
