@@ -20,6 +20,8 @@ CTEs for the DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -54,6 +56,31 @@ def _symmetrize(pairs: DataFrame) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
+
+
+def _attach_dst_deg(rel: DataFrame, deg: DataFrame, order_cols) -> DataFrame:
+    """One-time setup join attaching the destination's degree to the
+    edge-side relation, then persisting it with hash(src) partitioning
+    + in-partition (src, …) ordering — the cache layout every
+    iterative round probes exchange-free.
+
+    Committed shape: broadcast build of the |V|-row degree table — the
+    |E|-row probe side KEEPS the upstream hash(src) layout, so the
+    persist inherits it for free. That broadcast is fine at fixture
+    scale but |V| grows with the entity population, so at corpus scale
+    set ``SPARK_GRAFT_SCALE_SETUP=1``: the join shuffles BOTH sides on
+    dst (never ships deg whole) and an explicit ``repartition("src")``
+    restores the layout the rounds reuse — a bare unhint without the
+    repartition would silently cost an |E| exchange per round instead.
+    The two shapes are output-identical (asserted hash-for-hash in
+    tests/test_graph_scale_setup.py); only the one-time setup plan
+    differs, so the swap is a deployment knob, not a semantics fork."""
+    dd = deg.select(F.col("src").alias("dst"), F.col("deg").alias("dst_deg"))
+    if os.environ.get("SPARK_GRAFT_SCALE_SETUP") == "1":
+        joined = rel.join(dd.hint("shuffle_hash"), "dst").repartition("src")
+    else:
+        joined = rel.join(F.broadcast(dd), "dst")
+    return joined.sortWithinPartitions(*order_cols).persist()
 
 
 def _pagerank_oracle() -> str:
@@ -138,32 +165,19 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ordering in).
     edges = _symmetrize(pairs).repartition("src").persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    # r6: the edge list CARRIES the destination's degree (one setup
-    # broadcast join, cached; deg is |V|-row but the BUILD side of a
-    # ONE-TIME setup join — at corpus scale replace the hint with a
-    # shuffle join on dst followed by a repartition("src") before the
-    # persist: the broadcast is currently also what PRESERVES the
-    # hash(src) layout the rounds reuse, so a bare unhint would
-    # silently cost an |E| exchange per round instead). Because the graph
-    # is symmetric, EVERY node receives mass, so contrib covers the
-    # whole node relation and the old per-round deg ⋈ contrib LEFT
-    # join (+ coalesce) was recomputing a fact the aggregation already
-    # knows. (The oracle keeps the LEFT-join formulation, so a node
-    # silently losing its mass would hash-mismatch. A pairs-side
-    # degree derivation that skips the edges persist entirely measured
-    # SLOWER — 1.57 vs 1.23 s setup — so the join-back shape stays.)
-    edges_dd = (
-        edges.join(
-            F.broadcast(
-                deg.select(
-                    F.col("src").alias("dst"), F.col("deg").alias("dst_deg")
-                )
-            ),
-            "dst",
-        )
-        .sortWithinPartitions("src")
-        .persist()
-    )
+    # r6/r8: the edge list CARRIES the destination's degree — a
+    # ONE-TIME setup join through _attach_dst_deg (broadcast at fixture
+    # scale; SPARK_GRAFT_SCALE_SETUP=1 executes the corpus-scale swap —
+    # shuffle join on dst + repartition("src") — hash-identically).
+    # Because the graph is symmetric, EVERY node receives mass, so
+    # contrib covers the whole node relation and the old per-round
+    # deg ⋈ contrib LEFT join (+ coalesce) was recomputing a fact the
+    # aggregation already knows. (The oracle keeps the LEFT-join
+    # formulation, so a node silently losing its mass would
+    # hash-mismatch. A pairs-side degree derivation that skips the
+    # edges persist entirely measured SLOWER — 1.57 vs 1.23 s setup —
+    # so the join-back shape stays.)
+    edges_dd = _attach_dst_deg(edges, deg, ("src",))
     cached: list[DataFrame] = [edges, deg, edges_dd]
 
     # deg is keyed by src and every node of the symmetric graph has an
@@ -249,8 +263,19 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Minimum shared distinct orders for a co-supply edge.
-TRI_MIN_SHARED = 30
+#: Target average degree of the co-supply graph: the edge set is the
+#: top TRI_DEG_TARGET·|V| supplier pairs by shared-order support (ties
+#: at the boundary value included), i.e. avg degree ≈ 2·TRI_DEG_TARGET.
+#: DENSITY-DERIVED, not a fixed support count: expected pairwise
+#: support scales as |orders|·(items/order / |suppliers|)², so any
+#: fixed threshold tuned at one SF is vacuous (or complete) at another
+#: — the r06/r07 sweeps found exactly that (0 rows at sf0.1 under the
+#: old `>= 30`). Rank-deriving the threshold keeps the graph sparse
+#: and non-empty at EVERY corpus size: measured thr 156/31/7 and
+#: edges 31/319/5704 at sf0.001/0.01/0.1. The threshold is defined as
+#: the VALUE at rank TRI_DEG_TARGET·|V| (not the top-k row set), so it
+#: is deterministic under ties in both engines.
+TRI_DEG_TARGET = 3
 
 _TRI_EDGES_SQL = f"""
 pairs AS (
@@ -259,11 +284,73 @@ pairs AS (
   JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
 ),
-edges AS (
-  SELECT s1, s2 FROM pairs
-  GROUP BY s1, s2
-  HAVING COUNT(DISTINCT l_orderkey) >= {TRI_MIN_SHARED}
-)"""
+scored AS (
+  SELECT s1, s2, COUNT(DISTINCT l_orderkey) AS n_shared
+  FROM pairs GROUP BY s1, s2
+),
+kv AS (
+  SELECT {TRI_DEG_TARGET} * COUNT(DISTINCT l_suppkey) AS k FROM lineitem
+),
+rk AS (
+  SELECT n_shared, ROW_NUMBER() OVER (ORDER BY n_shared DESC) AS rn
+  FROM scored
+),
+thr AS (SELECT MIN(n_shared) AS t FROM rk, kv WHERE rk.rn <= kv.k),
+edges AS (SELECT s1, s2 FROM scored, thr WHERE n_shared >= thr.t)"""
+
+
+def _co_supply_edges(spark: SparkSession, sf_dir: str):
+    """Thresholded supplier co-supply edge relation shared by the
+    triangle / clustering-coefficient / label-propagation family —
+    the Spark twin of ``_TRI_EDGES_SQL``.
+
+    Returns ``(edges, scored)``; ``scored`` is persisted (it feeds
+    both the threshold derivation and the final filter) and the caller
+    owns its lifecycle via session_slots. The k-th-largest support
+    value comes from ``orderBy(desc).limit(k).agg(min)`` — Spark plans
+    a distributed top-k (per-partition TakeOrdered, k ints to one
+    reducer), never a global sort of the pair relation; the oracle's
+    ROW_NUMBER formulation computes the same value. |V| is a bounded
+    1-row scalar action (the registry's bounded-scalar exception —
+    ``limit`` needs a literal); at 100 TB k = TRI_DEG_TARGET·|V| ints
+    is a few MB on the top-k reducer, and past
+    spark.sql.execution.topKSortFallbackThreshold the planner falls
+    back to a full sort — swap the exact rank for an approx_percentile
+    support cut there if that ever bites."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_orderkey", "l_suppkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("s1"),
+            F.col("b.l_suppkey").alias("s2"),
+            F.col("a.l_orderkey").alias("okey"),
+        )
+        .groupBy("s1", "s2")
+        .agg(F.count_distinct("okey").alias("n_shared"))
+        .persist()
+    )
+    k = int(
+        li.agg(F.count_distinct("l_suppkey").alias("n")).first()["n"]
+        * TRI_DEG_TARGET
+    )
+    thr = (
+        scored.orderBy(F.col("n_shared").desc())
+        .limit(k)
+        .agg(F.min("n_shared").alias("t"))
+    )
+    edges = (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_shared") >= F.col("t"))
+        .select("s1", "s2")
+    )
+    return edges, scored
 
 
 @query(
@@ -287,37 +374,27 @@ FROM nodes GROUP BY node
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counting over the supplier co-supply graph
-    (edge: two suppliers sharing >= TRI_MIN_SHARED distinct orders) —
-    the community/cohesion primitive behind clustering coefficients
-    and fraud-ring detection. Edges are kept in canonical s1 < s2
-    orientation, so each triangle is enumerated exactly once as
-    a < b < c via two ordered joins — the standard distributed
-    formulation (cf. Suri & Vassilvitskii, WWW'11): orienting edges by
-    node order (by degree, at scale, to bound the join fan-out) makes
-    the intermediate wedge relation linear in the edge count rather
-    than quadratic in degree. Every join is an equi-join keyed on node
-    ids; the per-node rollup is one explode of the 3 corners."""
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
-        "l_orderkey", "l_suppkey"
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("s1"),
-            F.col("b.l_suppkey").alias("s2"),
-            F.col("a.l_orderkey").alias("okey"),
-        )
-        .groupBy("s1", "s2")
-        .agg(F.count_distinct("okey").alias("n_shared"))
-        .filter(F.col("n_shared") >= TRI_MIN_SHARED)
-        .select("s1", "s2")
-    )
+    (edge set: the top TRI_DEG_TARGET·|V| supplier pairs by shared
+    distinct orders — see _co_supply_edges for why the threshold is
+    rank-derived from corpus density, not fixed) — the community/
+    cohesion primitive behind clustering coefficients and fraud-ring
+    detection. Edges are kept in canonical s1 < s2 orientation, so
+    each triangle is enumerated exactly once as a < b < c via two
+    ordered joins — the standard distributed formulation (cf. Suri &
+    Vassilvitskii, WWW'11): orienting edges by node order (by degree,
+    at scale, to bound the join fan-out) makes the intermediate wedge
+    relation linear in the edge count rather than quadratic in degree.
+    Every join is an equi-join keyed on node ids; the per-node rollup
+    is one explode of the 3 corners. The rank threshold doubles as the
+    degree bound the orientation trick wants: avg degree stays
+    ≈ 2·TRI_DEG_TARGET at any corpus size."""
+    prev = session_slots(spark).pop("tri", None)
+    if prev is not None:
+        for df in prev:
+            df.unpersist()
+    edges, scored = _co_supply_edges(spark, sf_dir)
+    edges = edges.persist()
+    session_slots(spark)["tri"] = (edges, scored)
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
@@ -959,23 +1036,13 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # asks for. InMemoryTableScan preserves both properties, so every
     # step probes the cache with zero exchange and zero sort on the
     # |E| side.
-    # The |V|-row deg broadcast is a ONE-TIME setup join that also
-    # PRESERVES the window's hash(src) layout into the cache; at
-    # corpus scale replace it with a shuffle join on dst followed by
-    # a repartition("src") before the persist (the PageRank setup
-    # note) — a bare unhint would lose the layout the steps reuse.
-    nbr_dd = (
-        nbr.join(
-            F.broadcast(
-                deg.select(
-                    F.col("src").alias("dst"), F.col("deg").alias("dst_deg")
-                )
-            ),
-            "dst",
-        )
-        .sortWithinPartitions("src", "idx")
-        .persist()
-    )
+    # The |V|-row deg join is a ONE-TIME setup join that also PRESERVES
+    # the window's hash(src) layout into the cache — _attach_dst_deg
+    # (broadcast at fixture scale; SPARK_GRAFT_SCALE_SETUP=1 executes
+    # the corpus-scale swap: shuffle join on dst + repartition("src"),
+    # hash-identical output — a bare unhint would lose the layout the
+    # steps reuse).
+    nbr_dd = _attach_dst_deg(nbr, deg, ("src", "idx"))
     cached: list[DataFrame] = [deg, nbr_dd]
     cur = deg.select(
         F.col("src").alias("walk_id"), F.col("src").alias("node"), "deg"
@@ -1206,32 +1273,13 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     are one partial-combined count over the symmetrized edge ends;
     the division happens on exact int64 counts so both engines emit
     identical doubles, rounded once at the end. The 1-row transitivity
-    scalar rides a broadcast cross join — never a collect."""
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
-        "l_orderkey", "l_suppkey"
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("s1"),
-            F.col("b.l_suppkey").alias("s2"),
-            F.col("a.l_orderkey").alias("okey"),
-        )
-        .groupBy("s1", "s2")
-        .agg(F.count_distinct("okey").alias("n_shared"))
-        .filter(F.col("n_shared") >= TRI_MIN_SHARED)
-        .select("s1", "s2")
-        # Referenced by three self-join aliases, the degree count, AND
-        # the triangle total — persist so the lineitem self-join +
-        # distinct-count edge derivation runs once, not five times.
-        .persist()
-    )
+    scalar rides a broadcast cross join — never a collect. Edge set =
+    the density-derived top-3·|V| co-supply pairs (_co_supply_edges)."""
+    edges, scored = _co_supply_edges(spark, sf_dir)
+    # Referenced by three self-join aliases, the degree count, AND
+    # the triangle total — persist so the lineitem self-join +
+    # distinct-count edge derivation runs once, not five times.
+    edges = edges.persist()
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.s2") == F.col("e2.s1"))
@@ -1285,7 +1333,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     if prev is not None:
         for df in prev:
             df.unpersist()
-    session_slots(spark)["cc"] = (edges, tri)
+    session_slots(spark)["cc"] = (edges, tri, scored)
     return pern.crossJoin(F.broadcast(glob)).select(
         F.col("node").alias("suppkey"),
         "deg",
@@ -1361,30 +1409,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-combined (node, lab) count and a per-node argmax window
     keyed on the same exchange. Per-round label vectors persist to
     stop lineage blowup (the PageRank rank-vector rule)."""
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
-        "l_orderkey", "l_suppkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
     prev = session_slots(spark).pop("lp", None)
     if prev is not None:
         for df in prev:
             df.unpersist()
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("s1"),
-            F.col("b.l_suppkey").alias("s2"),
-            F.col("a.l_orderkey").alias("okey"),
-        )
-        .groupBy("s1", "s2")
-        .agg(F.count_distinct("okey").alias("n_shared"))
-        .filter(F.col("n_shared") >= TRI_MIN_SHARED)
-        .select("s1", "s2")
-    )
+    edges, scored = _co_supply_edges(spark, sf_dir)
     sym = (
         edges.select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
         .unionAll(edges.select(F.col("s2").alias("src"), F.col("s1").alias("dst")))
@@ -1392,7 +1421,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("src")
         .persist()
     )
-    cached: list[DataFrame] = [sym]
+    cached: list[DataFrame] = [sym, scored]
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )

@@ -669,7 +669,7 @@ WITH v AS (
 SELECT l_partkey AS p_key, CAST(value_dec AS DOUBLE) AS part_value
 FROM v
 WHERE CAST(value_dec AS DOUBLE) >
-      (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.001 FROM v)
+      (SELECT CAST(SUM(value_dec) AS DOUBLE) * 2.0 / COUNT(*) FROM v)
 ORDER BY part_value DESC, p_key
 """,
 )
@@ -682,7 +682,17 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE, the global total is a 1-row decimal re-aggregate of that view
     broadcast back as a cross join — the lineitem scan is never
     repeated, and both engines compare bit-identical doubles built from
-    identical exact decimals."""
+    identical exact decimals.
+
+    The cut is DENSITY-DERIVED, mirroring the real Q11's FRACTION =
+    0.0001/SF: keep parts worth more than 2× the average part value
+    (total·2/|parts|). A fixed fraction is vacuous as the part
+    population grows — the r06/r07 sf0.1 sweeps read 0 rows under the
+    old `> total·0.001` because avg share is 1/|parts| ≈ 0.00007 there
+    — while the 2×-average cut returns rows at every corpus size
+    (measured 14/127/1228 at sf0.001/0.01/0.1). Both engines evaluate
+    the identical `sum·2.0/count` double expression, so the boundary
+    compare stays bit-exact."""
     t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
     v = (
         t["lineitem"]
@@ -694,10 +704,16 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(dec2("l_extendedprice")).alias("value_dec"))
     )
-    total = v.agg(F.sum("value_dec").cast("double").alias("total"))
+    total = v.agg(
+        F.sum("value_dec").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         v.crossJoin(F.broadcast(total))
-        .filter(F.col("value_dec").cast("double") > F.col("total") * 0.001)
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.col("total") * 2.0 / F.col("n_parts")
+        )
         .select(
             F.col("l_partkey").alias("p_key"),
             F.col("value_dec").cast("double").alias("part_value"),
