@@ -81,6 +81,11 @@ HEADLINE = [
     "join_fuzzy_name_match",  # last-5-digit ER blocking + levenshtein verify
     "join_salted_skewed_orders",  # partial salting via heavy-hitter sketch
     "agg_table_profile",  # per-column distinct-relation ANALYZE stats
+    # round-8 additions (VERDICT r07 #7): one representative each from
+    # the driver-certified dq / curate / retrieval tails.
+    "dq_constraint_suite",  # declarative rule bank: one wide scan, per-rule rollups
+    "curate_pack_token_shards",  # token-budget packing via two-phase prefix sum
+    "retrieval_hybrid_rrf",  # BM25 ∪ dense fusion: two top-k lanes + rank merge
 ]
 
 
