@@ -994,6 +994,15 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     if prev is not None:
         for df in prev:
             df.unpersist()
+    # r8: persist the distinct pair relation — deg and the ranked
+    # neighbor window are SEPARATE consumers, and unpersisted each
+    # re-ran the lineitem ⋈ orders + distinct derivation (the r08
+    # phase profile read deg 0.95 s + nbr_dd 1.15 s, i.e. setup was
+    # 2/3 of the query re-deriving the same corpus scan twice).
+    # Interleaved best-of-6 at sf0.1: 2.35 s → 1.83 s. The cache is
+    # |E|/2 rows of two bigints — the same bounded setup-cache class
+    # as PageRank's edges persist, MEMORY_AND_DISK at scale.
+    pairs = pairs.persist()
     edges = _symmetrize(pairs)
     # The ranked neighbor list and degree table are derived once and
     # persisted (release-before-re-persist cache rule) — every step
@@ -1043,7 +1052,7 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-identical output — a bare unhint would lose the layout the
     # steps reuse).
     nbr_dd = _attach_dst_deg(nbr, deg, ("src", "idx"))
-    cached: list[DataFrame] = [deg, nbr_dd]
+    cached: list[DataFrame] = [pairs, deg, nbr_dd]
     cur = deg.select(
         F.col("src").alias("walk_id"), F.col("src").alias("node"), "deg"
     )
