@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_pipeline_sam_gov_spark.registry import query
+from etl_pipeline_sam_gov_spark.slots import session_slots
 from etl_pipeline_sam_gov_spark.tables import load_tables
 
 SESSION_GAP_S = 1800
@@ -1440,9 +1441,21 @@ def ts_level_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
     )
     n_parts = spark.sparkContext.defaultParallelism
-    ranged = seq.repartitionByRange(
-        n_parts, "event_type", "ts_us", "event_id"
-    ).withColumn("pid", F.spark_partition_id())
+    # PERSISTED (r8 reuse-off sweep: this query returned 2970 rows vs
+    # the oracle's 2986 with spark.sql.exchange.reuse=false — the
+    # sampled range boundaries differed between the two physical
+    # executions feeding the local windows and the per-slice overlap
+    # carry, so slices mis-joined their frame overlap). The persist
+    # pins ONE execution's pids; see ab_sequential_sprt for the class.
+    prev = session_slots(spark).pop("lshift", None)
+    if prev is not None:
+        prev.unpersist()
+    ranged = (
+        seq.repartitionByRange(n_parts, "event_type", "ts_us", "event_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    session_slots(spark)["lshift"] = ranged
     w_loc = W.partitionBy("event_type", "pid").orderBy("ts_us", "event_id")
     w_loc_d = W.partitionBy("event_type", "pid").orderBy(
         F.desc("ts_us"), F.desc("event_id")
@@ -3260,9 +3273,21 @@ def ts_exponential_fit_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.unix_micros("ts").alias("t_us"), "ts", "event_id"
     )
     n_parts = spark.sparkContext.defaultParallelism
-    ranged = seq.repartitionByRange(
-        n_parts, "event_type", "ts", "event_id"
-    ).withColumn("pid", F.spark_partition_id())
+    # BOTH fan-out relations persisted (r8 reuse-off sweep: the KS
+    # statistic read 2501.8 vs the oracle's 0.012 with exchange reuse
+    # off — ranged feeds the lag windows AND the boundary-carry
+    # aggregation, granged feeds the in-slice ECDF prefix AND the
+    # per-slice subtotals; each pair must see one execution's sampled
+    # boundaries). See ab_sequential_sprt for the class.
+    prev = session_slots(spark).pop("ks", None)
+    if prev is not None:
+        for df in prev:
+            df.unpersist()
+    ranged = (
+        seq.repartitionByRange(n_parts, "event_type", "ts", "event_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
     w_loc = W.partitionBy("event_type", "pid").orderBy("ts", "event_id")
     local = ranged.select(
         "event_type", "pid", "t_us",
@@ -3299,9 +3324,14 @@ def ts_exponential_fit_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
     # Two-phase distinct-gap prefix: |V| grows with the corpus.
-    granged = byval.repartitionByRange(
-        n_parts, "event_type", "g"
-    ).withColumn("gpid", F.spark_partition_id())
+    # Persisted: second fan-out of the same class (see the ranged
+    # persist above — slot "ks" releases both).
+    granged = (
+        byval.repartitionByRange(n_parts, "event_type", "g")
+        .withColumn("gpid", F.spark_partition_id())
+        .persist()
+    )
+    session_slots(spark)["ks"] = (ranged, granged)
     w_in = W.partitionBy("event_type", "gpid").orderBy("g").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )

@@ -1931,9 +1931,21 @@ def ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("arm") == 0).cast("bigint")).alias("ca"),
     )
     n_parts = spark.sparkContext.defaultParallelism
-    ranged = byval.repartitionByRange(n_parts, F.asc("v")).withColumn(
-        "pid", F.spark_partition_id()
+    # PERSISTED (r8 reuse-off sweep class, see ab_sequential_sprt):
+    # `ranged` feeds both the in-slice prefix window and the per-slice
+    # subtotals — its sampled range boundaries must be ONE execution's,
+    # not two that happen to agree. The cache is the |distinct v|-row
+    # value relation, not the corpus. (This persist also moves the
+    # query out of PLAN_CACHED — cached queries must stay stateless.)
+    prev = session_slots(spark).pop("mwu", None)
+    if prev is not None:
+        prev.unpersist()
+    ranged = (
+        byval.repartitionByRange(n_parts, F.asc("v"))
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
+    session_slots(spark)["mwu"] = ranged
     w_in = W.partitionBy("pid").orderBy("v").rowsBetween(
         W.unboundedPreceding, -1
     )
@@ -2348,9 +2360,25 @@ def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     n_parts = spark.sparkContext.defaultParallelism
-    ranged = tagged.repartitionByRange(
-        n_parts, "arm", "ts", "event_id"
-    ).withColumn("pid", F.spark_partition_id())
+    # PERSISTED, not merely shared (r8 exchange-reuse-off sweep):
+    # repartitionByRange samples its boundaries with an rdd.id-seeded
+    # sampler, so two physical executions of this exchange can split
+    # differently — and `ranged` feeds BOTH the local rank/cumsum and
+    # the per-slice subtotals, which must agree on pid or the offsets
+    # misalign (measured: n_total off by ±10 with
+    # spark.sql.exchange.reuse=false). ReuseExchange normally pins the
+    # two reads to one execution; the persist makes the consistency a
+    # property of the PLAN rather than of a physical-dedup optimization
+    # (tests/test_reuse_independence.py).
+    prev = session_slots(spark).pop("sprt", None)
+    if prev is not None:
+        prev.unpersist()
+    ranged = (
+        tagged.repartitionByRange(n_parts, "arm", "ts", "event_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    session_slots(spark)["sprt"] = ranged
     w_rank = W.partitionBy("arm", "pid").orderBy("ts", "event_id")
     w_in = w_rank.rowsBetween(W.unboundedPreceding, W.currentRow)
     local = ranged.select(
@@ -2543,9 +2571,22 @@ def ab_propensity_caliper_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # columns are NULL; the forward walk is the reversed-sort running
     # frame (the resample_interpolate_hourly move). The oracle keeps
     # the textbook frames — semantics are identical.
-    ranged = lab.repartitionByRange(
-        spark.sparkContext.defaultParallelism, "bp", "user_id"
-    ).withColumn("pid", F.spark_partition_id())
+    # PERSISTED (r8 reuse-off sweep class, see ab_sequential_sprt):
+    # `ranged` feeds both the directional edge-control windows and the
+    # per-slice extreme aggregation — pid consistency across the two
+    # reads must not depend on ReuseExchange deduping the sampled
+    # range exchange.
+    prev = session_slots(spark).pop("caliper", None)
+    if prev is not None:
+        prev.unpersist()
+    ranged = (
+        lab.repartitionByRange(
+            spark.sparkContext.defaultParallelism, "bp", "user_id"
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    session_slots(spark)["caliper"] = ranged
     w_prev = W.partitionBy("pid").orderBy("bp", "user_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )

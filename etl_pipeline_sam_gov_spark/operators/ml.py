@@ -2029,11 +2029,23 @@ def ml_lift_gain_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("int").alias("y"),
     )
     # Distributed exact rank: ordered disjoint ranges -> local rank ->
-    # global offset. repartitionByRange samples boundaries, but the
-    # final rank is boundary-independent (any ordered split works).
-    ranged = scored.repartitionByRange(
-        LIFT_RANK_PARTS, F.desc("score"), F.asc("doc_id")
-    ).withColumn("pid", F.spark_partition_id())
+    # global offset. repartitionByRange samples boundaries, and the
+    # final rank is boundary-independent (any ordered split works) —
+    # but only if the local ranks and the per-slice counts see the
+    # SAME boundaries, so the fan-out is PERSISTED (r8 reuse-off sweep
+    # class, see ab_sequential_sprt: the sampler is rdd.id-seeded, two
+    # physical executions of the exchange can split differently).
+    prev = session_slots(spark).pop("lift", None)
+    if prev is not None:
+        prev.unpersist()
+    ranged = (
+        scored.repartitionByRange(
+            LIFT_RANK_PARTS, F.desc("score"), F.asc("doc_id")
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    session_slots(spark)["lift"] = ranged
     w_part = W.partitionBy("pid").orderBy(F.desc("score"), "doc_id")
     local = ranged.withColumn("rn", F.row_number().over(w_part))
     # Per-partition counts: a <= LIFT_RANK_PARTS-row relation; the

@@ -78,7 +78,10 @@ PLAN_CACHED: frozenset[str] = frozenset(
         "text_boilerplate_removal",
         "ann_mmr_rerank",
         "udf_holt_winters_hourly",
-        "ab_mann_whitney_u",
+        # ab_mann_whitney_u left the cached set in r8: its two-phase
+        # range decomposition now persists the fan-out value relation
+        # (exchange-reuse independence), and cached queries must build
+        # zero InMemoryRelation nodes.
         "dedup_levenshtein_blocked",
     }
 )
