@@ -1908,11 +1908,18 @@ def ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitioned decomposition (per-partition running sum +
     broadcast exclusive offsets — the packed_prev_tokens / lift-table
     pattern), never one global window task. The offsets window rides
-    the ≤ n_parts-row subtotal relation only. Both phases read ONE
-    range exchange (Spark's exchange reuse dedupes the identical
-    subtree within the single action), so they observe the same
-    boundary sampling; the arithmetic is boundary-independent anyway —
-    any ordered disjoint split yields the same global prefix."""
+    the ≤ n_parts-row subtotal relation only. r8: the slice id is a
+    PURE FUNCTION of the value (width_bucket over the broadcast
+    min/max span), not spark_partition_id over a sampled range
+    exchange — the reuse-off sweep showed sampled boundaries can
+    differ between two physical executions of one logical exchange,
+    and this query is a PLAN_CACHED headliner where the persist fix
+    the other five fan-out sites took costs a per-invocation cache
+    cycle. Deterministic slicing needs neither: every plan branch
+    computes the identical pid from the row itself, under any reuse,
+    retry, or replan. Slices are value-equidistant rather than
+    count-balanced — correctness only needs ordered disjoint spans,
+    and the offsets window stays ≤ n_parts+1 rows."""
     from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
@@ -1931,21 +1938,24 @@ def ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("arm") == 0).cast("bigint")).alias("ca"),
     )
     n_parts = spark.sparkContext.defaultParallelism
-    # PERSISTED (r8 reuse-off sweep class, see ab_sequential_sprt):
-    # `ranged` feeds both the in-slice prefix window and the per-slice
-    # subtotals — its sampled range boundaries must be ONE execution's,
-    # not two that happen to agree. The cache is the |distinct v|-row
-    # value relation, not the corpus. (This persist also moves the
-    # query out of PLAN_CACHED — cached queries must stay stateless.)
-    prev = session_slots(spark).pop("mwu", None)
-    if prev is not None:
-        prev.unpersist()
-    ranged = (
-        byval.repartitionByRange(n_parts, F.asc("v"))
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
+    # Deterministic slicing (r8 reuse-off sweep class, see
+    # ab_sequential_sprt and the docstring): pid = width_bucket of v
+    # over the broadcast min/max span — a pure row function, so the
+    # in-slice prefix window and the per-slice subtotals agree on
+    # slices under ANY reuse/retry/replan, with no persist and no
+    # sampled exchange. byval fans out to the span aggregate too, but
+    # it is fully deterministic, so independent re-executions agree.
+    span = byval.agg(
+        F.min("v").alias("vlo"), F.max("v").alias("vhi")
     )
-    session_slots(spark)["mwu"] = ranged
+    ranged = byval.crossJoin(F.broadcast(span)).select(
+        "v",
+        "ceq",
+        "ca",
+        F.width_bucket(
+            "v", "vlo", F.col("vhi") + 1, F.lit(n_parts)
+        ).alias("pid"),
+    )
     w_in = W.partitionBy("pid").orderBy("v").rowsBetween(
         W.unboundedPreceding, -1
     )

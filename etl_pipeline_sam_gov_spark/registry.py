@@ -78,10 +78,11 @@ PLAN_CACHED: frozenset[str] = frozenset(
         "text_boilerplate_removal",
         "ann_mmr_rerank",
         "udf_holt_winters_hourly",
-        # ab_mann_whitney_u left the cached set in r8: its two-phase
-        # range decomposition now persists the fan-out value relation
-        # (exchange-reuse independence), and cached queries must build
-        # zero InMemoryRelation nodes.
+        # mwu stays cacheable: its r8 exchange-reuse-independence fix
+        # is deterministic width_bucket slicing (a pure row function),
+        # not the persist the other five fan-out sites took — so it
+        # still builds zero InMemoryRelation nodes.
+        "ab_mann_whitney_u",
         "dedup_levenshtein_blocked",
     }
 )

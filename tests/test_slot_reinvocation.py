@@ -37,9 +37,9 @@ SLOT_QUERIES = [
     "text_bpe_encode",           # ("bpe", "encode")
     "curate_pack_token_shards",  # ("pack", group_cols)
     "graph_triangle_count",      # "tri" (r8 shared co-supply edges)
-    # r8 exchange-reuse-independence persists (range fan-outs):
+    # r8 exchange-reuse-independence persists (range fan-outs; mwu is
+    # absent — it uses deterministic width_bucket slicing instead):
     "ab_sequential_sprt",        # "sprt"
-    "ab_mann_whitney_u",         # "mwu"
     "ab_propensity_caliper_match",  # "caliper"
     "ts_level_shift_detect",     # "lshift"
     "ts_exponential_fit_ks",     # ("ks", two relations)
