@@ -772,12 +772,16 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("kll_sketch_get_quantile_double(msk, 0.95)").alias("q95"),
         )
     )
+    # max(), not first(): the cross-joined columns are constant on
+    # every row (1-row broadcast), so both are exact — but first() is
+    # nondeterministic by API and max() costs the same, the r8
+    # generalization of the ADVICE fix at graph.py's PageRank rounds.
     ranked = ev.crossJoin(F.broadcast(merged)).agg(
-        F.first("n_groups").alias("n_groups"),
-        F.first("n_events").alias("n_events"),
-        (F.sum((F.col("value") <= F.col("q50")).cast("bigint")) / F.first("n_events"))
+        F.max("n_groups").alias("n_groups"),
+        F.max("n_events").alias("n_events"),
+        (F.sum((F.col("value") <= F.col("q50")).cast("bigint")) / F.max("n_events"))
         .alias("r50"),
-        (F.sum((F.col("value") <= F.col("q95")).cast("bigint")) / F.first("n_events"))
+        (F.sum((F.col("value") <= F.col("q95")).cast("bigint")) / F.max("n_events"))
         .alias("r95"),
     )
     return ranked.select(
