@@ -3288,6 +3288,11 @@ def ts_exponential_fit_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pid", F.spark_partition_id())
         .persist()
     )
+    # Slot claimed immediately after the persist: an exception between
+    # here and the second persist below must not leave ranged's cache
+    # entry with no slot reference (ADVICE r08) — the slot grows to
+    # (ranged, granged) once the second fan-out is persisted.
+    session_slots(spark)["ks"] = (ranged,)
     w_loc = W.partitionBy("event_type", "pid").orderBy("ts", "event_id")
     local = ranged.select(
         "event_type", "pid", "t_us",

@@ -388,13 +388,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one explode of the 3 corners. The rank threshold doubles as the
     degree bound the orientation trick wants: avg degree stays
     ≈ 2·TRI_DEG_TARGET at any corpus size."""
-    prev = session_slots(spark).pop("tri", None)
+    # ONE shared slot for the co-supply family (tri/cc/lp): the three
+    # queries persist plan-identical `scored`/`edges`, and CacheManager
+    # has no refcounting — per-query slots let a sibling's release
+    # evict entries this query still holds (ADVICE r08). Whichever
+    # family member runs releases the previous member's relations and
+    # owns the slot until the next family invocation.
+    prev = session_slots(spark).pop("co_supply", None)
     if prev is not None:
         for df in prev:
             df.unpersist()
     edges, scored = _co_supply_edges(spark, sf_dir)
     edges = edges.persist()
-    session_slots(spark)["tri"] = (edges, scored)
+    session_slots(spark)["co_supply"] = (edges, scored)
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
@@ -1284,6 +1290,15 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles, rounded once at the end. The 1-row transitivity
     scalar rides a broadcast cross join — never a collect. Edge set =
     the density-derived top-3·|V| co-supply pairs (_co_supply_edges)."""
+    # Release the family's previous relations BEFORE persisting the
+    # plan-identical new ones (CacheManager matches by logical-plan
+    # equality — a pop after the persists would evict the NEW entries
+    # and the returned plan would re-run the lineitem self-join ~5x;
+    # ADVICE r08). Shared "co_supply" slot: see graph_triangle_count.
+    prev = session_slots(spark).pop("co_supply", None)
+    if prev is not None:
+        for df in prev:
+            df.unpersist()
     edges, scored = _co_supply_edges(spark, sf_dir)
     # Referenced by three self-join aliases, the degree count, AND
     # the triangle total — persist so the lineitem self-join +
@@ -1338,11 +1353,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("transitivity")
         )
     )
-    prev = session_slots(spark).pop("cc", None)
-    if prev is not None:
-        for df in prev:
-            df.unpersist()
-    session_slots(spark)["cc"] = (edges, tri, scored)
+    session_slots(spark)["co_supply"] = (edges, tri, scored)
     return pern.crossJoin(F.broadcast(glob)).select(
         F.col("node").alias("suppkey"),
         "deg",
@@ -1418,7 +1429,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-combined (node, lab) count and a per-node argmax window
     keyed on the same exchange. Per-round label vectors persist to
     stop lineage blowup (the PageRank rank-vector rule)."""
-    prev = session_slots(spark).pop("lp", None)
+    # Shared family slot — see graph_triangle_count for why tri/cc/lp
+    # share one key (plan-identical scored/edges, no CacheManager
+    # refcounting).
+    prev = session_slots(spark).pop("co_supply", None)
     if prev is not None:
         for df in prev:
             df.unpersist()
@@ -1450,7 +1464,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             msgs.withColumn("rn", rn).filter(F.col("rn") == 1).select("node", "lab")
         ).persist()
         cached.append(labels)
-    session_slots(spark)["lp"] = tuple(cached)
+    session_slots(spark)["co_supply"] = tuple(cached)
     return labels.select(
         F.col("node").alias("suppkey"),
         F.col("lab").alias("community"),

@@ -28,7 +28,7 @@ SLOT_QUERIES = [
     "graph_hits_scores",         # "hits"
     "ml_isotonic_calibration",   # "iso"
     "graph_kcore_membership",    # "kcore"
-    "graph_label_propagation",   # "lp"
+    "graph_label_propagation",   # "co_supply" (r9 shared family slot)
     "graph_pagerank_bipartite",  # "pagerank"
     "ml_pca_power_iteration",    # "pca"
     "graph_personalized_pagerank",  # "ppr"
@@ -36,7 +36,8 @@ SLOT_QUERIES = [
     "text_bpe_merge_rounds",     # ("bpe", "merges")
     "text_bpe_encode",           # ("bpe", "encode")
     "curate_pack_token_shards",  # ("pack", group_cols)
-    "graph_triangle_count",      # "tri" (r8 shared co-supply edges)
+    "graph_triangle_count",      # "co_supply" (r9 shared family slot)
+    "graph_clustering_coefficient",  # "co_supply" (pop-first, r9)
     # r8 exchange-reuse-independence persists (range fan-outs; mwu is
     # absent — it uses deterministic width_bucket slicing instead):
     "ab_sequential_sprt",        # "sprt"
@@ -61,3 +62,28 @@ def test_second_invocation_is_identical(spark, sf_dir, name):
     d2 = _fresh(name)(spark, sf_dir)
     r2 = canonical_rows(d2.columns, [tuple(r) for r in d2.collect()])
     assert r1 == r2 and len(r1) > 0, f"{name} drifted on re-invocation"
+
+
+def test_co_supply_family_interleaving(spark, sf_dir):
+    """tri/cc/lp persist plan-identical scored/edges relations; they
+    share ONE slot ("co_supply", r9) precisely because CacheManager has
+    no refcounting — with per-query slots, running a sibling evicted
+    relations another slot still referenced. Interleave the family and
+    require each member's output stable across the round-trip."""
+    fam = [
+        "graph_triangle_count",
+        "graph_clustering_coefficient",
+        "graph_label_propagation",
+    ]
+    first = {}
+    for name in fam:
+        d = _fresh(name)(spark, sf_dir)
+        first[name] = canonical_rows(
+            d.columns, [tuple(r) for r in d.collect()]
+        )
+    for name in reversed(fam):
+        d = _fresh(name)(spark, sf_dir)
+        again = canonical_rows(d.columns, [tuple(r) for r in d.collect()])
+        assert again == first[name] and len(again) > 0, (
+            f"{name} drifted under family interleaving"
+        )
