@@ -861,34 +861,48 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation audits all-zero orphans; the value is the law itself
     (and a loader that drops a parent partition flips the row red).
 
-    Scale shape: each edge is ONE left equi-join followed by a
-    partial-combined scalar aggregate — parents are PK relations so
-    the join never multiplies rows; the nation/region/part/supplier
-    parents broadcast under AQE, the orders parent shuffles on its
-    natural key. The 7 one-row scorecards union into a constant-size
-    report; nothing ever collects to the driver."""
+    Scale shape (r9): each edge first collapses the child to its
+    DISTINCT-FK relation (one map-side-combined groupBy carrying the
+    per-key child-row count), then left-joins THAT to the PK parent —
+    the RI join moves |distinct keys| rows instead of the raw fact
+    (lineitem edges: ~4x fewer rows at the 16x stress step), the
+    countDistinct expand disappears (n_fk_values is a plain count of
+    the grouped relation), and orphaned CHILD rows are recovered
+    exactly as sum(per-key count) over unmatched keys. The nation/
+    region/part/supplier parents broadcast under AQE, the orders
+    parent shuffles on its natural key. The 7 one-row scorecards union
+    into a constant-size report; nothing ever collects to the driver."""
     names = {n for _, child, _, parent, _ in _FK_EDGES for n in (child, parent)}
     t = load_tables(spark, sf_dir, tuple(sorted(names)))
     parts = []
     for label, child, fk, parent, pk in _FK_EDGES:
-        joined = t[child].select(F.col(fk).alias("fk")).join(
+        keys = (
+            t[child]
+            .select(F.col(fk).alias("fk"))
+            .groupBy("fk")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        joined = keys.join(
             t[parent].select(F.col(pk).alias("pk")),
             F.col("fk") == F.col("pk"),
             "left",
         )
+        # A NULL fk matches no parent (pk comes back NULL), so its
+        # child rows count as orphans — identical to the raw-fact left
+        # join; count("fk") skips the NULL group exactly like the old
+        # countDistinct did.
         orphan = F.sum(
-            F.when(F.col("pk").isNull(), F.lit(1)).otherwise(F.lit(0))
+            F.when(F.col("pk").isNull(), F.col("cnt")).otherwise(F.lit(0))
         )
+        n_child = F.sum("cnt")
         parts.append(
             joined.agg(
                 F.lit(label).alias("fk_edge"),
-                F.count(F.lit(1)).cast("bigint").alias("n_child"),
-                F.countDistinct("fk").cast("bigint").alias("n_fk_values"),
+                n_child.cast("bigint").alias("n_child"),
+                F.count("fk").cast("bigint").alias("n_fk_values"),
                 orphan.cast("bigint").alias("n_orphans"),
                 (
-                    F.round(
-                        orphan.cast("double") / F.count(F.lit(1)), 6
-                    )
+                    F.round(orphan.cast("double") / n_child, 6)
                     + F.lit(0.0)
                 ).alias("orphan_ratio"),
             )
