@@ -136,7 +136,7 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (probability ~1e-6 per node) negligible while preserving 5
     significant digits."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
-    pairs = (
+    raw = (
         t["lineitem"]
         .select("l_orderkey", "l_suppkey")
         .join(
@@ -147,7 +147,6 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("c"),
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
-        .distinct()
     )
     # Release the previous invocation's cache slot BEFORE persisting the
     # new relations: CacheManager matches entries by logical-plan
@@ -163,7 +162,15 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # message join probes the cache with ZERO edge-side exchange or
     # sort (the one-time sortWithinPartitions below bakes the merge
     # ordering in).
-    edges = _symmetrize(pairs).repartition("src").persist()
+    # r9: dedup AFTER the src repartition, not before symmetrize — a
+    # hash(src) partitioning satisfies the distinct's clustered
+    # distribution on (src, dst) (subset property), so the dedup runs
+    # exchange-free above the one repartition the cache needs anyway.
+    # The old pairs-level distinct paid its own full exchange on
+    # (c, s) first: two corpus-sized exchanges where one suffices
+    # (same 1,173,742-row edge set; measured 3.92 s → 2.03 s setup at
+    # sf0.1, guide §2.4).
+    edges = _symmetrize(raw).repartition("src").distinct().persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     # r6/r8: the edge list CARRIES the destination's degree — a
     # ONE-TIME setup join through _attach_dst_deg (broadcast at fixture
@@ -590,7 +597,7 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of scale-class relations is pinned. See kcore_peel for
     the measured rejection of the delta-decrement variant."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
-    pairs = (
+    raw = (
         t["lineitem"]
         .join(
             t["orders"],
@@ -600,13 +607,19 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("c"),
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
-        .distinct()
     )
     prev = session_slots(spark).pop("kcore", None)
     if prev is not None:
         for df in prev:
             df.unpersist()
-    surv, cached = kcore_peel(_symmetrize(pairs), KC_K, KC_ROUNDS)
+    # r9: one exchange builds the deduped symmetric edge cache — the
+    # dedup runs exchange-free above the src repartition (subset
+    # clustered distribution), replacing the old pairs-level distinct
+    # that paid a second corpus exchange (the PageRank r9 setup shape);
+    # hash(src) in the cache also makes round 1's degree count and
+    # src-side semi-join co-partitioned for free.
+    e0 = _symmetrize(raw).repartition("src").distinct()
+    surv, cached = kcore_peel(e0, KC_K, KC_ROUNDS)
     session_slots(spark)["kcore"] = tuple(cached)
     return surv.select(
         F.col("src").alias("node"),
@@ -858,13 +871,15 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("c"),
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
-        .distinct()
     )
     prev = session_slots(spark).pop("bfs", None)
     if prev is not None:
         for df in prev:
             df.unpersist()
-    edges = _symmetrize(pairs).persist()
+    # r9: one-exchange edge cache (the PageRank r9 setup shape) — the
+    # dedup runs exchange-free above the src repartition, and hash(src)
+    # in the cache co-partitions every round's frontier⋈edges join.
+    edges = _symmetrize(pairs).repartition("src").distinct().persist()
     cached: list[DataFrame] = [edges]
     seeds = (
         t["customer"]
@@ -983,7 +998,7 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_sam_gov_spark.operators.dedup import _spark_hash60
 
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
-    pairs = (
+    raw = (
         t["lineitem"]
         .select("l_orderkey", "l_suppkey")
         .join(
@@ -994,22 +1009,25 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("c"),
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
-        .distinct()
     )
     prev = session_slots(spark).pop("rw", None)
     if prev is not None:
         for df in prev:
             df.unpersist()
-    # r8: persist the distinct pair relation — deg and the ranked
-    # neighbor window are SEPARATE consumers, and unpersisted each
-    # re-ran the lineitem ⋈ orders + distinct derivation (the r08
-    # phase profile read deg 0.95 s + nbr_dd 1.15 s, i.e. setup was
-    # 2/3 of the query re-deriving the same corpus scan twice).
-    # Interleaved best-of-6 at sf0.1: 2.35 s → 1.83 s. The cache is
-    # |E|/2 rows of two bigints — the same bounded setup-cache class
-    # as PageRank's edges persist, MEMORY_AND_DISK at scale.
-    pairs = pairs.persist()
-    edges = _symmetrize(pairs)
+    # r8 persisted the shared setup relation (deg and the ranked
+    # neighbor window are SEPARATE consumers; unpersisted, each re-ran
+    # the lineitem ⋈ orders derivation — 2.35 s → 1.83 s interleaved).
+    # r9 moves the cache boundary to the SYMMETRIC DEDUPED edge list
+    # built with ONE exchange: dedup runs exchange-free above the src
+    # repartition (hash(src) satisfies the distinct's clustered
+    # distribution on (src, dst) — the PageRank r9 setup shape), and
+    # because the cache now carries hashpartitioning(src), the ranked-
+    # neighbor window sorts IN PLACE with zero exchange where the old
+    # pairs-level cache paid a full (c, s) distinct exchange plus a
+    # second 2|P|-row window exchange. The cache is |E| rows of two
+    # bigints — same bounded setup-cache class, MEMORY_AND_DISK at
+    # scale.
+    edges = _symmetrize(raw).repartition("src").distinct().persist()
     # The ranked neighbor list and degree table are derived once and
     # persisted (release-before-re-persist cache rule) — every step
     # and every union branch of the output re-reads them instead of
@@ -1058,7 +1076,7 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-identical output — a bare unhint would lose the layout the
     # steps reuse).
     nbr_dd = _attach_dst_deg(nbr, deg, ("src", "idx"))
-    cached: list[DataFrame] = [pairs, deg, nbr_dd]
+    cached: list[DataFrame] = [edges, deg, nbr_dd]
     cur = deg.select(
         F.col("src").alias("walk_id"), F.col("src").alias("node"), "deg"
     )

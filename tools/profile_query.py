@@ -88,6 +88,13 @@ def main() -> None:
                 f.write(explain_formatted(df))
             print(f"plan -> {path}")
         if not args.no_metrics:
+            # The noop write runs its OWN QueryExecution; the metrics
+            # walk reads df's cached one, which only an action on the
+            # Dataset itself populates. Outputs here are small
+            # (certified queries), so collect() is a bounded fetch.
+            spark.sparkContext.setJobDescription(f"profile:{name}#metrics")
+            df.collect()
+            spark.sparkContext.setJobDescription(None)
             mets = execution_metrics(df)
             for op, m in mets.items():
                 line = {k: v for k, v in m.items() if k in _DIGEST_KEYS and v}
