@@ -84,6 +84,19 @@ PLAN_CACHED: frozenset[str] = frozenset(
         # still builds zero InMemoryRelation nodes.
         "ab_mann_whitney_u",
         "dedup_levenshtein_blocked",
+        # r9: the remaining pure-plan-builder headliners (no persist,
+        # no collect anywhere in their construction — the zero-
+        # InMemoryRelation gate in tests/test_plans.py covers them like
+        # the rest). Their widest DAGs (the 11-branch profile union,
+        # the two-leg fusion) were paying up to ~1 s of pure py4j
+        # plan-construction per bench invocation.
+        # (pipeline_training_corpus_v2 stays OUT: semantic_keep
+        # persists its cluster assignment internally.)
+        "join_fuzzy_name_match",
+        "join_salted_skewed_orders",
+        "agg_table_profile",
+        "dq_constraint_suite",
+        "retrieval_hybrid_rrf",
     }
 )
 
