@@ -306,6 +306,20 @@ thr AS (SELECT MIN(n_shared) AS t FROM rk, kv WHERE rk.rn <= kv.k),
 edges AS (SELECT s1, s2 FROM scored, thr WHERE n_shared >= thr.t)"""
 
 
+def _ordered_pairs(col: str):
+    """explode() of all ordered (s1 < s2) element pairs of a sorted
+    distinct array column — the bounded pair fan-out every co-occurrence
+    kernel in this module shares (fan-out ≤ C(|arr|, 2); the caller's
+    group/cap bounds |arr|)."""
+    return F.explode(
+        F.expr(
+            f"flatten(transform({col}, (x, i) -> transform("
+            f"slice({col}, i + 2, size({col})), "
+            "y -> struct(x AS s1, y AS s2))))"
+        )
+    )
+
+
 def _co_supply_edges(spark: SparkSession, sf_dir: str):
     """Thresholded supplier co-supply edge relation shared by the
     triangle / clustering-coefficient / label-propagation family —
@@ -327,20 +341,27 @@ def _co_supply_edges(spark: SparkSession, sf_dir: str):
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
         "l_orderkey", "l_suppkey"
     )
-    a, b = li.alias("a"), li.alias("b")
+    # r9: per-order supplier sets instead of the lineitem self-join —
+    # the reco_item_lift r7 shape. ONE corpus exchange (the order
+    # groupBy with per-order dedup INSIDE the aggregation) replaces the
+    # self-join's two corpus exchanges, and because each order emits an
+    # unordered supplier pair at most once by construction, the support
+    # count is a plain COUNT — the old count_distinct(okey) expand pass
+    # disappears. Pair fan-out stays bounded by (items/order choose 2),
+    # the same cap argument as the basket join; at any corpus size the
+    # exchange after the explode carries exactly the same pair rows the
+    # self-join produced, minus the duplicate (s1, s2, okey) triples.
+    # Interleaved control-normalized best-of-3 at sf0.1: triangle
+    # 3.79 → 2.46, label-prop 5.86 → 5.07, clustering 5.87 → 5.44
+    # (ratios to the q1 control; see OPTIMIZATION_r09.md).
+    arrs = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_suppkey"))).alias("ss")
+    )
     scored = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("s1"),
-            F.col("b.l_suppkey").alias("s2"),
-            F.col("a.l_orderkey").alias("okey"),
-        )
+        arrs.select(_ordered_pairs("ss").alias("p"))
+        .select("p.s1", "p.s2")
         .groupBy("s1", "s2")
-        .agg(F.count_distinct("okey").alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .persist()
     )
     k = int(
@@ -470,20 +491,28 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|N(a)∩N(b)| / |N(a)∪N(b)| over the bipartite
     customer↔supplier graph).
 
-    Scale design: node similarity via a co-occurrence self-join is
+    Scale design: node similarity via co-occurrence pairing is
     quadratic in the DEGREE of each shared neighbor — one hub customer
     touching 10^5 suppliers alone contributes 10^10 pairs. The
-    standard mitigation is applied BEFORE the join: customers above a
-    fixed degree cap are dropped (hubs carry near-zero similarity
-    signal — their inclusion mostly adds noise floor; cf. the bands /
-    blocks / cells that bound every dedup and ANN candidate join in
-    this package). After the cap the pair stage is
+    standard mitigation is applied BEFORE any pair forms: customers
+    above a fixed degree cap are dropped (hubs carry near-zero
+    similarity signal — their inclusion mostly adds noise floor; cf.
+    the bands / blocks / cells that bound every dedup and ANN candidate
+    join in this package). After the cap the pair stage is
     sum-of-squared-bounded-degrees, linear in the neighbor-list size;
-    every stage is an equi-join or partial-combined aggregation keyed
-    on node ids, and the Jaccard itself divides two identical
-    integers — bit-deterministic cross-engine."""
+    the pairs come from per-customer sorted supplier sets (ONE corpus
+    exchange, dedup inside the aggregation — the r9 co-supply array
+    shape) rather than a kept ⋈ kept self-join, and the Jaccard itself
+    divides two identical integers — bit-deterministic cross-engine."""
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
-    cs = (
+    # r9: per-customer supplier sets instead of distinct + degree join +
+    # self-join (the co-supply array shape): ONE corpus exchange — the
+    # customer groupBy with dedup inside the aggregation — where the
+    # old plan paid a (c, s) distinct exchange, a degree join back, and
+    # a double self-join exchange on c. The hub cap becomes a plain
+    # size() filter on the array (identical kept set), and the ordered
+    # pair fan-out stays bounded by C(cap, 2) per customer.
+    arrs = (
         t["lineitem"]
         .select("l_orderkey", "l_suppkey")
         .join(
@@ -491,19 +520,19 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
+        .groupBy("c")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("s"))).alias("ss"))
+        .filter(F.size("ss") <= JAC_HUB_CAP)
     )
-    cdeg = cs.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
-    kept = cs.join(cdeg.filter(F.col("d") <= JAC_HUB_CAP), "c").select("c", "s")
-    deg = kept.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
-    a = kept.alias("a")
-    b = kept.alias("b")
+    deg = (
+        arrs.select(F.explode("ss").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("ds"))
+    )
     shared = (
-        a.join(
-            b,
-            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
-        )
-        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        arrs.select(_ordered_pairs("ss").alias("p"))
+        .select("p.s1", "p.s2")
+        .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     d1 = deg.select(F.col("s").alias("s1"), F.col("ds").alias("deg1"))
@@ -1759,7 +1788,13 @@ def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one division by one ln (round(6) absorbs libm ulps, and each
     pair sums ≤ cap such terms)."""
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
-    cs = (
+    # r9: per-customer supplier sets (the Jaccard/co-supply array
+    # shape): one corpus exchange replaces the distinct + degree join +
+    # self-join + degree re-join chain. The customer's kept degree is
+    # size(ss), carried alongside the pair explode, so the 1/ln(d)
+    # term needs no join at all; customers with d = 1 emit no pairs by
+    # construction (the oracle's d > 1 guard excludes exactly those).
+    arrs = (
         t["lineitem"]
         .select("l_orderkey", "l_suppkey")
         .join(
@@ -1767,20 +1802,16 @@ def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
+        .groupBy("c")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("s"))).alias("ss"))
+        .filter(F.size("ss") <= JAC_HUB_CAP)
     )
-    cdeg = cs.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
-    kept = cs.join(cdeg.filter(F.col("d") <= JAC_HUB_CAP), "c").select("c", "s")
-    cdeg_kept = kept.groupBy("c").agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
-    )
-    a = kept.alias("a")
-    b = kept.alias("b")
-    pairs = a.join(
-        b, (F.col("b.c") == F.col("a.c")) & (F.col("a.s") < F.col("b.s"))
-    ).select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"), F.col("a.c").alias("c"))
     scored = (
-        pairs.join(cdeg_kept.filter(F.col("d") > 1), "c")
+        arrs.select(
+            F.size("ss").cast("bigint").alias("d"),
+            _ordered_pairs("ss").alias("p"),
+        )
+        .select("p.s1", "p.s2", "d")
         .groupBy("s1", "s2")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shared"),
