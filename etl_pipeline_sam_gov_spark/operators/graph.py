@@ -1924,15 +1924,17 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("c"),
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
-        .distinct()
     )
     prev = session_slots(spark).pop("ppr", None)
     if prev is not None:
         for df in prev:
             df.unpersist()
+    # r9: one-exchange edge cache — dedup runs exchange-free above the
+    # src repartition (the graph_pagerank_bipartite r9 setup shape).
     edges = (
         _symmetrize(pairs)
         .repartition("src")
+        .distinct()
         .sortWithinPartitions("src")
         .persist()
     )
