@@ -27,12 +27,73 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_verbatim(spark, SMOKE_SF_DIR)
 
 
+def _touched_since_cert(last_round: dict[str, int]) -> dict[str, int]:
+    """Names whose implementing module was committed AFTER the
+    CORRECTNESS artifact holding their latest driver row — i.e. code
+    changed since the last certification, so the old green row no
+    longer certifies the current plan (VERDICT r09 #2) — mapped to the
+    module's last commit time (the tier sorts newest code first: the
+    most recently rewritten queries are the ones a driver sample must
+    re-prove soonest). Resolution is per-FILE (a touched
+    operators/graph.py re-prioritizes every query it defines — exactly
+    the queries whose rows went stale). Uses git commit times, never
+    filesystem mtimes (a fresh checkout stamps every file alike); any
+    git failure degrades to the empty mapping, so a .git-less
+    deployment keeps the plain three-tier order."""
+    import inspect
+    import os
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def commit_ts(relpath: str) -> int | None:
+        try:
+            out = subprocess.run(
+                ["git", "log", "-1", "--format=%ct", "--", relpath],
+                capture_output=True,
+                text=True,
+                cwd=here,
+                timeout=10,
+            )
+        except (OSError, subprocess.SubprocessError):
+            return None
+        s = out.stdout.strip()
+        return int(s) if out.returncode == 0 and s.isdigit() else None
+
+    cert_ts: dict[int, int | None] = {}
+    for rnd in set(last_round.values()):
+        cert_ts[rnd] = commit_ts(f"CORRECTNESS_r{rnd:02d}.json")
+
+    file_ts: dict[str, int | None] = {}
+    touched: dict[str, int] = {}
+    for name, rnd in last_round.items():
+        cts = cert_ts.get(rnd)
+        if cts is None:
+            continue
+        try:
+            src = inspect.unwrap(eng.QUERIES[name]).__code__.co_filename
+        except (AttributeError, ValueError):
+            continue
+        rel = os.path.relpath(src, here)
+        if rel.startswith(".."):
+            continue
+        if rel not in file_ts:
+            file_ts[rel] = commit_ts(rel)
+        fts = file_ts[rel]
+        if fts is not None and fts > cts:
+            touched[name] = fts
+    return touched
+
+
 def _verification_priority() -> list[str]:
     """Registry names ordered by certification need: queries whose last
     driver CORRECTNESS row failed first (they carry fixes to re-prove),
-    then queries never sampled by any driver round, then the rest from
-    least- to most-recently certified. Dict order IS the declared sweep
-    order — a driver sampling a prefix certifies the tail fastest."""
+    then green-certified queries whose implementing file changed since
+    that row was written (the old cert no longer covers the current
+    code), then queries never sampled by any driver round, then the
+    rest from least- to most-recently certified. Dict order IS the
+    declared sweep order — a driver sampling a prefix certifies the
+    tail fastest."""
     import glob
     import json
     import os
@@ -54,6 +115,8 @@ def _verification_priority() -> list[str]:
                 and row.get("hash_match")
             )
 
+    touched = _touched_since_cert(last_round)
+
     # Registry dict order encodes the package's own priority queue
     # (family order + the _DEFER_IN_TIER policy that keeps brand-new
     # recombinations of green lanes BEHIND the longest-waiting
@@ -64,9 +127,13 @@ def _verification_priority() -> list[str]:
     def key(name: str) -> tuple:
         if name in last_ok and not last_ok[name]:
             return (0, last_round[name], registry_pos[name])  # failed first
+        if name in touched:
+            # Stale cert: newest code first — this round's rewrites
+            # get re-proved before last year's comment edits.
+            return (1, -touched[name], registry_pos[name])
         if name not in last_round:
-            return (1, 0, registry_pos[name])  # never sampled
-        return (2, last_round[name], registry_pos[name])  # oldest cert first
+            return (2, 0, registry_pos[name])  # never sampled
+        return (3, last_round[name], registry_pos[name])  # oldest cert first
 
     return sorted(eng.QUERIES, key=key)
 

@@ -512,6 +512,15 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a double self-join exchange on c. The hub cap becomes a plain
     # size() filter on the array (identical kept set), and the ordered
     # pair fan-out stays bounded by C(cap, 2) per customer.
+    # Memory bound (ADVICE r09): the size() filter runs AFTER
+    # collect_list materializes each customer's full distinct supplier
+    # set, so one aggregation buffer is O(that customer's degree) — the
+    # old count-then-semi-join never buffered a hub's set. Degrees here
+    # are ints bounded by |suppliers| (a few MB even for a
+    # degenerate customer linked to every supplier), so the buffer is
+    # not a failure mode at this schema's cardinalities; a corpus where
+    # one group's distinct set itself approaches executor memory should
+    # pre-drop hubs with a count-based semi-join BEFORE the collect.
     arrs = (
         t["lineitem"]
         .select("l_orderkey", "l_suppkey")
@@ -1794,6 +1803,11 @@ def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size(ss), carried alongside the pair explode, so the 1/ln(d)
     # term needs no join at all; customers with d = 1 emit no pairs by
     # construction (the oracle's d > 1 guard excludes exactly those).
+    # Same O(group degree) aggregation-buffer bound as the Jaccard
+    # lane (see graph_jaccard_neighbors — ADVICE r09): the size() cap
+    # filters after collect_list materializes the set; pre-drop hubs
+    # with a count-based semi-join only if a corpus's max distinct
+    # degree ever rivals executor memory.
     arrs = (
         t["lineitem"]
         .select("l_orderkey", "l_suppkey")

@@ -118,8 +118,10 @@ def test_every_query_has_an_oracle_or_declared_rows_only():
 
 def test_queries_dict_is_verification_priority_ordered():
     """queries() must lead with whatever the driver most needs to
-    (re-)certify: last-round failures first, then never-sampled, then
-    oldest certifications — so a prefix sample burns down the tail."""
+    (re-)certify: last-round failures first, then green queries whose
+    implementing file changed since their cert row (stale certs —
+    VERDICT r09 #2), then never-sampled, then oldest certifications —
+    so a prefix sample burns down the tail."""
     import glob
     import json
     import os
@@ -131,22 +133,94 @@ def test_queries_dict_is_verification_priority_ordered():
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sampled: dict[str, dict] = {}
+    last_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-        sampled.update(json.load(open(path)))
+        rows = json.load(open(path))
+        sampled.update(rows)
+        rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()) or 0)
+        for n in rows:
+            last_round[n] = rnd
     if not sampled:
         return  # round 1: no artifacts yet, any order is fine
+
+    touched = ent._touched_since_cert(last_round)
 
     def cls(n):
         if n not in sampled:
             return "never"
         row = sampled[n]
         ok = row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
-        return "green" if ok else "failed"
+        if not ok:
+            return "failed"
+        return "touched" if n in touched else "green"
 
     classes = [cls(n) for n in names]
-    # all failed before any never-sampled, all never-sampled before green
-    rank = {"failed": 0, "never": 1, "green": 2}
+    # failed < stale-cert (touched) < never-sampled < green
+    rank = {"failed": 0, "touched": 1, "never": 2, "green": 3}
     assert [rank[c] for c in classes] == sorted(rank[c] for c in classes)
+
+
+def test_touched_since_cert_flags_recently_rewritten_files():
+    """The stale-cert tier must key on git commit times: a query whose
+    implementing module was committed after its CORRECTNESS artifact is
+    'touched'; one whose module predates its cert row is not. Run only
+    when git history is available (the helper degrades to set() without
+    it, which the priority test above already covers)."""
+    import os
+    import subprocess
+
+    import __spark_entry__ as ent
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        ok = (
+            subprocess.run(
+                ["git", "rev-parse", "--git-dir"],
+                capture_output=True,
+                cwd=here,
+                timeout=10,
+            ).returncode
+            == 0
+        )
+    except (OSError, subprocess.SubprocessError):
+        ok = False
+    if not ok:
+        import pytest
+
+        pytest.skip("no git history in this checkout")
+
+    # Differential check against git itself: for each probe query the
+    # helper must flag it exactly when its implementing module's last
+    # commit is newer than its cert artifact's commit.
+    import inspect
+
+    def commit_ts(rel):
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", rel],
+            capture_output=True,
+            text=True,
+            cwd=here,
+            timeout=10,
+        )
+        s = out.stdout.strip()
+        return int(s) if out.returncode == 0 and s.isdigit() else None
+
+    probes = {"q1_pricing_summary": 9, "graph_pagerank_bipartite": 8}
+    touched = ent._touched_since_cert(probes)
+    for name, rnd in probes.items():
+        cert = commit_ts(f"CORRECTNESS_r{rnd:02d}.json")
+        src = os.path.relpath(
+            inspect.unwrap(eng.QUERIES[name]).__code__.co_filename, here
+        )
+        file_c = commit_ts(src)
+        if cert is None or file_c is None:
+            continue
+        assert (name in touched) == (file_c > cert), (
+            name,
+            src,
+            file_c,
+            cert,
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -51,7 +51,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
-    ap.add_argument("--runs", type=int, default=3)
+    def _positive_int(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("--runs must be >= 1")
+        return n
+
+    ap.add_argument("--runs", type=_positive_int, default=3)
     ap.add_argument("--plans-out", default=None)
     ap.add_argument("--tag", default="")
     ap.add_argument("--no-metrics", action="store_true")
@@ -90,10 +96,19 @@ def main() -> None:
         if not args.no_metrics:
             # The noop write runs its OWN QueryExecution; the metrics
             # walk reads df's cached one, which only an action on the
-            # Dataset itself populates. Outputs here are small
-            # (certified queries), so collect() is a bounded fetch.
+            # Dataset ITSELF populates (df.limit(N) would execute a
+            # different QueryExecution and leave df's metrics zero).
+            # Certified queries emit small outputs by convention, but
+            # guard the driver anyway (ADVICE r09): drain df's own
+            # toLocalIterator with a row cap, so an ad-hoc profile
+            # target with a huge output cannot OOM the driver — at the
+            # cost of partial metrics past the cap.
             spark.sparkContext.setJobDescription(f"profile:{name}#metrics")
-            df.collect()
+            from itertools import islice
+
+            n_seen = sum(1 for _ in islice(df.toLocalIterator(), 1_000_000))
+            if n_seen == 1_000_000:
+                print(f"  (metrics action capped at {n_seen} rows)")
             spark.sparkContext.setJobDescription(None)
             mets = execution_metrics(df)
             for op, m in mets.items():
