@@ -1505,12 +1505,26 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("node").alias("lab")
     )
     for _ in range(LP_ROUNDS):
+        # r10 (VERDICT r09 #1): one exchange per round instead of two.
+        # The old shape exchanged on (node, lab) for the count, then
+        # again on (node) for the argmax window — Sort +
+        # WindowGroupLimit on BOTH sides of that second exchange
+        # (plans/r10/graph_label_propagation_before.txt). Repartitioning
+        # the messages on node FIRST satisfies the groupBy(node, lab)
+        # clustering (subset property) AND the window's
+        # partitionBy(node), so the count aggregates and the argmax
+        # ranks on the same single hash(node) exchange with one sort.
+        # (A max-over-struct(cnt, -lab) aggregation was A/B'd too: it
+        # falls back to SortAggregate — ordered-struct max has no hash
+        # buffer — and lost by ~45%.)
         msgs = (
             sym.join(
                 labels.select(F.col("node").alias("src"), "lab"),
                 "src",
             )
-            .groupBy(F.col("dst").alias("node"), "lab")
+            .select(F.col("dst").alias("node"), "lab")
+            .repartition("node")
+            .groupBy("node", "lab")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         rn = F.row_number().over(
