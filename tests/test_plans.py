@@ -1005,3 +1005,30 @@ def test_approx_topk_combine_survives_empty_corpus(spark, sf_dir, tmp_path):
     sch = pq.read_schema(os.path.join(sf_dir, "events.parquet"))
     pq.write_table(sch.empty_table(), os.path.join(d, "events.parquet"))
     assert fresh("agg_approx_topk_merge")(spark, d).count() == 0
+
+
+def test_cached_plan_aqe_partitioning_pinned_per_query(spark, sf_dir):
+    """Every registered query EXECUTES under an explicitly pinned
+    canChangeCachedPlanOutputPartitioning — true only for the measured
+    winners in registry.CACHED_PLAN_AQE_REPARTITION — regardless of
+    which query ran before (the pin is re-asserted after the builder,
+    so a composed query's inline sub-builders cannot leak their value
+    into the outer query's execution)."""
+    from etl_pipeline_sam_gov_spark.registry import (
+        _CCPOP_CONF,
+        CACHED_PLAN_AQE_REPARTITION,
+    )
+
+    missing = CACHED_PLAN_AQE_REPARTITION - set(eng.QUERIES)
+    assert not missing, f"pinned names not in registry: {sorted(missing)}"
+
+    # A pinned-true query leaves the conf true for its own execution...
+    eng.QUERIES["graph_label_propagation"](spark, sf_dir)
+    assert spark.conf.get(_CCPOP_CONF) == "true"
+    # ...a pinned-false one re-pins false even right after a true query.
+    eng.QUERIES["graph_kcore_membership"](spark, sf_dir)
+    assert spark.conf.get(_CCPOP_CONF) == "false"
+    # Composed query: its builder invokes other registered queries
+    # inline; the OUTER pin must win for the returned plan's execution.
+    eng.QUERIES["pipeline_health_report"](spark, sf_dir)
+    assert spark.conf.get(_CCPOP_CONF) == "false"
