@@ -21,6 +21,8 @@ Scale notes (100 TB / billions of vectors):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -40,29 +42,40 @@ def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _parallelize(df: DataFrame) -> DataFrame:
+def _parallelize(df: DataFrame, n_parts: int | None = None) -> DataFrame:
     """The fixture embeddings are one small parquet file → ONE scan
     partition, which would serialize every O(N×candidates) vector-math
     stage on a single core (measured 27 s for the all-pairs cosine at
-    sf0.1, ~1 s once spread). Round-robin repartition to the session
-    default parallelism restores the scan parallelism a real
-    multi-file corpus has natively; the shuffled payload is just the
-    vectors themselves, negligible next to the pair loop it unblocks.
-    The partition-count guard self-disables the shuffle on layouts
-    that already scan wide."""
+    sf0.1, ~1 s once spread). Round-robin repartition restores the scan
+    parallelism a real multi-file corpus has natively; the shuffled
+    payload is just the vectors themselves, negligible next to the pair
+    loop it unblocks. The partition-count guard self-disables the
+    shuffle on layouts that already scan wide.
+
+    ``n_parts`` (r10, guide §2 partition sizing): a WORK-derived count
+    from the caller — the pair loop's cost is O(N × candidates), not
+    O(bytes), so neither AQE's byte-based advisory nor a flat
+    core-count constant sizes it right. Callers that know their
+    candidate volume pass ceil(work / per-task target), clamped to the
+    session parallelism; the r9 scaling block measured the flat
+    32-partition split ~1.7× SLOWER than 8 partitions at sf0.1 (pure
+    scheduler overhead on ~1 s of vector math). At corpus scale the
+    derived count exceeds parallelism and the clamp restores today's
+    behavior, so this is fixture-visible only."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= parallelism:
+    target = parallelism if n_parts is None else max(2, min(parallelism, n_parts))
+    if df.rdd.getNumPartitions() >= target:
         return df
-    return df.repartition(parallelism)
+    return df.repartition(target)
 
 
-def with_norms(emb: DataFrame) -> DataFrame:
+def with_norms(emb: DataFrame, n_parts: int | None = None) -> DataFrame:
     # Two-step projection: materialize the double-cast vector once, then
     # fold the norm over the materialized column — an inline transform
     # would be re-evaluated per reference (higher-order exprs are
     # interpreted, no codegen subexpression elimination). The norm
     # references v twice, so CollapseProject keeps the boundary.
-    vd = _parallelize(emb.select("vec_id", _as_double().alias("v")))
+    vd = _parallelize(emb.select("vec_id", _as_double().alias("v")), n_parts)
     return vd.select(
         "vec_id",
         "v",
@@ -105,6 +118,29 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+#: Brute-force pair-loop sizing: query×corpus candidate pairs per task.
+#: Calibrated at sf0.1 (N=2000 → ~80k pairs → 9 partitions; the flat
+#: core-count split was measured ~1.7× slower at 32 cores, see
+#: _parallelize); at corpus scale the derived count exceeds the session
+#: parallelism and the clamp takes over.
+BF_PAIRS_PER_TASK = 10_000
+
+
+def _parquet_rows(sf_dir: str, table: str) -> int | None:
+    """Row count from the parquet FOOTER (metadata only, no scan, no
+    Spark job) — the size input for work-derived partition counts.
+    None when the layout isn't a single fixture file (multi-file corpus
+    dirs at scale), where the caller's parallelism clamp governs."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.read_metadata(
+            os.path.join(sf_dir, f"{table}.parquet")
+        ).num_rows
+    except Exception:
+        return None
+
+
 @query(
     "ann_bruteforce_topk",
     baseline_of="ann_ivf_topk",
@@ -112,9 +148,18 @@ FROM ranked WHERE rank <= {TOP_K}
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast queries × corpus scan × rank window.
-    The ground-truth baseline every ANN variant is measured against."""
+    The ground-truth baseline every ANN variant is measured against.
+    The corpus split is sized to the PAIR work (N × N/stride — guide §2:
+    derive partition counts from input size, not a core-count constant
+    that over-splits at fixture scale and means nothing at 100 TB)."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    norms = with_norms(emb)
+    n = _parquet_rows(sf_dir, "embeddings")
+    parts = (
+        None
+        if n is None
+        else -(-(n * (n // QUERY_STRIDE + 1)) // BF_PAIRS_PER_TASK)
+    )
+    norms = with_norms(emb, parts)
     q = norms.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

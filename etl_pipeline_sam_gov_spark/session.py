@@ -119,6 +119,13 @@ def get_spark(app_name: str = "etl_pipeline_sam_gov_spark") -> SparkSession:
     # pins maxFailures=1 so the first injected failure kills the job).
     retries = os.environ.get("SPARK_GRAFT_TASK_MAX_FAILURES")
     master = f"local[{cpus},{int(retries)}]" if retries else f"local[{cpus}]"
+    # Robustness-sweep knob (VERDICT r08 #5 / r09 #8): an explicit
+    # master — e.g. local-cluster[2,2,2048] — runs the full registry
+    # with executors in SEPARATE JVMs, exercising real serialization of
+    # every closure/row/broadcast instead of local mode's in-process
+    # handoff. Never set by bench.py or the driver; the bench contract
+    # (local[$SPARK_GRAFT_CPUS]) is unchanged.
+    master = os.environ.get("SPARK_GRAFT_MASTER", master)
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
