@@ -139,6 +139,15 @@ CACHED_PLAN_AQE_REPARTITION: frozenset[str] = frozenset(
         "graph_random_walks",
         "reco_item_lift",
         "text_bpe_merge_rounds",
+        # Non-headliner persisting queries, same A/B protocol (outputs
+        # identical; order-alternating best-of-6 at sf0.1):
+        # hits 0.53 (5.86->3.09, every sample separated), cc 0.79,
+        # triangle 0.83, cluster-components 0.88. ts_exponential_fit_ks
+        # measured flat (1.02) and stays false.
+        "graph_hits_scores",
+        "graph_clustering_coefficient",
+        "graph_triangle_count",
+        "dedup_cluster_components",
     }
 )
 
